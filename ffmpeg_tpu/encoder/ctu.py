@@ -1,0 +1,229 @@
+"""CTU-level syntax encoder: coding tree, intra CU, transform units.
+
+Bin-exact mirror of the coding_tree_unit()/coding_unit()/transform_unit()
+syntax (H.266 7.3.11.2-10); behavioural parity target is the decode side
+in `libavcodec/vvc/vvc_ctu.c:947-2330` and `vvc_cabac.c:950-1780`.
+
+v1 feature set (all-intra): single tree, no QT/BT/TT split flags (stream
+configs keep MinQtSize == CTU and MaxMttDepth == 0 or use explicit legal
+split decisions), normal intra modes with MPM, chroma DM/planar/angular,
+per-TB CBFs, regular residual coding.  Tools off: MIP, MRL, ISP, CCLM,
+BDPCM, transform-skip, LFNST, MTS, dep-quant, sign hiding.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..bitstream.cabac import CTX, CabacEncoder, ContextTable
+from .residual import ResidualEncoder
+
+MODE_INTER, MODE_INTRA = 0, 1
+INTRA_PLANAR, INTRA_DC, INTRA_HORZ, INTRA_VERT = 0, 1, 18, 50
+
+
+def mpm_candidates(a: int, b: int) -> list[int]:
+    """Spec 8.4.2 MPM list from left mode `a` and above mode `b`."""
+    if a == b and a > INTRA_DC:
+        return [a, 2 + ((a + 61) % 64), 2 + ((a - 1) % 64),
+                2 + ((a + 60) % 64), 2 + (a % 64)]
+    minab, maxab = min(a, b), max(a, b)
+    if a > INTRA_DC and b > INTRA_DC:
+        diff = maxab - minab
+        cand = [a, b]
+        if diff == 1:
+            cand += [2 + ((minab + 61) % 64), 2 + ((maxab - 1) % 64),
+                     2 + ((minab + 60) % 64)]
+        elif diff >= 62:
+            cand += [2 + ((minab - 1) % 64), 2 + ((maxab + 61) % 64),
+                     2 + (minab % 64)]
+        elif diff == 2:
+            cand += [2 + ((minab - 1) % 64), 2 + ((minab + 61) % 64),
+                     2 + ((maxab - 1) % 64)]
+        else:
+            cand += [2 + ((minab + 61) % 64), 2 + ((minab - 1) % 64),
+                     2 + ((maxab + 61) % 64)]
+        return cand
+    if a > INTRA_DC or b > INTRA_DC:
+        return [maxab, 2 + ((maxab + 61) % 64), 2 + ((maxab - 1) % 64),
+                2 + ((maxab + 60) % 64), 2 + (maxab % 64)]
+    return [INTRA_DC, INTRA_VERT, INTRA_HORZ, INTRA_VERT - 4, INTRA_VERT + 4]
+
+
+@dataclass
+class CuIntent:
+    """One intra CU's chosen syntax (the generator's ground truth)."""
+    x0: int
+    y0: int
+    w: int
+    h: int
+    luma_mode: int = INTRA_PLANAR
+    # chroma mode syntax value: 4 = DM, 0..3 = planar/vert/horz/dc list
+    chroma_mode_idx: int = 4
+    # per-component coeff arrays (raster, chroma at chroma resolution) or None
+    coeff_y: np.ndarray | None = None
+    coeff_cb: np.ndarray | None = None
+    coeff_cr: np.ndarray | None = None
+
+
+class FrameSyntaxEncoder:
+    """Encodes slice data (all CTUs) of one frame."""
+
+    def __init__(self, sps, pps, sh):
+        self.sps = sps
+        self.pps = pps
+        self.sh = sh
+        self.width = pps.pps_pic_width_in_luma_samples
+        self.height = pps.pps_pic_height_in_luma_samples
+        self.ctb_log2 = sps.ctb_log2_size_y
+        self.ctb_size = 1 << self.ctb_log2
+        self.ctb_w = (self.width + self.ctb_size - 1) >> self.ctb_log2
+        self.ctb_h = (self.height + self.ctb_size - 1) >> self.ctb_log2
+        self.min_cb_log2 = sps.sps_log2_min_luma_coding_block_size_minus2 + 2
+        mw = self.width >> self.min_cb_log2
+        mh = self.height >> self.min_cb_log2
+        # per-min-CB tables mirroring fc->tab
+        self.tab_ipm = np.zeros((mh, mw), dtype=np.int32)
+        self.tab_cpm = np.zeros((mh, mw), dtype=np.int32)  # MODE_INTER init
+
+        self.slice_qp_y = 26 + pps.pps_init_qp_minus26 + sh.sh_qp_delta
+        init_type = 2 - sh.sh_slice_type
+        if sh.sh_cabac_init_flag and sh.sh_slice_type != 2:
+            init_type ^= 3
+        self.ctxs = ContextTable()
+        self.ctxs.init_states(max(0, min(self.slice_qp_y, 63)), init_type)
+        self.enc = CabacEncoder()
+        self.res = ResidualEncoder(self.enc, self.ctxs, sh.sh_slice_type == 2)
+
+        # neighbour availability for the current CTU
+        self.ctb_left = False
+        self.ctb_up = False
+
+    # -- helpers -------------------------------------------------------
+    def _bin(self, name: str, inc: int, val: int) -> None:
+        self.enc.encode(self.ctxs, CTX[name] + inc, val)
+
+    def _truncated_binary(self, val: int, c_max: int) -> None:
+        n = c_max + 1
+        k = n.bit_length() - 1
+        u = (1 << (k + 1)) - n
+        if val < u:
+            self.enc.bypass_bits(val, k)
+        else:
+            self.enc.bypass_bits(val + u, k + 1)
+
+    # -- intra modes ---------------------------------------------------
+    def _left_top_ipm(self, cu: CuIntent) -> tuple[int, int]:
+        """MPM neighbour modes a (left) and b (above), spec 8.4.2."""
+        s = self.min_cb_log2
+        x_a, y_a = (cu.x0 - 1) >> s, (cu.y0 + cu.h - 1) >> s
+        x_b, y_b = (cu.x0 + cu.w - 1) >> s, (cu.y0 - 1) >> s
+        x0b = cu.x0 & (self.ctb_size - 1)
+        y0b = cu.y0 & (self.ctb_size - 1)
+        avail_l = self.ctb_left or x0b
+        avail_u = self.ctb_up or y0b
+        a = b = INTRA_PLANAR
+        if avail_l and self.tab_cpm[y_a, x_a] == MODE_INTRA:
+            a = int(self.tab_ipm[y_a, x_a])
+        if avail_u and self.tab_cpm[y_b, x_b] == MODE_INTRA and y0b:
+            b = int(self.tab_ipm[y_b, x_b])
+        return a, b
+
+    def _encode_luma_intra_mode(self, cu: CuIntent) -> None:
+        a, b = self._left_top_ipm(cu)
+        cand = mpm_candidates(a, b)
+        mode = cu.luma_mode
+        if mode == INTRA_PLANAR:
+            self._bin("INTRA_LUMA_MPM_FLAG", 0, 1)
+            self._bin("INTRA_LUMA_NOT_PLANAR_FLAG", 1, 0)  # +1: no ISP
+        elif mode in cand:
+            idx = cand.index(mode)
+            self._bin("INTRA_LUMA_MPM_FLAG", 0, 1)
+            self._bin("INTRA_LUMA_NOT_PLANAR_FLAG", 1, 1)
+            # mpm_idx: bypass unary, max 4
+            for i in range(idx):
+                self.enc.bypass(1)
+            if idx < 4:
+                self.enc.bypass(0)
+        else:
+            self._bin("INTRA_LUMA_MPM_FLAG", 0, 0)
+            # remainder: truncated binary of rank among non-MPM modes
+            scand = sorted(cand)
+            pred = mode
+            for c in reversed(scand):
+                if pred > c:
+                    pred -= 1
+            # decode: pred = rem + 1 then ++ for each cand <= pred
+            # inverse: rem = mode - 1 - #cands < mode
+            rem = mode - 1 - sum(1 for c in scand if c < mode)
+            assert 0 <= rem <= 60
+            self._truncated_binary(rem, 60)
+        # update tables over the CU area
+        s = self.min_cb_log2
+        ys, xs = cu.y0 >> s, cu.x0 >> s
+        self.tab_ipm[ys:ys + (cu.h >> s), xs:xs + (cu.w >> s)] = mode
+        self.tab_cpm[ys:ys + (cu.h >> s), xs:xs + (cu.w >> s)] = MODE_INTRA
+
+    def _encode_chroma_intra_mode(self, cu: CuIntent) -> None:
+        # CCLM off; intra_chroma_pred_mode: 4 = DM
+        if cu.chroma_mode_idx == 4:
+            self._bin("INTRA_CHROMA_PRED_MODE", 0, 0)
+        else:
+            self._bin("INTRA_CHROMA_PRED_MODE", 0, 1)
+            self.enc.bypass_bits(cu.chroma_mode_idx, 2)
+
+    # -- transform unit -------------------------------------------------
+    def _encode_transform_unit(self, cu: CuIntent) -> None:
+        sps = self.sps
+        chroma_available = sps.sps_chroma_format_idc != 0
+        cb_coded = cu.coeff_cb is not None and np.any(cu.coeff_cb)
+        cr_coded = cu.coeff_cr is not None and np.any(cu.coeff_cr)
+        y_coded = cu.coeff_y is not None and np.any(cu.coeff_y)
+        if chroma_available:
+            self._bin("TU_CB_CODED_FLAG", 0, int(cb_coded))
+            self._bin("TU_CR_CODED_FLAG", int(cb_coded), int(cr_coded))
+        # luma: intra -> flag always present, ctx inc 0
+        self._bin("TU_Y_CODED_FLAG", 0, int(y_coded))
+        # no cu_qp_delta, no joint cbcr, no transform skip
+        assert not sps.sps_joint_cbcr_enabled_flag
+        if y_coded:
+            self.res.encode(cu.coeff_y, 0)
+        if cb_coded:
+            self.res.encode(cu.coeff_cb, 1)
+        if cr_coded:
+            self.res.encode(cu.coeff_cr, 2)
+
+    # -- CU / CTU -------------------------------------------------------
+    def encode_cu(self, cu: CuIntent) -> None:
+        # I-slice, no IBC: pred mode fully inferred (MODE_INTRA), no bins
+        # reset lfnst/mts trackers (unused while both tools are off)
+        self.res.lfnst_dc_only = 1
+        self.res.lfnst_zero_out_sig_coeff_flag = 1
+        self.res.mts_dc_only = 1
+        self.res.mts_zero_out_sig_coeff_flag = 1
+        self._encode_luma_intra_mode(cu)
+        if self.sps.sps_chroma_format_idc:
+            self._encode_chroma_intra_mode(cu)
+        # coded_flag inferred 1 for intra (no skip)
+        self._encode_transform_unit(cu)
+        assert not self.sps.sps_lfnst_enabled_flag
+        assert not self.sps.sps_mts_enabled_flag
+
+    def encode_ctu(self, rx: int, ry: int, cus: list[CuIntent],
+                   is_last_in_slice: bool) -> None:
+        self.ctb_left = rx > 0
+        self.ctb_up = ry > 0
+        # SAO/ALF/deblock-override all disabled -> no per-CTU bins
+        assert not self.sh.sh_sao_luma_used_flag and not self.sh.sh_alf_enabled_flag
+        for cu in cus:
+            self.encode_cu(cu)
+        if is_last_in_slice:
+            self.enc.terminate(1)
+        else:
+            # single slice, single tile, no WPP -> no terminate bins mid-slice
+            pass
+
+    def finish(self) -> bytes:
+        payload, _bits = self.enc.finish()
+        return payload

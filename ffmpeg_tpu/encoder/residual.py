@@ -1,0 +1,342 @@
+"""Regular (non-transform-skip) residual coding — encoder side.
+
+Bin-exact mirror of the spec's residual_coding() syntax (H.266 7.3.11.11)
+and its context derivations (9.3.4.2.x); behavioural parity target:
+`libavcodec/vvc/vvc_cabac.c:1700-2460` (decode side).
+
+The encoder takes a 2-D array of chosen transform coefficient levels and
+emits the exact bin sequence a conforming decoder will read back.
+Supports: dep-quant off, sign-data-hiding off, persistent rice off,
+no SBT/MTS zero-out narrowing (log2_zo = min(log2, 5)).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..bitstream.cabac import CTX, CabacEncoder, ContextTable
+from .scan import diag_scan
+
+RICE_PARAMS = [
+    0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 2, 2,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 3, 3, 3,
+]
+
+
+def _local_sum(level: np.ndarray, xc: int, yc: int) -> int:
+    """Spec 9.3.4.2.7 locSumAbs template (right/below neighbours)."""
+    h, w = level.shape
+    s = 0
+    if xc < w - 1:
+        s += int(level[yc, xc + 1])
+        if xc < w - 2:
+            s += int(level[yc, xc + 2])
+        if yc < h - 1:
+            s += int(level[yc + 1, xc + 1])
+    if yc < h - 1:
+        s += int(level[yc + 1, xc])
+        if yc < h - 2:
+            s += int(level[yc + 2, xc])
+    return s
+
+
+class ResidualEncoder:
+    """Encodes one transform block's residual_coding() payload."""
+
+    def __init__(self, enc: CabacEncoder, ctxs: ContextTable, is_intra_slice: bool):
+        self.enc = enc
+        self.ctxs = ctxs
+        self.is_intra_slice = is_intra_slice
+        # lfnst/mts parse-state trackers (consumed by the CU encoder)
+        self.lfnst_dc_only = 1
+        self.lfnst_zero_out_sig_coeff_flag = 1
+        self.mts_dc_only = 1
+        self.mts_zero_out_sig_coeff_flag = 1
+
+    # -- primitive encoders -------------------------------------------
+    def _bin(self, ctx_name: str, inc: int, val: int) -> None:
+        self.enc.encode(self.ctxs, CTX[ctx_name] + inc, val)
+
+    def _abs_encode(self, value: int, c_rice: int, log2_transform_range: int = 15) -> None:
+        """Inverse of abs_decode: prefix (bypass unary, max 6) + suffix."""
+        MAX_BIN = 6
+        prefix = value >> c_rice
+        if prefix < MAX_BIN:
+            for _ in range(prefix):
+                self.enc.bypass(1)
+            self.enc.bypass(0)
+            self.enc.bypass_bits(value & ((1 << c_rice) - 1), c_rice)
+        else:
+            for _ in range(MAX_BIN):
+                self.enc.bypass(1)
+            # limited k-th order EGk with k = c_rice + 1
+            k = c_rice + 1
+            max_pre_ext_len = 26 - log2_transform_range
+            val = value - (MAX_BIN << c_rice)
+            pre_ext_len = 0
+            while (pre_ext_len < max_pre_ext_len
+                   and val >= ((1 << (pre_ext_len + 1)) - 1) << k):
+                pre_ext_len += 1
+            for _ in range(pre_ext_len):
+                self.enc.bypass(1)
+            if pre_ext_len < max_pre_ext_len:
+                self.enc.bypass(0)
+                escape_len = pre_ext_len + k
+            else:
+                escape_len = log2_transform_range
+            rem = val - (((1 << pre_ext_len) - 1) << k)
+            assert 0 <= rem < (1 << escape_len), "abs level out of range"
+            self.enc.bypass_bits(rem, escape_len)
+
+    # -- last significant coefficient ---------------------------------
+    def _last_sig_prefix(self, value: int, log2_tb_size: int, log2_zo_size: int,
+                         c_idx: int, ctx_name: str) -> None:
+        prefix = min(value, 3) if value <= 3 else (
+            # group_idx: prefix p maps to range [ (1<<(p>>1)-1)*(2+(p&1)), ... )
+            self._group_idx(value))
+        maximum = (log2_zo_size << 1) - 1
+        if c_idx == 0:
+            offset_y = [0, 0, 3, 6, 10, 15]
+            ctx_offset = offset_y[log2_tb_size - 1]
+            ctx_shift = (log2_tb_size + 1) >> 2
+        else:
+            shifts = [0, 0, 0, 1, 2, 2, 2]
+            ctx_offset = 20
+            ctx_shift = shifts[log2_tb_size]
+        for i in range(prefix):
+            self._bin(ctx_name, (i >> ctx_shift) + ctx_offset, 1)
+        if prefix < maximum:
+            self._bin(ctx_name, (prefix >> ctx_shift) + ctx_offset, 0)
+
+    @staticmethod
+    def _group_idx(value: int) -> int:
+        """Inverse of the last-sig prefix->value mapping."""
+        p = 0
+        while True:
+            lo = ((1 << ((p >> 1) - 1)) * (2 + (p & 1))) if p > 3 else p
+            nxt = p + 1
+            hi = ((1 << ((nxt >> 1) - 1)) * (2 + (nxt & 1))) if nxt > 3 else nxt
+            if lo <= value < hi:
+                return p
+            p += 1
+
+    def _last_sig_suffix(self, value: int, prefix: int) -> None:
+        if prefix > 3:
+            base = (1 << ((prefix >> 1) - 1)) * (2 + (prefix & 1))
+            length = (prefix >> 1) - 1
+            self.enc.bypass_bits(value - base, length)
+
+    # -- main ----------------------------------------------------------
+    def encode(self, coeffs: np.ndarray, c_idx: int) -> None:
+        """coeffs: int array shaped (tb_height, tb_width), raster order."""
+        h, w = coeffs.shape
+        log2_w, log2_h = w.bit_length() - 1, h.bit_length() - 1
+        zo_w, zo_h = min(log2_w, 5), min(log2_h, 5)  # no SBT narrowing
+        assert np.all(coeffs[1 << zo_h:, :] == 0) and np.all(coeffs[:, 1 << zo_w:] == 0)
+
+        # subblock geometry (spec 7.3.11.11 log2SbW/H derivation)
+        log2_sb_w = 1 if min(zo_w, zo_h) < 2 else 2
+        log2_sb_h = log2_sb_w
+        if zo_w + zo_h > 3:
+            if zo_w < 2:
+                log2_sb_w = zo_w
+                log2_sb_h = 4 - log2_sb_w
+            elif zo_h < 2:
+                log2_sb_h = zo_h
+                log2_sb_w = 4 - log2_sb_h
+        num_sb_coeff = 1 << (log2_sb_w + log2_sb_h)
+        w_sbs = 1 << (zo_w - log2_sb_w)
+        h_sbs = 1 << (zo_h - log2_sb_h)
+        sb_scan = diag_scan(w_sbs, h_sbs)
+        scan = diag_scan(1 << log2_sb_w, 1 << log2_sb_h)
+        rem_bins_pass1 = ((1 << (zo_w + zo_h)) * 7) >> 2
+
+        # find last significant coefficient in scan order
+        last_sb = -1
+        last_pos = -1
+        for i in range(len(sb_scan) - 1, -1, -1):
+            xs, ys = sb_scan[i]
+            for n in range(num_sb_coeff - 1, -1, -1):
+                xc = (xs << log2_sb_w) + scan[n][0]
+                yc = (ys << log2_sb_h) + scan[n][1]
+                if coeffs[yc, xc]:
+                    last_sb, last_pos = i, n
+                    break
+            if last_sb >= 0:
+                break
+        assert last_sb >= 0, "residual_coding called with all-zero block"
+        xs, ys = sb_scan[last_sb]
+        last_x = (xs << log2_sb_w) + scan[last_pos][0]
+        last_y = (ys << log2_sb_h) + scan[last_pos][1]
+
+        self._last_sig_prefix(last_x, log2_w, zo_w, c_idx, "LAST_SIG_COEFF_X_PREFIX")
+        self._last_sig_prefix(last_y, log2_h, zo_h, c_idx, "LAST_SIG_COEFF_Y_PREFIX")
+        self._last_sig_suffix(last_x, self._group_idx(last_x) if last_x > 3 else last_x)
+        self._last_sig_suffix(last_y, self._group_idx(last_y) if last_y > 3 else last_y)
+
+        # lfnst/mts parse-state tracking (decode side vvc_cabac.c:2407-2437)
+        last_scan_pos_linear = last_sb * num_sb_coeff + last_pos
+        if last_sb == 0 and log2_w >= 2 and log2_h >= 2 and last_pos > 0:
+            self.lfnst_dc_only = 0
+        if (last_sb > 0 and log2_w >= 2 and log2_h >= 2) or \
+           (last_pos > 7 and (log2_w == 2 or log2_w == 3) and log2_w == log2_h):
+            self.lfnst_zero_out_sig_coeff_flag = 0
+        if (last_sb > 0 or last_pos > 0) and c_idx == 0:
+            self.mts_dc_only = 0
+
+        abs_level = np.zeros((h, w), dtype=np.int64)
+        abs_level_pass1 = np.zeros((h, w), dtype=np.int64)
+        sig_flag = np.zeros((h, w), dtype=np.int64)
+        sb_coded = np.zeros((h_sbs, w_sbs), dtype=np.int64)
+
+        infer_sb_cbf = 1  # unused in regular mode (only ts); kept for clarity
+        state = {"rem_bins": rem_bins_pass1}
+
+        for i in range(last_sb, -1, -1):
+            self._encode_subblock(
+                coeffs, abs_level, abs_level_pass1, sig_flag, sb_coded,
+                i, last_sb, last_pos, sb_scan, scan,
+                log2_sb_w, log2_sb_h, num_sb_coeff, w_sbs, h_sbs,
+                c_idx, state, last_x, last_y)
+
+    def _encode_subblock(self, coeffs, abs_level, abs_level_pass1, sig_flag,
+                         sb_coded, i, last_sb, last_pos, sb_scan, scan,
+                         log2_sb_w, log2_sb_h, num_sb_coeff, w_sbs, h_sbs,
+                         c_idx, state, last_x, last_y) -> None:
+        xs, ys = sb_scan[i]
+        coded = int(np.any(self._sb_block(coeffs, xs, ys, log2_sb_w, log2_sb_h) != 0))
+        infer_sb_dc_sig = 0
+        if 0 < i < last_sb:
+            # sb_coded_flag with ctx from right/bottom neighbours
+            right = int(sb_coded[ys, xs + 1]) if xs < w_sbs - 1 else 0
+            bottom = int(sb_coded[ys + 1, xs]) if ys < h_sbs - 1 else 0
+            inc = (right | bottom) + (2 if c_idx else 0)
+            self._bin("SB_CODED_FLAG", inc, coded)
+            infer_sb_dc_sig = 1
+        else:
+            coded = 1
+        sb_coded[ys, xs] = coded
+        if coded and (xs > 3 or ys > 3) and c_idx == 0:
+            self.mts_zero_out_sig_coeff_flag = 0
+        if not coded:
+            return
+
+        first_pos_mode0 = last_pos if i == last_sb else num_sb_coeff - 1
+        first_pos_mode1 = first_pos_mode0
+        gt2 = [0] * num_sb_coeff
+        first_sig = num_sb_coeff
+        last_sig_sb = -1
+
+        n = first_pos_mode0
+        while n >= 0 and state["rem_bins"] >= 4:
+            xc = (xs << log2_sb_w) + scan[n][0]
+            yc = (ys << log2_sb_h) + scan[n][1]
+            level = abs(int(coeffs[yc, xc]))
+            is_last = (xc == last_x and yc == last_y)
+            if (n > 0 or not infer_sb_dc_sig) and not is_last:
+                sig = int(level > 0)
+                self._bin("SIG_COEFF_FLAG",
+                          self._sig_ctx_inc(abs_level_pass1, xc, yc, c_idx), sig)
+                state["rem_bins"] -= 1
+                if sig:
+                    infer_sb_dc_sig = 0
+            else:
+                sig = int(is_last or (scan[n] == (0, 0) and infer_sb_dc_sig))
+                assert sig == (level > 0), (
+                    f"inferred sig mismatch at ({xc},{yc}): level={level}")
+            sig_flag[yc, xc] = sig
+            p1 = 0
+            if sig:
+                inc = self._gtx_ctx_inc(sig_flag, abs_level_pass1, xc, yc,
+                                        c_idx, is_last)
+                gt1 = int(level > 1)
+                self._bin("ABS_LEVEL_GTX_FLAG", inc, gt1)
+                state["rem_bins"] -= 1
+                par = 0
+                if gt1:
+                    par = (level - 2) & 1
+                    gt2[n] = int(level > 3)
+                    self._bin("PAR_LEVEL_FLAG", inc, par)
+                    self._bin("ABS_LEVEL_GTX_FLAG", inc + 32, gt2[n])
+                    state["rem_bins"] -= 2
+                if last_sig_sb == -1:
+                    last_sig_sb = n
+                first_sig = n
+                p1 = 1 + par + gt1 + (gt2[n] << 1)
+            abs_level_pass1[yc, xc] = p1
+            first_pos_mode1 = n - 1
+            n -= 1
+
+        # remainder pass for pass-1-coded positions
+        for n in range(first_pos_mode0, first_pos_mode1, -1):
+            xc = (xs << log2_sb_w) + scan[n][0]
+            yc = (ys << log2_sb_h) + scan[n][1]
+            level = abs(int(coeffs[yc, xc]))
+            abs_level[yc, xc] = abs_level_pass1[yc, xc]
+            if gt2[n]:
+                rem = (level - 4) >> 1
+                c_rice = self._rice_param(abs_level, xc, yc,
+                                          4 if self.is_intra_slice else 4)
+                # base_level for rrc off, <=12bit: {4,4} -> always 4
+                self._abs_encode(rem, c_rice)
+                abs_level[yc, xc] = level
+
+        # mode1: dec_abs_level coding for the rest
+        for n in range(first_pos_mode1, -1, -1):
+            xc = (xs << log2_sb_w) + scan[n][0]
+            yc = (ys << log2_sb_h) + scan[n][1]
+            level = abs(int(coeffs[yc, xc]))
+            c_rice = self._rice_param(abs_level, xc, yc, 0)
+            zero_pos = 1 << c_rice  # qstate < 2 always (dep quant off)
+            if level == 0:
+                dec = zero_pos
+            elif level <= zero_pos:
+                dec = level - 1
+            else:
+                dec = level
+            self._abs_encode(dec, c_rice)
+            abs_level[yc, xc] = level
+            if level > 0:
+                if last_sig_sb == -1:
+                    last_sig_sb = n
+                first_sig = n
+
+        # sign pass (no sign-data-hiding)
+        for n in range(first_pos_mode0, -1, -1):
+            xc = (xs << log2_sb_w) + scan[n][0]
+            yc = (ys << log2_sb_h) + scan[n][1]
+            level = int(coeffs[yc, xc])
+            if level != 0:
+                self.enc.bypass(1 if level < 0 else 0)
+
+    # -- context derivations -------------------------------------------
+    @staticmethod
+    def _sb_block(arr, xs, ys, log2_sb_w, log2_sb_h):
+        return arr[ys << log2_sb_h:(ys + 1) << log2_sb_h,
+                   xs << log2_sb_w:(xs + 1) << log2_sb_w]
+
+    @staticmethod
+    def _sig_ctx_inc(abs_level_pass1, xc, yc, c_idx) -> int:
+        d = xc + yc
+        loc = _local_sum(abs_level_pass1, xc, yc)
+        if c_idx == 0:
+            return (min((loc + 1) >> 1, 3)
+                    + (8 if d < 2 else (4 if d < 5 else 0)))
+        return 36 + min((loc + 1) >> 1, 3) + (4 if d < 2 else 0)
+
+    @staticmethod
+    def _gtx_ctx_inc(sig_flag, abs_level_pass1, xc, yc, c_idx, is_last) -> int:
+        if is_last:
+            return 0 if c_idx == 0 else 21
+        d = xc + yc
+        loc_sig = _local_sum(sig_flag, xc, yc)
+        loc_p1 = _local_sum(abs_level_pass1, xc, yc)
+        offset = min(loc_p1 - loc_sig, 4)
+        if c_idx == 0:
+            return 1 + offset + (15 if d == 0 else (10 if d < 3 else (5 if d < 10 else 0)))
+        return 22 + offset + (5 if d == 0 else 0)
+
+    @staticmethod
+    def _rice_param(abs_level, xc, yc, base_level) -> int:
+        loc = _local_sum(abs_level, xc, yc)
+        loc = max(0, min(loc - base_level * 5, 31))
+        return RICE_PARAMS[loc]
