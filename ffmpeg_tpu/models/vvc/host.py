@@ -1,0 +1,125 @@
+"""ctypes binding to the native VVC host parser (libvvc_host.so).
+
+The native library turns an access unit (annex-B bytes) into
+device-ready syntax tensors: coefficient planes, per-min-CB mode planes,
+and CU/TU record tables.  Builds the library on demand with make.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from dataclasses import dataclass
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libvvc_host.so")
+
+CU_FIELDS = ["x0", "y0", "w", "h", "pred_mode", "luma_mode", "chroma_mode",
+             "qp", "qp_cb", "qp_cr", "qp_jcbcr"]
+TU_FIELDS = ["x0", "y0", "w", "h", "c_idx", "coded", "qp", "cu_index"]
+
+
+def _build() -> None:
+    srcs = [os.path.join(_NATIVE_DIR, f) for f in os.listdir(_NATIVE_DIR)
+            if f.endswith((".cc", ".h"))]
+    if os.path.exists(_LIB_PATH):
+        lib_mtime = os.path.getmtime(_LIB_PATH)
+        if all(os.path.getmtime(s) <= lib_mtime for s in srcs):
+            return
+    subprocess.run(["make", "-s", "libvvc_host.so"], cwd=_NATIVE_DIR,
+                   check=True)
+
+
+_lib = None
+
+
+def _get_lib():
+    global _lib
+    if _lib is None:
+        _build()
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.vvch_new.restype = ctypes.c_void_p
+        lib.vvch_free.argtypes = [ctypes.c_void_p]
+        lib.vvch_decode_au.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                       ctypes.c_int]
+        lib.vvch_last_error.restype = ctypes.c_char_p
+        lib.vvch_frame_info.argtypes = [ctypes.c_void_p,
+                                        ctypes.POINTER(ctypes.c_int32)]
+        for name in ("vvch_coeffs", "vvch_cus", "vvch_tus", "vvch_ipm"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.POINTER(ctypes.c_int32)
+            fn.argtypes = [ctypes.c_void_p] + (
+                [ctypes.c_int] if name == "vvch_coeffs" else [])
+        _lib = lib
+    return _lib
+
+
+@dataclass
+class FrameSyntax:
+    """Parsed syntax of one frame, as numpy arrays."""
+    width: int
+    height: int
+    bit_depth: int
+    chroma_format_idc: int
+    poc: int
+    slice_qp: int
+    coeff_y: np.ndarray       # (H, W) int32
+    coeff_cb: np.ndarray      # (H/2, W/2) int32 (4:2:0)
+    coeff_cr: np.ndarray
+    cus: dict                 # field -> (n_cus,) int32
+    tus: dict                 # field -> (n_tus,) int32
+    ipm: np.ndarray           # (mcb_h, mcb_w) int32
+
+
+class HostDecoder:
+    """Stateful host-side parser; feed access units, get FrameSyntax."""
+
+    def __init__(self) -> None:
+        self._lib = _get_lib()
+        self._h = self._lib.vvch_new()
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.vvch_free(self._h)
+            self._h = None
+
+    def decode_au(self, data: bytes) -> FrameSyntax | None:
+        ret = self._lib.vvch_decode_au(self._h, data, len(data))
+        if ret != 0:
+            raise RuntimeError(
+                f"native decode error: {self._lib.vvch_last_error().decode()}")
+        info = (ctypes.c_int32 * 11)()
+        self._lib.vvch_frame_info(self._h, info)
+        if not info[0]:
+            return None  # no frame in this AU (parameter sets only)
+        w, h, bd, cidc, poc, qp, n_cus, n_tus, mcb_w, mcb_h = list(info)[1:]
+
+        def plane(c_idx, pw, ph):
+            ptr = self._lib.vvch_coeffs(self._h, c_idx)
+            return np.ctypeslib.as_array(ptr, shape=(ph, pw)).copy()
+
+        cw, chh = (w // 2, h // 2) if cidc == 1 else (w, h)
+        n_cu_fields = len(CU_FIELDS)
+        n_tu_fields = len(TU_FIELDS)
+        cus_raw = np.ctypeslib.as_array(
+            self._lib.vvch_cus(self._h), shape=(n_cus, n_cu_fields)).copy() \
+            if n_cus else np.zeros((0, n_cu_fields), np.int32)
+        tus_raw = np.ctypeslib.as_array(
+            self._lib.vvch_tus(self._h), shape=(n_tus, n_tu_fields)).copy() \
+            if n_tus else np.zeros((0, n_tu_fields), np.int32)
+        ipm = np.ctypeslib.as_array(
+            self._lib.vvch_ipm(self._h), shape=(mcb_h, mcb_w)).copy()
+
+        return FrameSyntax(
+            width=w, height=h, bit_depth=bd, chroma_format_idc=cidc,
+            poc=poc, slice_qp=qp,
+            coeff_y=plane(0, w, h),
+            coeff_cb=plane(1, cw, chh) if cidc else None,
+            coeff_cr=plane(2, cw, chh) if cidc else None,
+            cus={f: cus_raw[:, i] for i, f in enumerate(CU_FIELDS)},
+            tus={f: tus_raw[:, i] for i, f in enumerate(TU_FIELDS)},
+            ipm=ipm,
+        )

@@ -1,0 +1,557 @@
+// SPS/PPS/PH/SH parsing.  See headers.h for parity citations.
+#include "headers.h"
+
+namespace vvc {
+namespace {
+
+int clip(int v, int lo, int hi) { return v < lo ? lo : (v > hi ? hi : v); }
+
+int ceil_log2(int x) {
+  int n = 0;
+  while ((1 << n) < x) n++;
+  return n;
+}
+
+void skip_profile_tier_level(BitReader& r, int profile_present,
+                             int max_sublayers_minus1) {
+  if (profile_present) {
+    r.u(7);  // general_profile_idc
+    r.flag();  // general_tier_flag
+  }
+  r.u(8);  // general_level_idc
+  r.flag();  // ptl_frame_only_constraint_flag
+  r.flag();  // ptl_multilayer_enabled_flag
+  if (profile_present) {
+    int gci_present = r.flag();
+    VVC_UNSUPPORTED(gci_present, "general_constraints_info");
+    r.byte_align();
+  }
+  std::vector<int> sublayer_present;
+  for (int i = max_sublayers_minus1 - 1; i >= 0; i--)
+    sublayer_present.push_back(r.flag());
+  r.byte_align();
+  for (int p : sublayer_present)
+    if (p) r.u(8);
+  if (profile_present) {
+    int num_sub_profiles = r.u(8);
+    for (int i = 0; i < num_sub_profiles; i++) r.u(32);
+  }
+}
+
+void derive_chroma_qp_table(Sps& sps, int num_tables, int same_for_all,
+                            const int start_minus26[3],
+                            const std::vector<std::pair<int, int>> points[3]) {
+  // parity: vvc_ps.c:86-125 (spec 7.4.3.4)
+  int off = sps.qp_bd_offset;
+  for (int i = 0; i < num_tables; i++) {
+    int n = (int)points[i].size();
+    std::vector<int> qp_in(n + 1), qp_out(n + 1), delta_in(n);
+    qp_in[0] = qp_out[0] = start_minus26[i] + 26;
+    for (int j = 0; j < n; j++) {
+      delta_in[j] = points[i][j].first + 1;
+      qp_in[j + 1] = qp_in[j] + delta_in[j];
+      qp_out[j + 1] = qp_out[j] + (points[i][j].first ^ points[i][j].second);
+    }
+    int8_t* tab = sps.chroma_qp_table[i];
+    tab[qp_in[0] + off] = (int8_t)qp_out[0];
+    for (int k = qp_in[0] - 1 + off; k >= 0; k--)
+      tab[k] = (int8_t)clip(tab[k + 1] - 1, -off, 63);
+    for (int j = 0; j < n; j++) {
+      int sh = delta_in[j] >> 1;
+      for (int k = qp_in[j] + 1 + off, m = 1; k <= qp_in[j + 1] + off; k++, m++)
+        tab[k] = (int8_t)(tab[qp_in[j] + off] +
+                          ((qp_out[j + 1] - qp_out[j]) * m + sh) / delta_in[j]);
+    }
+    for (int k = qp_in[n] + 1 + off; k <= 63 + off; k++)
+      tab[k] = (int8_t)clip(tab[k - 1] + 1, -off, 63);
+  }
+  if (same_for_all) {
+    for (int k = 0; k < 112; k++) {
+      sps.chroma_qp_table[1][k] = sps.chroma_qp_table[0][k];
+      sps.chroma_qp_table[2][k] = sps.chroma_qp_table[0][k];
+    }
+  }
+}
+
+void parse_rpl_struct(BitReader& r, const Sps& sps, RefPicListStruct& rpl,
+                      int /*list_idx*/) {
+  rpl.num_ref_entries = r.ue();
+  VVC_UNSUPPORTED(sps.sps_long_term_ref_pics_flag, "long-term ref pics");
+  int wp = sps.sps_weighted_pred_flag || sps.sps_weighted_bipred_flag;
+  for (int i = 0; i < rpl.num_ref_entries; i++) {
+    int coded = r.ue();
+    int abs_delta = (wp && i != 0) ? coded : coded + 1;
+    int sign = 0;
+    if (abs_delta > 0) sign = r.flag();
+    rpl.abs_delta_poc_st.push_back(abs_delta);
+    rpl.sign.push_back(sign);
+  }
+}
+
+}  // namespace
+
+Sps parse_sps(BitReader& r) {
+  Sps sps;
+  sps.sps_seq_parameter_set_id = r.u(4);
+  int vps_id = r.u(4);
+  VVC_UNSUPPORTED(vps_id != 0, "VPS");
+  int max_sublayers_minus1 = r.u(3);
+  VVC_UNSUPPORTED(max_sublayers_minus1 != 0, "sublayers");
+  sps.sps_chroma_format_idc = r.u(2);
+  sps.ctb_log2_size_y = r.u(2) + 5;
+  sps.ctb_size_y = 1 << sps.ctb_log2_size_y;
+  int ptl_present = r.flag();
+  if (ptl_present) skip_profile_tier_level(r, 1, max_sublayers_minus1);
+  sps.sps_gdr_enabled_flag = r.flag();
+  int ref_pic_resampling = r.flag();
+  VVC_UNSUPPORTED(ref_pic_resampling, "reference picture resampling");
+  sps.width = r.ue();
+  sps.height = r.ue();
+  if (r.flag()) {  // conformance window
+    for (int i = 0; i < 4; i++) sps.conf_win[i] = r.ue();
+  }
+  int subpic_info = r.flag();
+  VVC_UNSUPPORTED(subpic_info, "subpictures");
+  sps.bit_depth = r.ue() + 8;
+  sps.qp_bd_offset = 6 * (sps.bit_depth - 8);
+  sps.sps_entropy_coding_sync_enabled_flag = r.flag();
+  sps.sps_entry_point_offsets_present_flag = r.flag();
+  sps.log2_max_poc_lsb = r.u(4) + 4;
+  int poc_msb_cycle = r.flag();
+  VVC_UNSUPPORTED(poc_msb_cycle, "poc msb cycle");
+  int extra_ph = r.u(2), extra_sh = r.u(2);
+  VVC_UNSUPPORTED(extra_ph || extra_sh, "extra ph/sh bits");
+  if (ptl_present) {
+    sps.dpb_max_dec_pic_buffering = r.ue() + 1;
+    sps.dpb_max_num_reorder_pics = r.ue();
+    r.ue();  // dpb_max_latency_increase_plus1
+  }
+  sps.min_cb_log2_size_y = r.ue() + 2;
+  sps.sps_partition_constraints_override_enabled_flag = r.flag();
+  sps.log2_diff_min_qt_min_cb_intra_luma = r.ue();
+  sps.max_mtt_depth_intra_luma = r.ue();
+  if (sps.max_mtt_depth_intra_luma) {
+    sps.log2_diff_max_bt_min_qt_intra_luma = r.ue();
+    sps.log2_diff_max_tt_min_qt_intra_luma = r.ue();
+  }
+  if (sps.sps_chroma_format_idc != 0) sps.sps_qtbtt_dual_tree_intra_flag = r.flag();
+  if (sps.sps_qtbtt_dual_tree_intra_flag) {
+    sps.log2_diff_min_qt_min_cb_intra_chroma = r.ue();
+    sps.max_mtt_depth_intra_chroma = r.ue();
+    if (sps.max_mtt_depth_intra_chroma) {
+      sps.log2_diff_max_bt_min_qt_intra_chroma = r.ue();
+      sps.log2_diff_max_tt_min_qt_intra_chroma = r.ue();
+    }
+  }
+  sps.log2_diff_min_qt_min_cb_inter = r.ue();
+  sps.max_mtt_depth_inter = r.ue();
+  if (sps.max_mtt_depth_inter) {
+    sps.log2_diff_max_bt_min_qt_inter = r.ue();
+    sps.log2_diff_max_tt_min_qt_inter = r.ue();
+  }
+  if (sps.ctb_size_y > 32) sps.sps_max_luma_transform_size_64_flag = r.flag();
+  sps.max_tb_size_y = sps.sps_max_luma_transform_size_64_flag ? 64 : 32;
+  sps.sps_transform_skip_enabled_flag = r.flag();
+  if (sps.sps_transform_skip_enabled_flag) {
+    sps.max_ts_size = 1 << (r.ue() + 2);
+    sps.sps_bdpcm_enabled_flag = r.flag();
+  }
+  sps.sps_mts_enabled_flag = r.flag();
+  if (sps.sps_mts_enabled_flag) {
+    sps.sps_explicit_mts_intra_enabled_flag = r.flag();
+    sps.sps_explicit_mts_inter_enabled_flag = r.flag();
+  }
+  sps.sps_lfnst_enabled_flag = r.flag();
+  if (sps.sps_chroma_format_idc != 0) {
+    sps.sps_joint_cbcr_enabled_flag = r.flag();
+    sps.sps_same_qp_table_for_chroma_flag = r.flag();
+    int num_tables = sps.sps_same_qp_table_for_chroma_flag
+                         ? 1
+                         : (sps.sps_joint_cbcr_enabled_flag ? 3 : 2);
+    int start_minus26[3] = {0, 0, 0};
+    std::vector<std::pair<int, int>> points[3];
+    for (int i = 0; i < num_tables; i++) {
+      start_minus26[i] = r.se();
+      int n = r.ue() + 1;
+      for (int j = 0; j < n; j++) {
+        int in_minus1 = r.ue();
+        int diff = r.ue();
+        points[i].push_back({in_minus1, diff});
+      }
+    }
+    derive_chroma_qp_table(sps, num_tables,
+                           sps.sps_same_qp_table_for_chroma_flag,
+                           start_minus26, points);
+  }
+  sps.sps_sao_enabled_flag = r.flag();
+  sps.sps_alf_enabled_flag = r.flag();
+  if (sps.sps_alf_enabled_flag && sps.sps_chroma_format_idc)
+    sps.sps_ccalf_enabled_flag = r.flag();
+  sps.sps_lmcs_enabled_flag = r.flag();
+  sps.sps_weighted_pred_flag = r.flag();
+  sps.sps_weighted_bipred_flag = r.flag();
+  sps.sps_long_term_ref_pics_flag = r.flag();
+  sps.sps_idr_rpl_present_flag = r.flag();
+  int rpl1_same = r.flag();
+  for (int i = 0; i < (rpl1_same ? 1 : 2); i++) {
+    int num_lists = r.ue();
+    VVC_UNSUPPORTED(num_lists != 0, "sps ref pic lists");
+  }
+  int wraparound = r.flag();
+  VVC_UNSUPPORTED(wraparound, "reference wraparound");
+  sps.sps_temporal_mvp_enabled_flag = r.flag();
+  if (sps.sps_temporal_mvp_enabled_flag) sps.sps_sbtmvp_enabled_flag = r.flag();
+  sps.sps_amvr_enabled_flag = r.flag();
+  sps.sps_bdof_enabled_flag = r.flag();
+  if (sps.sps_bdof_enabled_flag)
+    VVC_UNSUPPORTED(r.flag(), "bdof control in ph");
+  sps.sps_smvd_enabled_flag = r.flag();
+  sps.sps_dmvr_enabled_flag = r.flag();
+  if (sps.sps_dmvr_enabled_flag)
+    VVC_UNSUPPORTED(r.flag(), "dmvr control in ph");
+  sps.sps_mmvd_enabled_flag = r.flag();
+  if (sps.sps_mmvd_enabled_flag) r.flag();  // mmvd_fullpel_only
+  sps.max_num_merge_cand = 6 - r.ue();
+  sps.sps_sbt_enabled_flag = r.flag();
+  sps.sps_affine_enabled_flag = r.flag();
+  VVC_UNSUPPORTED(sps.sps_affine_enabled_flag, "affine (parse todo)");
+  sps.sps_bcw_enabled_flag = r.flag();
+  sps.sps_ciip_enabled_flag = r.flag();
+  if (sps.max_num_merge_cand >= 2) {
+    sps.sps_gpm_enabled_flag = r.flag();
+    if (sps.sps_gpm_enabled_flag && sps.max_num_merge_cand >= 3)
+      r.ue();  // max_num_merge_cand_minus_max_num_gpm_cand
+  }
+  sps.log2_parallel_merge_level = r.ue() + 2;
+  sps.sps_isp_enabled_flag = r.flag();
+  sps.sps_mrl_enabled_flag = r.flag();
+  sps.sps_mip_enabled_flag = r.flag();
+  if (sps.sps_chroma_format_idc != 0) sps.sps_cclm_enabled_flag = r.flag();
+  if (sps.sps_chroma_format_idc == 1) {
+    sps.sps_chroma_horizontal_collocated_flag = r.flag();
+    sps.sps_chroma_vertical_collocated_flag = r.flag();
+  }
+  VVC_UNSUPPORTED(r.flag(), "palette");
+  if (sps.sps_chroma_format_idc == 3 && !sps.sps_max_luma_transform_size_64_flag)
+    VVC_UNSUPPORTED(r.flag(), "ACT");
+  if (sps.sps_transform_skip_enabled_flag) r.ue();  // min_qp_prime_ts
+  VVC_UNSUPPORTED(r.flag(), "IBC");
+  VVC_UNSUPPORTED(r.flag(), "LADF");
+  VVC_UNSUPPORTED(r.flag(), "explicit scaling lists");
+  sps.sps_dep_quant_enabled_flag = r.flag();
+  sps.sps_sign_data_hiding_enabled_flag = r.flag();
+  VVC_UNSUPPORTED(r.flag(), "virtual boundaries");
+  if (ptl_present) VVC_UNSUPPORTED(r.flag(), "timing/hrd");
+  r.flag();  // field_seq
+  VVC_UNSUPPORTED(r.flag(), "VUI payload");
+  VVC_UNSUPPORTED(r.flag(), "sps extensions");
+
+  sps.hshift_c = (sps.sps_chroma_format_idc == 1 || sps.sps_chroma_format_idc == 2) ? 1 : 0;
+  sps.vshift_c = sps.sps_chroma_format_idc == 1 ? 1 : 0;
+  sps.log2_transform_range = 15;
+  return sps;
+}
+
+Pps parse_pps(BitReader& r, const Sps& sps) {
+  Pps pps;
+  pps.pps_pic_parameter_set_id = r.u(6);
+  pps.pps_seq_parameter_set_id = r.u(4);
+  r.flag();  // mixed_nalu_types
+  pps.width = r.ue();
+  pps.height = r.ue();
+  VVC_UNSUPPORTED(r.flag(), "pps conformance window");
+  VVC_UNSUPPORTED(r.flag(), "scaling window");
+  int output_flag_present = r.flag();
+  VVC_UNSUPPORTED(output_flag_present, "pps_output_flag_present");
+  pps.pps_no_pic_partition_flag = r.flag();
+  VVC_UNSUPPORTED(r.flag(), "pps subpic id mapping");
+
+  int pic_w_ctbs = (pps.width + sps.ctb_size_y - 1) >> sps.ctb_log2_size_y;
+  int pic_h_ctbs = (pps.height + sps.ctb_size_y - 1) >> sps.ctb_log2_size_y;
+  if (!pps.pps_no_pic_partition_flag) {
+    r.u(2);  // pps_log2_ctu_size_minus5 (must equal sps)
+    int n_exp_cols = r.ue() + 1;
+    int n_exp_rows = r.ue() + 1;
+    std::vector<int> exp_cols(n_exp_cols), exp_rows(n_exp_rows);
+    for (int i = 0; i < n_exp_cols; i++) exp_cols[i] = r.ue() + 1;
+    for (int i = 0; i < n_exp_rows; i++) exp_rows[i] = r.ue() + 1;
+    // expand to full partition (spec 6.5.1)
+    auto expand = [](const std::vector<int>& exp, int total) {
+      std::vector<int> sizes;
+      int rem = total;
+      for (int v : exp) {
+        sizes.push_back(v);
+        rem -= v;
+      }
+      int unified = exp.back();
+      while (rem > 0) {
+        int s = unified < rem ? unified : rem;
+        sizes.push_back(s);
+        rem -= s;
+      }
+      return sizes;
+    };
+    pps.col_width = expand(exp_cols, pic_w_ctbs);
+    pps.row_height = expand(exp_rows, pic_h_ctbs);
+    pps.num_tile_columns = (int)pps.col_width.size();
+    pps.num_tile_rows = (int)pps.row_height.size();
+    int num_tiles = pps.num_tile_columns * pps.num_tile_rows;
+    if (num_tiles > 1) {
+      pps.pps_loop_filter_across_tiles_enabled_flag = r.flag();
+      pps.pps_rect_slice_flag = r.flag();
+    }
+    int single_slice_per_subpic = 1;
+    if (pps.pps_rect_slice_flag) single_slice_per_subpic = r.flag();
+    VVC_UNSUPPORTED(!(pps.pps_rect_slice_flag && single_slice_per_subpic),
+                    "explicit slice layouts");
+    pps.pps_loop_filter_across_slices_enabled_flag = r.flag();
+  } else {
+    pps.col_width = {pic_w_ctbs};
+    pps.row_height = {pic_h_ctbs};
+  }
+  // derived tile maps (parity: vvc_ps.c:254-455)
+  pps.col_bd.clear();
+  pps.row_bd.clear();
+  int acc = 0;
+  for (int w : pps.col_width) {
+    pps.col_bd.push_back(acc);
+    acc += w;
+  }
+  pps.col_bd.push_back(acc);
+  acc = 0;
+  for (int h : pps.row_height) {
+    pps.row_bd.push_back(acc);
+    acc += h;
+  }
+  pps.row_bd.push_back(acc);
+  pps.ctb_to_col_bd.assign(pic_w_ctbs + 1, 0);
+  pps.ctb_to_row_bd.assign(pic_h_ctbs + 1, 0);
+  {
+    int tile = 0, bd = 0;
+    for (int i = 0; i <= pic_w_ctbs; i++) {
+      if (tile < (int)pps.col_width.size() && i == pps.col_bd[tile + 1]) {
+        tile++;
+        bd = pps.col_bd[tile];
+      }
+      pps.ctb_to_col_bd[i] = bd;
+    }
+    tile = 0;
+    bd = 0;
+    for (int i = 0; i <= pic_h_ctbs; i++) {
+      if (tile < (int)pps.row_height.size() && i == pps.row_bd[tile + 1]) {
+        tile++;
+        bd = pps.row_bd[tile];
+      }
+      pps.ctb_to_row_bd[i] = bd;
+    }
+  }
+
+  pps.pps_cabac_init_present_flag = r.flag();
+  for (int i = 0; i < 2; i++) pps.num_ref_idx_default_active[i] = r.ue() + 1;
+  pps.pps_rpl1_idx_present_flag = r.flag();
+  pps.pps_weighted_pred_flag = r.flag();
+  pps.pps_weighted_bipred_flag = r.flag();
+  VVC_UNSUPPORTED(pps.pps_weighted_pred_flag || pps.pps_weighted_bipred_flag,
+                  "weighted prediction (parse todo)");
+  VVC_UNSUPPORTED(r.flag(), "pps ref wraparound");
+  pps.pps_init_qp = 26 + r.se();
+  pps.pps_cu_qp_delta_enabled_flag = r.flag();
+  pps.pps_chroma_tool_offsets_present_flag = r.flag();
+  if (pps.pps_chroma_tool_offsets_present_flag) {
+    pps.chroma_qp_offset[0] = r.se();
+    pps.chroma_qp_offset[1] = r.se();
+    if (r.flag()) pps.chroma_qp_offset[2] = r.se();
+    pps.pps_slice_chroma_qp_offsets_present_flag = r.flag();
+    VVC_UNSUPPORTED(r.flag(), "cu chroma qp offset list");
+  }
+  int dbf_control = r.flag();
+  if (dbf_control) {
+    pps.pps_deblocking_filter_override_enabled_flag = r.flag();
+    pps.pps_deblocking_filter_disabled_flag = r.flag();
+    if (!pps.pps_no_pic_partition_flag &&
+        pps.pps_deblocking_filter_override_enabled_flag)
+      pps.pps_dbf_info_in_ph_flag = r.flag();
+    if (!pps.pps_deblocking_filter_disabled_flag) {
+      pps.beta_offset[0] = r.se() * 2;
+      pps.tc_offset[0] = r.se() * 2;
+      if (pps.pps_chroma_tool_offsets_present_flag) {
+        pps.beta_offset[1] = r.se() * 2;
+        pps.tc_offset[1] = r.se() * 2;
+        pps.beta_offset[2] = r.se() * 2;
+        pps.tc_offset[2] = r.se() * 2;
+      } else {
+        pps.beta_offset[1] = pps.beta_offset[2] = pps.beta_offset[0];
+        pps.tc_offset[1] = pps.tc_offset[2] = pps.tc_offset[0];
+      }
+    }
+  }
+  if (!pps.pps_no_pic_partition_flag) {
+    pps.pps_rpl_info_in_ph_flag = r.flag();
+    pps.pps_sao_info_in_ph_flag = r.flag();
+    pps.pps_alf_info_in_ph_flag = r.flag();
+    pps.pps_qp_delta_info_in_ph_flag = r.flag();
+  }
+  VVC_UNSUPPORTED(r.flag(), "ph extension");
+  VVC_UNSUPPORTED(r.flag(), "sh extension");
+  VVC_UNSUPPORTED(r.flag(), "pps extension");
+  return pps;
+}
+
+static PictureHeader parse_picture_header(BitReader& r, const Sps& sps,
+                                          const Pps& pps) {
+  PictureHeader ph;
+  ph.ph_gdr_or_irap_pic_flag = r.flag();
+  ph.ph_non_ref_pic_flag = r.flag();
+  if (ph.ph_gdr_or_irap_pic_flag) ph.ph_gdr_pic_flag = r.flag();
+  ph.ph_inter_slice_allowed_flag = r.flag();
+  if (ph.ph_inter_slice_allowed_flag)
+    ph.ph_intra_slice_allowed_flag = r.flag();
+  ph.ph_pic_parameter_set_id = r.ue();
+  ph.ph_pic_order_cnt_lsb = r.u(sps.log2_max_poc_lsb);
+  if (ph.ph_gdr_pic_flag) ph.ph_recovery_poc_cnt = r.ue();
+  VVC_UNSUPPORTED(sps.sps_alf_enabled_flag && pps.pps_alf_info_in_ph_flag,
+                  "alf info in ph");
+  if (sps.sps_lmcs_enabled_flag)
+    VVC_UNSUPPORTED(r.flag(), "lmcs (parse todo)");
+  VVC_UNSUPPORTED(pps.pps_rpl_info_in_ph_flag, "rpl in ph");
+  if (sps.sps_partition_constraints_override_enabled_flag)
+    VVC_UNSUPPORTED(r.flag(), "partition constraints override");
+  if (ph.ph_intra_slice_allowed_flag && pps.pps_cu_qp_delta_enabled_flag)
+    r.ue();  // ph_cu_qp_delta_subdiv_intra_slice
+  if (ph.ph_inter_slice_allowed_flag) {
+    if (pps.pps_cu_qp_delta_enabled_flag) r.ue();
+    if (sps.sps_temporal_mvp_enabled_flag) {
+      ph.ph_temporal_mvp_enabled_flag = r.flag();
+    }
+    ph.ph_mvd_l1_zero_flag = r.flag();
+  }
+  if (pps.pps_qp_delta_info_in_ph_flag) ph.ph_qp_delta = r.se();
+  if (sps.sps_joint_cbcr_enabled_flag) ph.ph_joint_cbcr_sign_flag = r.flag();
+  if (sps.sps_sao_enabled_flag && pps.pps_sao_info_in_ph_flag) {
+    ph.ph_sao_luma_enabled_flag = r.flag();
+    if (sps.sps_chroma_format_idc) ph.ph_sao_chroma_enabled_flag = r.flag();
+  }
+  if (pps.pps_dbf_info_in_ph_flag)
+    VVC_UNSUPPORTED(r.flag(), "deblock params in ph");
+  ph.ph_deblocking_filter_disabled_flag = pps.pps_deblocking_filter_disabled_flag;
+  return ph;
+}
+
+SliceHeader parse_slice_header(BitReader& r, int nal_type, const Sps& sps,
+                               const Pps& pps) {
+  SliceHeader sh;
+  sh.nal_type = nal_type;
+  sh.sh_picture_header_in_slice_header_flag = r.flag();
+  VVC_UNSUPPORTED(!sh.sh_picture_header_in_slice_header_flag,
+                  "separate PH NAL (todo)");
+  sh.ph = parse_picture_header(r, sps, pps);
+  const PictureHeader& ph = sh.ph;
+
+  // no subpics; slice address (single slice per pic supported so far)
+  int num_tiles_in_pic = pps.num_tile_columns * pps.num_tile_rows;
+  int num_slices_in_pic = 1;
+  if ((pps.pps_rect_slice_flag && num_slices_in_pic > 1) ||
+      (!pps.pps_rect_slice_flag && num_tiles_in_pic > 1)) {
+    int bits = ceil_log2(pps.pps_rect_slice_flag ? num_slices_in_pic
+                                                 : num_tiles_in_pic);
+    sh.sh_slice_address = r.u(bits);
+  }
+  if (!pps.pps_rect_slice_flag && num_tiles_in_pic - sh.sh_slice_address > 1)
+    sh.sh_num_tiles_in_slice_minus1 = r.ue();
+  if (ph.ph_inter_slice_allowed_flag) sh.sh_slice_type = r.ue();
+  if (nal_is_irap(nal_type) || nal_type == NAL_GDR)
+    sh.sh_no_output_of_prior_pics_flag = r.flag();
+  if (sps.sps_alf_enabled_flag && !pps.pps_alf_info_in_ph_flag)
+    VVC_UNSUPPORTED(r.flag(), "slice alf (todo)");
+
+  bool is_idr = nal_is_idr(nal_type);
+  bool has_rpl = !pps.pps_rpl_info_in_ph_flag &&
+                 (!is_idr || sps.sps_idr_rpl_present_flag);
+  if (has_rpl) {
+    for (int i = 0; i < 2; i++) parse_rpl_struct(r, sps, sh.rpl[i], i);
+  }
+  if ((sh.sh_slice_type != 2 && sh.rpl[0].num_ref_entries > 1) ||
+      (sh.sh_slice_type == 0 && sh.rpl[1].num_ref_entries > 1)) {
+    int override_flag = r.flag();
+    if (override_flag) {
+      for (int i = 0; i < (sh.sh_slice_type == 0 ? 2 : 1); i++)
+        if (sh.rpl[i].num_ref_entries > 1)
+          sh.num_ref_idx_active[i] = r.ue() + 1;
+        else
+          sh.num_ref_idx_active[i] = 1;
+    } else {
+      for (int i = 0; i < 2; i++) {
+        if (sh.sh_slice_type == 0 || (sh.sh_slice_type == 1 && i == 0)) {
+          int n = sh.rpl[i].num_ref_entries;
+          int d = pps.num_ref_idx_default_active[i];
+          sh.num_ref_idx_active[i] = n < d ? n : d;
+        }
+      }
+    }
+  } else {
+    for (int i = 0; i < 2; i++) {
+      if (sh.sh_slice_type == 0 || (sh.sh_slice_type == 1 && i == 0))
+        sh.num_ref_idx_active[i] =
+            sh.rpl[i].num_ref_entries < pps.num_ref_idx_default_active[i]
+                ? sh.rpl[i].num_ref_entries
+                : pps.num_ref_idx_default_active[i];
+    }
+  }
+
+  if (sh.sh_slice_type != 2) {
+    if (pps.pps_cabac_init_present_flag) sh.sh_cabac_init_flag = r.flag();
+    if (ph.ph_temporal_mvp_enabled_flag && !pps.pps_rpl_info_in_ph_flag) {
+      if (sh.sh_slice_type == 0) sh.sh_collocated_from_l0_flag = r.flag();
+      int idx = sh.sh_collocated_from_l0_flag ? 0 : 1;
+      if (sh.num_ref_idx_active[idx] > 1) sh.sh_collocated_ref_idx = r.ue();
+    }
+  }
+  int qp_delta = pps.pps_qp_delta_info_in_ph_flag ? ph.ph_qp_delta : r.se();
+  sh.slice_qp_y = pps.pps_init_qp + qp_delta;
+  if (pps.pps_slice_chroma_qp_offsets_present_flag) {
+    sh.sh_cb_qp_offset = r.se();
+    sh.sh_cr_qp_offset = r.se();
+    if (sps.sps_joint_cbcr_enabled_flag) sh.sh_joint_cbcr_qp_offset = r.se();
+  }
+  if (sps.sps_sao_enabled_flag && !pps.pps_sao_info_in_ph_flag) {
+    sh.sh_sao_luma_used_flag = r.flag();
+    if (sps.sps_chroma_format_idc) sh.sh_sao_chroma_used_flag = r.flag();
+  } else {
+    sh.sh_sao_luma_used_flag = ph.ph_sao_luma_enabled_flag;
+    sh.sh_sao_chroma_used_flag = ph.ph_sao_chroma_enabled_flag;
+  }
+  if (pps.pps_deblocking_filter_override_enabled_flag &&
+      !pps.pps_dbf_info_in_ph_flag) {
+    VVC_UNSUPPORTED(r.flag(), "slice deblock params (todo)");
+  }
+  sh.sh_deblocking_filter_disabled_flag = ph.ph_deblocking_filter_disabled_flag;
+  if (sps.sps_dep_quant_enabled_flag) sh.sh_dep_quant_used_flag = r.flag();
+  if (sps.sps_sign_data_hiding_enabled_flag && !sh.sh_dep_quant_used_flag)
+    sh.sh_sign_data_hiding_used_flag = r.flag();
+  if (sps.sps_transform_skip_enabled_flag && !sh.sh_dep_quant_used_flag &&
+      !sh.sh_sign_data_hiding_used_flag)
+    sh.sh_ts_residual_coding_disabled_flag = r.flag();
+  if (sps.sps_entry_point_offsets_present_flag) {
+    // entry point count derivation for the supported layouts:
+    // rect slice covering whole pic: width_in_tiles * (rows or height)
+    int entropy_sync = sps.sps_entropy_coding_sync_enabled_flag;
+    int pic_h_ctbs = (pps.height + sps.ctb_size_y - 1) >> sps.ctb_log2_size_y;
+    int num_entry_points;
+    int width_in_tiles = pps.num_tile_columns;
+    int height = entropy_sync ? pic_h_ctbs : pps.num_tile_rows;
+    num_entry_points = width_in_tiles * height - 1;
+    if (num_entry_points > 0) {
+      int len = r.ue() + 1;
+      for (int i = 0; i < num_entry_points; i++)
+        sh.entry_point_offsets.push_back(r.u(len) + 1);
+    }
+  }
+  // byte_alignment()
+  int one = r.u(1);
+  if (one != 1) throw std::runtime_error("sh alignment bit != 1");
+  r.byte_align();
+  sh.data_bitpos = r.bitpos();
+  return sh;
+}
+
+}  // namespace vvc

@@ -133,7 +133,35 @@ def emit_cabac_tables() -> None:
     print(f"wrote {OUT/'cabac_tables.py'}: {n_ctx} contexts, {len(enum)} elements")
 
 
+def emit_cabac_tables_cc() -> None:
+    """Emit the same tables as a C++ include for the native parser."""
+    src = (REF / "vvc_cabac.c").read_text()
+    enum = parse_enum(src, "SyntaxElement")
+    n_ctx = enum.pop("SYNTAX_ELEMENT_LAST")
+    table = extract_c_array(
+        src, r"static const uint8_t init_values\[4\]\[SYNTAX_ELEMENT_LAST\]",
+        subs={"CNU": 35})
+    native = Path(__file__).resolve().parent.parent / "ffmpeg_tpu" / "native"
+    native.mkdir(parents=True, exist_ok=True)
+    out = ["// GENERATED by tools/extract_ref_tables.py — normative H.266\n"
+           "// CABAC context-init constants (cross-check: vvc_cabac.c:32-810).\n",
+           "#pragma once\n#include <cstdint>\n\n",
+           "namespace vvc {\n",
+           f"constexpr int kNumContexts = {n_ctx};\n\n",
+           "enum CtxId {\n"]
+    for name, val in sorted(enum.items(), key=lambda kv: kv[1]):
+        out.append(f"  {name} = {val},\n")
+    out.append("};\n\n")
+    out.append("constexpr uint8_t kInitValues[4][kNumContexts] = {\n")
+    for row in table:
+        out.append("  {" + ",".join(str(v) for v in row) + "},\n")
+    out.append("};\n}  // namespace vvc\n")
+    (native / "cabac_tables.h").write_text("".join(out))
+    print(f"wrote {native/'cabac_tables.h'}")
+
+
 if __name__ == "__main__":
     OUT.mkdir(parents=True, exist_ok=True)
     emit_cabac_tables()
+    emit_cabac_tables_cc()
     sys.exit(0)
