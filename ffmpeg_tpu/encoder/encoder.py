@@ -28,6 +28,7 @@ class EncoderConfig:
     seed: int = 0
     max_level: int = 12  # max abs coefficient level
     coeff_density: float = 0.15  # fraction of nonzero coeffs
+    deblock: bool = False  # in-loop deblocking (off until stage lands)
 
 
 def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
@@ -47,6 +48,10 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
         pps_pic_width_in_luma_samples=cfg.width,
         pps_pic_height_in_luma_samples=cfg.height,
         pps_init_qp_minus26=cfg.qp - 26,
+        # deblocking defaults ON in VVC; disable until the deblock stage
+        # exists (configurable once implemented)
+        pps_deblocking_filter_control_present_flag=0 if cfg.deblock else 1,
+        pps_deblocking_filter_disabled_flag=0 if cfg.deblock else 1,
     )
     return sps, pps
 

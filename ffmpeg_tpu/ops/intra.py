@@ -1,0 +1,286 @@
+"""Intra prediction as JAX int32 ops over reference-sample edges.
+
+Bit-exact mirror of the reference's intra path (spec 8.4.5.2; parity
+target `vvc_intra_template.c:450-1015` and `vvc_intra.c:529-714`):
+reference-sample gathering with availability substitution, the [1 2 1]
+reference filter, planar/DC/horizontal/vertical/angular prediction with
+the 4-tap luma interpolation (fC/fG) and 2-tap chroma interpolation,
+and PDPC.  All sizes are static per-trace; CU loops use lax.switch over
+mode classes so one jitted program reconstructs a whole frame.
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_TABLES = np.load(os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "models", "vvc", "vvc_tables.npz"))
+
+INTRA_LUMA_FILTER = _TABLES["intra_luma_filter"].astype(np.int32)  # (2,32,4)
+
+INTRA_PLANAR, INTRA_DC, INTRA_HORZ, INTRA_DIAG, INTRA_VERT = 0, 1, 18, 34, 50
+
+# mode classes for lax.switch
+MC_PLANAR, MC_DC, MC_VERT, MC_HORZ, MC_ANG_V, MC_ANG_H = range(6)
+
+_ANGLES = [0, 1, 2, 3, 4, 6, 8, 10, 12, 14, 16, 18, 20, 23, 26, 29,
+           32, 35, 39, 45, 51, 57, 64, 73, 86, 102, 128, 171, 256, 341, 512]
+
+
+def intra_pred_angle(mode: int) -> int:
+    """spec 8.4.5.2.13 intraPredAngle (parity vvc_intra.c:666-688)."""
+    if mode > INTRA_DIAG:
+        idx = mode - INTRA_VERT
+    elif mode > 0:
+        idx = INTRA_HORZ - mode
+    else:
+        idx = INTRA_HORZ - 2 - mode
+    sign = 1
+    if idx < 0:
+        idx, sign = -idx, -1
+    return sign * _ANGLES[idx]
+
+
+def intra_inv_angle(angle: int) -> int:
+    """round(32*512/angle), round-half-away-from-zero."""
+    assert angle != 0
+    a = abs(angle)
+    val = (2 * 16384 + a) // (2 * a)
+    return val if angle > 0 else -val
+
+
+def ref_filter_flag(mode: int) -> bool:
+    return mode in (-14, -12, -10, -6, 0, 2, 34, 66, 72, 76, 78, 80)
+
+
+def nscale(w: int, h: int, mode: int) -> int:
+    if mode in (INTRA_PLANAR, INTRA_DC, INTRA_HORZ, INTRA_VERT):
+        return (w.bit_length() + h.bit_length() - 4) >> 2
+    angle = intra_pred_angle(mode)
+    inv = intra_inv_angle(angle)
+    side = h if mode >= INTRA_VERT else w
+    return min(2, (side.bit_length() - 1) - ((3 * inv - 2).bit_length() - 1) + 8)
+
+
+def need_pdpc(w: int, h: int, mode: int, ref_idx: int = 0,
+              bdpcm: bool = False) -> bool:
+    if w >= 4 and h >= 4 and not ref_idx and not bdpcm:
+        if mode in (INTRA_PLANAR, INTRA_DC, INTRA_HORZ, INTRA_VERT):
+            return True
+        if INTRA_HORZ < mode < INTRA_VERT:
+            return False
+        return nscale(w, h, mode) >= 0
+    return False
+
+
+def classify_mode(mode: int) -> int:
+    if mode == INTRA_PLANAR:
+        return MC_PLANAR
+    if mode == INTRA_DC:
+        return MC_DC
+    if mode == INTRA_VERT:
+        return MC_VERT
+    if mode == INTRA_HORZ:
+        return MC_HORZ
+    return MC_ANG_V if mode >= INTRA_DIAG else MC_ANG_H
+
+
+# ----------------------------------------------------------------------
+# Edge preparation.  Edges are fixed-size int32 vectors with origin OFF:
+#   top[OFF + j]  = reference row sample at x0 + j,  j in [-(S+1), 2S]
+#   left[OFF + j] = reference col sample at y0 + j
+# where S = max(w, h) of the block; OFF = S + 8.
+# ----------------------------------------------------------------------
+
+def edge_arrays(plane, x0, y0, w: int, h: int, avail_l, avail_t,
+                cand_up_left, mid_val: int):
+    """Gather + substitute reference samples (parity
+    prepare_intra_edge_params, vvc_intra_template.c:467-548).
+
+    plane: (H, W) int32 reconstructed plane.
+    x0/y0/avail_l/avail_t/cand_up_left: traced scalars.
+    Returns (left, top) arrays of length 3*S+16 with origin OFF = S+8,
+    unfiltered, extended/replicated out to 2h/2w (+1 corner at -1).
+    """
+    S = max(w, h)
+    OFF = S + 8
+    L = 3 * S + 16
+    H, W = plane.shape
+
+    j = jnp.arange(L) - OFF  # edge-relative coordinate
+
+    # raw gathers with clamped indices
+    top_ix = jnp.clip(x0 + jnp.minimum(j, avail_t - 1), 0, W - 1)
+    top_iy = jnp.clip(y0 - 1, 0, H - 1)
+    top_raw = plane[top_iy, top_ix]
+    left_iy = jnp.clip(y0 + jnp.minimum(j, avail_l - 1), 0, H - 1)
+    left_ix = jnp.clip(x0 - 1, 0, W - 1)
+    left_raw = plane[left_iy, left_ix]
+
+    corner_px = plane[jnp.clip(y0 - 1, 0, H - 1), jnp.clip(x0 - 1, 0, W - 1)]
+    top0 = plane[top_iy, jnp.clip(x0, 0, W - 1)]
+    left0 = plane[jnp.clip(y0, 0, H - 1), left_ix]
+    corner = jnp.where(cand_up_left > 0, corner_px,
+                       jnp.where(avail_l > 0, left0,
+                                 jnp.where(avail_t > 0, top0, mid_val)))
+
+    top = jnp.where(avail_t > 0, top_raw, corner)
+    left = jnp.where(avail_l > 0, left_raw, corner)
+    top = jnp.where(j >= 0, top, corner)    # j == -1 corner; j < -1 unset yet
+    left = jnp.where(j >= 0, left, corner)
+    return left.astype(jnp.int32), top.astype(jnp.int32), OFF
+
+
+def ref_filter_121(left, top, OFF: int, left_size: int, top_size: int,
+                   unfilter_last_one: int):
+    """[1 2 1]/4 reference smoothing (vvc_intra_template.c:450-466)."""
+    corner = (left[OFF] + 2 * left[OFF - 1] + top[OFF] + 2) >> 2
+    j = jnp.arange(left.shape[0]) - OFF
+
+    def filt(a):
+        return (jnp.roll(a, 1) + 2 * a + jnp.roll(a, -1) + 2) >> 2
+
+    fl = filt(left)
+    ft = filt(top)
+    nl = left_size - unfilter_last_one
+    nt = top_size - unfilter_last_one
+    left_o = jnp.where((j >= 0) & (j < nl), fl, left)
+    top_o = jnp.where((j >= 0) & (j < nt), ft, top)
+    left_o = left_o.at[OFF - 1].set(corner)
+    top_o = top_o.at[OFF - 1].set(corner)
+    return left_o, top_o
+
+
+def project_negative_angle(dst, src, OFF: int, inv_angle, limit: int):
+    """Fill dst[-limit-1 .. -2] by projecting src along the inverse angle
+    (vvc_intra_template.c:566-583, negative intraPredAngle, ref_idx 0):
+      dst[x-1] = src[-1 + min((x*invAngle + 256) >> 9, limit)], x in [-limit,-1).
+    """
+    t = jnp.arange(dst.shape[0]) - OFF
+    xx = t + 1
+    sidx = OFF - 1 + jnp.minimum((xx * inv_angle + 256) >> 9, limit)
+    proj = src[jnp.clip(sidx, 0, src.shape[0] - 1)]
+    sel = (t >= -limit - 1) & (t <= -2)
+    return jnp.where(sel, proj, dst)
+
+
+# ----------------------------------------------------------------------
+# Prediction modes (block-shape static; edge ops vectorized)
+# ----------------------------------------------------------------------
+
+def pred_planar(top, left, OFF: int, w: int, h: int):
+    logw, logh = w.bit_length() - 1, h.bit_length() - 1
+    x = jnp.arange(w)[None, :]
+    y = jnp.arange(h)[:, None]
+    t = top[OFF:OFF + w][None, :]
+    l = left[OFF:OFF + h][:, None]
+    pv = ((h - 1 - y) * t + (y + 1) * left[OFF + h]) << logw
+    ph = ((w - 1 - x) * l + (x + 1) * top[OFF + w]) << logh
+    return (pv + ph + w * h) >> (logw + logh + 1)
+
+
+def pred_dc(top, left, OFF: int, w: int, h: int):
+    assert w == h, "non-square DC lands with rect blocks"
+    s = jnp.sum(top[OFF:OFF + w]) + jnp.sum(left[OFF:OFF + h])
+    dc = (s + w) >> (w.bit_length())  # log2(2w)
+    return jnp.full((h, w), dc, dtype=jnp.int32)
+
+
+def pred_v(top, OFF: int, w: int, h: int):
+    return jnp.broadcast_to(top[OFF:OFF + w][None, :], (h, w)).astype(jnp.int32)
+
+
+def pred_h(left, OFF: int, w: int, h: int):
+    return jnp.broadcast_to(left[OFF:OFF + h][:, None], (h, w)).astype(jnp.int32)
+
+
+def _angular_core(main, OFF: int, n_out: int, n_lines: int, angle,
+                  filter_flag, is_chroma: bool, clip_max: int):
+    """Shared angular math: for each line i (0..n_lines-1) produce n_out
+    samples from `main` edge: pos = (i+1)*angle; idx = pos>>5, fact=pos&31.
+    Returns (n_lines, n_out) int32."""
+    i = jnp.arange(n_lines)[:, None]
+    x = jnp.arange(n_out)[None, :]
+    pos = (i + 1) * angle
+    idx = pos >> 5
+    fact = pos & 31
+
+    base = OFF + x + idx  # index of p[0] (= main[x + idx - 1] rel sample grid)
+    p = [main[jnp.clip(base + k - 1, 0, main.shape[0] - 1)] for k in range(4)]
+
+    if is_chroma:
+        interp = ((32 - fact) * p[1] + fact * p[2] + 16) >> 5
+    else:
+        ftab = jnp.asarray(INTRA_LUMA_FILTER)  # (2,32,4)
+        f = ftab[filter_flag, fact]  # (n_lines, 1, 4) via broadcasting
+        acc = (f[..., 0] * p[0] + f[..., 1] * p[1]
+               + f[..., 2] * p[2] + f[..., 3] * p[3] + 32) >> 6
+        interp = jnp.clip(acc, 0, clip_max)
+    copy = p[1]  # main[OFF + x + idx] — the integer-position sample
+    use_copy = (fact == 0) & (is_chroma | (filter_flag == 0))
+    return jnp.where(use_copy, copy, interp).astype(jnp.int32)
+
+
+def pred_angular_v(top, left, OFF: int, w: int, h: int, angle, inv_angle,
+                   filter_flag, do_pdpc, ns, is_chroma: bool, clip_max: int):
+    pred = _angular_core(top, OFF, w, h, angle, filter_flag, is_chroma,
+                         clip_max)
+
+    def pdpc(pred):
+        y = jnp.arange(h)[:, None]
+        x = jnp.arange(w)[None, :]
+        inv_sum = 256 + inv_angle * (x + 1)
+        lidx = jnp.clip(OFF + y + (inv_sum >> 9), 0, left.shape[0] - 1)
+        l = left[lidx]
+        wl = 32 >> jnp.minimum((x << 1) >> ns, 31)
+        val = pred + (((l - pred) * wl + 32) >> 6)
+        val = jnp.clip(val, 0, clip_max)
+        lim = jnp.minimum(w, 3 << ns)
+        return jnp.where(x < lim, val, pred)
+
+    return jax.lax.cond(do_pdpc > 0, pdpc, lambda p: p, pred)
+
+
+def pred_angular_h(top, left, OFF: int, w: int, h: int, angle, inv_angle,
+                   filter_flag, do_pdpc, ns, is_chroma: bool, clip_max: int):
+    predT = _angular_core(left, OFF, h, w, angle, filter_flag, is_chroma,
+                          clip_max)
+    pred = predT.T  # lines are columns here
+
+    def pdpc(pred):
+        y = jnp.arange(h)[:, None]
+        x = jnp.arange(w)[None, :]
+        inv_sum = 256 + inv_angle * (y + 1)
+        tidx = jnp.clip(OFF + x + (inv_sum >> 9), 0, top.shape[0] - 1)
+        t = top[tidx]
+        wt = 32 >> jnp.minimum((y * 2) >> ns, 31)
+        val = jnp.clip(pred + (((t - pred) * wt + 32) >> 6), 0, clip_max)
+        lim = jnp.minimum(h, 3 << ns)
+        return jnp.where(y < lim, val, pred)
+
+    return jax.lax.cond(do_pdpc > 0, pdpc, lambda p: p, pred)
+
+
+def pdpc_hvdc(pred, top, left, OFF: int, w: int, h: int, mode_class,
+              clip_max: int):
+    """PDPC for planar/DC/V/H (vvc_intra_template.c:652-683)."""
+    scale = (w.bit_length() + h.bit_length() - 4) >> 2
+    y = jnp.arange(h)[:, None]
+    x = jnp.arange(w)[None, :]
+    lv = left[OFF + y + jnp.zeros_like(x)]
+    tv = top[OFF + x + jnp.zeros_like(y)]
+    corner_l = left[OFF - 1]
+    corner_t = top[OFF - 1]
+    is_vh = (mode_class == MC_VERT) | (mode_class == MC_HORZ)
+    l = jnp.where(is_vh, lv - corner_l + pred, lv)
+    t = jnp.where(is_vh, tv - corner_t + pred, tv)
+    wl_base = 32 >> jnp.minimum((x << 1) >> scale, 31)
+    wt_base = 32 >> jnp.minimum((y << 1) >> scale, 31)
+    # planar/DC: both weights; VERT: only wl; HORZ: only wt
+    wl = jnp.where(mode_class == MC_HORZ, 0, wl_base)
+    wt = jnp.where(mode_class == MC_VERT, 0, wt_base)
+    out = pred + ((wl * (l - pred) + wt * (t - pred) + 32) >> 6)
+    return jnp.clip(out, 0, clip_max)

@@ -1,0 +1,37 @@
+"""CLI decoder: annex-B VVC in, frame hashes / raw YUV out.
+
+The framework's `ffmpeg -i x.vvc -f framemd5 -` analog
+(fftools parity: framecrc/framemd5 muxers, tests/fate-run.sh:156).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ..models.vvc.decoder import decode_file
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="decode VVC to frame MD5 / yuv")
+    p.add_argument("input")
+    p.add_argument("--framemd5", action="store_true",
+                   help="print one MD5 line per frame (default)")
+    p.add_argument("--yuv", help="write raw planar YUV to this path")
+    args = p.parse_args(argv)
+
+    yuv = open(args.yuv, "wb") if args.yuv else None
+    n = 0
+    for frame in decode_file(args.input):
+        print(f"{n}, {frame.poc}, {frame.width}x{frame.height}, {frame.md5()}")
+        if yuv:
+            for plane in frame.planes:
+                yuv.write(plane.tobytes())
+        n += 1
+    if yuv:
+        yuv.close()
+    print(f"decoded {n} frames", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -5,6 +5,8 @@ import os
 import sys
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# the axon TPU plugin ignores JAX_PLATFORMS; the legacy var does work
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,51 @@
+"""End-to-end conformance: our decoder vs the reference decoder, frame MD5.
+
+The FATE-style harness (SURVEY §4.1): generated conforming streams are
+decoded by the reference ffmpeg build (golden) and by ffmpeg_tpu; every
+frame hash must match exactly.
+"""
+import os
+import subprocess
+
+import pytest
+
+REF_FFMPEG = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".refbuild", "ffmpeg")
+
+
+def ref_frame_md5s(path: str) -> list[str]:
+    out = subprocess.run(
+        [REF_FFMPEG, "-hide_banner", "-loglevel", "error", "-i", path,
+         "-f", "framemd5", "-"],
+        capture_output=True, text=True, check=True)
+    assert not out.stderr, out.stderr
+    return [line.split(",")[-1].strip() for line in out.stdout.splitlines()
+            if line and not line.startswith("#")]
+
+
+def our_frame_md5s(path: str) -> list[str]:
+    from ffmpeg_tpu.models.vvc.decoder import decode_file
+
+    return [f.md5() for f in decode_file(path)]
+
+
+needs_ref = pytest.mark.skipif(not os.path.exists(REF_FFMPEG),
+                               reason="reference ffmpeg not built")
+
+
+@needs_ref
+@pytest.mark.parametrize("cfg_kw", [
+    dict(width=64, height=64, seed=101, qp=32),
+    dict(width=128, height=64, seed=102, qp=22, n_frames=2),
+    dict(width=96, height=96, seed=103, qp=45, coeff_density=0.4),
+], ids=["64x64", "128x64x2f", "96x96-dense"])
+def test_frame_md5_parity(tmp_path, cfg_kw):
+    from ffmpeg_tpu.encoder.encoder import EncoderConfig, encode_stream
+
+    data, _ = encode_stream(EncoderConfig(**cfg_kw))
+    path = str(tmp_path / "t.vvc")
+    with open(path, "wb") as f:
+        f.write(data)
+    ref = ref_frame_md5s(path)
+    ours = our_frame_md5s(path)
+    assert ref == ours
