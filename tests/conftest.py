@@ -4,9 +4,10 @@ chip; tests must be hermetic)."""
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-# the axon TPU plugin ignores JAX_PLATFORMS; the legacy var does work
-os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+# Force CPU: the session env presets JAX_PLATFORMS=axon (TPU tunnel),
+# so these must be overwritten, not defaulted.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,6 +15,12 @@ if "host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# persistent XLA compilation cache: recon programs are shape-specialized
+# and dominate test wall time otherwise
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join("/tmp", "ffmpeg_tpu_jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 REFBUILD = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".refbuild")
 REF_FFMPEG = os.path.join(REFBUILD, "ffmpeg")
