@@ -71,6 +71,8 @@ class FrameSyntaxEncoder:
     """Encodes slice data (all CTUs) of one frame."""
 
     def __init__(self, sps, pps, sh):
+        from .tree import PartitionCtx
+
         self.sps = sps
         self.pps = pps
         self.sh = sh
@@ -81,11 +83,24 @@ class FrameSyntaxEncoder:
         self.ctb_w = (self.width + self.ctb_size - 1) >> self.ctb_log2
         self.ctb_h = (self.height + self.ctb_size - 1) >> self.ctb_log2
         self.min_cb_log2 = sps.sps_log2_min_luma_coding_block_size_minus2 + 2
+        min_cb = 1 << self.min_cb_log2
+        min_qt = 1 << (sps.sps_log2_diff_min_qt_min_cb_intra_slice_luma
+                       + self.min_cb_log2)
+        self.pc = PartitionCtx(
+            min_cb_size=min_cb,
+            min_qt_size=min_qt,
+            max_bt_size=min_qt << sps.sps_log2_diff_max_bt_min_qt_intra_slice_luma,
+            max_tt_size=min_qt << sps.sps_log2_diff_max_tt_min_qt_intra_slice_luma,
+            max_mtt_depth=sps.sps_max_mtt_hierarchy_depth_intra_slice_luma,
+            pic_width=self.width, pic_height=self.height)
         mw = self.width >> self.min_cb_log2
         mh = self.height >> self.min_cb_log2
         # per-min-CB tables mirroring fc->tab
         self.tab_ipm = np.zeros((mh, mw), dtype=np.int32)
         self.tab_cpm = np.zeros((mh, mw), dtype=np.int32)  # MODE_INTER init
+        self.tab_cbw = np.zeros((mh, mw), dtype=np.int32)
+        self.tab_cbh = np.zeros((mh, mw), dtype=np.int32)
+        self.tab_cqt = np.zeros((mh, mw), dtype=np.int32)
 
         self.slice_qp_y = 26 + pps.pps_init_qp_minus26 + sh.sh_qp_delta
         init_type = 2 - sh.sh_slice_type
@@ -210,19 +225,133 @@ class FrameSyntaxEncoder:
         assert not self.sps.sps_lfnst_enabled_flag
         assert not self.sps.sps_mts_enabled_flag
 
-    def encode_ctu(self, rx: int, ry: int, cus: list[CuIntent],
+    # -- coding tree ----------------------------------------------------
+    def _left_top_tab(self, tab, x0, y0, default):
+        """get_left_top (vvc_cabac.c:950-975): neighbour tab values."""
+        s = self.min_cb_log2
+        x0b = x0 & (self.ctb_size - 1)
+        y0b = y0 & (self.ctb_size - 1)
+        left = tab[y0 >> s, (x0 - 1) >> s] if (self.ctb_left or x0b) else default
+        top = tab[(y0 - 1) >> s, x0 >> s] if (self.ctb_up or y0b) else default
+        return int(left), int(top)
+
+    def _encode_split(self, node, x0, y0, w, h, allowed) -> int:
+        """Encode split_cu_flag / split mode bins; returns chosen split.
+        Mirrors ff_vvc_split_cu_flag/ff_vvc_split_mode (vvc_cabac.c:1086+)."""
+        from .tree import (SPLIT_BT_HOR, SPLIT_BT_VER, SPLIT_NONE, SPLIT_QT,
+                           SPLIT_TT_HOR, SPLIT_TT_VER)
+
+        split = node["split"]
+        any_split = any(allowed.values())
+        is_inside = (x0 + w <= self.width) and (y0 + h <= self.height)
+        if any_split and is_inside:
+            left_h, _ = self._left_top_tab(self.tab_cbh, x0, y0, h)
+            _, top_w = self._left_top_tab(self.tab_cbw, x0, y0, w)
+            inc = (left_h < h) + (top_w < w)
+            na = (allowed["btv"] + allowed["bth"] + allowed["ttv"]
+                  + allowed["tth"] + 2 * allowed["qt"])
+            inc += (na - 1) // 2 * 3
+            self._bin("SPLIT_CU_FLAG", inc, int(split != SPLIT_NONE))
+        else:
+            assert (split != SPLIT_NONE) == (not is_inside), \
+                "forced split state mismatch"
+        if split == SPLIT_NONE:
+            return split
+
+        allow_no_qt = (allowed["btv"] or allowed["bth"] or allowed["ttv"]
+                       or allowed["tth"])
+        if allow_no_qt and allowed["qt"]:
+            dl, dt = self._left_top_tab(self.tab_cqt, x0, y0, 0)
+            cqt = node["cqt_depth"]
+            inc = (dl > cqt) + (dt > cqt) + (cqt >= 2) * 3
+            self._bin("SPLIT_QT_FLAG", inc, int(split == SPLIT_QT))
+        else:
+            assert (split == SPLIT_QT) == (not allow_no_qt or allowed["qt"])
+        if split == SPLIT_QT:
+            return split
+
+        vertical = split in (SPLIT_BT_VER, SPLIT_TT_VER)
+        if (allowed["bth"] or allowed["tth"]) and (allowed["btv"] or allowed["ttv"]):
+            v = allowed["btv"] + allowed["ttv"]
+            hh = allowed["bth"] + allowed["tth"]
+            if v > hh:
+                inc = 4
+            elif v < hh:
+                inc = 3
+            else:
+                s = self.min_cb_log2
+                x0b = x0 & (self.ctb_size - 1)
+                y0b = y0 & (self.ctb_size - 1)
+                avail_a = self.ctb_up or y0b
+                avail_l = self.ctb_left or x0b
+                da = w // (int(self.tab_cbw[(y0 - 1) >> s, x0 >> s]) if avail_a else 1)
+                dl = h // (int(self.tab_cbh[y0 >> s, (x0 - 1) >> s]) if avail_l else 1)
+                if da == dl or not avail_a or not avail_l:
+                    inc = 0
+                elif da < dl:
+                    inc = 1
+                else:
+                    inc = 2
+            self._bin("MTT_SPLIT_CU_VERTICAL_FLAG", inc, int(vertical))
+        else:
+            assert vertical == (not (allowed["bth"] or allowed["tth"]))
+        binary = split in (SPLIT_BT_VER, SPLIT_BT_HOR)
+        if (allowed["btv"] and allowed["ttv"] and vertical) or \
+           (allowed["bth"] and allowed["tth"] and not vertical):
+            inc = 2 * vertical + (1 if node["mtt_depth"] <= 1 else 0)
+            self._bin("MTT_SPLIT_CU_BINARY_FLAG", inc, int(binary))
+        else:
+            if not allowed["btv"] and not allowed["bth"]:
+                assert not binary
+            elif not allowed["ttv"] and not allowed["tth"]:
+                assert binary
+            elif allowed["bth"] and allowed["ttv"]:
+                assert binary == (1 - vertical)
+            else:
+                assert binary == vertical
+        return split
+
+    def encode_tree(self, node: dict, x0: int, y0: int, w: int, h: int,
+                    cqt_depth: int, mtt_depth: int, depth_offset: int,
+                    part_idx: int, last_split: int) -> None:
+        from .tree import SPLIT_NONE, can_split, split_children
+
+        allowed = can_split(self.pc, x0, y0, w, h, mtt_depth, depth_offset,
+                            part_idx, last_split)
+        node["cqt_depth"] = cqt_depth
+        node["mtt_depth"] = mtt_depth
+        split = self._encode_split(node, x0, y0, w, h, allowed)
+        if split == SPLIT_NONE:
+            cu = node["cu"]
+            assert (cu.x0, cu.y0, cu.w, cu.h) == (x0, y0, w, h), (
+                (cu.x0, cu.y0, cu.w, cu.h), (x0, y0, w, h))
+            s = self.min_cb_log2
+            ys, xs = y0 >> s, x0 >> s
+            self.tab_cbw[ys:ys + (h >> s), xs:xs + (w >> s)] = w
+            self.tab_cbh[ys:ys + (h >> s), xs:xs + (w >> s)] = h
+            self.tab_cqt[ys:ys + (h >> s), xs:xs + (w >> s)] = cqt_depth
+            self.encode_cu(cu)
+            return
+        children = split_children(x0, y0, w, h, split, self.width, self.height)
+        assert len(children) == len(node["children"]), (split, x0, y0, w, h)
+        for child_node, (cx, cy, cw, ch, dq, dm, doff, idx) in zip(
+                node["children"], children):
+            self.encode_tree(child_node, cx, cy, cw, ch,
+                             cqt_depth + dq, mtt_depth + dm,
+                             depth_offset + doff, idx, split)
+
+    def encode_ctu(self, rx: int, ry: int, tree: dict,
                    is_last_in_slice: bool) -> None:
         self.ctb_left = rx > 0
         self.ctb_up = ry > 0
         # SAO/ALF/deblock-override all disabled -> no per-CTU bins
         assert not self.sh.sh_sao_luma_used_flag and not self.sh.sh_alf_enabled_flag
-        for cu in cus:
-            self.encode_cu(cu)
+        x0 = rx << self.ctb_log2
+        y0 = ry << self.ctb_log2
+        self.encode_tree(tree, x0, y0, self.ctb_size, self.ctb_size,
+                         0, 0, 0, 0, 0)
         if is_last_in_slice:
             self.enc.terminate(1)
-        else:
-            # single slice, single tile, no WPP -> no terminate bins mid-slice
-            pass
 
     def finish(self) -> bytes:
         payload, _bits = self.enc.finish()

@@ -29,19 +29,31 @@ class EncoderConfig:
     max_level: int = 12  # max abs coefficient level
     coeff_density: float = 0.15  # fraction of nonzero coeffs
     deblock: bool = False  # in-loop deblocking (off until stage lands)
+    # partition constraints
+    min_qt_size: int = 8
+    max_mtt_depth: int = 2
+    max_bt_size: int = 32
+    max_tt_size: int = 32
+    split_prob: float = 0.6  # chance of splitting at each eligible node
 
 
 def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
+    min_qt_log2 = cfg.min_qt_size.bit_length() - 1
     sps = SPS(
         sps_chroma_format_idc=cfg.chroma_format_idc,
         sps_log2_ctu_size_minus5=cfg.ctu_log2 - 5,
         sps_pic_width_max_in_luma_samples=cfg.width,
         sps_pic_height_max_in_luma_samples=cfg.height,
         sps_bitdepth_minus8=cfg.bit_depth - 8,
-        # CU == CTU: min QT size = CTU size, no MTT
-        sps_log2_diff_min_qt_min_cb_intra_slice_luma=cfg.ctu_log2 - 2,
-        sps_max_mtt_hierarchy_depth_intra_slice_luma=0,
-        sps_log2_diff_min_qt_min_cb_inter_slice=cfg.ctu_log2 - 2,
+        sps_log2_diff_min_qt_min_cb_intra_slice_luma=min_qt_log2 - 2,
+        sps_max_mtt_hierarchy_depth_intra_slice_luma=cfg.max_mtt_depth,
+        sps_log2_diff_max_bt_min_qt_intra_slice_luma=(
+            cfg.max_bt_size.bit_length() - 1 - min_qt_log2
+            if cfg.max_mtt_depth else 0),
+        sps_log2_diff_max_tt_min_qt_intra_slice_luma=(
+            cfg.max_tt_size.bit_length() - 1 - min_qt_log2
+            if cfg.max_mtt_depth else 0),
+        sps_log2_diff_min_qt_min_cb_inter_slice=min_qt_log2 - 2,
         sps_max_mtt_hierarchy_depth_inter_slice=0,
     )
     pps = PPS(
@@ -56,38 +68,89 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
     return sps, pps
 
 
+def _random_coeffs(cfg, rng, cw, ch):
+    if rng.random() < 0.15:
+        return None  # uncoded
+    mask = rng.random((ch, cw)) < cfg.coeff_density
+    mag = rng.integers(1, cfg.max_level + 1, size=(ch, cw))
+    sign = rng.choice([-1, 1], size=(ch, cw))
+    c = (mask * mag * sign).astype(np.int32)
+    if not np.any(c):
+        c[rng.integers(0, ch), rng.integers(0, cw)] = 1
+    return c
+
+
+def _random_cu(cfg, rng, x0, y0, w, h):
+    return CuIntent(
+        x0=x0, y0=y0, w=w, h=h,
+        luma_mode=int(rng.integers(0, 67)),
+        chroma_mode_idx=int(rng.choice([0, 1, 2, 3, 4])),
+        coeff_y=_random_coeffs(cfg, rng, w, h),
+        coeff_cb=_random_coeffs(cfg, rng, w // 2, h // 2),
+        coeff_cr=_random_coeffs(cfg, rng, w // 2, h // 2),
+    )
+
+
+def _random_tree(cfg, pc, rng, x0, y0, w, h, cqt_depth, mtt_depth,
+                 depth_offset, part_idx, last_split):
+    """Random legal, mode-type-safe coding tree node."""
+    from .tree import (SPLIT_NONE, SPLIT_QT, can_split,
+                       mode_type_condition_free, split_children)
+
+    allowed = can_split(pc, x0, y0, w, h, mtt_depth, depth_offset, part_idx,
+                        last_split)
+    is_inside = (x0 + w <= cfg.width) and (y0 + h <= cfg.height)
+    names = {"qt": SPLIT_QT, "btv": 4, "bth": 2, "ttv": 3, "tth": 1}
+    choices = [s for k, s in names.items()
+               if allowed[k] and mode_type_condition_free(w, h, s)]
+    if not is_inside:
+        # forced split: must pick an allowed split (qt preferred like real
+        # encoders); safety filter can't apply (splitting is mandatory)
+        forced = [s for k, s in names.items() if allowed[k]]
+        assert forced, (x0, y0, w, h)
+        split = SPLIT_QT if allowed["qt"] else forced[0]
+    elif choices and rng.random() < cfg.split_prob:
+        split = int(rng.choice(choices))
+    else:
+        split = SPLIT_NONE
+
+    if split == SPLIT_NONE:
+        return {"split": SPLIT_NONE, "cu": _random_cu(cfg, rng, x0, y0, w, h)}
+    kids = []
+    for (cx, cy, cw, ch, dq, dm, doff, idx) in split_children(
+            x0, y0, w, h, split, cfg.width, cfg.height):
+        kids.append(_random_tree(cfg, pc, rng, cx, cy, cw, ch,
+                                 cqt_depth + dq, mtt_depth + dm,
+                                 depth_offset + doff, idx, split))
+    return {"split": split, "children": kids}
+
+
 def random_frame_intent(cfg: EncoderConfig, sps: SPS, pps: PPS,
-                        rng: np.random.Generator) -> list[list[CuIntent]]:
-    """One CuIntent per CTU (CU == CTU), random modes and coefficients."""
+                        rng: np.random.Generator) -> list[dict]:
+    """One coding-tree intent per CTU."""
+    from .tree import PartitionCtx
+
+    min_cb = 1 << (sps.sps_log2_min_luma_coding_block_size_minus2 + 2)
+    pc = PartitionCtx(min_cb_size=min_cb, min_qt_size=cfg.min_qt_size,
+                      max_bt_size=cfg.max_bt_size, max_tt_size=cfg.max_tt_size,
+                      max_mtt_depth=cfg.max_mtt_depth,
+                      pic_width=cfg.width, pic_height=cfg.height)
     ctu = 1 << cfg.ctu_log2
-    ctus = []
+    trees = []
     for y0 in range(0, cfg.height, ctu):
         for x0 in range(0, cfg.width, ctu):
-            w = min(ctu, cfg.width - x0)
-            h = min(ctu, cfg.height - y0)
-            assert w == ctu and h == ctu, "partial CTUs need split support"
+            trees.append(_random_tree(cfg, pc, rng, x0, y0, ctu, ctu,
+                                      0, 0, 0, 0, 0))
+    return trees
 
-            def coeffs(cw, ch):
-                if rng.random() < 0.15:
-                    return None  # uncoded
-                mask = rng.random((ch, cw)) < cfg.coeff_density
-                mag = rng.integers(1, cfg.max_level + 1, size=(ch, cw))
-                sign = rng.choice([-1, 1], size=(ch, cw))
-                c = (mask * mag * sign).astype(np.int32)
-                if not np.any(c):
-                    c[rng.integers(0, ch), rng.integers(0, cw)] = 1
-                return c
 
-            cu = CuIntent(
-                x0=x0, y0=y0, w=w, h=h,
-                luma_mode=int(rng.integers(0, 67)),
-                chroma_mode_idx=int(rng.choice([0, 1, 2, 3, 4])),
-                coeff_y=coeffs(w, h),
-                coeff_cb=coeffs(w // 2, h // 2),
-                coeff_cr=coeffs(w // 2, h // 2),
-            )
-            ctus.append([cu])
-    return ctus
+def tree_leaves(node: dict) -> list[CuIntent]:
+    if "cu" in node:
+        return [node["cu"]]
+    out = []
+    for c in node["children"]:
+        out.extend(tree_leaves(c))
+    return out
 
 
 def encode_stream(cfg: EncoderConfig):
@@ -108,13 +171,13 @@ def encode_stream(cfg: EncoderConfig):
     for poc in range(cfg.n_frames):
         sh = SliceHeader(nal_unit_type=NAL_IDR_N_LP)
         sh.ph.ph_pic_order_cnt_lsb = poc & 0xFFFF
-        ctu_intents = random_frame_intent(cfg, sps, pps, rng)
+        trees = random_frame_intent(cfg, sps, pps, rng)
         fse = FrameSyntaxEncoder(sps, pps, sh)
-        n_ctus = len(ctu_intents)
+        n_ctus = len(trees)
         idx = 0
         for ry in range(fse.ctb_h):
             for rx in range(fse.ctb_w):
-                fse.encode_ctu(rx, ry, ctu_intents[idx], idx == n_ctus - 1)
+                fse.encode_ctu(rx, ry, trees[idx], idx == n_ctus - 1)
                 idx += 1
         payload = fse.finish()
 
@@ -127,7 +190,8 @@ def encode_stream(cfg: EncoderConfig):
         intent["frames"].append({
             "poc": poc,
             "slice_qp": fse.slice_qp_y,
-            "ctus": [[_cu_to_dict(cu) for cu in cus] for cus in ctu_intents],
+            # leaves in decode (z) order, matching the parser's CU order
+            "cus": [_cu_to_dict(cu) for t in trees for cu in tree_leaves(t)],
         })
 
     return bytes(out), intent

@@ -1,13 +1,19 @@
 """Frame reconstruction pipeline: syntax tensors -> decoded planes.
 
-Stage structure (TPU-first, per SURVEY §7): a batched dequant+inverse-
-transform pass over all TUs of a size class (MXU matmuls), then a single
-jitted sequential pass over CUs for intra prediction + residual add
-(reconstruction is causally dependent on neighbours; the CU loop is a
-lax.fori_loop with dynamic slices so the whole frame is one XLA program).
+Stage structure (TPU-first, per SURVEY §7):
+  1. residual: TUs bucketed by (log2w, log2h); each bucket is a batched
+     dequant + inverse-transform matmul pass (MXU), scattered into a
+     residual plane.
+  2. intra: one jitted sequential pass over CUs in decode order using
+     the size-generic masked kernels from ops/intra — a lax.fori_loop
+     whose body handles any block geometry, so the whole frame is one
+     XLA program (and the body vmaps for wavefront batching later).
+
+Host-side control derivation mirrors the reference's neighbour
+availability exactly (vvc_intra.c:591-648) via a reconstructed-sample
+bitmap simulation.
 
 Bit-exact vs the reference decode path (vvc_intra.c:432-527).
-v1 scope: all-intra, uniform CU==CTU grids, DCT2, no loop filters.
 """
 from __future__ import annotations
 
@@ -21,35 +27,35 @@ from ...ops import intra as I
 from ...ops.transform import dequant_itx_batch, dequant_scale_shift
 from .host import FrameSyntax
 
+CTRL_KEYS = (
+    "x0", "y0", "w", "h", "logw", "logh", "mode_class", "angle", "inv_angle",
+    "filter_flag", "smooth", "left_size", "top_size", "unfilter_last_one",
+    "do_pdpc", "nscale", "avail_l", "avail_t", "cand_up_left",
+    "proj_v", "proj_h")
 
-def derive_cu_controls(fs: FrameSyntax, plane_kind: str) -> dict:
-  """Host-side per-CU control arrays for one plane type.
 
-  plane_kind: 'y' or 'c' (cb/cr share geometry+mode).
-  All returned arrays are numpy int32 of shape (n_cus,).
-  """
+def derive_cu_controls(fs: FrameSyntax, plane_kind: str, ctb_log2: int) -> dict:
+  """Host-side per-CU control arrays for one plane type ('y' or 'c')."""
   is_chroma = plane_kind == "c"
   ss = 1 if (is_chroma and fs.chroma_format_idc == 1) else 0
   cus = fs.cus
   n = len(cus["x0"])
-  ctb = 32  # v1: CU == CTU == 32 luma
+  ctb = 1 << ctb_log2
   pic_w = fs.width >> ss
   pic_h = fs.height >> ss
 
-  out = {k: np.zeros(n, np.int32) for k in (
-      "x0", "y0", "mode_class", "angle", "inv_angle", "filter_flag",
-      "smooth", "left_size", "top_size", "unfilter_last_one",
-      "do_pdpc", "nscale", "avail_l", "avail_t", "cand_up_left",
-      "proj_v", "proj_h")}
+  out = {k: np.zeros(n, np.int32) for k in CTRL_KEYS}
+  # reconstructed-sample bitmap at 2-sample granularity (min block dim)
+  g = 2
+  recon = np.zeros((pic_h // g, pic_w // g), dtype=bool)
 
   for i in range(n):
-    x0 = int(cus["x0"][i]) >> ss
-    y0 = int(cus["y0"][i]) >> ss
+    lx0, ly0 = int(cus["x0"][i]), int(cus["y0"][i])
+    x0, y0 = lx0 >> ss, ly0 >> ss
     w = int(cus["w"][i]) >> ss
     h = int(cus["h"][i]) >> ss
-    mode = int(cus["chroma_mode"][i] if is_chroma else cus["luma_mode"][i])
-    # square blocks: wide-angle mapping is identity
-    assert w == h
+    raw_mode = int(cus["chroma_mode"][i] if is_chroma else cus["luma_mode"][i])
+    mode = I.wide_angle_map(raw_mode, w, h)
     mc = I.classify_mode(mode)
     angle = inv = 0
     filter_flag = 0
@@ -69,61 +75,114 @@ def derive_cu_controls(fs: FrameSyntax, plane_kind: str) -> dict:
       if pdpc:
         ns = I.nscale(w, h, mode)
     smooth = int((not is_chroma) and w * h > 32 and I.ref_filter_flag(mode))
-    # edge sizes for the [1 2 1] filter
     if mc == I.MC_PLANAR:
-      left_size, top_size = h + 1, w + 1
-      unfilter_last = 0  # unfilter size = size + filter_flag(=1 when smooth)
+      left_size, top_size = h + 1 + smooth, w + 1 + smooth
+      unfilter_last = 0
+      need_l, need_t = h + 1 + smooth, w + 1 + smooth
+    elif mc == I.MC_DC:
+      left_size, top_size = h, w
+      unfilter_last = 1
+      need_l, need_t = h, w
+    elif mc == I.MC_VERT:
+      left_size, top_size = (h if pdpc else 1), w
+      unfilter_last = 1
+      need_l, need_t = left_size, w
+    elif mc == I.MC_HORZ:
+      left_size, top_size = h, (w if pdpc else 1)
+      unfilter_last = 1
+      need_l, need_t = h, top_size
     else:
       left_size, top_size = 2 * h, 2 * w
       unfilter_last = 1
-    # availability (v1: CU == CTU, single slice/tile)
-    need_l = left_size + (1 if (smooth and mc == I.MC_PLANAR) else 0)
-    need_t = top_size + (1 if (smooth and mc == I.MC_PLANAR) else 0)
-    ctb_bottom = min(pic_h, y0 + (ctb >> ss))
-    avail_l = min(need_l, ctb_bottom - y0) if x0 > 0 else 0
-    avail_t = min(need_t, pic_w - x0) if y0 > 0 else 0
+      need_l, need_t = 2 * h, 2 * w
 
-    out["x0"][i] = x0
-    out["y0"][i] = y0
-    out["mode_class"][i] = mc
-    out["angle"][i] = angle
-    out["inv_angle"][i] = inv
-    out["filter_flag"][i] = filter_flag
-    out["smooth"][i] = smooth
-    out["left_size"][i] = left_size
-    out["top_size"][i] = top_size
-    out["unfilter_last_one"][i] = unfilter_last
-    out["do_pdpc"][i] = int(pdpc)
-    out["nscale"][i] = ns
-    out["avail_l"][i] = avail_l
-    out["avail_t"][i] = avail_t
-    out["cand_up_left"][i] = int(x0 > 0 and y0 > 0)
-    out["proj_v"][i] = int(mc == I.MC_ANG_V and angle < 0)
-    out["proj_h"][i] = int(mc == I.MC_ANG_H and angle < 0)
+    # --- availability (parity ff_vvc_get_left/top_available) ---
+    ctb_rx = lx0 >> ctb_log2
+    ctb_ry = ly0 >> ctb_log2
+    ctb_left = ctb_rx > 0
+    ctb_up = ctb_ry > 0
+    end_of_ctb_x = ((lx0 >> ctb_log2) + 1) << ctb_log2
+    end_of_ctb_y = ((ly0 >> ctb_log2) + 1) << ctb_log2
+    log2_ctb_h = ctb_log2 - ss  # component-domain CTB size
+    y0b_c = y0 & ((1 << log2_ctb_h) - 1)
+    x0b_c = x0 & ((1 << log2_ctb_h) - 1)
+
+    # top
+    if y0b_c == 0:
+      avail_t = min(need_t, pic_w - x0) if ctb_up else 0
+    else:
+      max_x = min(fs.width, end_of_ctb_x) >> ss
+      tgt = max(0, min(need_t, max_x - x0))
+      run = 0
+      ry_ = (y0 - 1) // g
+      while run < tgt and recon[ry_, (x0 + run) // g]:
+        run += g - ((x0 + run) % g)
+      avail_t = min(run, tgt)
+    # left
+    if x0b_c == 0 and not ctb_left:
+      avail_l = 0
+    else:
+      max_y = min(fs.height, end_of_ctb_y) >> ss
+      tgt = max(0, min(need_l, max_y - y0))
+      if x0b_c == 0:
+        avail_l = tgt
+      else:
+        run = 0
+        cx_ = (x0 - 1) // g
+        while run < tgt and recon[(y0 + run) // g, cx_]:
+          run += g - ((y0 + run) % g)
+        avail_l = min(run, tgt)
+
+    # cand_up_left from LUMA coords (ff_vvc_set_neighbour_available)
+    x0b_l = lx0 & (ctb - 1)
+    y0b_l = ly0 & (ctb - 1)
+    cand_left = ctb_left or x0b_l
+    cand_up = ctb_up or y0b_l
+    if x0b_l or y0b_l:
+      cul = int(bool(cand_left) and bool(cand_up))
+    else:
+      cul = int(ctb_left and ctb_up)
+
+    recon[y0 // g:(y0 + h) // g, x0 // g:(x0 + w) // g] = True
+
+    vals = dict(
+        x0=x0, y0=y0, w=w, h=h, logw=w.bit_length() - 1,
+        logh=h.bit_length() - 1, mode_class=mc, angle=angle, inv_angle=inv,
+        filter_flag=filter_flag, smooth=smooth, left_size=left_size,
+        top_size=top_size, unfilter_last_one=unfilter_last,
+        do_pdpc=int(pdpc), nscale=ns, avail_l=avail_l, avail_t=avail_t,
+        cand_up_left=cul, proj_v=int(mc == I.MC_ANG_V and angle < 0),
+        proj_h=int(mc == I.MC_ANG_H and angle < 0))
+    for k, v in vals.items():
+      out[k][i] = v
   return out
 
 
-@functools.partial(jax.jit, static_argnames=("w", "h", "is_chroma",
+@functools.partial(jax.jit, static_argnames=("maxs", "is_chroma",
                                              "bit_depth"))
-def recon_plane_jit(res_plane, ctrl, *, w: int, h: int, is_chroma: bool,
+def recon_plane_jit(res_plane, ctrl, *, maxs: int, is_chroma: bool,
                     bit_depth: int):
   """Sequential intra reconstruction of one plane.
 
-  res_plane: (H, W) int32 residual plane.
+  res_plane: (H+maxs, W+maxs) int32 residual plane (padded right/bottom).
   ctrl: dict of (N,) int32 per-CU control arrays.
+  Returns padded recon plane (caller crops).
   """
-  H, W = res_plane.shape
+  Hp, Wp = res_plane.shape
   maxv = (1 << bit_depth) - 1
   mid = 1 << (bit_depth - 1)
   n = ctrl["x0"].shape[0]
-  plane0 = jnp.full((H, W), mid, dtype=jnp.int32)
+  _, OFF = I.edge_len(maxs)
+  plane0 = jnp.full((Hp, Wp), mid, dtype=jnp.int32)
 
   def body(i, plane):
     x0 = ctrl["x0"][i]
     y0 = ctrl["y0"][i]
-    left, top, OFF = I.edge_arrays(plane, x0, y0, w, h, ctrl["avail_l"][i],
-                                   ctrl["avail_t"][i],
-                                   ctrl["cand_up_left"][i], mid)
+    w = ctrl["w"][i]
+    h = ctrl["h"][i]
+    left, top = I.edge_arrays(plane, x0, y0, maxs, ctrl["avail_l"][i],
+                              ctrl["avail_t"][i], ctrl["cand_up_left"][i],
+                              mid)
 
     def do_filter(args):
       l, t = args
@@ -149,66 +208,116 @@ def recon_plane_jit(res_plane, ctrl, *, w: int, h: int, is_chroma: bool,
     ff = ctrl["filter_flag"][i]
     pdpc = ctrl["do_pdpc"][i]
     ns = ctrl["nscale"][i]
+    logw = ctrl["logw"][i]
+    logh = ctrl["logh"][i]
 
     branches = [
-        lambda: I.pred_planar(top, left, OFF, w, h),
-        lambda: I.pred_dc(top, left, OFF, w, h),
-        lambda: I.pred_v(top, OFF, w, h),
-        lambda: I.pred_h(left, OFF, w, h),
-        lambda: I.pred_angular_v(top, left, OFF, w, h, angle, inv, ff,
+        lambda: I.pred_planar(top, left, OFF, maxs, w, h, logw, logh),
+        lambda: I.pred_dc(top, left, OFF, maxs, w, h),
+        lambda: I.pred_v(top, OFF, maxs),
+        lambda: I.pred_h(left, OFF, maxs),
+        lambda: I.pred_angular_v(top, left, OFF, maxs, w, h, angle, inv, ff,
                                  pdpc, ns, is_chroma, maxv),
-        lambda: I.pred_angular_h(top, left, OFF, w, h, angle, inv, ff,
+        lambda: I.pred_angular_h(top, left, OFF, maxs, w, h, angle, inv, ff,
                                  pdpc, ns, is_chroma, maxv),
     ]
     mc = ctrl["mode_class"][i]
     pred = jax.lax.switch(mc, branches)
-    # PDPC for planar/DC/V/H classes
     pred = jax.lax.cond(
         (pdpc > 0) & (mc < I.MC_ANG_V),
-        lambda p: I.pdpc_hvdc(p, top, left, OFF, w, h, mc, maxv),
+        lambda p: I.pdpc_hvdc(p, top, left, OFF, maxs, logw, logh, mc, maxv),
         lambda p: p, pred)
 
-    res = jax.lax.dynamic_slice(res_plane, (y0, x0), (h, w))
-    blk = jnp.clip(pred + res, 0, maxv).astype(jnp.int32)
+    res = jax.lax.dynamic_slice(res_plane, (y0, x0), (maxs, maxs))
+    old = jax.lax.dynamic_slice(plane, (y0, x0), (maxs, maxs))
+    new = jnp.clip(pred + res, 0, maxv)
+    yy = jnp.arange(maxs)[:, None]
+    xx = jnp.arange(maxs)[None, :]
+    blk = jnp.where((yy < h) & (xx < w), new, old).astype(jnp.int32)
     return jax.lax.dynamic_update_slice(plane, blk, (y0, x0))
 
   return jax.lax.fori_loop(0, n, body, plane0)
+
+
+def _pad_len(n: int) -> int:
+  """Round up to limit the number of shape-specialised XLA programs."""
+  p = 16
+  while p < n:
+    p *= 2
+  return p
+
+
+def _round_up(v: int, m: int) -> int:
+  return (v + m - 1) // m * m
+
+
+def _residual_plane(fs: FrameSyntax, c_idx: int, Hp: int, Wp: int, maxs: int):
+  """Bucketed dequant+ITX over this plane's TUs -> padded residual."""
+  coeff = (fs.coeff_y, fs.coeff_cb, fs.coeff_cr)[c_idx]
+  bd = fs.bit_depth
+  sel = np.where((fs.tus["c_idx"] == c_idx) & (fs.tus["coded"] == 1))[0]
+  res = jnp.zeros((Hp, Wp), dtype=jnp.int32)
+  if len(sel) == 0:
+    return res
+  x0s = fs.tus["x0"][sel]
+  y0s = fs.tus["y0"][sel]
+  ws = fs.tus["w"][sel]
+  hs = fs.tus["h"][sel]
+  qps = fs.tus["qp"][sel]
+  for (w, h) in sorted({(int(a), int(b)) for a, b in zip(ws, hs)}):
+    idx = np.where((ws == w) & (hs == h))[0]
+    lw, lh = w.bit_length() - 1, h.bit_length() - 1
+    npad = _pad_len(len(idx))
+    # gather blocks (padding = zero blocks scatter-added at the origin)
+    blocks = np.zeros((npad, h, w), dtype=np.int32)
+    for k, j in enumerate(idx):
+      blocks[k] = coeff[y0s[j]:y0s[j] + h, x0s[j]:x0s[j] + w]
+    ss_list = [dequant_scale_shift(int(qps[j]), lw, lh, bd) for j in idx]
+    scales = np.zeros(npad, np.int32)
+    shifts = np.ones(npad, np.int32)
+    scales[:len(idx)] = [s for s, _ in ss_list]
+    shifts[:len(idx)] = [s for _, s in ss_list]
+    out = dequant_itx_batch(jnp.asarray(blocks), jnp.asarray(scales),
+                            jnp.asarray(shifts), log2_w=lw, log2_h=lh,
+                            bit_depth=bd)
+    y0p = np.zeros(npad, np.int32)
+    x0p = np.zeros(npad, np.int32)
+    y0p[:len(idx)] = y0s[idx]
+    x0p[:len(idx)] = x0s[idx]
+    yy = (y0p[:, None, None] + np.arange(h)[None, :, None])
+    xx = (x0p[:, None, None] + np.arange(w)[None, None, :])
+    res = res.at[jnp.asarray(yy), jnp.asarray(xx)].add(out)
+  return res
 
 
 def reconstruct_frame(fs: FrameSyntax) -> list[np.ndarray]:
   """Full frame reconstruction; returns [Y, Cb, Cr] uint8/uint16 planes."""
   assert fs.chroma_format_idc == 1, "4:2:0 only for now"
   bd = fs.bit_depth
+  ctb_log2 = 5  # v1 streams use CTU 32
   planes = []
-  ctrl_y = derive_cu_controls(fs, "y")
-  ctrl_c = derive_cu_controls(fs, "c")
+  ctrl_y = derive_cu_controls(fs, "y", ctb_log2)
+  ctrl_c = derive_cu_controls(fs, "c", ctb_log2)
+  maxs_y = 1 << ctb_log2
+  maxs_c = maxs_y >> 1
 
-  for c_idx, (coeff, ctrl, blk) in enumerate((
-      (fs.coeff_y, ctrl_y, 32),
-      (fs.coeff_cb, ctrl_c, 16),
-      (fs.coeff_cr, ctrl_c, 16))):
-    H, W = coeff.shape
-    gw, gh = W // blk, H // blk
-    # batched dequant + inverse DCT2 over the uniform TU grid
-    blocks = coeff.reshape(gh, blk, gw, blk).transpose(0, 2, 1, 3) \
-        .reshape(gh * gw, blk, blk)
-    # per-TU qp: from tus records (c_idx match), in raster order
-    sel = fs.tus["c_idx"] == c_idx
-    qps = fs.tus["qp"][sel]
-    assert len(qps) == gh * gw
-    ss_list = [dequant_scale_shift(int(q), blk.bit_length() - 1,
-                                   blk.bit_length() - 1, bd) for q in qps]
-    scales = jnp.asarray([s for s, _ in ss_list], dtype=jnp.int32)
-    shifts = jnp.asarray([s for _, s in ss_list], dtype=jnp.int32)
-    res_blocks = dequant_itx_batch(
-        jnp.asarray(blocks), scales, shifts,
-        log2_w=blk.bit_length() - 1, log2_h=blk.bit_length() - 1,
-        bit_depth=bd)
-    res_plane = res_blocks.reshape(gh, gw, blk, blk).transpose(0, 2, 1, 3) \
-        .reshape(H, W)
-    ctrl_j = {k: jnp.asarray(v) for k, v in ctrl.items()}
-    out = recon_plane_jit(res_plane, ctrl_j, w=blk, h=blk,
-                          is_chroma=c_idx > 0, bit_depth=bd)
+  for c_idx, (ctrl, maxs) in enumerate(((ctrl_y, maxs_y), (ctrl_c, maxs_c),
+                                        (ctrl_c, maxs_c))):
+    ss = 0 if c_idx == 0 else 1
+    H, W = fs.height >> ss, fs.width >> ss
+    # normalise padded dims so XLA programs are shared across stream sizes
+    Hp = _round_up(H, 128 >> ss) + maxs
+    Wp = _round_up(W, 128 >> ss) + maxs
+    res = _residual_plane(fs, c_idx, Hp, Wp, maxs)
+    n = len(ctrl["x0"])
+    npad = _pad_len(n)
+    ctrl_j = {}
+    for k, v in ctrl.items():
+      vp = np.zeros(npad, np.int32)  # padding CUs have w=h=0: no-ops
+      vp[:n] = v
+      ctrl_j[k] = jnp.asarray(vp)
+    out = recon_plane_jit(res, ctrl_j, maxs=maxs, is_chroma=c_idx > 0,
+                          bit_depth=bd)
     dt = np.uint8 if bd == 8 else np.uint16
-    planes.append(np.asarray(out).astype(dt))
+    planes.append(np.asarray(out[:H, :W]).astype(dt))
   return planes

@@ -132,8 +132,13 @@ class Decoder {
   int min_cb_log2_ = 2;
   int mcb_w_ = 0, mcb_h_ = 0;  // min-cb grid dims
   std::vector<int32_t> tab_ipm_, tab_cpm_;
+  std::vector<int32_t> tab_cbw_, tab_cbh_, tab_cqt_;
   bool ctb_left_ = false, ctb_up_ = false;
   int qp_y_ = 26;
+  // slice-level partition constraints (I-slice luma; spec 7.4.8)
+  struct {
+    int min_qt, max_bt, max_tt, max_mtt;
+  } part_;
 
   int32_t ipm_at(int x_cb, int y_cb) const { return tab_ipm_[y_cb * mcb_w_ + x_cb]; }
   int32_t cpm_at(int x_cb, int y_cb) const { return tab_cpm_[y_cb * mcb_w_ + x_cb]; }
@@ -184,9 +189,19 @@ class Decoder {
     mcb_h_ = pps_.height >> min_cb_log2_;
     tab_ipm_.assign((size_t)mcb_w_ * mcb_h_, 0);
     tab_cpm_.assign((size_t)mcb_w_ * mcb_h_, MODE_INTER);
+    tab_cbw_.assign((size_t)mcb_w_ * mcb_h_, 0);
+    tab_cbh_.assign((size_t)mcb_w_ * mcb_h_, 0);
+    tab_cqt_.assign((size_t)mcb_w_ * mcb_h_, 0);
     out.ipm.assign((size_t)mcb_w_ * mcb_h_, 0);
     out.mcb_w = mcb_w_;
     out.mcb_h = mcb_h_;
+
+    // partition constraints for I-slice luma (no PH override)
+    part_.min_qt = 1 << (sps_.log2_diff_min_qt_min_cb_intra_luma +
+                         sps_.min_cb_log2_size_y);
+    part_.max_bt = part_.min_qt << sps_.log2_diff_max_bt_min_qt_intra_luma;
+    part_.max_tt = part_.min_qt << sps_.log2_diff_max_tt_min_qt_intra_luma;
+    part_.max_mtt = sps_.max_mtt_depth_intra_luma;
 
     int init_type = 2 - sh_.sh_slice_type;
     if (sh_.sh_cabac_init_flag && sh_.sh_slice_type != 2) init_type ^= 3;
@@ -222,19 +237,227 @@ class Decoder {
                     "sao parse (todo)");
     int x0 = rx << sps_.ctb_log2_size_y;
     int y0 = ry << sps_.ctb_log2_size_y;
-    coding_tree(x0, y0, sps_.ctb_size_y, sps_.ctb_size_y, 0, 0);
+    coding_tree(x0, y0, sps_.ctb_size_y, sps_.ctb_size_y, 0, 0, 0, 0,
+                SPLIT_NONE);
   }
 
-  // -- coding tree (no-split configs only so far) ---------------------
+  // -- coding tree ----------------------------------------------------
+  enum SplitMode {
+    SPLIT_NONE = 0, SPLIT_TT_HOR, SPLIT_BT_HOR, SPLIT_TT_VER,
+    SPLIT_BT_VER, SPLIT_QT
+  };
+  struct Allowed {
+    bool qt, btv, bth, ttv, tth;
+    bool any_mtt() const { return btv || bth || ttv || tth; }
+    bool any() const { return qt || any_mtt(); }
+  };
+
+  // parity: vvc_ctu.c:521-620 (luma single tree)
+  Allowed can_split(int x0, int y0, int w, int h, int mtt_depth,
+                    int depth_offset, int part_idx, int last_split) const {
+    Allowed a{true, true, true, true, true};
+    int min_cb = 1 << sps_.min_cb_log2_size_y;
+    if (mtt_depth) a.qt = false;
+    if (w <= part_.min_qt) a.qt = false;
+    int max_mtt = part_.max_mtt + depth_offset;
+    if (w <= 2 * min_cb) {
+      a.ttv = false;
+      if (w <= min_cb) a.btv = false;
+    }
+    if (h <= 2 * min_cb) {
+      a.tth = false;
+      if (h <= min_cb) a.bth = false;
+    }
+    if (w > part_.max_bt || h > part_.max_bt) a.btv = a.bth = false;
+    int max_tt = part_.max_tt < 64 ? part_.max_tt : 64;
+    if (w > max_tt || h > max_tt) a.ttv = a.tth = false;
+    if (mtt_depth >= max_mtt) a.btv = a.bth = a.ttv = a.tth = false;
+    if (x0 + w > pps_.width) {
+      a.ttv = a.tth = false;
+      if (h > 64) a.btv = false;
+      if (y0 + h <= pps_.height)
+        a.bth = false;
+      else if (w > part_.min_qt)
+        a.btv = a.bth = false;
+    }
+    if (y0 + h > pps_.height) {
+      a.btv = a.ttv = a.tth = false;
+      if (w > 64) a.bth = false;
+    }
+    if (mtt_depth > 0 && part_idx == 1) {
+      if (last_split == SPLIT_TT_VER) a.btv = false;
+      else if (last_split == SPLIT_TT_HOR) a.bth = false;
+    }
+    if (w <= 64 && h > 64) a.btv = false;
+    if (w > 64 && h <= 64) a.bth = false;
+    return a;
+  }
+
+  void left_top_tab(const std::vector<int32_t>& tab_l,
+                    const std::vector<int32_t>& tab_t, int x0, int y0,
+                    int def_l, int def_t, int* left, int* top) const {
+    int x0b = x0 & (sps_.ctb_size_y - 1);
+    int y0b = y0 & (sps_.ctb_size_y - 1);
+    *left = (ctb_left_ || x0b)
+                ? tab_l[((size_t)(y0 >> min_cb_log2_)) * mcb_w_ +
+                        ((x0 - 1) >> min_cb_log2_)]
+                : def_l;
+    *top = (ctb_up_ || y0b)
+               ? tab_t[((size_t)((y0 - 1) >> min_cb_log2_)) * mcb_w_ +
+                       (x0 >> min_cb_log2_)]
+               : def_t;
+  }
+
+  // parity: ff_vvc_split_cu_flag / ff_vvc_split_mode (vvc_cabac.c:1086+)
+  int decode_split(int x0, int y0, int w, int h, int cqt_depth, int mtt_depth,
+                   const Allowed& a) {
+    bool is_inside = (x0 + w <= pps_.width) && (y0 + h <= pps_.height);
+    int split_flag;
+    if (a.any() && is_inside) {
+      int left_h, top_w;
+      left_top_tab(tab_cbh_, tab_cbw_, x0, y0, h, w, &left_h, &top_w);
+      int inc = (left_h < h) + (top_w < w);
+      int na = a.btv + a.bth + a.ttv + a.tth + 2 * a.qt;
+      inc += (na - 1) / 2 * 3;
+      split_flag = bin(SPLIT_CU_FLAG + inc);
+    } else {
+      split_flag = !is_inside;
+    }
+    if (!split_flag) return SPLIT_NONE;
+
+    bool allow_no_qt = a.any_mtt();
+    int qt_flag;
+    if (allow_no_qt && a.qt) {
+      int dl, dt;
+      left_top_tab(tab_cqt_, tab_cqt_, x0, y0, 0, 0, &dl, &dt);
+      int inc = (dl > cqt_depth) + (dt > cqt_depth) + (cqt_depth >= 2) * 3;
+      qt_flag = bin(SPLIT_QT_FLAG + inc);
+    } else {
+      qt_flag = !allow_no_qt || a.qt;
+    }
+    if (qt_flag) return SPLIT_QT;
+
+    int vertical;
+    if ((a.bth || a.tth) && (a.btv || a.ttv)) {
+      int v = a.btv + a.ttv, hh = a.bth + a.tth;
+      int inc;
+      if (v > hh) {
+        inc = 4;
+      } else if (v < hh) {
+        inc = 3;
+      } else {
+        int x0b = x0 & (sps_.ctb_size_y - 1);
+        int y0b = y0 & (sps_.ctb_size_y - 1);
+        bool avail_a = ctb_up_ || y0b;
+        bool avail_l = ctb_left_ || x0b;
+        int cw_above = avail_a ? tab_cbw_[((size_t)((y0 - 1) >> min_cb_log2_))
+                                          * mcb_w_ + (x0 >> min_cb_log2_)] : 1;
+        int ch_left = avail_l ? tab_cbh_[((size_t)(y0 >> min_cb_log2_))
+                                         * mcb_w_ + ((x0 - 1) >> min_cb_log2_)]
+                              : 1;
+        int da = w / (avail_a ? cw_above : 1);
+        int dl = h / (avail_l ? ch_left : 1);
+        if (da == dl || !avail_a || !avail_l)
+          inc = 0;
+        else if (da < dl)
+          inc = 1;
+        else
+          inc = 2;
+      }
+      vertical = bin(MTT_SPLIT_CU_VERTICAL_FLAG + inc);
+    } else {
+      vertical = !(a.bth || a.tth);
+    }
+    int binary;
+    if ((a.btv && a.ttv && vertical) || (a.bth && a.tth && !vertical)) {
+      int inc = 2 * vertical + (mtt_depth <= 1 ? 1 : 0);
+      binary = bin(MTT_SPLIT_CU_BINARY_FLAG + inc);
+    } else {
+      if (!a.btv && !a.bth) binary = 0;
+      else if (!a.ttv && !a.tth) binary = 1;
+      else if (a.bth && a.ttv) binary = 1 - vertical;
+      else binary = vertical;
+    }
+    static const int modes[4] = {SPLIT_TT_HOR, SPLIT_BT_HOR, SPLIT_TT_VER,
+                                 SPLIT_BT_VER};
+    return modes[(vertical << 1) + binary];
+  }
+
+  // parity: vvc_ctu.c:1826-1864 (derive_mode_type_condition, I-slice 4:2:0)
+  void check_mode_type(int w, int h, int split) const {
+    if (sps_.sps_chroma_format_idc != 1) return;
+    int area = w * h;
+    bool cond =
+        (area == 64 && (split == SPLIT_QT || split == SPLIT_TT_HOR ||
+                        split == SPLIT_TT_VER)) ||
+        (area == 32 && (split == SPLIT_BT_HOR || split == SPLIT_BT_VER)) ||
+        (area == 64 && (split == SPLIT_BT_HOR || split == SPLIT_BT_VER)) ||
+        (area == 128 && (split == SPLIT_TT_HOR || split == SPLIT_TT_VER)) ||
+        (w == 8 && split == SPLIT_BT_VER) || (w == 16 && split == SPLIT_TT_VER);
+    VVC_UNSUPPORTED(cond, "local dual tree (modeTypeCondition) — todo");
+  }
+
   void coding_tree(int x0, int y0, int cb_w, int cb_h, int cqt_depth,
-                   int mtt_depth) {
-    // split legality for the supported configs: min QT == CTU, no MTT
-    int min_qt = 1 << (sps_.log2_diff_min_qt_min_cb_intra_luma +
-                       sps_.min_cb_log2_size_y);
-    bool allow_qt = cb_w > min_qt && cb_w > sps_.min_cb_log2_size_y;
-    bool allow_mtt = sps_.max_mtt_depth_intra_luma > mtt_depth;
-    VVC_UNSUPPORTED(allow_qt || allow_mtt, "cu splits (todo)");
-    coding_unit(x0, y0, cb_w, cb_h, cqt_depth);
+                   int mtt_depth, int depth_offset, int part_idx,
+                   int last_split) {
+    Allowed a = can_split(x0, y0, cb_w, cb_h, mtt_depth, depth_offset,
+                          part_idx, last_split);
+    int split = decode_split(x0, y0, cb_w, cb_h, cqt_depth, mtt_depth, a);
+    if (split == SPLIT_NONE) {
+      coding_unit(x0, y0, cb_w, cb_h, cqt_depth);
+      return;
+    }
+    check_mode_type(cb_w, cb_h, split);
+    int W = pps_.width, H = pps_.height;
+    switch (split) {
+      case SPLIT_QT: {
+        int x1 = x0 + cb_w / 2, y1 = y0 + cb_h / 2;
+        coding_tree(x0, y0, cb_w / 2, cb_h / 2, cqt_depth + 1, 0, 0, 0, split);
+        if (x1 < W)
+          coding_tree(x1, y0, cb_w / 2, cb_h / 2, cqt_depth + 1, 0, 0, 1, split);
+        if (y1 < H)
+          coding_tree(x0, y1, cb_w / 2, cb_h / 2, cqt_depth + 1, 0, 0, 2, split);
+        if (x1 < W && y1 < H)
+          coding_tree(x1, y1, cb_w / 2, cb_h / 2, cqt_depth + 1, 0, 0, 3, split);
+        break;
+      }
+      case SPLIT_BT_VER: {
+        int doff = depth_offset + (x0 + cb_w > W ? 1 : 0);
+        int x1 = x0 + cb_w / 2;
+        coding_tree(x0, y0, cb_w / 2, cb_h, cqt_depth, mtt_depth + 1, doff, 0,
+                    split);
+        if (x1 < W)
+          coding_tree(x1, y0, cb_w / 2, cb_h, cqt_depth, mtt_depth + 1, doff,
+                      1, split);
+        break;
+      }
+      case SPLIT_BT_HOR: {
+        int doff = depth_offset + (y0 + cb_h > H ? 1 : 0);
+        int y1 = y0 + cb_h / 2;
+        coding_tree(x0, y0, cb_w, cb_h / 2, cqt_depth, mtt_depth + 1, doff, 0,
+                    split);
+        if (y1 < H)
+          coding_tree(x0, y1, cb_w, cb_h / 2, cqt_depth, mtt_depth + 1, doff,
+                      1, split);
+        break;
+      }
+      case SPLIT_TT_VER:
+        coding_tree(x0, y0, cb_w / 4, cb_h, cqt_depth, mtt_depth + 1,
+                    depth_offset, 0, split);
+        coding_tree(x0 + cb_w / 4, y0, cb_w / 2, cb_h, cqt_depth,
+                    mtt_depth + 1, depth_offset, 1, split);
+        coding_tree(x0 + 3 * cb_w / 4, y0, cb_w / 4, cb_h, cqt_depth,
+                    mtt_depth + 1, depth_offset, 2, split);
+        break;
+      case SPLIT_TT_HOR:
+        coding_tree(x0, y0, cb_w, cb_h / 4, cqt_depth, mtt_depth + 1,
+                    depth_offset, 0, split);
+        coding_tree(x0, y0 + cb_h / 4, cb_w, cb_h / 2, cqt_depth,
+                    mtt_depth + 1, depth_offset, 1, split);
+        coding_tree(x0, y0 + 3 * cb_h / 4, cb_w, cb_h / 4, cqt_depth,
+                    mtt_depth + 1, depth_offset, 2, split);
+        break;
+    }
   }
 
   // -- intra CU -------------------------------------------------------
@@ -250,6 +473,9 @@ class Decoder {
     set_cb_tab(tab_ipm_, x0, y0, cb_w, cb_h, cu.luma_mode);
     set_cb_tab(tab_cpm_, x0, y0, cb_w, cb_h, MODE_INTRA);
     set_cb_tab(out.ipm, x0, y0, cb_w, cb_h, cu.luma_mode);
+    set_cb_tab(tab_cbw_, x0, y0, cb_w, cb_h, cb_w);
+    set_cb_tab(tab_cbh_, x0, y0, cb_w, cb_h, cb_h);
+    set_cb_tab(tab_cqt_, x0, y0, cb_w, cb_h, cqt_depth);
     int chroma_mode_idx = 4;
     if (sps_.sps_chroma_format_idc) {
       VVC_UNSUPPORTED(sps_.sps_cclm_enabled_flag, "cclm (todo)");

@@ -5,8 +5,12 @@ target `vvc_intra_template.c:450-1015` and `vvc_intra.c:529-714`):
 reference-sample gathering with availability substitution, the [1 2 1]
 reference filter, planar/DC/horizontal/vertical/angular prediction with
 the 4-tap luma interpolation (fC/fG) and 2-tap chroma interpolation,
-and PDPC.  All sizes are static per-trace; CU loops use lax.switch over
-mode classes so one jitted program reconstructs a whole frame.
+PDPC, and wide-angle mapping.
+
+All kernels are *generic over block size*: w/h (and log2s) are traced
+scalars, outputs are (MAXS, MAXS) blocks masked to the real size.  This
+gives a single XLA program per plane type that handles every CU — and
+vmaps cleanly for wavefront batching later.
 """
 from __future__ import annotations
 
@@ -28,6 +32,24 @@ MC_PLANAR, MC_DC, MC_VERT, MC_HORZ, MC_ANG_V, MC_ANG_H = range(6)
 
 _ANGLES = [0, 1, 2, 3, 4, 6, 8, 10, 12, 14, 16, 18, 20, 23, 26, 29,
            32, 35, 39, 45, 51, 57, 64, 73, 86, 102, 128, 171, 256, 341, 512]
+
+
+# ---------------------------------------------------------------------
+# host-side (python int) mode derivations
+# ---------------------------------------------------------------------
+
+def wide_angle_map(mode: int, w: int, h: int) -> int:
+    """spec 8.4.5.2.7 (parity vvc_intra.c:690-713); ISP off, nw=w nh=h."""
+    if w == h or mode == INTRA_PLANAR or mode == INTRA_DC:
+        return mode
+    wh_ratio = abs((w.bit_length() - 1) - (h.bit_length() - 1))
+    mx = 8 + 2 * wh_ratio if wh_ratio > 1 else 8
+    mn = 60 - 2 * wh_ratio if wh_ratio > 1 else 60
+    if w > h and 2 <= mode < mx:
+        return mode + 65
+    if h > w and mode <= 66 and mode > mn:
+        return mode - 67
+    return mode
 
 
 def intra_pred_angle(mode: int) -> int:
@@ -90,29 +112,24 @@ def classify_mode(mode: int) -> int:
 
 # ----------------------------------------------------------------------
 # Edge preparation.  Edges are fixed-size int32 vectors with origin OFF:
-#   top[OFF + j]  = reference row sample at x0 + j,  j in [-(S+1), 2S]
+#   top[OFF + j]  = reference row sample at x0 + j
 #   left[OFF + j] = reference col sample at y0 + j
-# where S = max(w, h) of the block; OFF = S + 8.
+# OFF = 2*MAXS + 8; length 5*MAXS + 16 (covers j in [-(2S+1), 2S] for
+# wide-angle reads and negative-angle projections).
 # ----------------------------------------------------------------------
 
-def edge_arrays(plane, x0, y0, w: int, h: int, avail_l, avail_t,
+def edge_len(maxs: int) -> tuple[int, int]:
+    return 5 * maxs + 16, 2 * maxs + 8  # (length, OFF)
+
+
+def edge_arrays(plane, x0, y0, maxs: int, avail_l, avail_t,
                 cand_up_left, mid_val: int):
     """Gather + substitute reference samples (parity
-    prepare_intra_edge_params, vvc_intra_template.c:467-548).
-
-    plane: (H, W) int32 reconstructed plane.
-    x0/y0/avail_l/avail_t/cand_up_left: traced scalars.
-    Returns (left, top) arrays of length 3*S+16 with origin OFF = S+8,
-    unfiltered, extended/replicated out to 2h/2w (+1 corner at -1).
-    """
-    S = max(w, h)
-    OFF = S + 8
-    L = 3 * S + 16
+    prepare_intra_edge_params, vvc_intra_template.c:467-548)."""
+    L, OFF = edge_len(maxs)
     H, W = plane.shape
+    j = jnp.arange(L) - OFF
 
-    j = jnp.arange(L) - OFF  # edge-relative coordinate
-
-    # raw gathers with clamped indices
     top_ix = jnp.clip(x0 + jnp.minimum(j, avail_t - 1), 0, W - 1)
     top_iy = jnp.clip(y0 - 1, 0, H - 1)
     top_raw = plane[top_iy, top_ix]
@@ -129,13 +146,13 @@ def edge_arrays(plane, x0, y0, w: int, h: int, avail_l, avail_t,
 
     top = jnp.where(avail_t > 0, top_raw, corner)
     left = jnp.where(avail_l > 0, left_raw, corner)
-    top = jnp.where(j >= 0, top, corner)    # j == -1 corner; j < -1 unset yet
+    top = jnp.where(j >= 0, top, corner)
     left = jnp.where(j >= 0, left, corner)
-    return left.astype(jnp.int32), top.astype(jnp.int32), OFF
+    return left.astype(jnp.int32), top.astype(jnp.int32)
 
 
-def ref_filter_121(left, top, OFF: int, left_size: int, top_size: int,
-                   unfilter_last_one: int):
+def ref_filter_121(left, top, OFF: int, left_size, top_size,
+                   unfilter_last_one):
     """[1 2 1]/4 reference smoothing (vvc_intra_template.c:450-466)."""
     corner = (left[OFF] + 2 * left[OFF - 1] + top[OFF] + 2) >> 2
     j = jnp.arange(left.shape[0]) - OFF
@@ -143,21 +160,18 @@ def ref_filter_121(left, top, OFF: int, left_size: int, top_size: int,
     def filt(a):
         return (jnp.roll(a, 1) + 2 * a + jnp.roll(a, -1) + 2) >> 2
 
-    fl = filt(left)
-    ft = filt(top)
     nl = left_size - unfilter_last_one
     nt = top_size - unfilter_last_one
-    left_o = jnp.where((j >= 0) & (j < nl), fl, left)
-    top_o = jnp.where((j >= 0) & (j < nt), ft, top)
+    left_o = jnp.where((j >= 0) & (j < nl), filt(left), left)
+    top_o = jnp.where((j >= 0) & (j < nt), filt(top), top)
     left_o = left_o.at[OFF - 1].set(corner)
     top_o = top_o.at[OFF - 1].set(corner)
     return left_o, top_o
 
 
-def project_negative_angle(dst, src, OFF: int, inv_angle, limit: int):
-    """Fill dst[-limit-1 .. -2] by projecting src along the inverse angle
-    (vvc_intra_template.c:566-583, negative intraPredAngle, ref_idx 0):
-      dst[x-1] = src[-1 + min((x*invAngle + 256) >> 9, limit)], x in [-limit,-1).
+def project_negative_angle(dst, src, OFF: int, inv_angle, limit):
+    """Negative-angle projection (vvc_intra_template.c:566-583, ref_idx 0):
+    dst[x-1] = src[-1 + min((x*invAngle + 256) >> 9, limit)], x in [-limit,-1).
     """
     t = jnp.arange(dst.shape[0]) - OFF
     xx = t + 1
@@ -168,91 +182,97 @@ def project_negative_angle(dst, src, OFF: int, inv_angle, limit: int):
 
 
 # ----------------------------------------------------------------------
-# Prediction modes (block-shape static; edge ops vectorized)
+# Prediction modes — (maxs, maxs) blocks; valid region (h, w) masked by
+# the caller.  w/h/logw/logh are traced scalars.
 # ----------------------------------------------------------------------
 
-def pred_planar(top, left, OFF: int, w: int, h: int):
-    logw, logh = w.bit_length() - 1, h.bit_length() - 1
-    x = jnp.arange(w)[None, :]
-    y = jnp.arange(h)[:, None]
-    t = top[OFF:OFF + w][None, :]
-    l = left[OFF:OFF + h][:, None]
-    pv = ((h - 1 - y) * t + (y + 1) * left[OFF + h]) << logw
-    ph = ((w - 1 - x) * l + (x + 1) * top[OFF + w]) << logh
+def pred_planar(top, left, OFF: int, maxs: int, w, h, logw, logh):
+    x = jnp.arange(maxs)[None, :]
+    y = jnp.arange(maxs)[:, None]
+    t = top[OFF + x]
+    l = left[OFF + y]
+    tr = top[OFF + w]   # top-right
+    bl = left[OFF + h]  # bottom-left
+    pv = ((h - 1 - y) * t + (y + 1) * bl) << logw
+    ph = ((w - 1 - x) * l + (x + 1) * tr) << logh
     return (pv + ph + w * h) >> (logw + logh + 1)
 
 
-def pred_dc(top, left, OFF: int, w: int, h: int):
-    assert w == h, "non-square DC lands with rect blocks"
-    s = jnp.sum(top[OFF:OFF + w]) + jnp.sum(left[OFF:OFF + h])
-    dc = (s + w) >> (w.bit_length())  # log2(2w)
-    return jnp.full((h, w), dc, dtype=jnp.int32)
+def pred_dc(top, left, OFF: int, maxs: int, w, h):
+    i = jnp.arange(maxs)
+    sum_t = jnp.sum(jnp.where(i < w, top[OFF + i], 0))
+    sum_l = jnp.sum(jnp.where(i < h, left[OFF + i], 0))
+    s = jnp.where(w >= h, sum_t, 0) + jnp.where(w <= h, sum_l, 0)
+    offset = jnp.maximum(jnp.where(w == h, w << 1, jnp.maximum(w, h)), 1)
+    # log2 of a power-of-two (exact in f32 for the sizes involved)
+    shift = jnp.int32(jnp.round(jnp.log2(offset.astype(jnp.float32))))
+    dc = (s + (offset >> 1)) >> shift
+    return jnp.full((maxs, maxs), dc, dtype=jnp.int32)
 
 
-def pred_v(top, OFF: int, w: int, h: int):
-    return jnp.broadcast_to(top[OFF:OFF + w][None, :], (h, w)).astype(jnp.int32)
+def pred_v(top, OFF: int, maxs: int):
+    return jnp.broadcast_to(top[OFF + jnp.arange(maxs)][None, :],
+                            (maxs, maxs)).astype(jnp.int32)
 
 
-def pred_h(left, OFF: int, w: int, h: int):
-    return jnp.broadcast_to(left[OFF:OFF + h][:, None], (h, w)).astype(jnp.int32)
+def pred_h(left, OFF: int, maxs: int):
+    return jnp.broadcast_to(left[OFF + jnp.arange(maxs)][:, None],
+                            (maxs, maxs)).astype(jnp.int32)
 
 
-def _angular_core(main, OFF: int, n_out: int, n_lines: int, angle,
-                  filter_flag, is_chroma: bool, clip_max: int):
-    """Shared angular math: for each line i (0..n_lines-1) produce n_out
-    samples from `main` edge: pos = (i+1)*angle; idx = pos>>5, fact=pos&31.
-    Returns (n_lines, n_out) int32."""
-    i = jnp.arange(n_lines)[:, None]
-    x = jnp.arange(n_out)[None, :]
+def _angular_core(main, OFF: int, maxs: int, angle, filter_flag,
+                  is_chroma: bool, clip_max: int):
+    """For line i (0..maxs-1) produce maxs samples from `main`:
+    pos = (i+1)*angle; idx = pos>>5; fact = pos&31."""
+    i = jnp.arange(maxs)[:, None]
+    x = jnp.arange(maxs)[None, :]
     pos = (i + 1) * angle
     idx = pos >> 5
     fact = pos & 31
 
-    base = OFF + x + idx  # index of p[0] (= main[x + idx - 1] rel sample grid)
+    base = OFF + x + idx
     p = [main[jnp.clip(base + k - 1, 0, main.shape[0] - 1)] for k in range(4)]
 
     if is_chroma:
         interp = ((32 - fact) * p[1] + fact * p[2] + 16) >> 5
     else:
-        ftab = jnp.asarray(INTRA_LUMA_FILTER)  # (2,32,4)
-        f = ftab[filter_flag, fact]  # (n_lines, 1, 4) via broadcasting
+        ftab = jnp.asarray(INTRA_LUMA_FILTER)
+        f = ftab[filter_flag, fact]
         acc = (f[..., 0] * p[0] + f[..., 1] * p[1]
                + f[..., 2] * p[2] + f[..., 3] * p[3] + 32) >> 6
         interp = jnp.clip(acc, 0, clip_max)
-    copy = p[1]  # main[OFF + x + idx] — the integer-position sample
+    copy = p[1]
     use_copy = (fact == 0) & (is_chroma | (filter_flag == 0))
     return jnp.where(use_copy, copy, interp).astype(jnp.int32)
 
 
-def pred_angular_v(top, left, OFF: int, w: int, h: int, angle, inv_angle,
+def pred_angular_v(top, left, OFF: int, maxs: int, w, h, angle, inv_angle,
                    filter_flag, do_pdpc, ns, is_chroma: bool, clip_max: int):
-    pred = _angular_core(top, OFF, w, h, angle, filter_flag, is_chroma,
+    pred = _angular_core(top, OFF, maxs, angle, filter_flag, is_chroma,
                          clip_max)
 
     def pdpc(pred):
-        y = jnp.arange(h)[:, None]
-        x = jnp.arange(w)[None, :]
+        y = jnp.arange(maxs)[:, None]
+        x = jnp.arange(maxs)[None, :]
         inv_sum = 256 + inv_angle * (x + 1)
         lidx = jnp.clip(OFF + y + (inv_sum >> 9), 0, left.shape[0] - 1)
         l = left[lidx]
         wl = 32 >> jnp.minimum((x << 1) >> ns, 31)
-        val = pred + (((l - pred) * wl + 32) >> 6)
-        val = jnp.clip(val, 0, clip_max)
+        val = jnp.clip(pred + (((l - pred) * wl + 32) >> 6), 0, clip_max)
         lim = jnp.minimum(w, 3 << ns)
         return jnp.where(x < lim, val, pred)
 
     return jax.lax.cond(do_pdpc > 0, pdpc, lambda p: p, pred)
 
 
-def pred_angular_h(top, left, OFF: int, w: int, h: int, angle, inv_angle,
+def pred_angular_h(top, left, OFF: int, maxs: int, w, h, angle, inv_angle,
                    filter_flag, do_pdpc, ns, is_chroma: bool, clip_max: int):
-    predT = _angular_core(left, OFF, h, w, angle, filter_flag, is_chroma,
-                          clip_max)
-    pred = predT.T  # lines are columns here
+    pred = _angular_core(left, OFF, maxs, angle, filter_flag, is_chroma,
+                         clip_max).T
 
     def pdpc(pred):
-        y = jnp.arange(h)[:, None]
-        x = jnp.arange(w)[None, :]
+        y = jnp.arange(maxs)[:, None]
+        x = jnp.arange(maxs)[None, :]
         inv_sum = 256 + inv_angle * (y + 1)
         tidx = jnp.clip(OFF + x + (inv_sum >> 9), 0, top.shape[0] - 1)
         t = top[tidx]
@@ -264,12 +284,12 @@ def pred_angular_h(top, left, OFF: int, w: int, h: int, angle, inv_angle,
     return jax.lax.cond(do_pdpc > 0, pdpc, lambda p: p, pred)
 
 
-def pdpc_hvdc(pred, top, left, OFF: int, w: int, h: int, mode_class,
+def pdpc_hvdc(pred, top, left, OFF: int, maxs: int, logw, logh, mode_class,
               clip_max: int):
     """PDPC for planar/DC/V/H (vvc_intra_template.c:652-683)."""
-    scale = (w.bit_length() + h.bit_length() - 4) >> 2
-    y = jnp.arange(h)[:, None]
-    x = jnp.arange(w)[None, :]
+    scale = (logw + logh - 2) >> 2
+    y = jnp.arange(maxs)[:, None]
+    x = jnp.arange(maxs)[None, :]
     lv = left[OFF + y + jnp.zeros_like(x)]
     tv = top[OFF + x + jnp.zeros_like(y)]
     corner_l = left[OFF - 1]
@@ -277,10 +297,9 @@ def pdpc_hvdc(pred, top, left, OFF: int, w: int, h: int, mode_class,
     is_vh = (mode_class == MC_VERT) | (mode_class == MC_HORZ)
     l = jnp.where(is_vh, lv - corner_l + pred, lv)
     t = jnp.where(is_vh, tv - corner_t + pred, tv)
-    wl_base = 32 >> jnp.minimum((x << 1) >> scale, 31)
-    wt_base = 32 >> jnp.minimum((y << 1) >> scale, 31)
-    # planar/DC: both weights; VERT: only wl; HORZ: only wt
-    wl = jnp.where(mode_class == MC_HORZ, 0, wl_base)
-    wt = jnp.where(mode_class == MC_VERT, 0, wt_base)
+    wl = jnp.where(mode_class == MC_HORZ, 0,
+                   32 >> jnp.minimum((x << 1) >> scale, 31))
+    wt = jnp.where(mode_class == MC_VERT, 0,
+                   32 >> jnp.minimum((y << 1) >> scale, 31))
     out = pred + ((wl * (l - pred) + wt * (t - pred) + 32) >> 6)
     return jnp.clip(out, 0, clip_max)

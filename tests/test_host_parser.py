@@ -33,22 +33,21 @@ def _check_stream(cfg: EncoderConfig):
     for frame, fintent in zip(frames, intent["frames"]):
         assert frame is not None
         assert frame.slice_qp == fintent["slice_qp"]
-        cu_i = 0
-        for cus in fintent["ctus"]:
-            for cu in cus:
-                assert frame.cus["luma_mode"][cu_i] == cu["luma_mode"], (
-                    frame.poc, cu_i)
-                x0, y0, w, h = cu["x0"], cu["y0"], cu["w"], cu["h"]
-                for key, plane, ss in (("coeff_y", frame.coeff_y, 0),
-                                       ("coeff_cb", frame.coeff_cb, 1),
-                                       ("coeff_cr", frame.coeff_cr, 1)):
-                    cw, chh = w >> ss, h >> ss
-                    cx, cy = x0 >> ss, y0 >> ss
-                    want = (np.zeros((chh, cw), np.int32) if cu[key] is None
-                            else np.asarray(cu[key], np.int32))
-                    got = plane[cy:cy + chh, cx:cx + cw]
-                    assert np.array_equal(want, got), (frame.poc, cu_i, key)
-                cu_i += 1
+        cus = fintent["cus"]
+        assert len(frame.cus["x0"]) == len(cus)
+        for cu_i, cu in enumerate(cus):
+            for k in ("x0", "y0", "w", "h", "luma_mode"):
+                assert frame.cus[k][cu_i] == cu[k], (frame.poc, cu_i, k)
+            x0, y0, w, h = cu["x0"], cu["y0"], cu["w"], cu["h"]
+            for key, plane, ss in (("coeff_y", frame.coeff_y, 0),
+                                   ("coeff_cb", frame.coeff_cb, 1),
+                                   ("coeff_cr", frame.coeff_cr, 1)):
+                cw, chh = w >> ss, h >> ss
+                cx, cy = x0 >> ss, y0 >> ss
+                want = (np.zeros((chh, cw), np.int32) if cu[key] is None
+                        else np.asarray(cu[key], np.int32))
+                got = plane[cy:cy + chh, cx:cx + cw]
+                assert np.array_equal(want, got), (frame.poc, cu_i, key)
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
