@@ -219,10 +219,13 @@ def main():
     p.add_argument("--qp", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--intent", help="write intent JSON here")
+    p.add_argument("--deblock", action="store_true",
+                   help="enable in-loop deblocking")
     args = p.parse_args()
 
     cfg = EncoderConfig(width=args.width, height=args.height,
-                        n_frames=args.frames, qp=args.qp, seed=args.seed)
+                        n_frames=args.frames, qp=args.qp, seed=args.seed,
+                        deblock=args.deblock)
     data, intent = encode_stream(cfg)
     with open(args.output, "wb") as f:
         f.write(data)

@@ -72,6 +72,9 @@ class FrameSyntax:
     cus: dict                 # field -> (n_cus,) int32
     tus: dict                 # field -> (n_tus,) int32
     ipm: np.ndarray           # (mcb_h, mcb_w) int32
+    deblock_disabled: int = 1
+    beta_offset: tuple = (0, 0, 0)   # luma, cb, cr
+    tc_offset: tuple = (0, 0, 0)
 
 
 class HostDecoder:
@@ -91,11 +94,14 @@ class HostDecoder:
         if ret != 0:
             raise RuntimeError(
                 f"native decode error: {self._lib.vvch_last_error().decode()}")
-        info = (ctypes.c_int32 * 11)()
+        info = (ctypes.c_int32 * 18)()
         self._lib.vvch_frame_info(self._h, info)
         if not info[0]:
             return None  # no frame in this AU (parameter sets only)
-        w, h, bd, cidc, poc, qp, n_cus, n_tus, mcb_w, mcb_h = list(info)[1:]
+        (w, h, bd, cidc, poc, qp, n_cus, n_tus, mcb_w, mcb_h,
+         deblock_disabled) = list(info)[1:12]
+        beta_off = tuple(info[12:15])
+        tc_off = tuple(info[15:18])
 
         def plane(c_idx, pw, ph):
             ptr = self._lib.vvch_coeffs(self._h, c_idx)
@@ -122,4 +128,7 @@ class HostDecoder:
             cus={f: cus_raw[:, i] for i, f in enumerate(CU_FIELDS)},
             tus={f: tus_raw[:, i] for i, f in enumerate(TU_FIELDS)},
             ipm=ipm,
+            deblock_disabled=int(deblock_disabled),
+            beta_offset=beta_off,
+            tc_offset=tc_off,
         )

@@ -301,6 +301,7 @@ def reconstruct_frame(fs: FrameSyntax) -> list[np.ndarray]:
   maxs_y = 1 << ctb_log2
   maxs_c = maxs_y >> 1
 
+  padded = []
   for c_idx, (ctrl, maxs) in enumerate(((ctrl_y, maxs_y), (ctrl_c, maxs_c),
                                         (ctrl_c, maxs_c))):
     ss = 0 if c_idx == 0 else 1
@@ -316,8 +317,17 @@ def reconstruct_frame(fs: FrameSyntax) -> list[np.ndarray]:
       vp = np.zeros(npad, np.int32)  # padding CUs have w=h=0: no-ops
       vp[:n] = v
       ctrl_j[k] = jnp.asarray(vp)
-    out = recon_plane_jit(res, ctrl_j, maxs=maxs, is_chroma=c_idx > 0,
-                          bit_depth=bd)
-    dt = np.uint8 if bd == 8 else np.uint16
-    planes.append(np.asarray(out[:H, :W]).astype(dt))
+    padded.append(recon_plane_jit(res, ctrl_j, maxs=maxs,
+                                  is_chroma=c_idx > 0, bit_depth=bd))
+
+  if not fs.deblock_disabled:
+    from .deblock_ctrl import deblock_frame
+    padded = deblock_frame(fs, padded, ctb_log2, fs.beta_offset,
+                           fs.tc_offset)
+
+  dt = np.uint8 if bd == 8 else np.uint16
+  for c_idx, p in enumerate(padded):
+    ss = 0 if c_idx == 0 else 1
+    H, W = fs.height >> ss, fs.width >> ss
+    planes.append(np.asarray(p[:H, :W]).astype(dt))
   return planes

@@ -79,6 +79,9 @@ struct FrameOut {
   int width = 0, height = 0, bit_depth = 8, chroma_format_idc = 1;
   int poc = 0, slice_qp = 26;
   int mcb_w = 0, mcb_h = 0;  // min-CB grid dims of the ipm plane
+  int deblock_disabled = 0;
+  int beta_offset[3] = {0, 0, 0};  // luma, cb, cr (x2 applied)
+  int tc_offset[3] = {0, 0, 0};
   std::vector<int32_t> coeff[3];  // [h][w] raster planes (chroma at c-res)
   std::vector<CuRecord> cus;
   std::vector<TuRecord> tus;
@@ -195,6 +198,11 @@ class Decoder {
     out.ipm.assign((size_t)mcb_w_ * mcb_h_, 0);
     out.mcb_w = mcb_w_;
     out.mcb_h = mcb_h_;
+    out.deblock_disabled = sh_.sh_deblocking_filter_disabled_flag;
+    for (int i = 0; i < 3; i++) {
+      out.beta_offset[i] = pps_.beta_offset[i];
+      out.tc_offset[i] = pps_.tc_offset[i];
+    }
 
     // partition constraints for I-slice luma (no PH override)
     part_.min_qt = 1 << (sps_.log2_diff_min_qt_min_cb_intra_luma +
@@ -949,7 +957,8 @@ int vvch_decode_au(void* h, const uint8_t* data, int len) {
 const char* vvch_last_error() { return g_err.c_str(); }
 
 // info: [frame_ready,width,height,bit_depth,chroma_idc,poc,slice_qp,
-//        n_cus,n_tus,mcb_w,mcb_h]
+//        n_cus,n_tus,mcb_w,mcb_h,deblock_disabled,
+//        beta_off_l,beta_off_cb,beta_off_cr,tc_off_l,tc_off_cb,tc_off_cr]
 void vvch_frame_info(void* h, int32_t* info) {
   auto* d = (Decoder*)h;
   const FrameOut& o = d->out;
@@ -964,6 +973,11 @@ void vvch_frame_info(void* h, int32_t* info) {
   info[8] = (int32_t)o.tus.size();
   info[9] = o.mcb_w;
   info[10] = o.mcb_h;
+  info[11] = o.deblock_disabled;
+  for (int i = 0; i < 3; i++) {
+    info[12 + i] = o.beta_offset[i];
+    info[15 + i] = o.tc_offset[i];
+  }
 }
 
 const int32_t* vvch_coeffs(void* h, int c_idx) {

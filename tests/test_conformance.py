@@ -38,7 +38,9 @@ needs_ref = pytest.mark.skipif(not os.path.exists(REF_FFMPEG),
     dict(width=64, height=64, seed=101, qp=32),
     dict(width=128, height=64, seed=102, qp=22, n_frames=2),
     dict(width=96, height=96, seed=103, qp=45, coeff_density=0.4),
-], ids=["64x64", "128x64x2f", "96x96-dense"])
+    dict(width=128, height=96, seed=104, qp=30, deblock=True),
+    dict(width=72, height=40, seed=105, qp=24, deblock=True, n_frames=2),
+], ids=["64x64", "128x64x2f", "96x96-dense", "deblock", "deblock-unaligned"])
 def test_frame_md5_parity(tmp_path, cfg_kw):
     from ffmpeg_tpu.encoder.encoder import EncoderConfig, encode_stream
 
