@@ -23,6 +23,17 @@ MODE_INTER, MODE_INTRA = 0, 1
 INTRA_PLANAR, INTRA_DC, INTRA_HORZ, INTRA_VERT = 0, 1, 18, 50
 
 
+def _rpl_deltas(rpls) -> list[int]:
+    """Cumulative POC deltas (current - ref) from a RefPicListStruct."""
+    out = []
+    acc = 0
+    for abs_delta, sign in rpls.entries:
+        d = -abs_delta if sign else abs_delta
+        acc += -d  # poc = base + d; delta-from-current accumulates
+        out.append(acc)
+    return out
+
+
 def mpm_candidates(a: int, b: int) -> list[int]:
     """Spec 8.4.2 MPM list from left mode `a` and above mode `b`."""
     if a == b and a > INTRA_DC:
@@ -53,14 +64,24 @@ def mpm_candidates(a: int, b: int) -> list[int]:
 
 @dataclass
 class CuIntent:
-    """One intra CU's chosen syntax (the generator's ground truth)."""
+    """One CU's chosen syntax (the generator's ground truth)."""
     x0: int
     y0: int
     w: int
     h: int
+    pred_mode: str = "intra"  # "intra" | "inter"
     luma_mode: int = INTRA_PLANAR
     # chroma mode syntax value: 4 = DM, 0..3 = planar/vert/horz/dc list
     chroma_mode_idx: int = 4
+    # inter fields
+    skip: bool = False
+    merge: bool = False
+    merge_idx: int = 0
+    mvp_flag: int = 0
+    mvd: tuple = (0, 0)      # quarter-pel units (pre amvr shift)
+    # filled during encoding: the derived final MV (1/16 pel) + ref
+    mv: tuple | None = None
+    ref_idx: int = 0
     # per-component coeff arrays (raster, chroma at chroma resolution) or None
     coeff_y: np.ndarray | None = None
     coeff_cb: np.ndarray | None = None
@@ -101,6 +122,21 @@ class FrameSyntaxEncoder:
         self.tab_cbw = np.zeros((mh, mw), dtype=np.int32)
         self.tab_cbh = np.zeros((mh, mw), dtype=np.int32)
         self.tab_cqt = np.zeros((mh, mw), dtype=np.int32)
+        self.tab_skip = np.zeros((mh, mw), dtype=np.int32)
+
+        # inter state (P slices): list0 POCs + motion context
+        self.is_inter_slice = sh.sh_slice_type != 2
+        self.num_ref_idx_active = [0, 0]
+        self.motion = None
+        if self.is_inter_slice:
+            from .mvs import MotionState
+
+            rpl0 = [sh.ph.ph_pic_order_cnt_lsb - d
+                    for d in _rpl_deltas(sh.sh_ref_pic_lists[0])]
+            self.num_ref_idx_active = sh.num_ref_idx_active(
+                pps, sh.sh_ref_pic_lists)
+            self.motion = MotionState(self.width, self.height, self.ctb_log2,
+                                      (rpl0, []))
 
         self.slice_qp_y = 26 + pps.pps_init_qp_minus26 + sh.sh_qp_delta
         init_type = 2 - sh.sh_slice_type
@@ -191,6 +227,7 @@ class FrameSyntaxEncoder:
     # -- transform unit -------------------------------------------------
     def _encode_transform_unit(self, cu: CuIntent) -> None:
         sps = self.sps
+        is_intra = cu.pred_mode == "intra"
         chroma_available = sps.sps_chroma_format_idc != 0
         cb_coded = cu.coeff_cb is not None and np.any(cu.coeff_cb)
         cr_coded = cu.coeff_cr is not None and np.any(cu.coeff_cr)
@@ -198,9 +235,13 @@ class FrameSyntaxEncoder:
         if chroma_available:
             self._bin("TU_CB_CODED_FLAG", 0, int(cb_coded))
             self._bin("TU_CR_CODED_FLAG", int(cb_coded), int(cr_coded))
-        # luma: intra -> flag always present, ctx inc 0
-        self._bin("TU_Y_CODED_FLAG", 0, int(y_coded))
-        # no cu_qp_delta, no joint cbcr, no transform skip
+        is_chroma_coded = chroma_available and (cb_coded or cr_coded)
+        # tu_y_coded_flag: intra -> always present; inter -> present only
+        # when chroma coded, else inferred 1 (vvc_ctu.c:274-292)
+        if is_intra or is_chroma_coded:
+            self._bin("TU_Y_CODED_FLAG", 0, int(y_coded))
+        else:
+            assert y_coded, "inter TU with no chroma must have luma coeffs"
         assert not sps.sps_joint_cbcr_enabled_flag
         if y_coded:
             self.res.encode(cu.coeff_y, 0)
@@ -209,21 +250,137 @@ class FrameSyntaxEncoder:
         if cr_coded:
             self.res.encode(cu.coeff_cr, 2)
 
+    # -- inter CU -------------------------------------------------------
+    def _encode_inter_cu(self, cu: CuIntent) -> None:
+        from .mvs import MvField, PF_L0
+
+        m = self.motion
+        general_merge = cu.skip or cu.merge
+        if not cu.skip:
+            self._bin("GENERAL_MERGE_FLAG", 0, int(general_merge))
+        if general_merge:
+            # regular merge inferred 1 (ciip/gpm/mmvd/subblock all off)
+            c_max = self.sps_max_merge_cand() - 1
+            self._bin("MERGE_IDX", 0, int(cu.merge_idx > 0))
+            if cu.merge_idx > 0:
+                for i in range(1, cu.merge_idx):
+                    self.enc.bypass(1)
+                if cu.merge_idx < c_max:
+                    self.enc.bypass(0)
+            mvf = m.merge_candidate(cu.x0, cu.y0, cu.w, cu.h, cu.merge_idx,
+                                    self.sps_max_merge_cand(), False,
+                                    self.num_ref_idx_active)
+            # mv_merge_refine_pred_flag: bi + w+h==12 -> L0 (P: already L0)
+            m.set_mvf(cu.x0, cu.y0, cu.w, cu.h, mvf)
+        else:
+            # AMVP (P slice: pred_flag inferred PF_L0, ref_idx inferred 0
+            # while one active ref; amvr off -> shift 2)
+            assert self.num_ref_idx_active[0] == 1, "multi-ref todo"
+            mvd = cu.mvd
+            for c in (0, 1):
+                self._bin("ABS_MVD_GREATER0_FLAG", 0, int(abs(mvd[c]) > 0))
+            for c in (0, 1):
+                if mvd[c]:
+                    self._bin("ABS_MVD_GREATER1_FLAG", 0, int(abs(mvd[c]) > 1))
+            for c in (0, 1):
+                v = abs(mvd[c])
+                if v > 0:
+                    if v > 1:
+                        self._egk(v - 2, 1, 15, 17)
+                    self.enc.bypass(int(mvd[c] < 0))
+            self._bin("MVP_LX_FLAG", 0, cu.mvp_flag)
+            amvr_shift = 2
+            pred = m.mvp(cu.x0, cu.y0, cu.w, cu.h, cu.mvp_flag, 0, [0, 0],
+                         amvr_shift)
+            mvf = MvField()
+            mvf.pred_flag = PF_L0
+            mvf.ref_idx = [0, -1]
+            mvf.mv[0] = [pred[0] + (mvd[0] << amvr_shift),
+                         pred[1] + (mvd[1] << amvr_shift)]
+            m.set_mvf(cu.x0, cu.y0, cu.w, cu.h, mvf)
+        m.update_hmvp(m.mvf_at(cu.x0, cu.y0))
+        cu.mv = tuple(m.mvf_at(cu.x0, cu.y0).mv[0])
+        cu.ref_idx = m.mvf_at(cu.x0, cu.y0).ref_idx[0]
+
+        # cu_coded_flag (vvc_ctu.c:1794-1798)
+        has_coeff = any(c is not None and np.any(c) for c in
+                        (cu.coeff_y, cu.coeff_cb, cu.coeff_cr))
+        if cu.skip:
+            assert not has_coeff
+            return
+        if not general_merge:
+            self._bin("CU_CODED_FLAG", 0, int(has_coeff))
+            if not has_coeff:
+                return
+        else:
+            assert has_coeff, "merge non-skip CU parses residual (cbf may " \
+                "be 0 but then luma cbf would be inferred 1)"
+        self._encode_transform_unit(cu)
+
+    def sps_max_merge_cand(self) -> int:
+        return 6 - self.sps.sps_six_minus_max_num_merge_cand
+
+    def _egk(self, value: int, k: int, max_pre: int, trunc_len: int) -> None:
+        """limited k-th order EGk bypass encode (vvc_cabac.c:916-948)."""
+        pre = 0
+        while pre < max_pre and value >= ((1 << (pre + 1)) - 1) << k:
+            pre += 1
+        for _ in range(pre):
+            self.enc.bypass(1)
+        if pre < max_pre:
+            self.enc.bypass(0)
+            esc = pre + k
+        else:
+            esc = trunc_len
+        rem = value - (((1 << pre) - 1) << k)
+        self.enc.bypass_bits(rem, esc)
+
     # -- CU / CTU -------------------------------------------------------
     def encode_cu(self, cu: CuIntent) -> None:
-        # I-slice, no IBC: pred mode fully inferred (MODE_INTRA), no bins
         # reset lfnst/mts trackers (unused while both tools are off)
         self.res.lfnst_dc_only = 1
         self.res.lfnst_zero_out_sig_coeff_flag = 1
         self.res.mts_dc_only = 1
         self.res.mts_zero_out_sig_coeff_flag = 1
-        self._encode_luma_intra_mode(cu)
-        if self.sps.sps_chroma_format_idc:
-            self._encode_chroma_intra_mode(cu)
-        # coded_flag inferred 1 for intra (no skip)
-        self._encode_transform_unit(cu)
+        s = self.min_cb_log2
+        ys, xs = cu.y0 >> s, cu.x0 >> s
+        area = (slice(ys, ys + (cu.h >> s)), slice(xs, xs + (cu.w >> s)))
+        is_intra = cu.pred_mode == "intra"
+
+        if self.is_inter_slice:
+            # pred_mode_decode (vvc_ctu.c:1032-1092), no IBC
+            is_4x4 = cu.w == 4 and cu.h == 4
+            if not is_4x4:
+                inc = self._get_inc(self.tab_skip, cu.x0, cu.y0)
+                self._bin("CU_SKIP_FLAG", inc, int(cu.skip))
+            if is_4x4:
+                assert is_intra
+            elif cu.skip:
+                assert not is_intra
+            else:
+                left, top = self._left_top_tab(self.tab_cpm, cu.x0, cu.y0, 0)
+                inc = int(bool(left) or bool(top))
+                self._bin("PRED_MODE_FLAG", inc, int(is_intra))
+        else:
+            assert is_intra
+        self.tab_skip[area] = int(cu.skip)
+
+        if is_intra:
+            self._encode_luma_intra_mode(cu)
+            if self.sps.sps_chroma_format_idc:
+                self._encode_chroma_intra_mode(cu)
+            if self.motion is not None:
+                self.motion.set_intra(cu.x0, cu.y0, cu.w, cu.h)
+            self._encode_transform_unit(cu)
+        else:
+            self.tab_cpm[area] = MODE_INTER
+            self._encode_inter_cu(cu)
         assert not self.sps.sps_lfnst_enabled_flag
         assert not self.sps.sps_mts_enabled_flag
+
+    def _get_inc(self, tab, x0, y0) -> int:
+        left, top = self._left_top_tab(tab, x0, y0, 0)
+        return int(left) + int(top)
 
     # -- coding tree ----------------------------------------------------
     def _left_top_tab(self, tab, x0, y0, default):
@@ -344,6 +501,10 @@ class FrameSyntaxEncoder:
                    is_last_in_slice: bool) -> None:
         self.ctb_left = rx > 0
         self.ctb_up = ry > 0
+        # HMVP resets at each tile-column start (vvc_ctu.c:2447-2450);
+        # single tile -> at the first CTU of every row
+        if rx == 0 and self.motion is not None:
+            self.motion.hmvp.clear()
         # SAO/ALF/deblock-override all disabled -> no per-CTU bins
         assert not self.sh.sh_sao_luma_used_flag and not self.sh.sh_alf_enabled_flag
         x0 = rx << self.ctb_log2

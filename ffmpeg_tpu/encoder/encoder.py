@@ -11,8 +11,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..bitstream.bits import BitWriter, NAL_IDR_N_LP, make_nal
-from ..cbs.h266 import PPS, SPS, PictureHeader, SliceHeader
+from ..bitstream.bits import BitWriter, NAL_IDR_N_LP, NAL_TRAIL, make_nal
+from ..cbs.h266 import PPS, RefPicListStruct, SPS, PictureHeader, SliceHeader
 from .ctu import CuIntent, FrameSyntaxEncoder
 
 
@@ -29,6 +29,12 @@ class EncoderConfig:
     max_level: int = 12  # max abs coefficient level
     coeff_density: float = 0.15  # fraction of nonzero coeffs
     deblock: bool = False  # in-loop deblocking (off until stage lands)
+    # inter (P slices referencing the previous frame)
+    inter: bool = False
+    inter_prob: float = 0.7  # chance a CU in a P slice is inter
+    skip_prob: float = 0.2   # chance an inter CU is skip
+    merge_prob: float = 0.5  # chance a non-skip inter CU uses merge
+    max_mv: int = 64         # max |MV| component in quarter-pel
     # partition constraints
     min_qt_size: int = 8
     max_mtt_depth: int = 2
@@ -54,7 +60,13 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
             cfg.max_tt_size.bit_length() - 1 - min_qt_log2
             if cfg.max_mtt_depth else 0),
         sps_log2_diff_min_qt_min_cb_inter_slice=min_qt_log2 - 2,
-        sps_max_mtt_hierarchy_depth_inter_slice=0,
+        sps_max_mtt_hierarchy_depth_inter_slice=cfg.max_mtt_depth,
+        sps_log2_diff_max_bt_min_qt_inter_slice=(
+            cfg.max_bt_size.bit_length() - 1 - min_qt_log2
+            if cfg.max_mtt_depth else 0),
+        sps_log2_diff_max_tt_min_qt_inter_slice=(
+            cfg.max_tt_size.bit_length() - 1 - min_qt_log2
+            if cfg.max_mtt_depth else 0),
     )
     pps = PPS(
         pps_pic_width_in_luma_samples=cfg.width,
@@ -80,8 +92,8 @@ def _random_coeffs(cfg, rng, cw, ch):
     return c
 
 
-def _random_cu(cfg, rng, x0, y0, w, h):
-    return CuIntent(
+def _random_cu(cfg, rng, x0, y0, w, h, is_inter_slice=False):
+    cu = CuIntent(
         x0=x0, y0=y0, w=w, h=h,
         luma_mode=int(rng.integers(0, 67)),
         chroma_mode_idx=int(rng.choice([0, 1, 2, 3, 4])),
@@ -89,10 +101,33 @@ def _random_cu(cfg, rng, x0, y0, w, h):
         coeff_cb=_random_coeffs(cfg, rng, w // 2, h // 2),
         coeff_cr=_random_coeffs(cfg, rng, w // 2, h // 2),
     )
+    if is_inter_slice and rng.random() < cfg.inter_prob:
+        cu.pred_mode = "inter"
+        if rng.random() < cfg.skip_prob:
+            cu.skip = True
+            cu.merge = True
+            cu.merge_idx = int(rng.integers(0, 6))
+            cu.coeff_y = cu.coeff_cb = cu.coeff_cr = None
+        elif rng.random() < cfg.merge_prob:
+            cu.merge = True
+            cu.merge_idx = int(rng.integers(0, 6))
+        else:
+            cu.mvp_flag = int(rng.integers(0, 2))
+            cu.mvd = (int(rng.integers(-cfg.max_mv, cfg.max_mv + 1)),
+                      int(rng.integers(-cfg.max_mv, cfg.max_mv + 1)))
+        if cu.merge and not cu.skip:
+            # merge non-skip parses residual; luma cbf inferred 1 when
+            # chroma uncoded -> guarantee coefficients exist
+            if cu.coeff_y is None or not np.any(cu.coeff_y):
+                c = np.zeros((h, w), np.int32)
+                c[int(rng.integers(0, h)), int(rng.integers(0, w))] = \
+                    int(rng.integers(1, cfg.max_level + 1))
+                cu.coeff_y = c
+    return cu
 
 
 def _random_tree(cfg, pc, rng, x0, y0, w, h, cqt_depth, mtt_depth,
-                 depth_offset, part_idx, last_split):
+                 depth_offset, part_idx, last_split, is_inter_slice=False):
     """Random legal, mode-type-safe coding tree node."""
     from .tree import (SPLIT_NONE, SPLIT_QT, can_split,
                        mode_type_condition_free, split_children)
@@ -115,18 +150,21 @@ def _random_tree(cfg, pc, rng, x0, y0, w, h, cqt_depth, mtt_depth,
         split = SPLIT_NONE
 
     if split == SPLIT_NONE:
-        return {"split": SPLIT_NONE, "cu": _random_cu(cfg, rng, x0, y0, w, h)}
+        return {"split": SPLIT_NONE,
+                "cu": _random_cu(cfg, rng, x0, y0, w, h, is_inter_slice)}
     kids = []
     for (cx, cy, cw, ch, dq, dm, doff, idx) in split_children(
             x0, y0, w, h, split, cfg.width, cfg.height):
         kids.append(_random_tree(cfg, pc, rng, cx, cy, cw, ch,
                                  cqt_depth + dq, mtt_depth + dm,
-                                 depth_offset + doff, idx, split))
+                                 depth_offset + doff, idx, split,
+                                 is_inter_slice))
     return {"split": split, "children": kids}
 
 
 def random_frame_intent(cfg: EncoderConfig, sps: SPS, pps: PPS,
-                        rng: np.random.Generator) -> list[dict]:
+                        rng: np.random.Generator,
+                        is_inter_slice: bool = False) -> list[dict]:
     """One coding-tree intent per CTU."""
     from .tree import PartitionCtx
 
@@ -140,7 +178,7 @@ def random_frame_intent(cfg: EncoderConfig, sps: SPS, pps: PPS,
     for y0 in range(0, cfg.height, ctu):
         for x0 in range(0, cfg.width, ctu):
             trees.append(_random_tree(cfg, pc, rng, x0, y0, ctu, ctu,
-                                      0, 0, 0, 0, 0))
+                                      0, 0, 0, 0, 0, is_inter_slice))
     return trees
 
 
@@ -169,9 +207,19 @@ def encode_stream(cfg: EncoderConfig):
     }
 
     for poc in range(cfg.n_frames):
-        sh = SliceHeader(nal_unit_type=NAL_IDR_N_LP)
+        is_p = cfg.inter and poc > 0
+        nal_type = NAL_TRAIL if is_p else NAL_IDR_N_LP
+        sh = SliceHeader(nal_unit_type=nal_type)
         sh.ph.ph_pic_order_cnt_lsb = poc & 0xFFFF
-        trees = random_frame_intent(cfg, sps, pps, rng)
+        if is_p:
+            sh.sh_slice_type = 1
+            sh.ph.ph_gdr_or_irap_pic_flag = 0
+            sh.ph.ph_inter_slice_allowed_flag = 1
+            sh.ph.ph_intra_slice_allowed_flag = 1
+            # one short-term ref: the previous frame (delta_poc -1)
+            sh.sh_ref_pic_lists = (RefPicListStruct(entries=[(1, 1)]),
+                                   RefPicListStruct())
+        trees = random_frame_intent(cfg, sps, pps, rng, is_inter_slice=is_p)
         fse = FrameSyntaxEncoder(sps, pps, sh)
         n_ctus = len(trees)
         idx = 0
@@ -185,7 +233,7 @@ def encode_stream(cfg: EncoderConfig):
         sh.write(w, sps, pps)
         assert w.bit_length % 8 == 0
         rbsp = w.to_bytes() + payload + b"\x80"  # rbsp stop bit byte
-        out += make_nal(NAL_IDR_N_LP, rbsp)
+        out += make_nal(nal_type, rbsp)
 
         intent["frames"].append({
             "poc": poc,
@@ -200,6 +248,11 @@ def encode_stream(cfg: EncoderConfig):
 def _cu_to_dict(cu: CuIntent) -> dict:
     return {
         "x0": cu.x0, "y0": cu.y0, "w": cu.w, "h": cu.h,
+        "pred_mode": cu.pred_mode,
+        "skip": int(cu.skip), "merge": int(cu.merge),
+        "merge_idx": cu.merge_idx, "mvp_flag": cu.mvp_flag,
+        "mvd": list(cu.mvd), "mv": None if cu.mv is None else list(cu.mv),
+        "ref_idx": cu.ref_idx,
         "luma_mode": cu.luma_mode,
         "chroma_mode_idx": cu.chroma_mode_idx,
         "coeff_y": None if cu.coeff_y is None else cu.coeff_y.tolist(),

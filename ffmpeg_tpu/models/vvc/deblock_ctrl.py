@@ -43,10 +43,25 @@ def _tu_grids(fs: FrameSyntax, c_idx: int, g: int):
   return pos_x, pos_y, tw, th, qp
 
 
-def _luma_edge_params(pos, tw, qp, grid_g: int, Sp: int, Ep: int):
+def _bs_between(motion_p, motion_q, cbf_p, cbf_q):
+  """Luma/chroma-shared bs core (vvc_filter.c:534-548, translational uni).
+
+  motion_*: (pf, mvx, mvy, refpoc) tuples of arrays or None (intra-only).
+  """
+  pf_p, mvx_p, mvy_p, poc_p = motion_p
+  pf_q, mvx_q, mvy_q, poc_q = motion_q
+  intra = (pf_p == 0) | (pf_q == 0)
+  cbf = (cbf_p | cbf_q) > 0
+  mv_far = ((poc_p != poc_q) | (np.abs(mvx_p - mvx_q) >= 8)
+            | (np.abs(mvy_p - mvy_q) >= 8))
+  return np.where(intra, 2, np.where(cbf, 1, np.where(mv_far, 1, 0)))
+
+
+def _luma_edge_params(pos, tw, qp, motion, cbf, Sp: int, Ep: int):
   """Vertical-orientation params on (S, E) grids from 4-granular planes.
 
-  pos/tw/qp: (gh, gw) grids at 4-sample granularity (rows = segments).
+  pos/tw/qp/cbf: (gh, gw) grids at 4-sample granularity (rows = segments).
+  motion: (pf, mvx, mvy, refpoc) 4-granular planes.
   Returns bs, qp_avg, maxp, maxq zero-padded to (Sp, Ep).
   """
   gh, gw = pos.shape
@@ -56,7 +71,10 @@ def _luma_edge_params(pos, tw, qp, grid_g: int, Sp: int, Ep: int):
   maxq = np.zeros((Sp, Ep), np.int32)
   e = np.arange(1, gw)
   is_edge = pos[:, 1:] == (e[None, :] * 4)  # TU starts here
-  bs[:gh, 1:gw] = np.where(is_edge, 2, 0)  # all-intra
+  mp_side = tuple(m[:, :-1] for m in motion)
+  mq_side = tuple(m[:, 1:] for m in motion)
+  bs_v = _bs_between(mp_side, mq_side, cbf[:, :-1], cbf[:, 1:])
+  bs[:gh, 1:gw] = np.where(is_edge, bs_v, 0)
   size_p = tw[:, :-1]
   size_q = tw[:, 1:]
   small = (size_p <= 4) | (size_q <= 4)
@@ -68,10 +86,11 @@ def _luma_edge_params(pos, tw, qp, grid_g: int, Sp: int, Ep: int):
   return bs, qpa, maxp, maxq
 
 
-def _chroma_edge_params(pos, tw, qp, Sp: int, Ep: int, ctu_edge_cols=None,
-                        qp_bd_offset: int = 0):
+def _chroma_edge_params(pos, tw, qp, motion, cbf, Sp: int, Ep: int,
+                        ctu_edge_cols=None):
   """Vertical-orientation chroma params; grids at 2-sample granularity,
-  edges every 8 chroma samples (= every 4 grid columns)."""
+  edges every 8 chroma samples (= every 4 grid columns).
+  motion/cbf are at the same 2-chroma-sample granularity."""
   gh, gw = pos.shape
   bs = np.zeros((Sp, Ep), np.int32)
   qpa = np.zeros((Sp, Ep), np.int32)
@@ -81,7 +100,14 @@ def _chroma_edge_params(pos, tw, qp, Sp: int, Ep: int, ctu_edge_cols=None,
   for e in range(1, n_e):
     c = 4 * e
     is_edge = pos[:, c] == 8 * e
-    b = np.where(is_edge, 2, 0)
+    mp_side = tuple(m[:, c - 1] for m in motion)
+    mq_side = tuple(m[:, c] for m in motion)
+    # chroma bs: intra -> 2, cbf -> 1, else 0 (no MV term; vvc_filter.c:737)
+    pf_p = mp_side[0]
+    pf_q = mq_side[0]
+    b0 = np.where((pf_p == 0) | (pf_q == 0), 2,
+                  np.where((cbf[:, c - 1] | cbf[:, c]) > 0, 1, 0))
+    b = np.where(is_edge, b0, 0)
     size_p = tw[:, c - 1]
     size_q = tw[:, c]
     big = (size_p >= 8) & (size_q >= 8)
@@ -105,20 +131,47 @@ def deblock_frame(fs: FrameSyntax, planes, ctb_log2: int, beta_off, tc_off):
   ctb = 1 << ctb_log2
   y_pos_x, y_pos_y, y_w, y_h, y_qp = _tu_grids(fs, 0, 4)
 
+  # motion planes at the 4x4 PU grid (also the 2-chroma-sample grid)
+  mvf = fs.mvf
+  pf = mvf["pf"].astype(np.int32)
+  # I-slices leave the plane zeroed (pf 0 == intra everywhere) which is
+  # exactly the all-intra bs=2 behaviour.
+  ref = mvf["ref"]
+  refpoc = np.full_like(ref, -(10 ** 6))
+  for i, poc in enumerate(fs.ref_pocs[0]):
+    refpoc[ref == i] = poc
+  motion = (pf, mvf["mv_x"].astype(np.int32), mvf["mv_y"].astype(np.int32),
+            refpoc.astype(np.int32))
+
+  def cbf_plane(c_idx, g):
+    ss = 0 if c_idx == 0 else 1
+    gw = (fs.width >> ss) // g
+    gh = (fs.height >> ss) // g
+    cbf = np.zeros((gh, gw), np.int32)
+    sel = np.where((fs.tus["c_idx"] == c_idx) & (fs.tus["coded"] == 1))[0]
+    for j in sel:
+      x0, y0 = int(fs.tus["x0"][j]), int(fs.tus["y0"][j])
+      w, h = int(fs.tus["w"][j]), int(fs.tus["h"][j])
+      cbf[y0 // g:(y0 + h) // g, x0 // g:(x0 + w) // g] = 1
+    return cbf
+
+  cbf_y = cbf_plane(0, 4)
   out = list(planes)
 
   # ---- luma ---------------------------------------------------------
   Hp, Wp = planes[0].shape
   Sv, Ev = Hp // 4, Wp // 4
-  bs, qpa, mp, mq = _luma_edge_params(y_pos_x, y_w, y_qp, 4, Sv, Ev)
-  qpa = qpa + beta_off[0] * 0  # beta/tc offsets applied inside via qp; 0 now
+  bs, qpa, mp, mq = _luma_edge_params(y_pos_x, y_w, y_qp, motion, cbf_y,
+                                      Sv, Ev)
   hor0 = np.zeros((Sv, Ev), np.int32)
   out[0] = deblock_vertical_luma(out[0], jnp.asarray(bs), jnp.asarray(qpa),
                                  jnp.asarray(mp), jnp.asarray(mq),
                                  jnp.asarray(hor0), bit_depth=bd)
   # horizontal: transpose geometry
   Sh, Eh = Wp // 4, Hp // 4
-  bs, qpa, mp, mq = _luma_edge_params(y_pos_y.T, y_h.T, y_qp.T, 4, Sh, Eh)
+  motion_t = tuple(m.T for m in motion)
+  bs, qpa, mp, mq = _luma_edge_params(y_pos_y.T, y_h.T, y_qp.T, motion_t,
+                                      cbf_y.T, Sh, Eh)
   hor = np.zeros((Sh, Eh), np.int32)
   edge_y = np.arange(Eh) * 4
   hor[:, :] = ((edge_y % ctb) == 0)[None, :]
@@ -128,18 +181,20 @@ def deblock_frame(fs: FrameSyntax, planes, ctb_log2: int, beta_off, tc_off):
 
   # ---- chroma -------------------------------------------------------
   if fs.chroma_format_idc:
-    qp_bd_offset = 6 * (bd - 8)
     for c_idx in (1, 2):
       pos_x, pos_y, tw, th, qpc = _tu_grids(fs, c_idx, 2)
+      cbf_c = cbf_plane(c_idx, 2)
       Hc, Wc = planes[c_idx].shape
       Sv, Ev = Hc // 2, Wc // 8
-      bs, qpa, mp, mq = _chroma_edge_params(pos_x, tw, qpc, Sv, Ev)
+      bs, qpa, mp, mq = _chroma_edge_params(pos_x, tw, qpc, motion, cbf_c,
+                                            Sv, Ev)
       out[c_idx] = deblock_vertical_chroma(
           out[c_idx], jnp.asarray(bs), jnp.asarray(qpa), jnp.asarray(mp),
           jnp.asarray(mq), bit_depth=bd)
       Sh, Eh = Wc // 2, Hc // 8
       ctu_cols = ((np.arange(Eh) * 8 * 2) % ctb) == 0  # chroma y -> luma y
-      bs, qpa, mp, mq = _chroma_edge_params(pos_y.T, th.T, qpc.T, Sh, Eh,
+      bs, qpa, mp, mq = _chroma_edge_params(pos_y.T, th.T, qpc.T, motion_t,
+                                            cbf_c.T, Sh, Eh,
                                             ctu_edge_cols=ctu_cols)
       out[c_idx] = deblock_vertical_chroma(
           out[c_idx].T, jnp.asarray(bs), jnp.asarray(qpa), jnp.asarray(mp),

@@ -32,16 +32,15 @@ class Frame:
 
 
 class VVCDecoder:
-    """Streaming decoder for annex-B VVC (all-intra toolset so far)."""
+    """Streaming decoder for annex-B VVC (intra + P slices)."""
 
     def __init__(self) -> None:
         self._host = HostDecoder()
+        self._dpb: dict[int, list] = {}  # poc -> [Y, Cb, Cr]
 
     def decode(self, data: bytes):
-        """Decode a buffer holding one or more access units; yields Frames.
-
-        v1: every slice NAL is an IDR frame; parameter sets may precede.
-        """
+        """Decode a buffer holding one or more access units; yields Frames
+        in decode order (no reordering needed yet: P-only GOPs)."""
         from ...bitstream.bits import make_nal, split_annexb
 
         nals = split_annexb(data)
@@ -49,12 +48,22 @@ class VVCDecoder:
         for t, layer, tid, rbsp in nals:
             pending.append(make_nal(t, rbsp, layer_id=layer, tid=max(tid, 0)))
             if t <= 10:  # slice NAL closes an AU (v1: one slice per frame)
+                is_idr = t in (7, 8)
                 fs = self._host.decode_au(b"".join(pending))
                 pending = []
-                if fs is not None:
-                    planes = reconstruct_frame(fs)
-                    yield Frame(poc=fs.poc, planes=planes, width=fs.width,
-                                height=fs.height, bit_depth=fs.bit_depth)
+                if fs is None:
+                    continue
+                if is_idr:
+                    self._dpb.clear()
+                refs = [self._dpb[poc] for poc in fs.ref_pocs[0]
+                        if poc in self._dpb]
+                if fs.slice_type != 2 and len(refs) != len(fs.ref_pocs[0]):
+                    raise RuntimeError(
+                        f"missing reference frames {fs.ref_pocs[0]}")
+                planes = reconstruct_frame(fs, refs)
+                self._dpb[fs.poc] = planes
+                yield Frame(poc=fs.poc, planes=planes, width=fs.width,
+                            height=fs.height, bit_depth=fs.bit_depth)
 
 
 def decode_file(path: str):

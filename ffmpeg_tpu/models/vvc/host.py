@@ -18,7 +18,8 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libvvc_host.so")
 
 CU_FIELDS = ["x0", "y0", "w", "h", "pred_mode", "luma_mode", "chroma_mode",
-             "qp", "qp_cb", "qp_cr", "qp_jcbcr"]
+             "qp", "qp_cb", "qp_cr", "qp_jcbcr",
+             "skip", "merge", "idx", "mv_x", "mv_y", "ref_idx"]
 TU_FIELDS = ["x0", "y0", "w", "h", "c_idx", "coded", "qp", "cu_index"]
 
 
@@ -48,11 +49,14 @@ def _get_lib():
         lib.vvch_last_error.restype = ctypes.c_char_p
         lib.vvch_frame_info.argtypes = [ctypes.c_void_p,
                                         ctypes.POINTER(ctypes.c_int32)]
-        for name in ("vvch_coeffs", "vvch_cus", "vvch_tus", "vvch_ipm"):
+        for name in ("vvch_coeffs", "vvch_cus", "vvch_tus", "vvch_ipm",
+                     "vvch_mvf"):
             fn = getattr(lib, name)
             fn.restype = ctypes.POINTER(ctypes.c_int32)
             fn.argtypes = [ctypes.c_void_p] + (
-                [ctypes.c_int] if name == "vvch_coeffs" else [])
+                [ctypes.c_int] if name in ("vvch_coeffs", "vvch_mvf") else [])
+        lib.vvch_ref_info.argtypes = [ctypes.c_void_p,
+                                      ctypes.POINTER(ctypes.c_int32)]
         _lib = lib
     return _lib
 
@@ -75,6 +79,9 @@ class FrameSyntax:
     deblock_disabled: int = 1
     beta_offset: tuple = (0, 0, 0)   # luma, cb, cr
     tc_offset: tuple = (0, 0, 0)
+    slice_type: int = 2       # 0=B 1=P 2=I
+    ref_pocs: tuple = ((), ())  # per-list reference POCs
+    mvf: dict | None = None   # 4x4 planes: pf, mv_x, mv_y, ref (L0)
 
 
 class HostDecoder:
@@ -119,6 +126,17 @@ class HostDecoder:
         ipm = np.ctypeslib.as_array(
             self._lib.vvch_ipm(self._h), shape=(mcb_h, mcb_w)).copy()
 
+        rinfo = (ctypes.c_int32 * 35)()
+        self._lib.vvch_ref_info(self._h, rinfo)
+        slice_type = int(rinfo[0])
+        nb0, nb1 = int(rinfo[1]), int(rinfo[2])
+        ref_pocs = (tuple(rinfo[3:3 + nb0]), tuple(rinfo[19:19 + nb1]))
+        pu_h, pu_w = h // 4, w // 4
+        mvf = {name: np.ctypeslib.as_array(
+                   self._lib.vvch_mvf(self._h, i),
+                   shape=(pu_h, pu_w)).copy()
+               for i, name in enumerate(("pf", "mv_x", "mv_y", "ref"))}
+
         return FrameSyntax(
             width=w, height=h, bit_depth=bd, chroma_format_idc=cidc,
             poc=poc, slice_qp=qp,
@@ -131,4 +149,7 @@ class HostDecoder:
             deblock_disabled=int(deblock_disabled),
             beta_offset=beta_off,
             tc_offset=tc_off,
+            slice_type=slice_type,
+            ref_pocs=ref_pocs,
+            mvf=mvf,
         )

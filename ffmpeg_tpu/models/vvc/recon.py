@@ -34,6 +34,9 @@ CTRL_KEYS = (
     "proj_v", "proj_h")
 
 
+MC_INTER = 6  # extra mode class: prediction comes from the MC plane
+
+
 def derive_cu_controls(fs: FrameSyntax, plane_kind: str, ctb_log2: int) -> dict:
   """Host-side per-CU control arrays for one plane type ('y' or 'c')."""
   is_chroma = plane_kind == "c"
@@ -54,6 +57,14 @@ def derive_cu_controls(fs: FrameSyntax, plane_kind: str, ctb_log2: int) -> dict:
     x0, y0 = lx0 >> ss, ly0 >> ss
     w = int(cus["w"][i]) >> ss
     h = int(cus["h"][i]) >> ss
+    if int(cus["pred_mode"][i]) == 0:  # MODE_INTER: MC plane supplies pred
+      out["x0"][i] = x0
+      out["y0"][i] = y0
+      out["w"][i] = w
+      out["h"][i] = h
+      out["mode_class"][i] = MC_INTER
+      recon[y0 // g:(y0 + h) // g, x0 // g:(x0 + w) // g] = True
+      continue
     raw_mode = int(cus["chroma_mode"][i] if is_chroma else cus["luma_mode"][i])
     mode = I.wide_angle_map(raw_mode, w, h)
     mc = I.classify_mode(mode)
@@ -160,12 +171,14 @@ def derive_cu_controls(fs: FrameSyntax, plane_kind: str, ctb_log2: int) -> dict:
 
 @functools.partial(jax.jit, static_argnames=("maxs", "is_chroma",
                                              "bit_depth"))
-def recon_plane_jit(res_plane, ctrl, *, maxs: int, is_chroma: bool,
-                    bit_depth: int):
-  """Sequential intra reconstruction of one plane.
+def recon_plane_jit(res_plane, ctrl, inter_pred, *, maxs: int,
+                    is_chroma: bool, bit_depth: int):
+  """Sequential reconstruction of one plane (intra pred + residual add;
+  inter CUs take their prediction from the precomputed MC plane).
 
   res_plane: (H+maxs, W+maxs) int32 residual plane (padded right/bottom).
   ctrl: dict of (N,) int32 per-CU control arrays.
+  inter_pred: same-shape int32 MC prediction plane.
   Returns padded recon plane (caller crops).
   """
   Hp, Wp = res_plane.shape
@@ -220,6 +233,7 @@ def recon_plane_jit(res_plane, ctrl, *, maxs: int, is_chroma: bool,
                                  pdpc, ns, is_chroma, maxv),
         lambda: I.pred_angular_h(top, left, OFF, maxs, w, h, angle, inv, ff,
                                  pdpc, ns, is_chroma, maxv),
+        lambda: jax.lax.dynamic_slice(inter_pred, (y0, x0), (maxs, maxs)),
     ]
     mc = ctrl["mode_class"][i]
     pred = jax.lax.switch(mc, branches)
@@ -290,8 +304,56 @@ def _residual_plane(fs: FrameSyntax, c_idx: int, Hp: int, Wp: int, maxs: int):
   return res
 
 
-def reconstruct_frame(fs: FrameSyntax) -> list[np.ndarray]:
-  """Full frame reconstruction; returns [Y, Cb, Cr] uint8/uint16 planes."""
+def _inter_pred_plane(fs: FrameSyntax, c_idx: int, Hp: int, Wp: int,
+                      ref_planes) -> jnp.ndarray:
+  """Batched MC over this plane's inter CUs -> padded prediction plane."""
+  from ...ops.mc import mc_uni_batch
+
+  pred = jnp.zeros((Hp, Wp), dtype=jnp.int32)
+  cus = fs.cus
+  sel = np.where(cus["pred_mode"] == 0)[0]
+  if len(sel) == 0 or not ref_planes:
+    return pred
+  ss = 0 if c_idx == 0 else 1
+  x0s = cus["x0"][sel] >> ss
+  y0s = cus["y0"][sel] >> ss
+  ws = cus["w"][sel] >> ss
+  hs = cus["h"][sel] >> ss
+  mvx = cus["mv_x"][sel]
+  mvy = cus["mv_y"][sel]
+  refi = cus["ref_idx"][sel]
+  assert np.all(refi == 0), "multi-ref MC todo"
+  ref = jnp.asarray(np.asarray(ref_planes[0][c_idx], dtype=np.int32))
+  for (w, h) in sorted({(int(a), int(b)) for a, b in zip(ws, hs)}):
+    idx = np.where((ws == w) & (hs == h))[0]
+    npad = _pad_len(len(idx))
+    xs = np.zeros(npad, np.int32)
+    ys = np.zeros(npad, np.int32)
+    mx = np.zeros(npad, np.int32)
+    my = np.zeros(npad, np.int32)
+    xs[:len(idx)] = x0s[idx]
+    ys[:len(idx)] = y0s[idx]
+    mx[:len(idx)] = mvx[idx]
+    my[:len(idx)] = mvy[idx]
+    blocks = mc_uni_batch(ref, jnp.asarray(xs), jnp.asarray(ys),
+                          jnp.asarray(mx), jnp.asarray(my), w=w, h=h,
+                          is_chroma=c_idx > 0, bit_depth=fs.bit_depth)
+    # padding blocks all write to (0,0); mask them by zeroing
+    if npad > len(idx):
+      mask = np.zeros(npad, bool)
+      mask[:len(idx)] = True
+      blocks = blocks * jnp.asarray(mask)[:, None, None]
+    yy = ys[:, None, None] + np.arange(h)[None, :, None]
+    xx = xs[:, None, None] + np.arange(w)[None, None, :]
+    pred = pred.at[jnp.asarray(yy), jnp.asarray(xx)].add(blocks)
+  return pred
+
+
+def reconstruct_frame(fs: FrameSyntax, ref_planes=None) -> list[np.ndarray]:
+  """Full frame reconstruction; returns [Y, Cb, Cr] uint8/uint16 planes.
+
+  ref_planes: list (indexed by L0 ref_idx) of [Y, Cb, Cr] numpy planes.
+  """
   assert fs.chroma_format_idc == 1, "4:2:0 only for now"
   bd = fs.bit_depth
   ctb_log2 = 5  # v1 streams use CTU 32
@@ -310,6 +372,7 @@ def reconstruct_frame(fs: FrameSyntax) -> list[np.ndarray]:
     Hp = _round_up(H, 128 >> ss) + maxs
     Wp = _round_up(W, 128 >> ss) + maxs
     res = _residual_plane(fs, c_idx, Hp, Wp, maxs)
+    inter_pred = _inter_pred_plane(fs, c_idx, Hp, Wp, ref_planes)
     n = len(ctrl["x0"])
     npad = _pad_len(n)
     ctrl_j = {}
@@ -317,7 +380,7 @@ def reconstruct_frame(fs: FrameSyntax) -> list[np.ndarray]:
       vp = np.zeros(npad, np.int32)  # padding CUs have w=h=0: no-ops
       vp[:n] = v
       ctrl_j[k] = jnp.asarray(vp)
-    padded.append(recon_plane_jit(res, ctrl_j, maxs=maxs,
+    padded.append(recon_plane_jit(res, ctrl_j, inter_pred, maxs=maxs,
                                   is_chroma=c_idx > 0, bit_depth=bd))
 
   if not fs.deblock_disabled:

@@ -65,6 +65,8 @@ struct CuRecord {
   int32_t chroma_mode;         // derived IntraPredModeC
   int32_t qp;                  // QpY
   int32_t qp_c[3];             // Qp'Cb, Qp'Cr, Qp'CbCr
+  int32_t skip, merge, idx;    // idx = merge_idx or mvp_lx_flag
+  int32_t mv_x, mv_y, ref_idx; // L0 motion (1/16 pel)
 };
 struct TuRecord {
   int32_t x0, y0, w, h;  // component coords
@@ -82,10 +84,15 @@ struct FrameOut {
   int deblock_disabled = 0;
   int beta_offset[3] = {0, 0, 0};  // luma, cb, cr (x2 applied)
   int tc_offset[3] = {0, 0, 0};
+  int slice_type = 2;  // 0=B 1=P 2=I
+  int nb_refs[2] = {0, 0};
+  int32_t ref_pocs[2][16] = {};
   std::vector<int32_t> coeff[3];  // [h][w] raster planes (chroma at c-res)
   std::vector<CuRecord> cus;
   std::vector<TuRecord> tus;
   std::vector<int32_t> ipm;  // per-min-cb intra mode plane
+  // MvField planes at 4x4 granularity (MIN_PU_LOG2 == 2)
+  std::vector<int32_t> mvf_pf, mvf_x, mvf_y, mvf_ref;  // L0 only so far
 };
 
 class Decoder {
@@ -143,6 +150,279 @@ class Decoder {
     int min_qt, max_bt, max_tt, max_mtt;
   } part_;
 
+  // ---- motion state (mirror of ffmpeg_tpu/encoder/mvs.py) ----
+  static constexpr int PF_INTRA = 0, PF_L0 = 1, PF_L1 = 2, PF_BI = 3;
+  struct MvF {
+    int32_t mv[2][2] = {{0, 0}, {0, 0}};  // [list][x/y], 1/16 pel
+    int32_t ref_idx[2] = {-1, -1};
+    int32_t pred_flag = PF_INTRA;
+    bool operator==(const MvF& o) const {
+      if (pred_flag != o.pred_flag) return false;
+      for (int i = 0; i < 2; i++) {
+        if (pred_flag & (i + 1)) {
+          if (mv[i][0] != o.mv[i][0] || mv[i][1] != o.mv[i][1] ||
+              ref_idx[i] != o.ref_idx[i])
+            return false;
+        }
+      }
+      return true;
+    }
+  };
+  std::vector<MvF> mvf_;       // 4x4 plane
+  std::vector<uint8_t> mvf_set_;
+  int pu_w_ = 0, pu_h_ = 0;
+  std::vector<MvF> hmvp_;
+  std::vector<int32_t> tab_skip_;
+
+  MvF& mvf_at(int x, int y) { return mvf_[(size_t)(y >> 2) * pu_w_ + (x >> 2)]; }
+
+  void set_mvf(int x0, int y0, int w, int h, const MvF& f) {
+    for (int y = y0 >> 2; y < (y0 + h) >> 2; y++)
+      for (int x = x0 >> 2; x < (x0 + w) >> 2; x++) {
+        mvf_[(size_t)y * pu_w_ + x] = f;
+        mvf_set_[(size_t)y * pu_w_ + x] = 1;
+      }
+  }
+
+  bool decoded_at(int x, int y) const {
+    if (x < 0 || y < 0 || x >= pps_.width || y >= pps_.height) return false;
+    return mvf_set_[(size_t)(y >> 2) * pu_w_ + (x >> 2)];
+  }
+
+  struct Nb {
+    int x, y;
+    bool pre_ok;
+  };
+  // neighbour geometry (vvc_mvs.c:573-596); single tile/slice assumptions
+  void neighbours(int x0, int y0, int w, int h, Nb nbs[7]) {
+    int ctb = sps_.ctb_size_y;
+    int x0b = x0 & (ctb - 1), y0b = y0 & (ctb - 1);
+    bool ctb_left = x0 > 0, ctb_up = y0 > 0;
+    bool cand_left = ctb_left || x0b;
+    bool cand_up = ctb_up || y0b;
+    bool cand_up_left = (x0b || y0b) ? (cand_left && cand_up)
+                                     : (ctb_left && ctb_up);
+    bool sap = (x0b + w == ctb) ? (ctb_up && !y0b) : cand_up;
+    bool cand_up_right = sap && (x0 + w) < pps_.width;
+    bool a0_ok;
+    if (!x0b && !ctb_left) {
+      a0_ok = false;
+    } else {
+      int max_y = std::min(pps_.height,
+                           (((y0 >> sps_.ctb_log2_size_y) + 1)
+                            << sps_.ctb_log2_size_y));
+      a0_ok = (y0 + h < max_y) && decoded_at(x0 - 1, y0 + h);
+    }
+    nbs[0] = {x0 - 1, y0 + h, a0_ok};                 // A0
+    nbs[1] = {x0 - 1, y0 + h - 1, cand_left};         // A1
+    nbs[2] = {x0 - 1, y0, cand_left};                 // A2
+    nbs[3] = {x0 + w, y0 - 1, cand_up_right};         // B0
+    nbs[4] = {x0 + w - 1, y0 - 1, cand_up};           // B1
+    nbs[5] = {x0 - 1, y0 - 1, cand_up_left};          // B2
+    nbs[6] = {x0, y0 - 1, cand_up};                   // B3
+  }
+
+  const MvF* check_nb(const Nb& nb) {
+    if (!nb.pre_ok) return nullptr;
+    if (!decoded_at(nb.x, nb.y)) return nullptr;
+    MvF& f = mvf_at(nb.x, nb.y);
+    if (f.pred_flag == PF_INTRA) return nullptr;
+    return &f;
+  }
+
+  static void round_mv(int32_t* x, int32_t* y, int lshift, int rshift) {
+    if (rshift) {
+      int off = 1 << (rshift - 1);
+      *x = ((*x + off - (*x >= 0)) >> rshift) * (1 << lshift);
+      *y = ((*y + off - (*y >= 0)) >> rshift) * (1 << lshift);
+    } else {
+      *x <<= lshift;
+      *y <<= lshift;
+    }
+  }
+
+  // merge candidate list (vvc_mvs.c:637-830; translational, no TMVP)
+  MvF merge_candidate(int x0, int y0, int w, int h, int merge_idx,
+                      int max_num_merge, bool is_b) {
+    Nb nbs[7];
+    neighbours(x0, y0, w, h, nbs);
+    const MvF* nb_list[7] = {};
+    std::vector<MvF> cands;
+    static const int order[4][2] = {{4, -1}, {1, 4}, {3, 4}, {0, 1}};
+    auto same = [&](const MvF* a, const MvF* b) {
+      return a && b && *a == *b;
+    };
+    for (auto& o : order) {
+      const MvF* c = check_nb(nbs[o[0]]);
+      nb_list[o[0]] = c;
+      if (c && !(o[1] >= 0 && same(c, nb_list[o[1]]))) {
+        cands.push_back(*c);
+        if (merge_idx == (int)cands.size() - 1) return cands.back();
+      }
+    }
+    if (cands.size() != 4) {
+      const MvF* c = check_nb(nbs[5]);  // B2
+      nb_list[5] = c;
+      if (c && !same(c, nb_list[1]) && !same(c, nb_list[4])) {
+        cands.push_back(*c);
+        if (merge_idx == (int)cands.size() - 1) return cands.back();
+      }
+    }
+    // HMVP
+    for (int i = 1; i <= (int)hmvp_.size() &&
+                    (int)cands.size() < max_num_merge - 1; i++) {
+      const MvF& hc = hmvp_[hmvp_.size() - i];
+      bool dup = i <= 2 && (same(&hc, nb_list[1]) || same(&hc, nb_list[4]));
+      if (!dup) {
+        cands.push_back(hc);
+        if (merge_idx == (int)cands.size() - 1) return cands.back();
+      }
+    }
+    // pairwise
+    if (cands.size() > 1) {
+      const MvF& p0 = cands[0];
+      const MvF& p1 = cands[1];
+      MvF c;
+      c.pred_flag = 0;
+      int n_lists = is_b ? 2 : 1;
+      for (int i = 0; i < n_lists; i++) {
+        int mask = i + 1;
+        if (p0.pred_flag & mask) {
+          c.pred_flag |= mask;
+          c.ref_idx[i] = p0.ref_idx[i];
+          if (p1.pred_flag & mask) {
+            c.mv[i][0] = p0.mv[i][0] + p1.mv[i][0];
+            c.mv[i][1] = p0.mv[i][1] + p1.mv[i][1];
+            round_mv(&c.mv[i][0], &c.mv[i][1], 0, 1);
+          } else {
+            c.mv[i][0] = p0.mv[i][0];
+            c.mv[i][1] = p0.mv[i][1];
+          }
+        } else if (p1.pred_flag & mask) {
+          c.pred_flag |= mask;
+          c.mv[i][0] = p1.mv[i][0];
+          c.mv[i][1] = p1.mv[i][1];
+          c.ref_idx[i] = p1.ref_idx[i];
+        }
+      }
+      if (c.pred_flag) {
+        cands.push_back(c);
+        if (merge_idx == (int)cands.size() - 1) return cands.back();
+      }
+    }
+    // zero candidates
+    int num_ref = is_b ? std::min(sh_.num_ref_idx_active[0],
+                                  sh_.num_ref_idx_active[1])
+                       : sh_.num_ref_idx_active[0];
+    int zero_idx = 0;
+    while ((int)cands.size() < max_num_merge) {
+      MvF c;
+      c.pred_flag = PF_L0 + ((is_b ? 1 : 0) << 1);
+      int ri = zero_idx < num_ref ? zero_idx : 0;
+      c.ref_idx[0] = c.ref_idx[1] = ri;
+      c.mv[0][0] = c.mv[0][1] = c.mv[1][0] = c.mv[1][1] = 0;
+      cands.push_back(c);
+      if (merge_idx == (int)cands.size() - 1) return cands.back();
+      zero_idx++;
+    }
+    return cands[merge_idx];
+  }
+
+  bool mvp_cand_from(const MvF& f, int lx, const int* ref_idx, int32_t* mv) {
+    int poc = out.ref_pocs[lx][ref_idx[lx]];
+    if ((f.pred_flag & (lx + 1)) &&
+        out.ref_pocs[lx][f.ref_idx[lx]] == poc) {
+      mv[0] = f.mv[lx][0];
+      mv[1] = f.mv[lx][1];
+      return true;
+    }
+    int ly = 1 - lx;
+    if ((f.pred_flag & (ly + 1)) && f.ref_idx[ly] >= 0 &&
+        out.ref_pocs[ly][f.ref_idx[ly]] == poc) {
+      mv[0] = f.mv[ly][0];
+      mv[1] = f.mv[ly][1];
+      return true;
+    }
+    return false;
+  }
+
+  // AMVP (vvc_mvs.c:1404-1604; no TMVP)
+  void mvp(int x0, int y0, int w, int h, int mvp_lx_flag, int lx,
+           const int* ref_idx, int amvr_shift, int32_t* mv_out) {
+    Nb nbs[7];
+    neighbours(x0, y0, w, h, nbs);
+    int num_cands = 0;
+    int32_t mv_a[2] = {0, 0};
+    bool have_a = false;
+
+    auto from_nbs = [&](const int* idxs, int n, int32_t* mv) {
+      for (int i = 0; i < n; i++) {
+        const MvF* f = check_nb(nbs[idxs[i]]);
+        if (f && mvp_cand_from(*f, lx, ref_idx, mv)) {
+          round_mv(&mv[0], &mv[1], amvr_shift, amvr_shift);
+          return true;
+        }
+      }
+      return false;
+    };
+    static const int ak[] = {0, 1};
+    static const int bk[] = {3, 4, 5};
+    int32_t mv[2];
+    if (from_nbs(ak, 2, mv)) {
+      if (mvp_lx_flag == num_cands) {
+        mv_out[0] = mv[0];
+        mv_out[1] = mv[1];
+        return;
+      }
+      num_cands++;
+      mv_a[0] = mv[0];
+      mv_a[1] = mv[1];
+      have_a = true;
+    }
+    if (from_nbs(bk, 3, mv)) {
+      if (!have_a || mv_a[0] != mv[0] || mv_a[1] != mv[1]) {
+        if (mvp_lx_flag == num_cands) {
+          mv_out[0] = mv[0];
+          mv_out[1] = mv[1];
+          return;
+        }
+        num_cands++;
+      }
+    }
+    int poc = out.ref_pocs[lx][ref_idx[lx]];
+    int n_h = std::min((size_t)4, hmvp_.size());
+    for (int i = 1; i <= n_h; i++) {
+      const MvF& hc = hmvp_[i - 1];
+      for (int j = 0; j < 2; j++) {
+        int ly = j ? (1 - lx) : lx;
+        if ((hc.pred_flag & (ly + 1)) && hc.ref_idx[ly] >= 0 &&
+            poc == out.ref_pocs[ly][hc.ref_idx[ly]]) {
+          if (mvp_lx_flag == num_cands) {
+            mv_out[0] = hc.mv[ly][0];
+            mv_out[1] = hc.mv[ly][1];
+            round_mv(&mv_out[0], &mv_out[1], amvr_shift, amvr_shift);
+            return;
+          }
+          num_cands++;
+        }
+      }
+    }
+    mv_out[0] = mv_out[1] = 0;
+  }
+
+  void update_hmvp(const MvF& f) {
+    bool found = false;
+    for (size_t i = 0; i < hmvp_.size(); i++) {
+      if (f == hmvp_[i]) {
+        hmvp_.erase(hmvp_.begin() + i);
+        found = true;
+        break;
+      }
+    }
+    if (!found && hmvp_.size() == 5) hmvp_.erase(hmvp_.begin());
+    hmvp_.push_back(f);
+  }
+
   int32_t ipm_at(int x_cb, int y_cb) const { return tab_ipm_[y_cb * mcb_w_ + x_cb]; }
   int32_t cpm_at(int x_cb, int y_cb) const { return tab_cpm_[y_cb * mcb_w_ + x_cb]; }
 
@@ -163,7 +443,7 @@ class Decoder {
 
   void decode_slice(const Nal& nal, BitReader& r) {
     sh_ = parse_slice_header(r, nal.type, sps_, pps_);
-    VVC_UNSUPPORTED(sh_.sh_slice_type != 2, "inter slices (todo)");
+    VVC_UNSUPPORTED(sh_.sh_slice_type == 0, "B slices (todo)");
     VVC_UNSUPPORTED(sps_.sps_qtbtt_dual_tree_intra_flag, "dual tree (todo)");
     VVC_UNSUPPORTED(sh_.sh_dep_quant_used_flag, "dep quant (todo)");
     VVC_UNSUPPORTED(sh_.sh_sign_data_hiding_used_flag, "sign hiding (todo)");
@@ -204,12 +484,40 @@ class Decoder {
       out.tc_offset[i] = pps_.tc_offset[i];
     }
 
-    // partition constraints for I-slice luma (no PH override)
-    part_.min_qt = 1 << (sps_.log2_diff_min_qt_min_cb_intra_luma +
-                         sps_.min_cb_log2_size_y);
-    part_.max_bt = part_.min_qt << sps_.log2_diff_max_bt_min_qt_intra_luma;
-    part_.max_tt = part_.min_qt << sps_.log2_diff_max_tt_min_qt_intra_luma;
-    part_.max_mtt = sps_.max_mtt_depth_intra_luma;
+    // partition constraints per slice type (no PH override)
+    if (sh_.sh_slice_type == 2) {
+      part_.min_qt = 1 << (sps_.log2_diff_min_qt_min_cb_intra_luma +
+                           sps_.min_cb_log2_size_y);
+      part_.max_bt = part_.min_qt << sps_.log2_diff_max_bt_min_qt_intra_luma;
+      part_.max_tt = part_.min_qt << sps_.log2_diff_max_tt_min_qt_intra_luma;
+      part_.max_mtt = sps_.max_mtt_depth_intra_luma;
+    } else {
+      part_.min_qt = 1 << (sps_.log2_diff_min_qt_min_cb_inter +
+                           sps_.min_cb_log2_size_y);
+      part_.max_bt = part_.min_qt << sps_.log2_diff_max_bt_min_qt_inter;
+      part_.max_tt = part_.min_qt << sps_.log2_diff_max_tt_min_qt_inter;
+      part_.max_mtt = sps_.max_mtt_depth_inter;
+    }
+
+    // motion state + reference POC lists
+    out.slice_type = sh_.sh_slice_type;
+    pu_w_ = pps_.width >> 2;
+    pu_h_ = pps_.height >> 2;
+    mvf_.assign((size_t)pu_w_ * pu_h_, MvF());
+    mvf_set_.assign((size_t)pu_w_ * pu_h_, 0);
+    tab_skip_.assign((size_t)mcb_w_ * mcb_h_, 0);
+    hmvp_.clear();
+    for (int lx = 0; lx < 2; lx++) {
+      const RefPicListStruct& rpl = sh_.rpl[lx];
+      out.nb_refs[lx] = rpl.num_ref_entries;
+      int poc_base = out.poc;
+      for (int i = 0; i < rpl.num_ref_entries && i < 16; i++) {
+        int d = rpl.sign[i] ? -rpl.abs_delta_poc_st[i]
+                            : rpl.abs_delta_poc_st[i];
+        poc_base += d;
+        out.ref_pocs[lx][i] = poc_base;
+      }
+    }
 
     int init_type = 2 - sh_.sh_slice_type;
     if (sh_.sh_cabac_init_flag && sh_.sh_slice_type != 2) init_type ^= 3;
@@ -234,12 +542,26 @@ class Decoder {
       }
     }
     cd_ = nullptr;
+    // export MvField planes (L0) for MC + deblock BS derivation
+    size_t n = (size_t)pu_w_ * pu_h_;
+    out.mvf_pf.resize(n);
+    out.mvf_x.resize(n);
+    out.mvf_y.resize(n);
+    out.mvf_ref.resize(n);
+    for (size_t i = 0; i < n; i++) {
+      out.mvf_pf[i] = mvf_.empty() ? PF_INTRA : mvf_[i].pred_flag;
+      out.mvf_x[i] = mvf_.empty() ? 0 : mvf_[i].mv[0][0];
+      out.mvf_y[i] = mvf_.empty() ? 0 : mvf_[i].mv[0][1];
+      out.mvf_ref[i] = mvf_.empty() ? -1 : mvf_[i].ref_idx[0];
+    }
     frame_ready = true;
   }
 
   void parse_ctu(int rx, int ry) {
     ctb_left_ = rx > 0;
     ctb_up_ = ry > 0;
+    // HMVP resets at each tile-column start (vvc_ctu.c:2447-2450)
+    if (rx == pps_.ctb_to_col_bd[rx]) hmvp_.clear();
     // SAO/ALF params would be parsed here (tools off for now)
     VVC_UNSUPPORTED(sh_.sh_sao_luma_used_flag || sh_.sh_sao_chroma_used_flag,
                     "sao parse (todo)");
@@ -468,41 +790,164 @@ class Decoder {
     }
   }
 
-  // -- intra CU -------------------------------------------------------
+  int get_inc_tab(const std::vector<int32_t>& tab, int x0, int y0) {
+    int l, t;
+    left_top_tab(tab, tab, x0, y0, 0, 0, &l, &t);
+    return (l != 0) + (t != 0);
+  }
+
+  // -- CU -------------------------------------------------------------
   void coding_unit(int x0, int y0, int cb_w, int cb_h, int cqt_depth) {
-    // I-slice, no IBC: pred mode inferred MODE_INTRA
     CuRecord cu = {};
     cu.x0 = x0;
     cu.y0 = y0;
     cu.w = cb_w;
     cu.h = cb_h;
-    cu.pred_mode = MODE_INTRA;
-    cu.luma_mode = decode_luma_intra_mode(x0, y0, cb_w, cb_h);
-    set_cb_tab(tab_ipm_, x0, y0, cb_w, cb_h, cu.luma_mode);
-    set_cb_tab(tab_cpm_, x0, y0, cb_w, cb_h, MODE_INTRA);
-    set_cb_tab(out.ipm, x0, y0, cb_w, cb_h, cu.luma_mode);
+    cu.ref_idx = -1;
+
+    // pred_mode_decode (vvc_ctu.c:1032-1092), no IBC
+    bool inter_slice = sh_.sh_slice_type != 2;
+    bool is_4x4 = cb_w == 4 && cb_h == 4;
+    int skip = 0;
+    int is_intra = 1;
+    if (inter_slice) {
+      if (!is_4x4) skip = bin(CU_SKIP_FLAG + get_inc_tab(tab_skip_, x0, y0));
+      if (is_4x4)
+        is_intra = 1;
+      else if (skip)
+        is_intra = 0;
+      else {
+        int l, t;
+        left_top_tab(tab_cpm_, tab_cpm_, x0, y0, 0, 0, &l, &t);
+        is_intra = bin(PRED_MODE_FLAG + ((l || t) ? 1 : 0));
+      }
+    }
+    cu.skip = skip;
+    set_cb_tab(tab_skip_, x0, y0, cb_w, cb_h, skip);
     set_cb_tab(tab_cbw_, x0, y0, cb_w, cb_h, cb_w);
     set_cb_tab(tab_cbh_, x0, y0, cb_w, cb_h, cb_h);
     set_cb_tab(tab_cqt_, x0, y0, cb_w, cb_h, cqt_depth);
-    int chroma_mode_idx = 4;
-    if (sps_.sps_chroma_format_idc) {
-      VVC_UNSUPPORTED(sps_.sps_cclm_enabled_flag, "cclm (todo)");
-      if (!bin(INTRA_CHROMA_PRED_MODE)) {
-        chroma_mode_idx = 4;
-      } else {
-        chroma_mode_idx = (int)cd_->bypass_bits(2);
+    cu.pred_mode = is_intra ? MODE_INTRA : MODE_INTER;
+    set_cb_tab(tab_cpm_, x0, y0, cb_w, cb_h, cu.pred_mode);
+
+    if (is_intra) {
+      cu.luma_mode = decode_luma_intra_mode(x0, y0, cb_w, cb_h);
+      set_cb_tab(tab_ipm_, x0, y0, cb_w, cb_h, cu.luma_mode);
+      set_cb_tab(out.ipm, x0, y0, cb_w, cb_h, cu.luma_mode);
+      int chroma_mode_idx = 4;
+      if (sps_.sps_chroma_format_idc) {
+        VVC_UNSUPPORTED(sps_.sps_cclm_enabled_flag, "cclm (todo)");
+        if (!bin(INTRA_CHROMA_PRED_MODE)) {
+          chroma_mode_idx = 4;
+        } else {
+          chroma_mode_idx = (int)cd_->bypass_bits(2);
+        }
+        cu.chroma_mode = derive_chroma_mode(chroma_mode_idx, cu.luma_mode,
+                                            x0, y0, cb_w, cb_h);
       }
-      cu.chroma_mode = derive_chroma_mode(chroma_mode_idx, cu.luma_mode,
-                                          x0, y0, cb_w, cb_h);
+      if (inter_slice) {
+        MvF f;
+        f.pred_flag = PF_INTRA;
+        set_mvf(x0, y0, cb_w, cb_h, f);
+      }
+      cu.qp = qp_y_;
+      derive_qp_c(cu);
+      int cu_index = (int)out.cus.size();
+      transform_unit(cu, cu_index, /*is_intra=*/true, /*coded=*/true,
+                     /*merge_non_skip=*/false);
+      out.cus.push_back(cu);
+    } else {
+      inter_data(cu);
     }
-    // coded_flag inferred 1; qp derivation (no cu_qp_delta)
+    VVC_UNSUPPORTED(sps_.sps_lfnst_enabled_flag, "lfnst (todo)");
+    VVC_UNSUPPORTED(sps_.sps_mts_enabled_flag, "mts (todo)");
+  }
+
+  // -- inter CU (inter_data, vvc_ctu.c:1694-1730; merge_data_regular) --
+  void inter_data(CuRecord& cu) {
+    int x0 = cu.x0, y0 = cu.y0, w = cu.w, h = cu.h;
+    int general_merge = 1;
+    if (!cu.skip) general_merge = bin(GENERAL_MERGE_FLAG);
+    cu.merge = general_merge;
+    MvF f;
+    if (general_merge) {
+      // regular merge inferred (ciip/gpm/mmvd/sbt-merge all disabled)
+      int merge_idx = 0;
+      if (sps_.max_num_merge_cand > 1) {
+        if (bin(MERGE_IDX)) {
+          merge_idx = 1;
+          while (merge_idx < sps_.max_num_merge_cand - 1 && cd_->bypass())
+            merge_idx++;
+        }
+      }
+      cu.idx = merge_idx;
+      f = merge_candidate(x0, y0, w, h, merge_idx, sps_.max_num_merge_cand,
+                          sh_.sh_slice_type == 0);
+      // mv_merge_refine_pred_flag: bi & w+h==12 -> L0
+      if (f.pred_flag == PF_BI && w + h == 12) f.pred_flag = PF_L0;
+    } else {
+      // AMVP; P slice: pred_flag = PF_L0, amvr off -> shift 2
+      int ref_idx = 0;
+      if (sh_.num_ref_idx_active[0] > 1) {
+        int c_max = sh_.num_ref_idx_active[0] - 1;
+        int max_ctx = std::min(c_max, 2);
+        int i = 0;
+        while (i < max_ctx && bin(REF_IDX_LX + i)) i++;
+        if (i == 2)
+          while (i < c_max && cd_->bypass()) i++;
+        ref_idx = i;
+      }
+      // mvd_coding (vvc_ctu.c:1466-1489)
+      int32_t mvd[2] = {0, 0};
+      int gt0[2];
+      for (int c = 0; c < 2; c++) gt0[c] = bin(ABS_MVD_GREATER0_FLAG);
+      int gt1[2] = {0, 0};
+      for (int c = 0; c < 2; c++)
+        if (gt0[c]) gt1[c] = bin(ABS_MVD_GREATER1_FLAG);
+      for (int c = 0; c < 2; c++) {
+        int v = gt0[c] + gt1[c];
+        if (v > 0) {
+          if (v == 2) v += egk_decode(1, 15, 17);
+          mvd[c] = cd_->bypass() ? -v : v;
+        }
+      }
+      int mvp_flag = bin(MVP_LX_FLAG);
+      cu.idx = mvp_flag;
+      int amvr_shift = 2;
+      int ref_idxs[2] = {ref_idx, -1};
+      int32_t mv[2];
+      mvp(x0, y0, w, h, mvp_flag, 0, ref_idxs, amvr_shift, mv);
+      f.pred_flag = PF_L0;
+      f.ref_idx[0] = ref_idx;
+      f.mv[0][0] = mv[0] + (mvd[0] * (1 << amvr_shift));
+      f.mv[0][1] = mv[1] + (mvd[1] * (1 << amvr_shift));
+    }
+    set_mvf(x0, y0, w, h, f);
+    update_hmvp(mvf_at(x0, y0));
+    cu.mv_x = f.mv[0][0];
+    cu.mv_y = f.mv[0][1];
+    cu.ref_idx = f.ref_idx[0];
+
+    // cu_coded_flag (vvc_ctu.c:1794-1798)
+    int coded;
+    if (!general_merge)
+      coded = bin(CU_CODED_FLAG);
+    else
+      coded = !cu.skip;
     cu.qp = qp_y_;
     derive_qp_c(cu);
     int cu_index = (int)out.cus.size();
-    transform_unit(cu, cu_index);
+    transform_unit(cu, cu_index, /*is_intra=*/false, coded != 0,
+                   /*merge_non_skip=*/general_merge && !cu.skip);
     out.cus.push_back(cu);
-    VVC_UNSUPPORTED(sps_.sps_lfnst_enabled_flag, "lfnst (todo)");
-    VVC_UNSUPPORTED(sps_.sps_mts_enabled_flag, "mts (todo)");
+  }
+
+  int egk_decode(int k, int max_pre, int trunc_len) {
+    int pre = 0;
+    while (pre < max_pre && cd_->bypass()) pre++;
+    int esc = pre == max_pre ? trunc_len : pre + k;
+    int val = (int)cd_->bypass_bits(esc);
+    return val + (((1 << pre) - 1) << k);
   }
 
   void set_cb_tab(std::vector<int32_t>& tab, int x0, int y0, int w, int h,
@@ -629,20 +1074,45 @@ class Decoder {
   }
 
   // -- transform unit -------------------------------------------------
-  void transform_unit(CuRecord& cu, int cu_index) {
+  void transform_unit(CuRecord& cu, int cu_index, bool is_intra, bool coded,
+                      bool merge_non_skip) {
     VVC_UNSUPPORTED(cu.w > sps_.max_tb_size_y || cu.h > sps_.max_tb_size_y,
                     "transform tree split (todo)");
     bool chroma_avail = sps_.sps_chroma_format_idc != 0;
+    if (!coded) {
+      // skip / uncoded inter CU: record zero-coded TUs for deblock grids
+      int hs0 = sps_.hshift_c, vs0 = sps_.vshift_c;
+      TuRecord ty = {cu.x0, cu.y0, cu.w, cu.h, 0, 0,
+                     cu.qp + sps_.qp_bd_offset, cu_index};
+      out.tus.push_back(ty);
+      if (chroma_avail) {
+        TuRecord tb = {cu.x0 >> hs0, cu.y0 >> vs0, cu.w >> hs0, cu.h >> vs0,
+                       1, 0, cu.qp_c[0], cu_index};
+        TuRecord tr2 = tb;
+        tr2.c_idx = 2;
+        tr2.qp = cu.qp_c[1];
+        out.tus.push_back(tb);
+        out.tus.push_back(tr2);
+      }
+      return;
+    }
     int cb_coded = 0, cr_coded = 0;
     if (chroma_avail) {
       cb_coded = bin(TU_CB_CODED_FLAG);
       cr_coded = bin(TU_CR_CODED_FLAG + cb_coded);
     }
-    // intra -> tu_y_coded_flag present, inc 0
-    int y_coded = bin(TU_Y_CODED_FLAG);
+    int is_chroma_coded = chroma_avail && (cb_coded || cr_coded);
+    // tu_y_coded_flag: intra always present; inter only if chroma coded,
+    // else inferred 1 (vvc_ctu.c:274-292)
+    int y_coded;
+    if (is_intra || is_chroma_coded)
+      y_coded = bin(TU_Y_CODED_FLAG);
+    else
+      y_coded = 1;
     VVC_UNSUPPORTED(pps_.pps_cu_qp_delta_enabled_flag, "cu qp delta (todo)");
     VVC_UNSUPPORTED(sps_.sps_joint_cbcr_enabled_flag, "joint cbcr (todo)");
     VVC_UNSUPPORTED(sps_.sps_transform_skip_enabled_flag, "transform skip (todo)");
+    (void)merge_non_skip;
 
     int hs = sps_.hshift_c, vs = sps_.vshift_c;
     struct {
@@ -990,6 +1460,24 @@ const int32_t* vvch_tus(void* h) {
   return (const int32_t*)((Decoder*)h)->out.tus.data();
 }
 const int32_t* vvch_ipm(void* h) { return ((Decoder*)h)->out.ipm.data(); }
+const int32_t* vvch_mvf(void* h, int which) {
+  FrameOut& o = ((Decoder*)h)->out;
+  switch (which) {
+    case 0: return o.mvf_pf.data();
+    case 1: return o.mvf_x.data();
+    case 2: return o.mvf_y.data();
+    default: return o.mvf_ref.data();
+  }
+}
+// [slice_type, nb_refs0, nb_refs1, ref_pocs0[16], ref_pocs1[16]]
+void vvch_ref_info(void* h, int32_t* info) {
+  FrameOut& o = ((Decoder*)h)->out;
+  info[0] = o.slice_type;
+  info[1] = o.nb_refs[0];
+  info[2] = o.nb_refs[1];
+  for (int lx = 0; lx < 2; lx++)
+    for (int i = 0; i < 16; i++) info[3 + lx * 16 + i] = o.ref_pocs[lx][i];
+}
 
 int vvch_cu_record_size() { return (int)(sizeof(CuRecord) / 4); }
 int vvch_tu_record_size() { return (int)(sizeof(TuRecord) / 4); }

@@ -40,7 +40,11 @@ needs_ref = pytest.mark.skipif(not os.path.exists(REF_FFMPEG),
     dict(width=96, height=96, seed=103, qp=45, coeff_density=0.4),
     dict(width=128, height=96, seed=104, qp=30, deblock=True),
     dict(width=72, height=40, seed=105, qp=24, deblock=True, n_frames=2),
-], ids=["64x64", "128x64x2f", "96x96-dense", "deblock", "deblock-unaligned"])
+    dict(width=128, height=96, seed=106, qp=28, inter=True, n_frames=4),
+    dict(width=96, height=64, seed=107, qp=35, inter=True, deblock=True,
+         n_frames=4, max_mv=300),
+], ids=["64x64", "128x64x2f", "96x96-dense", "deblock", "deblock-unaligned",
+        "inter-p", "inter-p-deblock"])
 def test_frame_md5_parity(tmp_path, cfg_kw):
     from ffmpeg_tpu.encoder.encoder import EncoderConfig, encode_stream
 
