@@ -77,11 +77,17 @@ class CuIntent:
     skip: bool = False
     merge: bool = False
     merge_idx: int = 0
+    pred_list: str = "L0"    # AMVP: "L0" | "L1" | "BI"
     mvp_flag: int = 0
     mvd: tuple = (0, 0)      # quarter-pel units (pre amvr shift)
-    # filled during encoding: the derived final MV (1/16 pel) + ref
+    mvp_flag1: int = 0
+    mvd1: tuple = (0, 0)
+    # filled during encoding: derived final MVs (1/16 pel) + refs
+    pred_flag: int = 0       # PF_* of the final motion
     mv: tuple | None = None
     ref_idx: int = 0
+    mv1: tuple | None = None
+    ref_idx1: int = -1
     # per-component coeff arrays (raster, chroma at chroma resolution) or None
     coeff_y: np.ndarray | None = None
     coeff_cb: np.ndarray | None = None
@@ -131,12 +137,13 @@ class FrameSyntaxEncoder:
         if self.is_inter_slice:
             from .mvs import MotionState
 
-            rpl0 = [sh.ph.ph_pic_order_cnt_lsb - d
-                    for d in _rpl_deltas(sh.sh_ref_pic_lists[0])]
+            poc = sh.ph.ph_pic_order_cnt_lsb
+            rpls = [[poc - d for d in _rpl_deltas(sh.sh_ref_pic_lists[i])]
+                    for i in range(2)]
             self.num_ref_idx_active = sh.num_ref_idx_active(
                 pps, sh.sh_ref_pic_lists)
             self.motion = MotionState(self.width, self.height, self.ctb_log2,
-                                      (rpl0, []))
+                                      tuple(rpls))
 
         self.slice_qp_y = 26 + pps.pps_init_qp_minus26 + sh.sh_qp_delta
         init_type = 2 - sh.sh_slice_type
@@ -250,11 +257,25 @@ class FrameSyntaxEncoder:
         if cr_coded:
             self.res.encode(cu.coeff_cr, 2)
 
+    def _encode_mvd(self, mvd) -> None:
+        for c in (0, 1):
+            self._bin("ABS_MVD_GREATER0_FLAG", 0, int(abs(mvd[c]) > 0))
+        for c in (0, 1):
+            if mvd[c]:
+                self._bin("ABS_MVD_GREATER1_FLAG", 0, int(abs(mvd[c]) > 1))
+        for c in (0, 1):
+            v = abs(mvd[c])
+            if v > 0:
+                if v > 1:
+                    self._egk(v - 2, 1, 15, 17)
+                self.enc.bypass(int(mvd[c] < 0))
+
     # -- inter CU -------------------------------------------------------
     def _encode_inter_cu(self, cu: CuIntent) -> None:
-        from .mvs import MvField, PF_L0
+        from .mvs import MvField, PF_BI, PF_L0, PF_L1
 
         m = self.motion
+        is_b = self.sh.sh_slice_type == 0
         general_merge = cu.skip or cu.merge
         if not cu.skip:
             self._bin("GENERAL_MERGE_FLAG", 0, int(general_merge))
@@ -268,39 +289,59 @@ class FrameSyntaxEncoder:
                 if cu.merge_idx < c_max:
                     self.enc.bypass(0)
             mvf = m.merge_candidate(cu.x0, cu.y0, cu.w, cu.h, cu.merge_idx,
-                                    self.sps_max_merge_cand(), False,
+                                    self.sps_max_merge_cand(), is_b,
                                     self.num_ref_idx_active)
-            # mv_merge_refine_pred_flag: bi + w+h==12 -> L0 (P: already L0)
+            # mv_merge_refine_pred_flag (vvc_mvs.c: bi + w+h==12 -> L0)
+            if mvf.pred_flag == PF_BI and cu.w + cu.h == 12:
+                mvf.pred_flag = PF_L0
             m.set_mvf(cu.x0, cu.y0, cu.w, cu.h, mvf)
         else:
-            # AMVP (P slice: pred_flag inferred PF_L0, ref_idx inferred 0
-            # while one active ref; amvr off -> shift 2)
-            assert self.num_ref_idx_active[0] == 1, "multi-ref todo"
-            mvd = cu.mvd
-            for c in (0, 1):
-                self._bin("ABS_MVD_GREATER0_FLAG", 0, int(abs(mvd[c]) > 0))
-            for c in (0, 1):
-                if mvd[c]:
-                    self._bin("ABS_MVD_GREATER1_FLAG", 0, int(abs(mvd[c]) > 1))
-            for c in (0, 1):
-                v = abs(mvd[c])
-                if v > 0:
-                    if v > 1:
-                        self._egk(v - 2, 1, 15, 17)
-                    self.enc.bypass(int(mvd[c] < 0))
-            self._bin("MVP_LX_FLAG", 0, cu.mvp_flag)
+            # AMVP; amvr off -> shift 2
+            pf = {"L0": PF_L0, "L1": PF_L1, "BI": PF_BI}[cu.pred_list]
+            if is_b:
+                # ff_vvc_pred_flag (vvc_cabac.c:1480)
+                if cu.w + cu.h > 12:
+                    log2 = (cu.w.bit_length() - 1) + (cu.h.bit_length() - 1)
+                    inc = 7 - ((1 + log2) >> 1)
+                    self._bin("INTER_PRED_IDC", inc, int(pf == PF_BI))
+                else:
+                    assert pf != PF_BI
+                if pf != PF_BI:
+                    self._bin("INTER_PRED_IDC", 5, int(pf == PF_L1))
+            else:
+                assert pf == PF_L0
+            # mvd_l1_zero off in generated B streams; one active ref/list
+            mvds = [None, None]
+            mvps = [cu.mvp_flag, cu.mvp_flag1]
+            if pf != PF_L1:
+                assert self.num_ref_idx_active[0] == 1, "multi-ref todo"
+                mvds[0] = cu.mvd
+                self._encode_mvd(cu.mvd)
+                self._bin("MVP_LX_FLAG", 0, cu.mvp_flag)
+            if pf != PF_L0:
+                assert self.num_ref_idx_active[1] == 1, "multi-ref todo"
+                assert not self.sh.ph.ph_mvd_l1_zero_flag or pf != PF_BI
+                mvds[1] = cu.mvd1
+                self._encode_mvd(cu.mvd1)
+                self._bin("MVP_LX_FLAG", 0, cu.mvp_flag1)
             amvr_shift = 2
-            pred = m.mvp(cu.x0, cu.y0, cu.w, cu.h, cu.mvp_flag, 0, [0, 0],
-                         amvr_shift)
             mvf = MvField()
-            mvf.pred_flag = PF_L0
-            mvf.ref_idx = [0, -1]
-            mvf.mv[0] = [pred[0] + (mvd[0] << amvr_shift),
-                         pred[1] + (mvd[1] << amvr_shift)]
+            mvf.pred_flag = pf
+            for lx in (0, 1):
+                if pf & (lx + 1):
+                    pred = m.mvp(cu.x0, cu.y0, cu.w, cu.h, mvps[lx], lx,
+                                 [0, 0], amvr_shift)
+                    mvf.ref_idx[lx] = 0
+                    mvf.mv[lx] = [pred[0] + (mvds[lx][0] << amvr_shift),
+                                  pred[1] + (mvds[lx][1] << amvr_shift)]
             m.set_mvf(cu.x0, cu.y0, cu.w, cu.h, mvf)
         m.update_hmvp(m.mvf_at(cu.x0, cu.y0))
-        cu.mv = tuple(m.mvf_at(cu.x0, cu.y0).mv[0])
-        cu.ref_idx = m.mvf_at(cu.x0, cu.y0).ref_idx[0]
+        f = m.mvf_at(cu.x0, cu.y0)
+        cu.pred_flag = f.pred_flag
+        cu.mv = tuple(f.mv[0])
+        cu.ref_idx = f.ref_idx[0]
+        cu.mv1 = tuple(f.mv[1])
+        cu.ref_idx1 = f.ref_idx[1]
 
         # cu_coded_flag (vvc_ctu.c:1794-1798)
         has_coeff = any(c is not None and np.any(c) for c in

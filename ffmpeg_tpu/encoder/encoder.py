@@ -29,8 +29,9 @@ class EncoderConfig:
     max_level: int = 12  # max abs coefficient level
     coeff_density: float = 0.15  # fraction of nonzero coeffs
     deblock: bool = False  # in-loop deblocking (off until stage lands)
-    # inter (P slices referencing the previous frame)
+    # inter (P/B slices referencing the previous frame)
     inter: bool = False
+    b_slices: bool = False   # use B slices (prev frame in both lists)
     inter_prob: float = 0.7  # chance a CU in a P slice is inter
     skip_prob: float = 0.2   # chance an inter CU is skip
     merge_prob: float = 0.5  # chance a non-skip inter CU uses merge
@@ -112,9 +113,15 @@ def _random_cu(cfg, rng, x0, y0, w, h, is_inter_slice=False):
             cu.merge = True
             cu.merge_idx = int(rng.integers(0, 6))
         else:
+            if cfg.b_slices:
+                choices = ["L0", "L1", "BI"] if w + h > 12 else ["L0", "L1"]
+                cu.pred_list = str(rng.choice(choices))
             cu.mvp_flag = int(rng.integers(0, 2))
             cu.mvd = (int(rng.integers(-cfg.max_mv, cfg.max_mv + 1)),
                       int(rng.integers(-cfg.max_mv, cfg.max_mv + 1)))
+            cu.mvp_flag1 = int(rng.integers(0, 2))
+            cu.mvd1 = (int(rng.integers(-cfg.max_mv, cfg.max_mv + 1)),
+                       int(rng.integers(-cfg.max_mv, cfg.max_mv + 1)))
         if cu.merge and not cu.skip:
             # merge non-skip parses residual; luma cbf inferred 1 when
             # chroma uncoded -> guarantee coefficients exist
@@ -212,13 +219,16 @@ def encode_stream(cfg: EncoderConfig):
         sh = SliceHeader(nal_unit_type=nal_type)
         sh.ph.ph_pic_order_cnt_lsb = poc & 0xFFFF
         if is_p:
-            sh.sh_slice_type = 1
+            sh.sh_slice_type = 0 if cfg.b_slices else 1
             sh.ph.ph_gdr_or_irap_pic_flag = 0
             sh.ph.ph_inter_slice_allowed_flag = 1
             sh.ph.ph_intra_slice_allowed_flag = 1
-            # one short-term ref: the previous frame (delta_poc -1)
-            sh.sh_ref_pic_lists = (RefPicListStruct(entries=[(1, 1)]),
-                                   RefPicListStruct())
+            # short-term ref(s): the previous frame (delta_poc -1)
+            l1 = (RefPicListStruct(entries=[(1, 1)]) if cfg.b_slices
+                  else RefPicListStruct())
+            sh.sh_ref_pic_lists = (RefPicListStruct(entries=[(1, 1)]), l1)
+            if cfg.b_slices:
+                sh.ph.ph_mvd_l1_zero_flag = 0
         trees = random_frame_intent(cfg, sps, pps, rng, is_inter_slice=is_p)
         fse = FrameSyntaxEncoder(sps, pps, sh)
         n_ctus = len(trees)
@@ -253,6 +263,9 @@ def _cu_to_dict(cu: CuIntent) -> dict:
         "merge_idx": cu.merge_idx, "mvp_flag": cu.mvp_flag,
         "mvd": list(cu.mvd), "mv": None if cu.mv is None else list(cu.mv),
         "ref_idx": cu.ref_idx,
+        "pred_list": cu.pred_list, "pred_flag": cu.pred_flag,
+        "mv1": None if cu.mv1 is None else list(cu.mv1),
+        "ref_idx1": cu.ref_idx1,
         "luma_mode": cu.luma_mode,
         "chroma_mode_idx": cu.chroma_mode_idx,
         "coeff_y": None if cu.coeff_y is None else cu.coeff_y.tolist(),

@@ -43,18 +43,45 @@ def _tu_grids(fs: FrameSyntax, c_idx: int, g: int):
   return pos_x, pos_y, tw, th, qp
 
 
-def _bs_between(motion_p, motion_q, cbf_p, cbf_q):
-  """Luma/chroma-shared bs core (vvc_filter.c:534-548, translational uni).
+def _mv_far(ax, ay, bx, by):
+  return (np.abs(ax - bx) >= 8) | (np.abs(ay - by) >= 8)
 
-  motion_*: (pf, mvx, mvy, refpoc) tuples of arrays or None (intra-only).
+
+def _bs_between(motion_p, motion_q, cbf_p, cbf_q):
+  """Luma bs core — full boundary_strength (vvc_filter.c:308-372).
+
+  motion_*: dict with per-sample planes pf, m0x, m0y, p0 (L0 mv/refpoc),
+  m1x, m1y, p1 (L1).
   """
-  pf_p, mvx_p, mvy_p, poc_p = motion_p
-  pf_q, mvx_q, mvy_q, poc_q = motion_q
-  intra = (pf_p == 0) | (pf_q == 0)
+  P, Q = motion_p, motion_q
+  intra = (P["pf"] == 0) | (Q["pf"] == 0)
   cbf = (cbf_p | cbf_q) > 0
-  mv_far = ((poc_p != poc_q) | (np.abs(mvx_p - mvx_q) >= 8)
-            | (np.abs(mvy_p - mvy_q) >= 8))
-  return np.where(intra, 2, np.where(cbf, 1, np.where(mv_far, 1, 0)))
+
+  both_bi = (P["pf"] == 3) & (Q["pf"] == 3)
+  direct = (_mv_far(Q["m0x"], Q["m0y"], P["m0x"], P["m0y"])
+            | _mv_far(Q["m1x"], Q["m1y"], P["m1x"], P["m1y"]))
+  cross = (_mv_far(Q["m1x"], Q["m1y"], P["m0x"], P["m0y"])
+           | _mv_far(Q["m0x"], Q["m0y"], P["m1x"], P["m1y"]))
+  all_same = ((P["p0"] == Q["p0"]) & (P["p0"] == P["p1"])
+              & (Q["p0"] == Q["p1"]))
+  pair_direct = (Q["p0"] == P["p0"]) & (Q["p1"] == P["p1"])
+  pair_cross = (Q["p1"] == P["p0"]) & (Q["p0"] == P["p1"])
+  bs_bi = np.where(all_same, (direct & cross).astype(np.int32),
+                   np.where(pair_direct, direct.astype(np.int32),
+                            np.where(pair_cross, cross.astype(np.int32), 1)))
+
+  both_uni = (P["pf"] != 3) & (Q["pf"] != 3)
+  # single-MV sides: select the used list per sample
+  pax = np.where(P["pf"] == 1, P["m0x"], P["m1x"])
+  pay = np.where(P["pf"] == 1, P["m0y"], P["m1y"])
+  ppoc = np.where(P["pf"] == 1, P["p0"], P["p1"])
+  qax = np.where(Q["pf"] == 1, Q["m0x"], Q["m1x"])
+  qay = np.where(Q["pf"] == 1, Q["m0y"], Q["m1y"])
+  qpoc = np.where(Q["pf"] == 1, Q["p0"], Q["p1"])
+  bs_uni = ((ppoc != qpoc) | _mv_far(pax, pay, qax, qay)).astype(np.int32)
+
+  bs_mv = np.where(both_bi, bs_bi, np.where(both_uni, bs_uni, 1))
+  return np.where(intra, 2, np.where(cbf, 1, bs_mv))
 
 
 def _luma_edge_params(pos, tw, qp, motion, cbf, Sp: int, Ep: int):
@@ -71,8 +98,8 @@ def _luma_edge_params(pos, tw, qp, motion, cbf, Sp: int, Ep: int):
   maxq = np.zeros((Sp, Ep), np.int32)
   e = np.arange(1, gw)
   is_edge = pos[:, 1:] == (e[None, :] * 4)  # TU starts here
-  mp_side = tuple(m[:, :-1] for m in motion)
-  mq_side = tuple(m[:, 1:] for m in motion)
+  mp_side = {k: m[:, :-1] for k, m in motion.items()}
+  mq_side = {k: m[:, 1:] for k, m in motion.items()}
   bs_v = _bs_between(mp_side, mq_side, cbf[:, :-1], cbf[:, 1:])
   bs[:gh, 1:gw] = np.where(is_edge, bs_v, 0)
   size_p = tw[:, :-1]
@@ -100,11 +127,9 @@ def _chroma_edge_params(pos, tw, qp, motion, cbf, Sp: int, Ep: int,
   for e in range(1, n_e):
     c = 4 * e
     is_edge = pos[:, c] == 8 * e
-    mp_side = tuple(m[:, c - 1] for m in motion)
-    mq_side = tuple(m[:, c] for m in motion)
     # chroma bs: intra -> 2, cbf -> 1, else 0 (no MV term; vvc_filter.c:737)
-    pf_p = mp_side[0]
-    pf_q = mq_side[0]
+    pf_p = motion["pf"][:, c - 1]
+    pf_q = motion["pf"][:, c]
     b0 = np.where((pf_p == 0) | (pf_q == 0), 2,
                   np.where((cbf[:, c - 1] | cbf[:, c]) > 0, 1, 0))
     b = np.where(is_edge, b0, 0)
@@ -133,15 +158,23 @@ def deblock_frame(fs: FrameSyntax, planes, ctb_log2: int, beta_off, tc_off):
 
   # motion planes at the 4x4 PU grid (also the 2-chroma-sample grid)
   mvf = fs.mvf
-  pf = mvf["pf"].astype(np.int32)
   # I-slices leave the plane zeroed (pf 0 == intra everywhere) which is
   # exactly the all-intra bs=2 behaviour.
-  ref = mvf["ref"]
-  refpoc = np.full_like(ref, -(10 ** 6))
-  for i, poc in enumerate(fs.ref_pocs[0]):
-    refpoc[ref == i] = poc
-  motion = (pf, mvf["mv_x"].astype(np.int32), mvf["mv_y"].astype(np.int32),
-            refpoc.astype(np.int32))
+  def refpoc(ref_plane, lx):
+    out = np.full_like(ref_plane, -(10 ** 6) - lx)
+    for i, poc in enumerate(fs.ref_pocs[lx]):
+      out[ref_plane == i] = poc
+    return out.astype(np.int32)
+
+  motion = {
+      "pf": mvf["pf"].astype(np.int32),
+      "m0x": mvf["mv_x"].astype(np.int32),
+      "m0y": mvf["mv_y"].astype(np.int32),
+      "p0": refpoc(mvf["ref"], 0),
+      "m1x": mvf["mv1_x"].astype(np.int32),
+      "m1y": mvf["mv1_y"].astype(np.int32),
+      "p1": refpoc(mvf["ref1"], 1),
+  }
 
   def cbf_plane(c_idx, g):
     ss = 0 if c_idx == 0 else 1
@@ -169,7 +202,7 @@ def deblock_frame(fs: FrameSyntax, planes, ctb_log2: int, beta_off, tc_off):
                                  jnp.asarray(hor0), bit_depth=bd)
   # horizontal: transpose geometry
   Sh, Eh = Wp // 4, Hp // 4
-  motion_t = tuple(m.T for m in motion)
+  motion_t = {k: m.T for k, m in motion.items()}
   bs, qpa, mp, mq = _luma_edge_params(y_pos_y.T, y_h.T, y_qp.T, motion_t,
                                       cbf_y.T, Sh, Eh)
   hor = np.zeros((Sh, Eh), np.int32)

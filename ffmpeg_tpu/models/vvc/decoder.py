@@ -55,12 +55,12 @@ class VVCDecoder:
                     continue
                 if is_idr:
                     self._dpb.clear()
-                refs = [self._dpb[poc] for poc in fs.ref_pocs[0]
-                        if poc in self._dpb]
-                if fs.slice_type != 2 and len(refs) != len(fs.ref_pocs[0]):
-                    raise RuntimeError(
-                        f"missing reference frames {fs.ref_pocs[0]}")
-                planes = reconstruct_frame(fs, refs)
+                if fs.slice_type != 2:
+                    needed = set(fs.ref_pocs[0]) | set(fs.ref_pocs[1])
+                    missing = needed - set(self._dpb)
+                    if missing:
+                        raise RuntimeError(f"missing reference frames {missing}")
+                planes = reconstruct_frame(fs, dict(self._dpb))
                 self._dpb[fs.poc] = planes
                 yield Frame(poc=fs.poc, planes=planes, width=fs.width,
                             height=fs.height, bit_depth=fs.bit_depth)

@@ -19,7 +19,8 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "libvvc_host.so")
 
 CU_FIELDS = ["x0", "y0", "w", "h", "pred_mode", "luma_mode", "chroma_mode",
              "qp", "qp_cb", "qp_cr", "qp_jcbcr",
-             "skip", "merge", "idx", "mv_x", "mv_y", "ref_idx"]
+             "skip", "merge", "idx", "mv_x", "mv_y", "ref_idx",
+             "pf", "mv1_x", "mv1_y", "ref_idx1"]
 TU_FIELDS = ["x0", "y0", "w", "h", "c_idx", "coded", "qp", "cu_index"]
 
 
@@ -135,7 +136,8 @@ class HostDecoder:
         mvf = {name: np.ctypeslib.as_array(
                    self._lib.vvch_mvf(self._h, i),
                    shape=(pu_h, pu_w)).copy()
-               for i, name in enumerate(("pf", "mv_x", "mv_y", "ref"))}
+               for i, name in enumerate(("pf", "mv_x", "mv_y", "ref",
+                                         "mv1_x", "mv1_y", "ref1"))}
 
         return FrameSyntax(
             width=w, height=h, bit_depth=bd, chroma_format_idc=cidc,

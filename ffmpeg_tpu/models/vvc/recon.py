@@ -305,54 +305,88 @@ def _residual_plane(fs: FrameSyntax, c_idx: int, Hp: int, Wp: int, maxs: int):
 
 
 def _inter_pred_plane(fs: FrameSyntax, c_idx: int, Hp: int, Wp: int,
-                      ref_planes) -> jnp.ndarray:
-  """Batched MC over this plane's inter CUs -> padded prediction plane."""
-  from ...ops.mc import mc_uni_batch
+                      refs_by_poc) -> jnp.ndarray:
+  """Batched MC over this plane's inter CUs -> padded prediction plane.
+
+  refs_by_poc: dict poc -> [Y, Cb, Cr] numpy planes.
+  """
+  from ...ops.mc import mc_avg, mc_put_batch, mc_uni_batch
 
   pred = jnp.zeros((Hp, Wp), dtype=jnp.int32)
   cus = fs.cus
   sel = np.where(cus["pred_mode"] == 0)[0]
-  if len(sel) == 0 or not ref_planes:
+  if len(sel) == 0 or not refs_by_poc:
     return pred
   ss = 0 if c_idx == 0 else 1
   x0s = cus["x0"][sel] >> ss
   y0s = cus["y0"][sel] >> ss
   ws = cus["w"][sel] >> ss
   hs = cus["h"][sel] >> ss
-  mvx = cus["mv_x"][sel]
-  mvy = cus["mv_y"][sel]
-  refi = cus["ref_idx"][sel]
-  assert np.all(refi == 0), "multi-ref MC todo"
-  ref = jnp.asarray(np.asarray(ref_planes[0][c_idx], dtype=np.int32))
-  for (w, h) in sorted({(int(a), int(b)) for a, b in zip(ws, hs)}):
-    idx = np.where((ws == w) & (hs == h))[0]
-    npad = _pad_len(len(idx))
-    xs = np.zeros(npad, np.int32)
-    ys = np.zeros(npad, np.int32)
-    mx = np.zeros(npad, np.int32)
-    my = np.zeros(npad, np.int32)
-    xs[:len(idx)] = x0s[idx]
-    ys[:len(idx)] = y0s[idx]
-    mx[:len(idx)] = mvx[idx]
-    my[:len(idx)] = mvy[idx]
-    blocks = mc_uni_batch(ref, jnp.asarray(xs), jnp.asarray(ys),
-                          jnp.asarray(mx), jnp.asarray(my), w=w, h=h,
-                          is_chroma=c_idx > 0, bit_depth=fs.bit_depth)
-    # padding blocks all write to (0,0); mask them by zeroing
-    if npad > len(idx):
+  mv = (np.stack([cus["mv_x"][sel], cus["mv_y"][sel]], 1),
+        np.stack([cus["mv1_x"][sel], cus["mv1_y"][sel]], 1))
+  refi = (cus["ref_idx"][sel], cus["ref_idx1"][sel])
+  pf = cus["pf"][sel]
+
+  def ref_plane(lx, ridx):
+    poc = fs.ref_pocs[lx][ridx]
+    return jnp.asarray(np.asarray(refs_by_poc[poc][c_idx], dtype=np.int32))
+
+  def scatter(pred, xs_n, ys_n, blocks, w, h, n_real):
+    npad = blocks.shape[0]
+    if npad > n_real:
       mask = np.zeros(npad, bool)
-      mask[:len(idx)] = True
+      mask[:n_real] = True
       blocks = blocks * jnp.asarray(mask)[:, None, None]
-    yy = ys[:, None, None] + np.arange(h)[None, :, None]
-    xx = xs[:, None, None] + np.arange(w)[None, None, :]
-    pred = pred.at[jnp.asarray(yy), jnp.asarray(xx)].add(blocks)
+    yy = ys_n[:, None, None] + np.arange(h)[None, :, None]
+    xx = xs_n[:, None, None] + np.arange(w)[None, None, :]
+    return pred.at[jnp.asarray(yy), jnp.asarray(xx)].add(blocks)
+
+  for (w, h) in sorted({(int(a), int(b)) for a, b in zip(ws, hs)}):
+    size_sel = (ws == w) & (hs == h)
+    for kind in ("L0", "L1", "BI"):
+      want_pf = {"L0": 1, "L1": 2, "BI": 3}[kind]
+      idx = np.where(size_sel & (pf == want_pf))[0]
+      if len(idx) == 0:
+        continue
+      # single ref idx per list for now
+      for lx in (0, 1):
+        if want_pf & (lx + 1):
+          assert np.all(refi[lx][idx] == refi[lx][idx][0])
+      npad = _pad_len(len(idx))
+
+      def padded(arr):
+        out = np.zeros(npad, np.int32)
+        out[:len(idx)] = arr[idx]
+        return jnp.asarray(out)
+
+      xs_n = np.zeros(npad, np.int32)
+      ys_n = np.zeros(npad, np.int32)
+      xs_n[:len(idx)] = x0s[idx]
+      ys_n[:len(idx)] = y0s[idx]
+      if kind in ("L0", "L1"):
+        lx = 0 if kind == "L0" else 1
+        ref = ref_plane(lx, int(refi[lx][idx][0]))
+        blocks = mc_uni_batch(ref, jnp.asarray(xs_n), jnp.asarray(ys_n),
+                              padded(mv[lx][:, 0]), padded(mv[lx][:, 1]),
+                              w=w, h=h, is_chroma=c_idx > 0,
+                              bit_depth=fs.bit_depth)
+      else:
+        t = []
+        for lx in (0, 1):
+          ref = ref_plane(lx, int(refi[lx][idx][0]))
+          t.append(mc_put_batch(ref, jnp.asarray(xs_n), jnp.asarray(ys_n),
+                                padded(mv[lx][:, 0]), padded(mv[lx][:, 1]),
+                                w=w, h=h, is_chroma=c_idx > 0,
+                                bit_depth=fs.bit_depth))
+        blocks = mc_avg(t[0], t[1], fs.bit_depth)
+      pred = scatter(pred, xs_n, ys_n, blocks, w, h, len(idx))
   return pred
 
 
-def reconstruct_frame(fs: FrameSyntax, ref_planes=None) -> list[np.ndarray]:
+def reconstruct_frame(fs: FrameSyntax, refs_by_poc=None) -> list[np.ndarray]:
   """Full frame reconstruction; returns [Y, Cb, Cr] uint8/uint16 planes.
 
-  ref_planes: list (indexed by L0 ref_idx) of [Y, Cb, Cr] numpy planes.
+  refs_by_poc: dict poc -> [Y, Cb, Cr] numpy planes (the DPB view).
   """
   assert fs.chroma_format_idc == 1, "4:2:0 only for now"
   bd = fs.bit_depth
@@ -372,7 +406,7 @@ def reconstruct_frame(fs: FrameSyntax, ref_planes=None) -> list[np.ndarray]:
     Hp = _round_up(H, 128 >> ss) + maxs
     Wp = _round_up(W, 128 >> ss) + maxs
     res = _residual_plane(fs, c_idx, Hp, Wp, maxs)
-    inter_pred = _inter_pred_plane(fs, c_idx, Hp, Wp, ref_planes)
+    inter_pred = _inter_pred_plane(fs, c_idx, Hp, Wp, refs_by_poc)
     n = len(ctrl["x0"])
     npad = _pad_len(n)
     ctrl_j = {}

@@ -67,6 +67,8 @@ struct CuRecord {
   int32_t qp_c[3];             // Qp'Cb, Qp'Cr, Qp'CbCr
   int32_t skip, merge, idx;    // idx = merge_idx or mvp_lx_flag
   int32_t mv_x, mv_y, ref_idx; // L0 motion (1/16 pel)
+  int32_t pf;                  // PF_* of final motion
+  int32_t mv1_x, mv1_y, ref_idx1;  // L1 motion
 };
 struct TuRecord {
   int32_t x0, y0, w, h;  // component coords
@@ -92,7 +94,8 @@ struct FrameOut {
   std::vector<TuRecord> tus;
   std::vector<int32_t> ipm;  // per-min-cb intra mode plane
   // MvField planes at 4x4 granularity (MIN_PU_LOG2 == 2)
-  std::vector<int32_t> mvf_pf, mvf_x, mvf_y, mvf_ref;  // L0 only so far
+  std::vector<int32_t> mvf_pf, mvf_x, mvf_y, mvf_ref;       // L0
+  std::vector<int32_t> mvf_x1, mvf_y1, mvf_ref1;            // L1
 };
 
 class Decoder {
@@ -443,7 +446,6 @@ class Decoder {
 
   void decode_slice(const Nal& nal, BitReader& r) {
     sh_ = parse_slice_header(r, nal.type, sps_, pps_);
-    VVC_UNSUPPORTED(sh_.sh_slice_type == 0, "B slices (todo)");
     VVC_UNSUPPORTED(sps_.sps_qtbtt_dual_tree_intra_flag, "dual tree (todo)");
     VVC_UNSUPPORTED(sh_.sh_dep_quant_used_flag, "dep quant (todo)");
     VVC_UNSUPPORTED(sh_.sh_sign_data_hiding_used_flag, "sign hiding (todo)");
@@ -548,11 +550,17 @@ class Decoder {
     out.mvf_x.resize(n);
     out.mvf_y.resize(n);
     out.mvf_ref.resize(n);
+    out.mvf_x1.resize(n);
+    out.mvf_y1.resize(n);
+    out.mvf_ref1.resize(n);
     for (size_t i = 0; i < n; i++) {
       out.mvf_pf[i] = mvf_.empty() ? PF_INTRA : mvf_[i].pred_flag;
       out.mvf_x[i] = mvf_.empty() ? 0 : mvf_[i].mv[0][0];
       out.mvf_y[i] = mvf_.empty() ? 0 : mvf_[i].mv[0][1];
       out.mvf_ref[i] = mvf_.empty() ? -1 : mvf_[i].ref_idx[0];
+      out.mvf_x1[i] = mvf_.empty() ? 0 : mvf_[i].mv[1][0];
+      out.mvf_y1[i] = mvf_.empty() ? 0 : mvf_[i].mv[1][1];
+      out.mvf_ref1[i] = mvf_.empty() ? -1 : mvf_[i].ref_idx[1];
     }
     frame_ready = true;
   }
@@ -863,9 +871,41 @@ class Decoder {
     VVC_UNSUPPORTED(sps_.sps_mts_enabled_flag, "mts (todo)");
   }
 
+  void decode_mvd(int32_t* mvd) {
+    // mvd_coding (vvc_ctu.c:1466-1489)
+    int gt0[2];
+    for (int c = 0; c < 2; c++) gt0[c] = bin(ABS_MVD_GREATER0_FLAG);
+    int gt1[2] = {0, 0};
+    for (int c = 0; c < 2; c++)
+      if (gt0[c]) gt1[c] = bin(ABS_MVD_GREATER1_FLAG);
+    for (int c = 0; c < 2; c++) {
+      int v = gt0[c] + gt1[c];
+      mvd[c] = 0;
+      if (v > 0) {
+        if (v == 2) v += egk_decode(1, 15, 17);
+        mvd[c] = cd_->bypass() ? -v : v;
+      }
+    }
+  }
+
+  int decode_ref_idx(int lx) {
+    int ref_idx = 0;
+    if (sh_.num_ref_idx_active[lx] > 1) {
+      int c_max = sh_.num_ref_idx_active[lx] - 1;
+      int max_ctx = std::min(c_max, 2);
+      int i = 0;
+      while (i < max_ctx && bin(REF_IDX_LX + i)) i++;
+      if (i == 2)
+        while (i < c_max && cd_->bypass()) i++;
+      ref_idx = i;
+    }
+    return ref_idx;
+  }
+
   // -- inter CU (inter_data, vvc_ctu.c:1694-1730; merge_data_regular) --
   void inter_data(CuRecord& cu) {
     int x0 = cu.x0, y0 = cu.y0, w = cu.w, h = cu.h;
+    bool is_b = sh_.sh_slice_type == 0;
     int general_merge = 1;
     if (!cu.skip) general_merge = bin(GENERAL_MERGE_FLAG);
     cu.merge = general_merge;
@@ -882,51 +922,67 @@ class Decoder {
       }
       cu.idx = merge_idx;
       f = merge_candidate(x0, y0, w, h, merge_idx, sps_.max_num_merge_cand,
-                          sh_.sh_slice_type == 0);
+                          is_b);
       // mv_merge_refine_pred_flag: bi & w+h==12 -> L0
       if (f.pred_flag == PF_BI && w + h == 12) f.pred_flag = PF_L0;
     } else {
-      // AMVP; P slice: pred_flag = PF_L0, amvr off -> shift 2
-      int ref_idx = 0;
-      if (sh_.num_ref_idx_active[0] > 1) {
-        int c_max = sh_.num_ref_idx_active[0] - 1;
-        int max_ctx = std::min(c_max, 2);
-        int i = 0;
-        while (i < max_ctx && bin(REF_IDX_LX + i)) i++;
-        if (i == 2)
-          while (i < c_max && cd_->bypass()) i++;
-        ref_idx = i;
+      // AMVP (ff_vvc_pred_flag, vvc_cabac.c:1480); amvr off -> shift 2
+      int pf = PF_L0;
+      if (is_b) {
+        int is_bi = 0;
+        if (w + h > 12) {
+          int log2 = 0, t = w;
+          while (t >>= 1) log2++;
+          t = h;
+          while (t >>= 1) log2++;
+          int inc = 7 - ((1 + log2) >> 1);
+          is_bi = bin(INTER_PRED_IDC + inc);
+        }
+        if (is_bi)
+          pf = PF_BI;
+        else
+          pf = PF_L0 + bin(INTER_PRED_IDC + 5);
       }
-      // mvd_coding (vvc_ctu.c:1466-1489)
-      int32_t mvd[2] = {0, 0};
-      int gt0[2];
-      for (int c = 0; c < 2; c++) gt0[c] = bin(ABS_MVD_GREATER0_FLAG);
-      int gt1[2] = {0, 0};
-      for (int c = 0; c < 2; c++)
-        if (gt0[c]) gt1[c] = bin(ABS_MVD_GREATER1_FLAG);
-      for (int c = 0; c < 2; c++) {
-        int v = gt0[c] + gt1[c];
-        if (v > 0) {
-          if (v == 2) v += egk_decode(1, 15, 17);
-          mvd[c] = cd_->bypass() ? -v : v;
+      int32_t mvds[2][2] = {{0, 0}, {0, 0}};
+      int mvp_flags[2] = {0, 0};
+      int ref_idxs[2] = {-1, -1};
+      for (int lx = 0; lx < 2; lx++) {
+        int skip_flag_pf = lx == 0 ? PF_L1 : PF_L0;
+        if (pf != skip_flag_pf) {
+          ref_idxs[lx] = decode_ref_idx(lx);
+          // ph_mvd_l1_zero_flag: L1+BI -> inferred zero
+          if (lx == 1 && sh_.ph.ph_mvd_l1_zero_flag && pf == PF_BI) {
+            mvds[1][0] = mvds[1][1] = 0;
+          } else {
+            decode_mvd(mvds[lx]);
+          }
+          mvp_flags[lx] = bin(MVP_LX_FLAG);
         }
       }
-      int mvp_flag = bin(MVP_LX_FLAG);
-      cu.idx = mvp_flag;
+      cu.idx = mvp_flags[0];
       int amvr_shift = 2;
-      int ref_idxs[2] = {ref_idx, -1};
-      int32_t mv[2];
-      mvp(x0, y0, w, h, mvp_flag, 0, ref_idxs, amvr_shift, mv);
-      f.pred_flag = PF_L0;
-      f.ref_idx[0] = ref_idx;
-      f.mv[0][0] = mv[0] + (mvd[0] * (1 << amvr_shift));
-      f.mv[0][1] = mv[1] + (mvd[1] * (1 << amvr_shift));
+      f.pred_flag = pf;
+      for (int lx = 0; lx < 2; lx++) {
+        if (pf & (lx + 1)) {
+          int ri[2] = {ref_idxs[0] < 0 ? 0 : ref_idxs[0],
+                       ref_idxs[1] < 0 ? 0 : ref_idxs[1]};
+          int32_t mv[2];
+          mvp(x0, y0, w, h, mvp_flags[lx], lx, ri, amvr_shift, mv);
+          f.ref_idx[lx] = ref_idxs[lx];
+          f.mv[lx][0] = mv[0] + (mvds[lx][0] * (1 << amvr_shift));
+          f.mv[lx][1] = mv[1] + (mvds[lx][1] * (1 << amvr_shift));
+        }
+      }
     }
     set_mvf(x0, y0, w, h, f);
     update_hmvp(mvf_at(x0, y0));
+    cu.pf = f.pred_flag;
     cu.mv_x = f.mv[0][0];
     cu.mv_y = f.mv[0][1];
     cu.ref_idx = f.ref_idx[0];
+    cu.mv1_x = f.mv[1][0];
+    cu.mv1_y = f.mv[1][1];
+    cu.ref_idx1 = f.ref_idx[1];
 
     // cu_coded_flag (vvc_ctu.c:1794-1798)
     int coded;
@@ -1466,7 +1522,10 @@ const int32_t* vvch_mvf(void* h, int which) {
     case 0: return o.mvf_pf.data();
     case 1: return o.mvf_x.data();
     case 2: return o.mvf_y.data();
-    default: return o.mvf_ref.data();
+    case 3: return o.mvf_ref.data();
+    case 4: return o.mvf_x1.data();
+    case 5: return o.mvf_y1.data();
+    default: return o.mvf_ref1.data();
   }
 }
 // [slice_type, nb_refs0, nb_refs1, ref_pocs0[16], ref_pocs1[16]]

@@ -78,3 +78,49 @@ def mc_uni_batch(ref_plane, x0s, y0s, mvx, mvy, *, w: int, h: int,
   shift2 = 14 - bit_depth
   off = 1 << (shift2 - 1)
   return jnp.clip((val + off) >> shift2, 0, (1 << bit_depth) - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "h", "is_chroma",
+                                             "bit_depth"))
+def mc_put_batch(ref_plane, x0s, y0s, mvx, mvy, *, w: int, h: int,
+                 is_chroma: bool, bit_depth: int = 8):
+  """Bi-prediction intermediate MC: returns 14-bit-scale (N, h, w) int32
+  without the final uni rounding (h2656 put_* path)."""
+  H, W = ref_plane.shape
+  taps = 4 if is_chroma else 8
+  before = 1 if is_chroma else 3
+  if is_chroma:
+    frac_x = mvx & 31
+    frac_y = mvy & 31
+    ix = x0s + (mvx >> 5)
+    iy = y0s + (mvy >> 5)
+    ftab = jnp.asarray(INTERP_CHROMA[0])
+  else:
+    frac_x = mvx & 15
+    frac_y = mvy & 15
+    ix = x0s + (mvx >> 4)
+    iy = y0s + (mvy >> 4)
+    ftab = jnp.asarray(INTERP_LUMA[0])
+  hf = ftab[frac_x]
+  vf = ftab[frac_y]
+  gw = w + taps - 1
+  gh = h + taps - 1
+  xs = jnp.clip(ix[:, None] + jnp.arange(gw)[None, :] - before, 0, W - 1)
+  ys = jnp.clip(iy[:, None] + jnp.arange(gh)[None, :] - before, 0, H - 1)
+  win = ref_plane[ys[:, :, None], xs[:, None, :]]
+  shift1 = bit_depth - 8
+  acc = jnp.zeros((x0s.shape[0], gh, w), dtype=jnp.int32)
+  for k in range(taps):
+    acc = acc + hf[:, k, None, None] * win[:, :, k:k + w]
+  tmp = acc >> shift1
+  acc = jnp.zeros((x0s.shape[0], h, w), dtype=jnp.int32)
+  for k in range(taps):
+    acc = acc + vf[:, k, None, None] * tmp[:, k:k + h, :]
+  return acc >> 6
+
+
+def mc_avg(t0, t1, bit_depth: int = 8):
+  """Bi-prediction average (vvc_inter_template.c:25-41)."""
+  shift = max(3, 15 - bit_depth)
+  off = 1 << (shift - 1)
+  return jnp.clip((t0 + t1 + off) >> shift, 0, (1 << bit_depth) - 1)

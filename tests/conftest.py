@@ -17,10 +17,12 @@ if "host_platform_device_count" not in flags:
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # persistent XLA compilation cache: recon programs are shape-specialized
-# and dominate test wall time otherwise
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join("/tmp", "ffmpeg_tpu_jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+# and dominate test wall time otherwise (env vars are ignored by this
+# jax build; the config API works)
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/ffmpeg_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 
 REFBUILD = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".refbuild")
 REF_FFMPEG = os.path.join(REFBUILD, "ffmpeg")
