@@ -23,6 +23,13 @@ MODE_INTER, MODE_INTRA = 0, 1
 INTRA_PLANAR, INTRA_DC, INTRA_HORZ, INTRA_VERT = 0, 1, 18, 50
 
 
+def _sao_off() -> dict:
+    return {"merge": None, "type": [0, 0, 0],
+            "offset_abs": [[0] * 4 for _ in range(3)],
+            "offset_sign": [[0] * 4 for _ in range(3)],
+            "band_position": [0, 0, 0], "eo_class": [0, 0, 0]}
+
+
 def _rpl_deltas(rpls) -> list[int]:
     """Cumulative POC deltas (current - ref) from a RefPicListStruct."""
     out = []
@@ -129,6 +136,7 @@ class FrameSyntaxEncoder:
         self.tab_cbh = np.zeros((mh, mw), dtype=np.int32)
         self.tab_cqt = np.zeros((mh, mw), dtype=np.int32)
         self.tab_skip = np.zeros((mh, mw), dtype=np.int32)
+        self.tab_sao: dict = {}  # (rx, ry) -> resolved sao params
 
         # inter state (P slices): list0 POCs + motion context
         self.is_inter_slice = sh.sh_slice_type != 2
@@ -538,6 +546,65 @@ class FrameSyntaxEncoder:
                              cqt_depth + dq, mtt_depth + dm,
                              depth_offset + doff, idx, split)
 
+    # -- SAO (hls_sao, vvc_ctu.c:2147-2213) ----------------------------
+    def _encode_sao(self, rx: int, ry: int, sao: dict) -> None:
+        """sao intent: {'merge': 'left'|'up'|None,
+        'type': [3], 'offset_abs': [3][4], 'offset_sign': [3][4],
+        'band_position': [3], 'eo_class': [3]} (resolved params stored
+        into self.tab_sao for neighbour merges)."""
+        sh = self.sh
+        bd = self.sps.bit_depth
+        merge = sao.get("merge")
+        merge_left = merge == "left"
+        merge_up = merge == "up"
+        if sh.sh_sao_luma_used_flag or sh.sh_sao_chroma_used_flag:
+            if rx > 0 and self.ctb_left:
+                self._bin("SAO_MERGE_FLAG", 0, int(merge_left))
+            if ry > 0 and not merge_left and self.ctb_up:
+                self._bin("SAO_MERGE_FLAG", 0, int(merge_up))
+        if merge_left:
+            params = dict(self.tab_sao[(rx - 1, ry)])
+        elif merge_up:
+            params = dict(self.tab_sao[(rx, ry - 1)])
+        else:
+            params = sao
+            n_c = 3 if self.sps.sps_chroma_format_idc else 1
+            max_off = (1 << (min(bd, 10) - 5)) - 1
+            for c in range(n_c):
+                used = (sh.sh_sao_luma_used_flag if c == 0
+                        else sh.sh_sao_chroma_used_flag)
+                if not used:
+                    assert sao["type"][c] == 0
+                    continue
+                if c == 2:
+                    assert sao["type"][2] == sao["type"][1]
+                    assert sao["eo_class"][2] == sao["eo_class"][1]
+                else:
+                    t = sao["type"][c]
+                    self._bin("SAO_TYPE_IDX", 0, int(t != 0))
+                    if t != 0:
+                        self.enc.bypass(int(t == 2))
+                if sao["type"][c] == 0:
+                    continue
+                for i in range(4):
+                    v = sao["offset_abs"][c][i]
+                    assert 0 <= v <= max_off
+                    for _ in range(v):
+                        self.enc.bypass(1)
+                    if v < max_off:
+                        self.enc.bypass(0)
+                if sao["type"][c] == 1:  # band
+                    for i in range(4):
+                        if sao["offset_abs"][c][i]:
+                            self.enc.bypass(sao["offset_sign"][c][i])
+                    self.enc.bypass_bits(sao["band_position"][c], 5)
+                elif c != 2:  # edge
+                    self.enc.bypass_bits(sao["eo_class"][c], 2)
+        self.tab_sao[(rx, ry)] = params
+        sao.update({k: params[k] for k in ("type", "offset_abs",
+                                           "offset_sign", "band_position",
+                                           "eo_class")})
+
     def encode_ctu(self, rx: int, ry: int, tree: dict,
                    is_last_in_slice: bool) -> None:
         self.ctb_left = rx > 0
@@ -546,8 +613,9 @@ class FrameSyntaxEncoder:
         # single tile -> at the first CTU of every row
         if rx == 0 and self.motion is not None:
             self.motion.hmvp.clear()
-        # SAO/ALF/deblock-override all disabled -> no per-CTU bins
-        assert not self.sh.sh_sao_luma_used_flag and not self.sh.sh_alf_enabled_flag
+        if self.sh.sh_sao_luma_used_flag or self.sh.sh_sao_chroma_used_flag:
+            self._encode_sao(rx, ry, tree.setdefault("sao", _sao_off()))
+        assert not self.sh.sh_alf_enabled_flag
         x0 = rx << self.ctb_log2
         y0 = ry << self.ctb_log2
         self.encode_tree(tree, x0, y0, self.ctb_size, self.ctb_size,

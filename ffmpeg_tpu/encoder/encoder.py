@@ -28,7 +28,8 @@ class EncoderConfig:
     seed: int = 0
     max_level: int = 12  # max abs coefficient level
     coeff_density: float = 0.15  # fraction of nonzero coeffs
-    deblock: bool = False  # in-loop deblocking (off until stage lands)
+    deblock: bool = False  # in-loop deblocking
+    sao: bool = False      # sample adaptive offset
     # inter (P/B slices referencing the previous frame)
     inter: bool = False
     b_slices: bool = False   # use B slices (prev frame in both lists)
@@ -68,6 +69,7 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
         sps_log2_diff_max_tt_min_qt_inter_slice=(
             cfg.max_tt_size.bit_length() - 1 - min_qt_log2
             if cfg.max_mtt_depth else 0),
+        sps_sao_enabled_flag=1 if cfg.sao else 0,
     )
     pps = PPS(
         pps_pic_width_in_luma_samples=cfg.width,
@@ -189,6 +191,39 @@ def random_frame_intent(cfg: EncoderConfig, sps: SPS, pps: PPS,
     return trees
 
 
+def _random_sao(cfg, rng, can_left: bool, can_up: bool) -> dict:
+    from .ctu import _sao_off
+
+    sao = _sao_off()
+    r = rng.random()
+    if r < 0.15 and can_left:
+        sao["merge"] = "left"
+        return sao
+    if r < 0.3 and can_up:
+        sao["merge"] = "up"
+        return sao
+    max_off = (1 << (min(cfg.bit_depth, 10) - 5)) - 1
+    for c in range(3):
+        t = int(rng.choice([0, 1, 2]))
+        sao["type"][c] = t
+        if t:
+            sao["offset_abs"][c] = [int(v) for v in
+                                    rng.integers(0, max_off + 1, 4)]
+            if t == 1:
+                sao["offset_sign"][c] = [int(v) for v in rng.integers(0, 2, 4)]
+                sao["band_position"][c] = int(rng.integers(0, 32))
+            else:
+                sao["eo_class"][c] = int(rng.integers(0, 4))
+    # c2 shares type/eo with c1
+    sao["type"][2] = sao["type"][1]
+    sao["eo_class"][2] = sao["eo_class"][1]
+    if sao["type"][2] == 0:
+        sao["offset_abs"][2] = [0] * 4
+        sao["offset_sign"][2] = [0] * 4
+        sao["band_position"][2] = 0
+    return sao
+
+
 def tree_leaves(node: dict) -> list[CuIntent]:
     if "cu" in node:
         return [node["cu"]]
@@ -229,7 +264,15 @@ def encode_stream(cfg: EncoderConfig):
             sh.sh_ref_pic_lists = (RefPicListStruct(entries=[(1, 1)]), l1)
             if cfg.b_slices:
                 sh.ph.ph_mvd_l1_zero_flag = 0
+        if cfg.sao:
+            sh.sh_sao_luma_used_flag = 1
+            sh.sh_sao_chroma_used_flag = 1
         trees = random_frame_intent(cfg, sps, pps, rng, is_inter_slice=is_p)
+        if cfg.sao:
+            ctb_w = (cfg.width + (1 << cfg.ctu_log2) - 1) >> cfg.ctu_log2
+            for i, t in enumerate(trees):
+                t["sao"] = _random_sao(cfg, rng, i % ctb_w > 0,
+                                       i // ctb_w > 0)
         fse = FrameSyntaxEncoder(sps, pps, sh)
         n_ctus = len(trees)
         idx = 0

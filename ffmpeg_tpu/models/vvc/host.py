@@ -51,7 +51,7 @@ def _get_lib():
         lib.vvch_frame_info.argtypes = [ctypes.c_void_p,
                                         ctypes.POINTER(ctypes.c_int32)]
         for name in ("vvch_coeffs", "vvch_cus", "vvch_tus", "vvch_ipm",
-                     "vvch_mvf"):
+                     "vvch_mvf", "vvch_sao"):
             fn = getattr(lib, name)
             fn.restype = ctypes.POINTER(ctypes.c_int32)
             fn.argtypes = [ctypes.c_void_p] + (
@@ -83,6 +83,7 @@ class FrameSyntax:
     slice_type: int = 2       # 0=B 1=P 2=I
     ref_pocs: tuple = ((), ())  # per-list reference POCs
     mvf: dict | None = None   # 4x4 planes: pf, mv_x, mv_y, ref (L0)
+    sao: np.ndarray | None = None  # (ctb_h, ctb_w, 24) per-CTB params
 
 
 class HostDecoder:
@@ -132,6 +133,10 @@ class HostDecoder:
         slice_type = int(rinfo[0])
         nb0, nb1 = int(rinfo[1]), int(rinfo[2])
         ref_pocs = (tuple(rinfo[3:3 + nb0]), tuple(rinfo[19:19 + nb1]))
+        ctb = 32  # v1 streams use CTU 32
+        cbh, cbw = (h + ctb - 1) // ctb, (w + ctb - 1) // ctb
+        sao = np.ctypeslib.as_array(self._lib.vvch_sao(self._h),
+                                    shape=(cbh, cbw, 24)).copy()
         pu_h, pu_w = h // 4, w // 4
         mvf = {name: np.ctypeslib.as_array(
                    self._lib.vvch_mvf(self._h, i),
@@ -154,4 +159,5 @@ class HostDecoder:
             slice_type=slice_type,
             ref_pocs=ref_pocs,
             mvf=mvf,
+            sao=sao,
         )

@@ -422,6 +422,19 @@ def reconstruct_frame(fs: FrameSyntax, refs_by_poc=None) -> list[np.ndarray]:
     padded = deblock_frame(fs, padded, ctb_log2, fs.beta_offset,
                            fs.tc_offset)
 
+  if fs.sao is not None and np.any(fs.sao[..., 0:3]):
+    from ...ops.sao import sao_plane
+    for c_idx in range(3):
+      ss = 0 if c_idx == 0 else 1
+      padded[c_idx] = sao_plane(
+          padded[c_idx],
+          jnp.asarray(fs.sao[..., c_idx]),
+          jnp.asarray(fs.sao[..., 3 + c_idx]),
+          jnp.asarray(fs.sao[..., 9 + 5 * c_idx:9 + 5 * c_idx + 5]),
+          jnp.asarray(fs.sao[..., 6 + c_idx]),
+          fs.width >> ss, fs.height >> ss,
+          ctb=(1 << ctb_log2) >> ss, bit_depth=bd)
+
   dt = np.uint8 if bd == 8 else np.uint16
   for c_idx, p in enumerate(padded):
     ss = 0 if c_idx == 0 else 1

@@ -96,6 +96,9 @@ struct FrameOut {
   // MvField planes at 4x4 granularity (MIN_PU_LOG2 == 2)
   std::vector<int32_t> mvf_pf, mvf_x, mvf_y, mvf_ref;       // L0
   std::vector<int32_t> mvf_x1, mvf_y1, mvf_ref1;            // L1
+  // per-CTB SAO params, 24 ints each:
+  // type[3], band_position[3], eo_class[3], offset_val[3][5]
+  std::vector<int32_t> sao;
 };
 
 class Decoder {
@@ -533,6 +536,7 @@ class Decoder {
     int ctb_w = (pps_.width + sps_.ctb_size_y - 1) >> sps_.ctb_log2_size_y;
     int ctb_h = (pps_.height + sps_.ctb_size_y - 1) >> sps_.ctb_log2_size_y;
     int n_ctus = ctb_w * ctb_h;
+    out.sao.assign((size_t)n_ctus * SAO_N, 0);
     int idx = 0;
     for (int ry = 0; ry < ctb_h; ry++) {
       for (int rx = 0; rx < ctb_w; rx++, idx++) {
@@ -565,14 +569,83 @@ class Decoder {
     frame_ready = true;
   }
 
+  static constexpr int SAO_N = 24;  // ints per CTB in out.sao
+
+  // hls_sao mirror (vvc_ctu.c:2147-2213)
+  void decode_sao(int rx, int ry) {
+    int ctb_w = sps_.ctb_width(pps_.width);
+    int32_t* p = &out.sao[(size_t)(ry * ctb_w + rx) * SAO_N];
+    int32_t* left = rx > 0 ? p - SAO_N : nullptr;
+    int32_t* up = ry > 0 ? p - (size_t)ctb_w * SAO_N : nullptr;
+    int merge_left = 0, merge_up = 0;
+    bool luma_used = sh_.sh_sao_luma_used_flag;
+    bool chroma_used = sh_.sh_sao_chroma_used_flag;
+    if (luma_used || chroma_used) {
+      if (rx > 0 && ctb_left_) merge_left = bin(SAO_MERGE_FLAG);
+      if (ry > 0 && !merge_left && ctb_up_) merge_up = bin(SAO_MERGE_FLAG);
+    }
+    if (merge_left || merge_up) {
+      const int32_t* src = merge_left ? left : up;
+      for (int i = 0; i < SAO_N; i++) p[i] = src[i];
+      return;
+    }
+    int32_t type[3] = {0, 0, 0}, band[3] = {0, 0, 0}, eo[3] = {0, 0, 0};
+    int32_t offs[3][4] = {};
+    int32_t sign[3][4] = {};
+    int n_c = sps_.sps_chroma_format_idc ? 3 : 1;
+    int bd = sps_.bit_depth;
+    int max_off = (1 << (std::min(bd, 10) - 5)) - 1;
+    for (int c = 0; c < n_c; c++) {
+      bool used = c == 0 ? luma_used : chroma_used;
+      if (!used) continue;
+      if (c == 2) {
+        type[2] = type[1];
+        eo[2] = eo[1];
+      } else {
+        if (bin(SAO_TYPE_IDX))
+          type[c] = cd_->bypass() ? 2 : 1;  // 1=band 2=edge
+      }
+      if (!type[c]) continue;
+      for (int i = 0; i < 4; i++) {
+        int v = 0;
+        while (v < max_off && cd_->bypass()) v++;
+        offs[c][i] = v;
+      }
+      if (type[c] == 1) {
+        for (int i = 0; i < 4; i++)
+          if (offs[c][i]) sign[c][i] = cd_->bypass();
+        band[c] = (int)cd_->bypass_bits(5);
+      } else if (c != 2) {
+        eo[c] = (int)cd_->bypass_bits(2);
+      }
+    }
+    // offset_val derivation (vvc_ctu.c:2216-2229)
+    int scale = bd - std::min(10, bd);
+    for (int c = 0; c < 3; c++) {
+      p[c] = type[c];
+      p[3 + c] = band[c];
+      p[6 + c] = eo[c];
+      int32_t* ov = &p[9 + c * 5];
+      ov[0] = 0;
+      for (int i = 0; i < 4; i++) {
+        int v = offs[c][i];
+        if (type[c] == 2) {
+          if (i > 1) v = -v;
+        } else if (sign[c][i]) {
+          v = -v;
+        }
+        ov[i + 1] = v * (1 << scale);
+      }
+    }
+  }
+
   void parse_ctu(int rx, int ry) {
     ctb_left_ = rx > 0;
     ctb_up_ = ry > 0;
     // HMVP resets at each tile-column start (vvc_ctu.c:2447-2450)
     if (rx == pps_.ctb_to_col_bd[rx]) hmvp_.clear();
-    // SAO/ALF params would be parsed here (tools off for now)
-    VVC_UNSUPPORTED(sh_.sh_sao_luma_used_flag || sh_.sh_sao_chroma_used_flag,
-                    "sao parse (todo)");
+    if (sh_.sh_sao_luma_used_flag || sh_.sh_sao_chroma_used_flag)
+      decode_sao(rx, ry);
     int x0 = rx << sps_.ctb_log2_size_y;
     int y0 = ry << sps_.ctb_log2_size_y;
     coding_tree(x0, y0, sps_.ctb_size_y, sps_.ctb_size_y, 0, 0, 0, 0,
@@ -1516,6 +1589,7 @@ const int32_t* vvch_tus(void* h) {
   return (const int32_t*)((Decoder*)h)->out.tus.data();
 }
 const int32_t* vvch_ipm(void* h) { return ((Decoder*)h)->out.ipm.data(); }
+const int32_t* vvch_sao(void* h) { return ((Decoder*)h)->out.sao.data(); }
 const int32_t* vvch_mvf(void* h, int which) {
   FrameOut& o = ((Decoder*)h)->out;
   switch (which) {

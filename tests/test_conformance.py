@@ -43,8 +43,12 @@ needs_ref = pytest.mark.skipif(not os.path.exists(REF_FFMPEG),
     dict(width=128, height=96, seed=106, qp=28, inter=True, n_frames=4),
     dict(width=96, height=64, seed=107, qp=35, inter=True, deblock=True,
          n_frames=4, max_mv=300),
+    dict(width=96, height=64, seed=108, qp=30, inter=True, b_slices=True,
+         deblock=True, n_frames=4, max_mv=200),
+    dict(width=96, height=64, seed=109, qp=32, bit_depth=10, sao=True,
+         deblock=True, inter=True, b_slices=True, n_frames=3),
 ], ids=["64x64", "128x64x2f", "96x96-dense", "deblock", "deblock-unaligned",
-        "inter-p", "inter-p-deblock"])
+        "inter-p", "inter-p-deblock", "inter-b", "10bit-sao-full"])
 def test_frame_md5_parity(tmp_path, cfg_kw):
     from ffmpeg_tpu.encoder.encoder import EncoderConfig, encode_stream
 
