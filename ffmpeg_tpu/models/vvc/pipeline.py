@@ -1,0 +1,546 @@
+"""Single-program frame decode: one XLA dispatch reconstructs a frame.
+
+The dispatch-latency-bound path (one jit per stage = dozens of host
+round trips per frame) is folded into a single compiled program that
+takes syntax tensors and reference planes and produces the three
+decoded planes:
+
+  coeff planes ──gather──> bucketed dequant+ITX ──scatter──> residual
+  ctrl arrays ──> sequential CU loop (intra pred | in-loop MC) ──> recon
+  edge grids  ──> deblock V+H ──> SAO ──> planes
+
+Shapes are fixed per stream geometry; per-frame variability (CU count,
+bucket occupancy) rides in traced scalars and masks, so every frame of
+a stream reuses one compiled executable.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops import intra as I
+from ...ops.deblock import deblock_vertical_chroma, deblock_vertical_luma
+from ...ops.mc import INTERP_CHROMA, INTERP_LUMA
+from ...ops.sao import sao_plane
+from ...ops.transform import itx_matrix
+from .host import FrameSyntax
+from .recon import _round_up, derive_cu_controls, CTRL_KEYS
+
+# fixed TU size buckets per plane kind (w, h); luma min width 8 under the
+# mode-type-safe generator, but keep 4-wide for future tools
+LUMA_SIZES = [(w, h) for w in (4, 8, 16, 32) for h in (4, 8, 16, 32)]
+CHROMA_SIZES = [(w, h) for w in (2, 4, 8, 16) for h in (2, 4, 8, 16)]
+
+MC_CTRL_KEYS = ("pf", "m0x", "m0y", "m1x", "m1y")
+
+
+def _bucket_capacity(W, H, w, h):
+  return max(1, (W // w) * (H // h))
+
+
+# ----------------------------------------------------------------------
+# device-side pieces (traced inside the frame program)
+# ----------------------------------------------------------------------
+
+def _residual_from_buckets(coeff_plane, buckets, Hp, Wp, bit_depth, sizes):
+  res = jnp.zeros((Hp, Wp), jnp.int32)
+  for (w, h) in sizes:
+    b = buckets[(w, h)]
+    n = b["n"]  # traced scalar
+    cap = b["x0"].shape[0]
+    lw, lh = w.bit_length() - 1, h.bit_length() - 1
+    # gather levels
+    yy = b["y0"][:, None, None] + jnp.arange(h)[None, :, None]
+    xx = b["x0"][:, None, None] + jnp.arange(w)[None, None, :]
+    levels = coeff_plane[yy, xx]
+    scale16 = (b["scale"] * 16)[:, None, None]
+    off = (jnp.int32(1) << b["shift"] >> 1)[:, None, None]
+    sh = b["shift"][:, None, None]
+    deq = (levels * scale16 + off) >> sh
+    deq = jnp.where(levels == 0, 0, jnp.clip(deq, -(1 << 15), (1 << 15) - 1))
+    mv = jnp.asarray(itx_matrix("dct2", h))
+    mh = jnp.asarray(itx_matrix("dct2", w))
+    tmp = jnp.einsum("yk,nkx->nyx", mv, deq, preferred_element_type=jnp.int32)
+    tmp = jnp.clip((tmp + 64) >> 7, -(1 << 15), (1 << 15) - 1)
+    out = jnp.einsum("nyk,xk->nyx", tmp, mh, preferred_element_type=jnp.int32)
+    shift2 = 5 + 15 - bit_depth
+    out = (out + (1 << (shift2 - 1))) >> shift2
+    mask = (jnp.arange(cap) < n)[:, None, None]
+    res = res.at[yy, xx].add(out * mask)
+  return res
+
+
+def _mc_block(refs, x0, y0, mvx, mvy, maxs, taps, before, frac_bits,
+              bit_depth, lx):
+  """Generic separable MC window for one CU (maxs x maxs), 14-bit out."""
+  ref = refs[lx]
+  H, W = ref.shape
+  mask = (1 << frac_bits) - 1
+  frac_x = mvx & mask
+  frac_y = mvy & mask
+  ix = x0 + (mvx >> frac_bits)
+  iy = y0 + (mvy >> frac_bits)
+  ftab = jnp.asarray((INTERP_CHROMA if taps == 4 else INTERP_LUMA)[0]
+                     .astype(np.int32))
+  hf = ftab[frac_x]
+  vf = ftab[frac_y]
+  g = maxs + taps - 1
+  xs = jnp.clip(ix + jnp.arange(g) - before, 0, W - 1)
+  ys = jnp.clip(iy + jnp.arange(g) - before, 0, H - 1)
+  win = ref[ys[:, None], xs[None, :]]
+  shift1 = bit_depth - 8
+  acc = jnp.zeros((g, maxs), jnp.int32)
+  for k in range(taps):
+    acc = acc + hf[k] * win[:, k:k + maxs]
+  tmp = acc >> shift1
+  acc = jnp.zeros((maxs, maxs), jnp.int32)
+  for k in range(taps):
+    acc = acc + vf[k] * tmp[k:k + maxs, :]
+  return acc >> 6
+
+
+def _recon_plane(res_plane, ctrl, n_cus, refs, *, maxs, is_chroma,
+                 bit_depth, mv_shift):
+  Hp, Wp = res_plane.shape
+  maxv = (1 << bit_depth) - 1
+  mid = 1 << (bit_depth - 1)
+  _, OFF = I.edge_len(maxs)
+  plane0 = jnp.full((Hp, Wp), mid, dtype=jnp.int32)
+  taps = 4 if is_chroma else 8
+  before = 1 if is_chroma else 3
+  frac_bits = 5 if is_chroma else 4
+
+  def body(i, plane):
+    x0 = ctrl["x0"][i]
+    y0 = ctrl["y0"][i]
+    w = ctrl["w"][i]
+    h = ctrl["h"][i]
+    left, top = I.edge_arrays(plane, x0, y0, maxs, ctrl["avail_l"][i],
+                              ctrl["avail_t"][i], ctrl["cand_up_left"][i],
+                              mid)
+
+    def do_filter(args):
+      l, t = args
+      return I.ref_filter_121(l, t, OFF, ctrl["left_size"][i],
+                              ctrl["top_size"][i],
+                              ctrl["unfilter_last_one"][i])
+
+    left, top = jax.lax.cond(ctrl["smooth"][i] > 0, do_filter,
+                             lambda a: a, (left, top))
+    top = jax.lax.cond(
+        ctrl["proj_v"][i] > 0,
+        lambda t: I.project_negative_angle(t, left, OFF,
+                                           ctrl["inv_angle"][i], h),
+        lambda t: t, top)
+    left = jax.lax.cond(
+        ctrl["proj_h"][i] > 0,
+        lambda l: I.project_negative_angle(l, top, OFF,
+                                           ctrl["inv_angle"][i], w),
+        lambda l: l, left)
+
+    angle = ctrl["angle"][i]
+    inv = ctrl["inv_angle"][i]
+    ff = ctrl["filter_flag"][i]
+    pdpc = ctrl["do_pdpc"][i]
+    ns = ctrl["nscale"][i]
+    logw = ctrl["logw"][i]
+    logh = ctrl["logh"][i]
+
+    def inter_pred():
+      pf = ctrl["pf"][i]
+      t0 = _mc_block(refs, x0, y0, ctrl["m0x"][i], ctrl["m0y"][i], maxs,
+                     taps, before, frac_bits, bit_depth, 0)
+      t1 = _mc_block(refs, x0, y0, ctrl["m1x"][i], ctrl["m1y"][i], maxs,
+                     taps, before, frac_bits, bit_depth, 1)
+      # uni: put_uni rounding on the used list; bi: avg
+      shift2 = 14 - bit_depth
+      off2 = 1 << (shift2 - 1)
+      uni = jnp.where(pf == 1, t0, t1)
+      uni = jnp.clip((uni + off2) >> shift2, 0, maxv)
+      sh_avg = max(3, 15 - bit_depth)
+      bi = jnp.clip((t0 + t1 + (1 << (sh_avg - 1))) >> sh_avg, 0, maxv)
+      return jnp.where(pf == 3, bi, uni)
+
+    branches = [
+        lambda: I.pred_planar(top, left, OFF, maxs, w, h, logw, logh),
+        lambda: I.pred_dc(top, left, OFF, maxs, w, h),
+        lambda: I.pred_v(top, OFF, maxs),
+        lambda: I.pred_h(left, OFF, maxs),
+        lambda: I.pred_angular_v(top, left, OFF, maxs, w, h, angle, inv, ff,
+                                 pdpc, ns, is_chroma, maxv),
+        lambda: I.pred_angular_h(top, left, OFF, maxs, w, h, angle, inv, ff,
+                                 pdpc, ns, is_chroma, maxv),
+        inter_pred,
+    ]
+    mc = ctrl["mode_class"][i]
+    pred = jax.lax.switch(mc, branches)
+    pred = jax.lax.cond(
+        (pdpc > 0) & (mc < I.MC_ANG_V),
+        lambda p: I.pdpc_hvdc(p, top, left, OFF, maxs, logw, logh, mc, maxv),
+        lambda p: p, pred)
+
+    res = jax.lax.dynamic_slice(res_plane, (y0, x0), (maxs, maxs))
+    old = jax.lax.dynamic_slice(plane, (y0, x0), (maxs, maxs))
+    new = jnp.clip(pred + res, 0, maxv)
+    yy = jnp.arange(maxs)[:, None]
+    xx = jnp.arange(maxs)[None, :]
+    blk = jnp.where((yy < h) & (xx < w), new, old).astype(jnp.int32)
+    return jax.lax.dynamic_update_slice(plane, blk, (y0, x0))
+
+  return jax.lax.fori_loop(0, n_cus, body, plane0)
+
+
+def _build_frame_program(shapes):
+  """Returns the jitted frame program for a given stream geometry.
+
+  shapes: dict with W, H, ctb_log2, bit_depth, chroma (bool).
+  """
+  W, H = shapes["W"], shapes["H"]
+  bd = shapes["bit_depth"]
+  ctb_log2 = shapes["ctb_log2"]
+  maxs_y = 1 << ctb_log2
+  maxs_c = maxs_y >> 1
+  Hp_y = _round_up(H, 128) + maxs_y
+  Wp_y = _round_up(W, 128) + maxs_y
+  Hp_c = _round_up(H >> 1, 64) + maxs_c
+  Wp_c = _round_up(W >> 1, 64) + maxs_c
+
+  def frame_program(inp, refs_in):
+    planes = []
+    for c_idx, (maxs, Hp, Wp, sizes) in enumerate((
+        (maxs_y, Hp_y, Wp_y, LUMA_SIZES),
+        (maxs_c, Hp_c, Wp_c, CHROMA_SIZES),
+        (maxs_c, Hp_c, Wp_c, CHROMA_SIZES))):
+      p = inp["planes"][c_idx]
+      res = _residual_from_buckets(p["coeff"], p["buckets"], Hp, Wp, bd,
+                                   sizes)
+      ss = 0 if c_idx == 0 else 1
+      # refs arrive padded (device-resident DPB planes); crop to pic size
+      r0, r1 = refs_in[c_idx]
+      refs = jnp.stack([r0[:H >> ss, :W >> ss], r1[:H >> ss, :W >> ss]])
+      plane = _recon_plane(res, p["ctrl"], inp["n_cus"], refs,
+                           maxs=maxs, is_chroma=c_idx > 0, bit_depth=bd,
+                           mv_shift=0)
+      planes.append(plane)
+
+    def loopfilters(planes):
+      d = inp["deblock"]
+      out = list(planes)
+      out[0] = deblock_vertical_luma(out[0], d["ybs_v"], d["yqp_v"],
+                                     d["ymp_v"], d["ymq_v"], d["yhor0"],
+                                     bit_depth=bd)
+      out[0] = deblock_vertical_luma(out[0].T, d["ybs_h"], d["yqp_h"],
+                                     d["ymp_h"], d["ymq_h"], d["yhor"],
+                                     bit_depth=bd).T
+      for c in (1, 2):
+        out[c] = deblock_vertical_chroma(out[c], d[f"c{c}bs_v"],
+                                         d[f"c{c}qp_v"], d[f"c{c}mp_v"],
+                                         d[f"c{c}mq_v"], bit_depth=bd)
+        out[c] = deblock_vertical_chroma(out[c].T, d[f"c{c}bs_h"],
+                                         d[f"c{c}qp_h"], d[f"c{c}mp_h"],
+                                         d[f"c{c}mq_h"], bit_depth=bd).T
+      return out
+
+    planes = jax.lax.cond(inp["do_deblock"] > 0, loopfilters,
+                          lambda p: list(p), planes)
+
+    def saofilters(planes):
+      out = []
+      for c_idx in range(3):
+        s = inp["sao"]
+        ss = 0 if c_idx == 0 else 1
+        out.append(sao_plane(
+            planes[c_idx], s["type"][..., c_idx], s["band"][..., c_idx],
+            s["offv"][..., c_idx, :], s["eo"][..., c_idx],
+            W >> ss, H >> ss, ctb=(1 << ctb_log2) >> ss, bit_depth=bd))
+      return out
+
+    planes = jax.lax.cond(inp["do_sao"] > 0, saofilters,
+                          lambda p: list(p), planes)
+    # Pack the cropped output planes into one flat buffer in planar
+    # YCbCr order — the exact byte layout of the rawvideo frame — so
+    # the host needs a single device->host fetch per frame.
+    dt = jnp.uint8 if bd == 8 else jnp.uint16
+    packed = jnp.concatenate([
+        planes[0][:H, :W].astype(dt).reshape(-1),
+        planes[1][:H >> 1, :W >> 1].astype(dt).reshape(-1),
+        planes[2][:H >> 1, :W >> 1].astype(dt).reshape(-1)])
+    return {"planes": planes, "packed": packed}
+
+  return frame_program
+
+
+class PackedProgram:
+  """Wraps the frame program so all host-built int32 inputs travel as
+  ONE flat buffer per dispatch.
+
+  The naive call ships ~360 small arrays per frame; each is its own
+  host->device transfer, and per-transfer overhead on the transport
+  dwarfs the program's execution time.  The wrapper records the leaf
+  layout (offset, size, shape per leaf, in tree-flatten order) on the
+  first call, copies every leaf into one contiguous int32 buffer, and
+  the jitted entry unpacks it with static slices — free at run time.
+  Reference planes stay out of the buffer: they are device-resident
+  DPB planes and must never round-trip through the host.
+  """
+
+  def __init__(self, body):
+    self._body = body
+    self._layout = None
+    self._jit = None
+
+  def __call__(self, inp, refs):
+    leaves, treedef = jax.tree_util.tree_flatten(inp)
+    if self._layout is None:
+      offs, off = [], 0
+      for leaf in leaves:
+        a = np.asarray(leaf)
+        offs.append((off, a.size, a.shape))
+        off += a.size
+      self._layout = (treedef, offs, off)
+
+      def run(buf, refs):
+        ls = [buf[o:o + s].reshape(shape) for o, s, shape in offs]
+        return self._body(jax.tree_util.tree_unflatten(treedef, ls), refs)
+
+      self._jit = jax.jit(run)
+    treedef_now, offs, total = self._layout[0], self._layout[1], self._layout[2]
+    assert treedef == treedef_now, "frame input structure changed"
+    buf = np.empty(total, np.int32)
+    for leaf, (o, s, _) in zip(leaves, offs):
+      buf[o:o + s] = np.asarray(leaf, np.int32).ravel()
+    return self._jit(buf, refs)
+
+
+_PROGRAM_CACHE: dict = {}
+
+
+def get_frame_program(W, H, ctb_log2, bit_depth):
+  key = (W, H, ctb_log2, bit_depth)
+  if key not in _PROGRAM_CACHE:
+    _PROGRAM_CACHE[key] = PackedProgram(_build_frame_program(
+        dict(W=W, H=H, ctb_log2=ctb_log2, bit_depth=bit_depth)))
+  return _PROGRAM_CACHE[key]
+
+
+# ----------------------------------------------------------------------
+# host-side input assembly
+# ----------------------------------------------------------------------
+
+def _bucket_inputs(fs: FrameSyntax, c_idx: int, sizes, W, H):
+  from .recon import dequant_scale_shift
+
+  ss = 0 if c_idx == 0 else 1
+  sel = np.where((fs.tus["c_idx"] == c_idx) & (fs.tus["coded"] == 1))[0]
+  ws = fs.tus["w"][sel]
+  hs = fs.tus["h"][sel]
+  out = {}
+  for (w, h) in sizes:
+    cap = _bucket_capacity(W >> ss, H >> ss, w, h)
+    b = {"x0": np.zeros(cap, np.int32), "y0": np.zeros(cap, np.int32),
+         "scale": np.zeros(cap, np.int32), "shift": np.ones(cap, np.int32)}
+    idx = sel[np.where((ws == w) & (hs == h))[0]]
+    n = min(len(idx), cap)
+    lw, lh = w.bit_length() - 1, h.bit_length() - 1
+    for k, j in enumerate(idx[:n]):
+      b["x0"][k] = fs.tus["x0"][j]
+      b["y0"][k] = fs.tus["y0"][j]
+      sc, sh = dequant_scale_shift(int(fs.tus["qp"][j]), lw, lh,
+                                   fs.bit_depth)
+      b["scale"][k] = sc
+      b["shift"][k] = sh
+    b["n"] = np.int32(n)
+    out[(w, h)] = b
+  return out
+
+
+def _deblock_grids(fs: FrameSyntax, Hp_y, Wp_y, Hp_c, Wp_c, ctb_log2):
+  from . import deblock_ctrl as D
+
+  ctb = 1 << ctb_log2
+  y_pos_x, y_pos_y, y_w, y_h, y_qp = D._tu_grids(fs, 0, 4)
+  mvf = fs.mvf
+
+  def refpoc(ref_plane, lx):
+    outp = np.full_like(ref_plane, -(10 ** 6) - lx)
+    for i, poc in enumerate(fs.ref_pocs[lx]):
+      outp[ref_plane == i] = poc
+    return outp.astype(np.int32)
+
+  motion = {
+      "pf": mvf["pf"].astype(np.int32),
+      "m0x": mvf["mv_x"].astype(np.int32),
+      "m0y": mvf["mv_y"].astype(np.int32),
+      "p0": refpoc(mvf["ref"], 0),
+      "m1x": mvf["mv1_x"].astype(np.int32),
+      "m1y": mvf["mv1_y"].astype(np.int32),
+      "p1": refpoc(mvf["ref1"], 1),
+  }
+  motion_t = {k: m.T for k, m in motion.items()}
+
+  def cbf_plane(c_idx, g):
+    ss = 0 if c_idx == 0 else 1
+    gw = (fs.width >> ss) // g
+    gh = (fs.height >> ss) // g
+    cbf = np.zeros((gh, gw), np.int32)
+    sel = np.where((fs.tus["c_idx"] == c_idx) & (fs.tus["coded"] == 1))[0]
+    for j in sel:
+      x0, y0 = int(fs.tus["x0"][j]), int(fs.tus["y0"][j])
+      w, h = int(fs.tus["w"][j]), int(fs.tus["h"][j])
+      cbf[y0 // g:(y0 + h) // g, x0 // g:(x0 + w) // g] = 1
+    return cbf
+
+  cbf_y = cbf_plane(0, 4)
+  d = {}
+  Sv, Ev = Hp_y // 4, Wp_y // 4
+  d["ybs_v"], d["yqp_v"], d["ymp_v"], d["ymq_v"] = D._luma_edge_params(
+      y_pos_x, y_w, y_qp, motion, cbf_y, Sv, Ev)
+  d["yhor0"] = np.zeros((Sv, Ev), np.int32)
+  Sh, Eh = Wp_y // 4, Hp_y // 4
+  d["ybs_h"], d["yqp_h"], d["ymp_h"], d["ymq_h"] = D._luma_edge_params(
+      y_pos_y.T, y_h.T, y_qp.T, motion_t, cbf_y.T, Sh, Eh)
+  hor = np.zeros((Sh, Eh), np.int32)
+  hor[:, :] = (((np.arange(Eh) * 4) % ctb) == 0)[None, :]
+  d["yhor"] = hor
+  for c_idx in (1, 2):
+    pos_x, pos_y, tw, th, qpc = D._tu_grids(fs, c_idx, 2)
+    cbf_c = cbf_plane(c_idx, 2)
+    Sv, Ev = Hp_c // 2, Wp_c // 8
+    (d[f"c{c_idx}bs_v"], d[f"c{c_idx}qp_v"], d[f"c{c_idx}mp_v"],
+     d[f"c{c_idx}mq_v"]) = D._chroma_edge_params(pos_x, tw, qpc, motion,
+                                                 cbf_c, Sv, Ev)
+    Sh, Eh = Wp_c // 2, Hp_c // 8
+    ctu_cols = ((np.arange(Eh) * 8 * 2) % ctb) == 0
+    (d[f"c{c_idx}bs_h"], d[f"c{c_idx}qp_h"], d[f"c{c_idx}mp_h"],
+     d[f"c{c_idx}mq_h"]) = D._chroma_edge_params(pos_y.T, th.T, qpc.T,
+                                                 motion_t, cbf_c.T, Sh, Eh,
+                                                 ctu_edge_cols=ctu_cols)
+  return d
+
+
+_ZERO_PLANE_CACHE: dict = {}
+
+
+def _zero_plane(shape):
+  if shape not in _ZERO_PLANE_CACHE:
+    _ZERO_PLANE_CACHE[shape] = np.zeros(shape, np.int32)
+  return _ZERO_PLANE_CACHE[shape]
+
+
+_ZERO_DEBLOCK_CACHE: dict = {}
+
+
+def _zero_deblock_grids(Hp_y, Wp_y, Hp_c, Wp_c):
+  """All-zero deblock grids (same keys/shapes as _deblock_grids); used
+  when the slice disables deblocking so input assembly skips the grid
+  derivation entirely."""
+  key = (Hp_y, Wp_y, Hp_c, Wp_c)
+  if key not in _ZERO_DEBLOCK_CACHE:
+    d = {}
+    for tag, (S, E) in (("_v", (Hp_y // 4, Wp_y // 4)),
+                        ("_h", (Wp_y // 4, Hp_y // 4))):
+      for f in ("bs", "qp", "mp", "mq"):
+        d[f"y{f}{tag}"] = np.zeros((S, E), np.int32)
+    d["yhor0"] = np.zeros((Hp_y // 4, Wp_y // 4), np.int32)
+    d["yhor"] = np.zeros((Wp_y // 4, Hp_y // 4), np.int32)
+    for c_idx in (1, 2):
+      for tag, (S, E) in (("_v", (Hp_c // 2, Wp_c // 8)),
+                          ("_h", (Wp_c // 2, Hp_c // 8))):
+        for f in ("bs", "qp", "mp", "mq"):
+          d[f"c{c_idx}{f}{tag}"] = np.zeros((S, E), np.int32)
+    _ZERO_DEBLOCK_CACHE[key] = d
+  return _ZERO_DEBLOCK_CACHE[key]
+
+
+def build_frame_inputs(fs: FrameSyntax, refs_by_poc, ctb_log2=5):
+  W, H = fs.width, fs.height
+  n = len(fs.cus["x0"])
+  inp = {"n_cus": np.int32(n),
+         "do_deblock": np.int32(0 if fs.deblock_disabled else 1),
+         "do_sao": np.int32(
+             1 if fs.sao is not None and np.any(fs.sao[..., 0:3]) else 0),
+         "planes": []}
+  # fixed ctrl capacity so the frame program never recompiles on CU count
+  cu_cap = max(1, (W // 4) * (H // 4))
+
+  def pad_ctrl(ctrl):
+    out = {}
+    for k, v in ctrl.items():
+      vp = np.zeros(cu_cap, np.int32)
+      vp[:len(v)] = v
+      out[k] = vp
+    return out
+
+  ctrl_y = pad_ctrl(derive_cu_controls(fs, "y", ctb_log2))
+  ctrl_c = pad_ctrl(derive_cu_controls(fs, "c", ctb_log2))
+
+  maxs_y = 1 << ctb_log2
+  Hp_y = _round_up(H, 128) + maxs_y
+  Wp_y = _round_up(W, 128) + maxs_y
+  Hp_c = _round_up(H >> 1, 64) + (maxs_y >> 1)
+  Wp_c = _round_up(W >> 1, 64) + (maxs_y >> 1)
+
+  def ref_for(c_idx, lx):
+    """Padded reference plane for list lx: a device-resident DPB plane
+    when available (no host round-trip), else cached zeros."""
+    shape = (Hp_y, Wp_y) if c_idx == 0 else (Hp_c, Wp_c)
+    if fs.ref_pocs[lx]:
+      poc = fs.ref_pocs[lx][0]
+      if refs_by_poc and poc in refs_by_poc:
+        return refs_by_poc[poc][c_idx]
+    return _zero_plane(shape)
+
+  refs = []
+  for c_idx in range(3):
+    coeff = (fs.coeff_y, fs.coeff_cb, fs.coeff_cr)[c_idx]
+    sizes = LUMA_SIZES if c_idx == 0 else CHROMA_SIZES
+    inp["planes"].append({
+        "coeff": coeff,
+        "buckets": _bucket_inputs(fs, c_idx, sizes, W, H),
+        "ctrl": ctrl_y if c_idx == 0 else ctrl_c,
+    })
+    refs.append((ref_for(c_idx, 0), ref_for(c_idx, 1)))
+  if fs.deblock_disabled:
+    # program skips the filter via lax.cond; feed cached zero grids
+    inp["deblock"] = _zero_deblock_grids(Hp_y, Wp_y, Hp_c, Wp_c)
+  else:
+    inp["deblock"] = _deblock_grids(fs, Hp_y, Wp_y, Hp_c, Wp_c, ctb_log2)
+
+  sao = fs.sao if fs.sao is not None else _zero_plane(
+      ((H + maxs_y - 1) // maxs_y, (W + maxs_y - 1) // maxs_y, 24))
+  inp["sao"] = {
+      "type": sao[..., 0:3],
+      "band": sao[..., 3:6],
+      "eo": sao[..., 6:9],
+      "offv": sao[..., 9:24].reshape(sao.shape[0], sao.shape[1], 3, 5),
+  }
+  return inp, refs
+
+
+def decode_frame_device(fs: FrameSyntax, refs_by_poc=None):
+  """Single-dispatch frame decode, fully asynchronous.
+
+  Returns (packed, planes): `packed` is the flat planar-YCbCr output
+  buffer (uint8/uint16, one device->host fetch materializes the whole
+  frame), `planes` are the padded int32 device planes to keep in the
+  DPB and feed back as references without any host round-trip.
+  """
+  assert fs.chroma_format_idc == 1, "4:2:0 only for now"
+  ctb_log2 = 5
+  prog = get_frame_program(fs.width, fs.height, ctb_log2, fs.bit_depth)
+  inp, refs = build_frame_inputs(fs, refs_by_poc, ctb_log2)
+  out = prog(inp, refs)
+  return out["packed"], out["planes"]
+
+
+def decode_frame(fs: FrameSyntax, refs_by_poc=None):
+  """Single-dispatch frame decode; returns [Y, Cb, Cr] numpy planes."""
+  packed, _ = decode_frame_device(fs, refs_by_poc)
+  W, H = fs.width, fs.height
+  buf = np.asarray(packed)
+  return [buf[:W * H].reshape(H, W),
+          buf[W * H:W * H + (W // 2) * (H // 2)].reshape(H // 2, W // 2),
+          buf[W * H + (W // 2) * (H // 2):].reshape(H // 2, W // 2)]

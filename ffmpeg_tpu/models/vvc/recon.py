@@ -31,7 +31,7 @@ CTRL_KEYS = (
     "x0", "y0", "w", "h", "logw", "logh", "mode_class", "angle", "inv_angle",
     "filter_flag", "smooth", "left_size", "top_size", "unfilter_last_one",
     "do_pdpc", "nscale", "avail_l", "avail_t", "cand_up_left",
-    "proj_v", "proj_h")
+    "proj_v", "proj_h", "pf", "m0x", "m0y", "m1x", "m1y")
 
 
 MC_INTER = 6  # extra mode class: prediction comes from the MC plane
@@ -57,12 +57,17 @@ def derive_cu_controls(fs: FrameSyntax, plane_kind: str, ctb_log2: int) -> dict:
     x0, y0 = lx0 >> ss, ly0 >> ss
     w = int(cus["w"][i]) >> ss
     h = int(cus["h"][i]) >> ss
-    if int(cus["pred_mode"][i]) == 0:  # MODE_INTER: MC plane supplies pred
+    if int(cus["pred_mode"][i]) == 0:  # MODE_INTER
       out["x0"][i] = x0
       out["y0"][i] = y0
       out["w"][i] = w
       out["h"][i] = h
       out["mode_class"][i] = MC_INTER
+      out["pf"][i] = cus["pf"][i]
+      out["m0x"][i] = cus["mv_x"][i]
+      out["m0y"][i] = cus["mv_y"][i]
+      out["m1x"][i] = cus["mv1_x"][i]
+      out["m1y"][i] = cus["mv1_y"][i]
       recon[y0 // g:(y0 + h) // g, x0 // g:(x0 + w) // g] = True
       continue
     raw_mode = int(cus["chroma_mode"][i] if is_chroma else cus["luma_mode"][i])
