@@ -16,7 +16,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REF_FFMPEG = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".refbuild", "ffmpeg")
-W, H, FRAMES, SEED, QP = 128, 128, 16, 7, 30
+# headline config 1 (BASELINE.md): all-intra 8-bit 4:2:0 720p
+W, H, FRAMES, SEED, QP = 1280, 720, 8, 7, 30
 
 
 def gen_stream(path: str) -> None:
@@ -50,10 +51,12 @@ def bench_ours(path: str) -> float:
     assert len(frames) == FRAMES
     jax.block_until_ready([f.buf for f in frames])
 
-    t0 = time.perf_counter()
-    frames = list(VVCDecoder().decode(data, fetch=False))
-    jax.block_until_ready([f.buf for f in frames])
-    dt = time.perf_counter() - t0
+    dt = float("inf")  # best-of-3: the tunnel transport is jittery
+    for _ in range(3):
+        t0 = time.perf_counter()
+        frames = list(VVCDecoder().decode(data, fetch=False))
+        jax.block_until_ready([f.buf for f in frames])
+        dt = min(dt, time.perf_counter() - t0)
 
     # untimed correctness check: fetch every frame, hash, compare with
     # the reference decoder's framemd5 on the same stream

@@ -173,19 +173,45 @@ def make_nal(nal_type: int, rbsp: bytes, layer_id: int = 0, tid: int = 0,
     return sc + hdr + nal_escape(rbsp)
 
 
+def _startcode_positions(data: bytes) -> list:
+    """Payload start offsets after each 00 00 01 start code (C-speed scan)."""
+    starts = []
+    i = data.find(b"\x00\x00\x01")
+    while i >= 0:
+        starts.append(i + 3)
+        i = data.find(b"\x00\x00\x01", i + 3)
+    starts.append(None)
+    return starts
+
+
+def split_annexb_raw(data: bytes) -> list[tuple[int, int, int, bytes]]:
+    """Split an annex-B stream into raw (still escaped) NAL units:
+    [(nal_type, layer_id, temporal_id, nal_bytes_with_startcode)].
+
+    No emulation-prevention processing happens here — the native parser
+    unescapes on its side — so the split is just start-code scanning.
+    """
+    nals = []
+    n = len(data)
+    starts = _startcode_positions(data)
+    for s, e in zip(starts[:-1], starts[1:]):
+        end = n if e is None else e - 3
+        while end > s and data[end - 1] == 0:  # trailing zeros = next start code
+            end -= 1
+        if end - s < 3:
+            continue
+        layer_id = data[s] & 0x3F
+        nal_type = data[s + 1] >> 3
+        tid = (data[s + 1] & 7) - 1
+        nals.append((nal_type, layer_id, tid, b"\x00\x00\x01" + data[s:end]))
+    return nals
+
+
 def split_annexb(data: bytes) -> list[tuple[int, int, int, bytes]]:
     """Split an annex-B stream -> [(nal_type, layer_id, temporal_id, rbsp)]."""
     nals = []
-    i = 0
     n = len(data)
-    starts = []
-    while i + 2 < n:
-        if data[i] == 0 and data[i + 1] == 0 and data[i + 2] == 1:
-            starts.append(i + 3)
-            i += 3
-        else:
-            i += 1
-    starts.append(None)
+    starts = _startcode_positions(data)
     for s, e in zip(starts[:-1], starts[1:]):
         end = n if e is None else e - 3
         while end > s and data[end - 1] == 0:  # trim trailing zeros of start code

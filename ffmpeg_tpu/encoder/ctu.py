@@ -99,6 +99,9 @@ class CuIntent:
     coeff_y: np.ndarray | None = None
     coeff_cb: np.ndarray | None = None
     coeff_cr: np.ndarray | None = None
+    # explicit MTS index (0=DCT2, 1..4 = DST7/DCT8 combos); only legal
+    # when the CU is MTS-eligible (checked at encode time)
+    mts_idx: int = 0
 
 
 class FrameSyntaxEncoder:
@@ -241,29 +244,88 @@ class FrameSyntaxEncoder:
 
     # -- transform unit -------------------------------------------------
     def _encode_transform_unit(self, cu: CuIntent) -> None:
+        """Transform tree (vvc_ctu.c:406-434): CUs wider/taller than the
+        max transform size split in half (wider dimension first); each
+        leaf TU codes its own cbfs and co-located chroma TBs."""
+        mtb = self.max_tb_size
+        is_large = cu.w > mtb or cu.h > mtb
+        self._transform_tree(cu, cu.x0, cu.y0, cu.w, cu.h, is_large)
+
+    @property
+    def max_tb_size(self) -> int:
+        return 64 if self.sps.sps_max_luma_transform_size_64_flag else 32
+
+    def _transform_tree(self, cu, x0, y0, tw, th, is_large) -> None:
+        mtb = self.max_tb_size
+        if tw > mtb or th > mtb:
+            ver = tw > mtb and tw > th
+            w2 = tw // 2 if ver else tw
+            h2 = th if ver else th // 2
+            self._transform_tree(cu, x0, y0, w2, h2, is_large)
+            if ver:
+                self._transform_tree(cu, x0 + w2, y0, w2, h2, is_large)
+            else:
+                self._transform_tree(cu, x0, y0 + h2, w2, h2, is_large)
+            return
+        self._transform_unit_leaf(cu, x0, y0, tw, th, is_large)
+
+    def _transform_unit_leaf(self, cu, x0, y0, tw, th, is_large) -> None:
         sps = self.sps
         is_intra = cu.pred_mode == "intra"
         chroma_available = sps.sps_chroma_format_idc != 0
-        cb_coded = cu.coeff_cb is not None and np.any(cu.coeff_cb)
-        cr_coded = cu.coeff_cr is not None and np.any(cu.coeff_cr)
-        y_coded = cu.coeff_y is not None and np.any(cu.coeff_y)
+        ry, rx = y0 - cu.y0, x0 - cu.x0
+
+        def sub(c, shift):
+            if c is None:
+                return None
+            return c[ry >> shift:(ry + th) >> shift,
+                     rx >> shift:(rx + tw) >> shift]
+
+        cy = sub(cu.coeff_y, 0)
+        ccb = sub(cu.coeff_cb, 1)
+        ccr = sub(cu.coeff_cr, 1)
+        cb_coded = ccb is not None and np.any(ccb)
+        cr_coded = ccr is not None and np.any(ccr)
+        y_coded = cy is not None and np.any(cy)
         if chroma_available:
             self._bin("TU_CB_CODED_FLAG", 0, int(cb_coded))
             self._bin("TU_CR_CODED_FLAG", int(cb_coded), int(cr_coded))
         is_chroma_coded = chroma_available and (cb_coded or cr_coded)
-        # tu_y_coded_flag: intra -> always present; inter -> present only
-        # when chroma coded, else inferred 1 (vvc_ctu.c:274-292)
-        if is_intra or is_chroma_coded:
+        # tu_y_coded_flag: present for intra, chroma-coded, or split CUs;
+        # else inferred 1 (vvc_ctu.c:274-292)
+        if is_intra or is_chroma_coded or is_large:
             self._bin("TU_Y_CODED_FLAG", 0, int(y_coded))
         else:
             assert y_coded, "inter TU with no chroma must have luma coeffs"
         assert not sps.sps_joint_cbcr_enabled_flag
         if y_coded:
-            self.res.encode(cu.coeff_y, 0)
+            self.res.encode(np.ascontiguousarray(cy), 0)
         if cb_coded:
-            self.res.encode(cu.coeff_cb, 1)
+            self.res.encode(np.ascontiguousarray(ccb), 1)
         if cr_coded:
-            self.res.encode(cu.coeff_cr, 2)
+            self.res.encode(np.ascontiguousarray(ccr), 2)
+
+    def _encode_mts_idx(self, cu: CuIntent) -> None:
+        """mts_idx after the CU's transform tree (vvc_ctu.c:842-860,
+        1810-1811); only when explicit MTS is eligible for this CU."""
+        sps = self.sps
+        if not sps.sps_mts_enabled_flag:
+            assert cu.mts_idx == 0
+            return
+        explicit = (sps.sps_explicit_mts_intra_enabled_flag
+                    if cu.pred_mode == "intra"
+                    else sps.sps_explicit_mts_inter_enabled_flag)
+        eligible = (explicit and max(cu.w, cu.h) <= 32
+                    and self.res.mts_zero_out_sig_coeff_flag
+                    and not self.res.mts_dc_only)
+        if not eligible:
+            assert cu.mts_idx == 0, "mts_idx chosen for ineligible CU"
+            return
+        for i in range(4):
+            b = 1 if cu.mts_idx > i else 0
+            self._bin("MTS_IDX", i, b)
+            if not b:
+                break
 
     def _encode_mvd(self, mvd) -> None:
         for c in (0, 1):
@@ -365,6 +427,7 @@ class FrameSyntaxEncoder:
             assert has_coeff, "merge non-skip CU parses residual (cbf may " \
                 "be 0 but then luma cbf would be inferred 1)"
         self._encode_transform_unit(cu)
+        self._encode_mts_idx(cu)
 
     def sps_max_merge_cand(self) -> int:
         return 6 - self.sps.sps_six_minus_max_num_merge_cand
@@ -421,11 +484,11 @@ class FrameSyntaxEncoder:
             if self.motion is not None:
                 self.motion.set_intra(cu.x0, cu.y0, cu.w, cu.h)
             self._encode_transform_unit(cu)
+            self._encode_mts_idx(cu)
         else:
             self.tab_cpm[area] = MODE_INTER
             self._encode_inter_cu(cu)
         assert not self.sps.sps_lfnst_enabled_flag
-        assert not self.sps.sps_mts_enabled_flag
 
     def _get_inc(self, tab, x0, y0) -> int:
         left, top = self._left_top_tab(tab, x0, y0, 0)

@@ -43,6 +43,9 @@ class EncoderConfig:
     max_bt_size: int = 32
     max_tt_size: int = 32
     split_prob: float = 0.6  # chance of splitting at each eligible node
+    # transform tools
+    mts: bool = False           # explicit MTS (intra + inter mts_idx)
+    mts_implicit: bool = False  # sps_mts on, explicit off (DST7 4..16)
 
 
 def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
@@ -70,6 +73,9 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
             cfg.max_tt_size.bit_length() - 1 - min_qt_log2
             if cfg.max_mtt_depth else 0),
         sps_sao_enabled_flag=1 if cfg.sao else 0,
+        sps_mts_enabled_flag=1 if (cfg.mts or cfg.mts_implicit) else 0,
+        sps_explicit_mts_intra_enabled_flag=1 if cfg.mts else 0,
+        sps_explicit_mts_inter_enabled_flag=1 if cfg.mts else 0,
     )
     pps = PPS(
         pps_pic_width_in_luma_samples=cfg.width,
@@ -132,7 +138,26 @@ def _random_cu(cfg, rng, x0, y0, w, h, is_inter_slice=False):
                 c[int(rng.integers(0, h)), int(rng.integers(0, w))] = \
                     int(rng.integers(1, cfg.max_level + 1))
                 cu.coeff_y = c
+    if cfg.mts and max(w, h) <= 32 and rng.random() < 0.5:
+        _try_mts(cu, rng)
     return cu
+
+
+def _try_mts(cu, rng):
+    """Pick a nonzero mts_idx if the CU's luma coefficients can be made
+    MTS-eligible: all sig coeffs inside 16x16 and not DC-only."""
+    c = cu.coeff_y
+    if c is None:
+        return
+    c = c.copy()
+    c[16:, :] = 0
+    c[:, 16:] = 0
+    nz = np.transpose(np.nonzero(c))
+    dc_only = len(nz) == 0 or (len(nz) == 1 and tuple(nz[0]) == (0, 0))
+    if dc_only or not np.any(c):
+        return
+    cu.coeff_y = c
+    cu.mts_idx = int(rng.integers(1, 5))
 
 
 def _random_tree(cfg, pc, rng, x0, y0, w, h, cqt_depth, mtt_depth,

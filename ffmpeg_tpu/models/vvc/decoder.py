@@ -88,12 +88,56 @@ def _fetch_group(packed_list):
     return [buf] if len(packed_list) == 1 else list(buf)
 
 
-class VVCDecoder:
-    """Streaming decoder for annex-B VVC."""
+_PARAM_NAL_TYPES = (12, 13, 14, 15, 16, 17, 18)  # OPI/DCI/VPS/SPS/PPS/APS
 
-    def __init__(self) -> None:
-        self._host = HostDecoder()
+
+class VVCDecoder:
+    """Streaming decoder for annex-B VVC.
+
+    Host CABAC parsing runs on a thread pool (the native call releases
+    the GIL): entropy decode of every access unit is independent once
+    its parameter sets are known — the inter-frame dependencies live
+    entirely in reconstruction, which is the device's (cheap) side.
+    This mirrors the reference's frame-parallel entropy threading
+    (vvc_thread.c PARSE stage) without its progress-tracking machinery.
+    """
+
+    def __init__(self, host_threads: int = 4) -> None:
+        import queue
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._hosts: queue.Queue = queue.Queue()
+        for _ in range(host_threads):
+            self._hosts.put(HostDecoder())
+        self._exec = ThreadPoolExecutor(max_workers=host_threads)
+        self._parse_ahead = 2 * host_threads
         self._dpb: dict[int, list] = {}  # poc -> [Y, Cb, Cr] device planes
+
+    def _parse_au(self, au: bytes):
+        hd = self._hosts.get()
+        try:
+            return hd.decode_au(au)
+        finally:
+            self._hosts.put(hd)
+
+    def _split_aus(self, data: bytes):
+        """[(is_idr, au_bytes)] where each AU is self-contained: the
+        parameter sets seen so far are prepended, so any worker can
+        parse any AU without shared state."""
+        from ...bitstream.bits import split_annexb_raw
+
+        params: list[bytes] = []
+        cur: list[bytes] = []
+        aus = []
+        for t, _layer, _tid, raw in split_annexb_raw(data):
+            if t in _PARAM_NAL_TYPES:
+                params.append(raw)
+                continue
+            cur.append(raw)
+            if t <= 10:  # slice NAL closes an AU (v1: one slice per frame)
+                aus.append((t in (7, 8), b"".join(params) + b"".join(cur)))
+                cur = []
+        return aus
 
     def decode(self, data: bytes, fetch: bool = True):
         """Decode a buffer holding one or more access units; yields Frames
@@ -103,10 +147,9 @@ class VVCDecoder:
         device-resident pixel buffers (fetched lazily on access) — the
         `-f null` mode: full decode without the host transfer.
         """
-        from ...bitstream.bits import make_nal, split_annexb
+        from collections import deque
 
-        nals = split_annexb(data)
-        pending: list[bytes] = []
+        aus = self._split_aus(data)
         window: list = []  # [(Frame, packed)] dispatched, not yet fetched
 
         def flush():
@@ -119,33 +162,43 @@ class VVCDecoder:
             window.clear()
             return out
 
-        for t, layer, tid, rbsp in nals:
-            pending.append(make_nal(t, rbsp, layer_id=layer, tid=max(tid, 0)))
-            if t <= 10:  # slice NAL closes an AU (v1: one slice per frame)
-                is_idr = t in (7, 8)
-                fs = self._host.decode_au(b"".join(pending))
-                pending = []
-                if fs is None:
-                    continue
-                if is_idr:
-                    self._dpb.clear()
-                if fs.slice_type != 2:
-                    needed = set(fs.ref_pocs[0]) | set(fs.ref_pocs[1])
-                    missing = needed - set(self._dpb)
-                    if missing:
-                        raise RuntimeError(f"missing reference frames {missing}")
-                packed, planes = decode_frame_device(fs, self._dpb)
-                self._dpb[fs.poc] = planes
-                while len(self._dpb) > DPB_KEEP:
-                    del self._dpb[min(self._dpb)]
-                frame = Frame(poc=fs.poc, buf=packed, width=fs.width,
-                              height=fs.height, bit_depth=fs.bit_depth)
-                if not fetch:
-                    yield frame
-                    continue
-                window.append((frame, packed))
-                if len(window) >= FETCH_BATCH:
-                    yield from flush()
+        inflight: deque = deque()  # (is_idr, future) in decode order
+        next_submit = 0
+
+        def top_up():
+            nonlocal next_submit
+            while (next_submit < len(aus)
+                   and len(inflight) < self._parse_ahead):
+                is_idr, au = aus[next_submit]
+                inflight.append((is_idr, self._exec.submit(self._parse_au, au)))
+                next_submit += 1
+
+        top_up()
+        while inflight:
+            is_idr, fut = inflight.popleft()
+            fs = fut.result()
+            top_up()
+            if fs is None:
+                continue
+            if is_idr:
+                self._dpb.clear()
+            if fs.slice_type != 2:
+                needed = set(fs.ref_pocs[0]) | set(fs.ref_pocs[1])
+                missing = needed - set(self._dpb)
+                if missing:
+                    raise RuntimeError(f"missing reference frames {missing}")
+            packed, planes = decode_frame_device(fs, self._dpb)
+            self._dpb[fs.poc] = planes
+            while len(self._dpb) > DPB_KEEP:
+                del self._dpb[min(self._dpb)]
+            frame = Frame(poc=fs.poc, buf=packed, width=fs.width,
+                          height=fs.height, bit_depth=fs.bit_depth)
+            if not fetch:
+                yield frame
+                continue
+            window.append((frame, packed))
+            if len(window) >= FETCH_BATCH:
+                yield from flush()
         if window:
             yield from flush()
 

@@ -21,7 +21,8 @@ CU_FIELDS = ["x0", "y0", "w", "h", "pred_mode", "luma_mode", "chroma_mode",
              "qp", "qp_cb", "qp_cr", "qp_jcbcr",
              "skip", "merge", "idx", "mv_x", "mv_y", "ref_idx",
              "pf", "mv1_x", "mv1_y", "ref_idx1"]
-TU_FIELDS = ["x0", "y0", "w", "h", "c_idx", "coded", "qp", "cu_index"]
+TU_FIELDS = ["x0", "y0", "w", "h", "c_idx", "coded", "qp", "cu_index",
+             "trh", "trv"]
 
 
 def _build() -> None:
@@ -58,6 +59,10 @@ def _get_lib():
                 [ctypes.c_int] if name in ("vvch_coeffs", "vvch_mvf") else [])
         lib.vvch_ref_info.argtypes = [ctypes.c_void_p,
                                       ctypes.POINTER(ctypes.c_int32)]
+        lib.vvch_cu_ctrl.restype = ctypes.POINTER(ctypes.c_int32)
+        lib.vvch_cu_ctrl.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                     ctypes.c_int,
+                                     ctypes.POINTER(ctypes.c_int32)]
         _lib = lib
     return _lib
 
@@ -84,6 +89,10 @@ class FrameSyntax:
     ref_pocs: tuple = ((), ())  # per-list reference POCs
     mvf: dict | None = None   # 4x4 planes: pf, mv_x, mv_y, ref (L0)
     sao: np.ndarray | None = None  # (ctb_h, ctb_w, 24) per-CTB params
+    # native-derived (26, n_cus) control matrices (recon.py CTRL_KEYS order)
+    ctrl_y: np.ndarray | None = None
+    ctrl_c: np.ndarray | None = None
+    ctb_log2: int = 5
 
 
 class HostDecoder:
@@ -103,7 +112,7 @@ class HostDecoder:
         if ret != 0:
             raise RuntimeError(
                 f"native decode error: {self._lib.vvch_last_error().decode()}")
-        info = (ctypes.c_int32 * 18)()
+        info = (ctypes.c_int32 * 19)()
         self._lib.vvch_frame_info(self._h, info)
         if not info[0]:
             return None  # no frame in this AU (parameter sets only)
@@ -111,6 +120,7 @@ class HostDecoder:
          deblock_disabled) = list(info)[1:12]
         beta_off = tuple(info[12:15])
         tc_off = tuple(info[15:18])
+        ctb_log2 = int(info[18])
 
         def plane(c_idx, pw, ph):
             ptr = self._lib.vvch_coeffs(self._h, c_idx)
@@ -133,10 +143,21 @@ class HostDecoder:
         slice_type = int(rinfo[0])
         nb0, nb1 = int(rinfo[1]), int(rinfo[2])
         ref_pocs = (tuple(rinfo[3:3 + nb0]), tuple(rinfo[19:19 + nb1]))
-        ctb = 32  # v1 streams use CTU 32
+        ctb = 1 << ctb_log2
         cbh, cbw = (h + ctb - 1) // ctb, (w + ctb - 1) // ctb
         sao = np.ctypeslib.as_array(self._lib.vvch_sao(self._h),
                                     shape=(cbh, cbw, 24)).copy()
+        def cu_ctrl(is_chroma):
+            if not n_cus:
+                return np.zeros((26, 0), np.int32)
+            n_units = ctypes.c_int32(0)
+            ptr = self._lib.vvch_cu_ctrl(self._h, int(is_chroma), ctb_log2,
+                                         ctypes.byref(n_units))
+            nu = int(n_units.value)
+            if not nu:
+                return np.zeros((26, 0), np.int32)
+            return np.ctypeslib.as_array(ptr, shape=(26, nu)).copy()
+
         pu_h, pu_w = h // 4, w // 4
         mvf = {name: np.ctypeslib.as_array(
                    self._lib.vvch_mvf(self._h, i),
@@ -160,4 +181,7 @@ class HostDecoder:
             ref_pocs=ref_pocs,
             mvf=mvf,
             sao=sao,
+            ctrl_y=cu_ctrl(False),
+            ctrl_c=cu_ctrl(True),
+            ctb_log2=ctb_log2,
         )

@@ -21,6 +21,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+try:  # persistent XLA compile cache: frame programs are large
+  jax.config.update("jax_compilation_cache_dir", "/tmp/ffmpeg_tpu_jax_cache")
+  jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+  jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # noqa: BLE001 - older jax without these knobs
+  pass
+
 from ...ops import intra as I
 from ...ops.deblock import deblock_vertical_chroma, deblock_vertical_luma
 from ...ops.mc import INTERP_CHROMA, INTERP_LUMA
@@ -32,13 +39,31 @@ from .recon import _round_up, derive_cu_controls, CTRL_KEYS
 # fixed TU size buckets per plane kind (w, h); luma min width 8 under the
 # mode-type-safe generator, but keep 4-wide for future tools
 LUMA_SIZES = [(w, h) for w in (4, 8, 16, 32) for h in (4, 8, 16, 32)]
-CHROMA_SIZES = [(w, h) for w in (2, 4, 8, 16) for h in (2, 4, 8, 16)]
+CHROMA_SIZES = [(w, h) for w in (2, 4, 8, 16, 32) for h in (2, 4, 8, 16, 32)]
 
 MC_CTRL_KEYS = ("pf", "m0x", "m0y", "m1x", "m1y")
 
 
 def _bucket_capacity(W, H, w, h):
   return max(1, (W // w) * (H // h))
+
+
+# Capacity ratchet: fixed array capacities keyed by stream geometry that
+# only ever grow (next power of two covering the demand).  Worst-case
+# sizing (every 4x4 a CU) would make the packed input ~50x larger than
+# real streams need; ratcheting keeps arrays tight while bounding
+# recompiles to O(log n) per geometry.
+_CAPS: dict = {}
+
+
+def _ratchet(geom_key, slot, needed, maxcap, floor=64):
+  caps = _CAPS.setdefault(geom_key, {})
+  cap = caps.get(slot, min(floor, maxcap))
+  while cap < needed:
+    cap *= 2
+  cap = min(cap, maxcap) if needed <= maxcap else maxcap
+  caps[slot] = max(cap, caps.get(slot, 0))
+  return caps[slot]
 
 
 # ----------------------------------------------------------------------
@@ -61,11 +86,31 @@ def _residual_from_buckets(coeff_plane, buckets, Hp, Wp, bit_depth, sizes):
     sh = b["shift"][:, None, None]
     deq = (levels * scale16 + off) >> sh
     deq = jnp.where(levels == 0, 0, jnp.clip(deq, -(1 << 15), (1 << 15) - 1))
-    mv = jnp.asarray(itx_matrix("dct2", h))
-    mh = jnp.asarray(itx_matrix("dct2", w))
-    tmp = jnp.einsum("yk,nkx->nyx", mv, deq, preferred_element_type=jnp.int32)
+    # per-TU transform kind (0=DCT2 1=DST7 2=DCT8, spec 8.7.4 / MTS);
+    # DST7/DCT8 exist for 4..32 only — other sizes are always DCT2
+    if 4 <= h <= 32:
+      mv_stack = jnp.asarray(np.stack([itx_matrix("dct2", h),
+                                       itx_matrix("dst7", h),
+                                       itx_matrix("dct8", h)]))
+      mv = mv_stack[b["trv"]]  # (cap, h, h)
+      tmp = jnp.einsum("nyk,nkx->nyx", mv, deq,
+                       preferred_element_type=jnp.int32)
+    else:
+      mv = jnp.asarray(itx_matrix("dct2", h))
+      tmp = jnp.einsum("yk,nkx->nyx", mv, deq,
+                       preferred_element_type=jnp.int32)
     tmp = jnp.clip((tmp + 64) >> 7, -(1 << 15), (1 << 15) - 1)
-    out = jnp.einsum("nyk,xk->nyx", tmp, mh, preferred_element_type=jnp.int32)
+    if 4 <= w <= 32:
+      mh_stack = jnp.asarray(np.stack([itx_matrix("dct2", w),
+                                       itx_matrix("dst7", w),
+                                       itx_matrix("dct8", w)]))
+      mh = mh_stack[b["trh"]]  # (cap, w, w)
+      out = jnp.einsum("nyk,nxk->nyx", tmp, mh,
+                       preferred_element_type=jnp.int32)
+    else:
+      mh = jnp.asarray(itx_matrix("dct2", w))
+      out = jnp.einsum("nyk,xk->nyx", tmp, mh,
+                       preferred_element_type=jnp.int32)
     shift2 = 5 + 15 - bit_depth
     out = (out + (1 << (shift2 - 1))) >> shift2
     mask = (jnp.arange(cap) < n)[:, None, None]
@@ -221,13 +266,12 @@ def _build_frame_program(shapes):
       # refs arrive padded (device-resident DPB planes); crop to pic size
       r0, r1 = refs_in[c_idx]
       refs = jnp.stack([r0[:H >> ss, :W >> ss], r1[:H >> ss, :W >> ss]])
-      plane = _recon_plane(res, p["ctrl"], inp["n_cus"], refs,
+      plane = _recon_plane(res, p["ctrl"], p["n_units"], refs,
                            maxs=maxs, is_chroma=c_idx > 0, bit_depth=bd,
                            mv_shift=0)
       planes.append(plane)
 
-    def loopfilters(planes):
-      d = inp["deblock"]
+    def loopfilters(planes, d):
       out = list(planes)
       out[0] = deblock_vertical_luma(out[0], d["ybs_v"], d["yqp_v"],
                                      d["ymp_v"], d["ymq_v"], d["yhor0"],
@@ -244,22 +288,22 @@ def _build_frame_program(shapes):
                                          d[f"c{c}mq_h"], bit_depth=bd).T
       return out
 
-    planes = jax.lax.cond(inp["do_deblock"] > 0, loopfilters,
-                          lambda p: list(p), planes)
+    # filter stages are statically present/absent: disabled filters are
+    # omitted from the input tree, so the compiled program never touches
+    # them (and the host never ships their grids)
+    if "deblock" in inp:
+      planes = loopfilters(planes, inp["deblock"])
 
-    def saofilters(planes):
+    if "sao" in inp:
+      s = inp["sao"]
       out = []
       for c_idx in range(3):
-        s = inp["sao"]
         ss = 0 if c_idx == 0 else 1
         out.append(sao_plane(
             planes[c_idx], s["type"][..., c_idx], s["band"][..., c_idx],
             s["offv"][..., c_idx, :], s["eo"][..., c_idx],
             W >> ss, H >> ss, ctb=(1 << ctb_log2) >> ss, bit_depth=bd))
-      return out
-
-    planes = jax.lax.cond(inp["do_sao"] > 0, saofilters,
-                          lambda p: list(p), planes)
+      planes = out
     # Pack the cropped output planes into one flat buffer in planar
     # YCbCr order — the exact byte layout of the rawvideo frame — so
     # the host needs a single device->host fetch per frame.
@@ -289,30 +333,31 @@ class PackedProgram:
 
   def __init__(self, body):
     self._body = body
-    self._layout = None
-    self._jit = None
+    self._variants: dict = {}  # leaf-shape signature -> (treedef, offs, total, jit)
 
   def __call__(self, inp, refs):
     leaves, treedef = jax.tree_util.tree_flatten(inp)
-    if self._layout is None:
+    sig = tuple(np.shape(leaf) for leaf in leaves)
+    var = self._variants.get(sig)
+    if var is None:
       offs, off = [], 0
       for leaf in leaves:
         a = np.asarray(leaf)
         offs.append((off, a.size, a.shape))
         off += a.size
-      self._layout = (treedef, offs, off)
 
-      def run(buf, refs):
+      def run(buf, refs, offs=offs, treedef=treedef):
         ls = [buf[o:o + s].reshape(shape) for o, s, shape in offs]
         return self._body(jax.tree_util.tree_unflatten(treedef, ls), refs)
 
-      self._jit = jax.jit(run)
-    treedef_now, offs, total = self._layout[0], self._layout[1], self._layout[2]
+      var = (treedef, offs, off, jax.jit(run))
+      self._variants[sig] = var
+    treedef_now, offs, total, jit_fn = var
     assert treedef == treedef_now, "frame input structure changed"
     buf = np.empty(total, np.int32)
     for leaf, (o, s, _) in zip(leaves, offs):
       buf[o:o + s] = np.asarray(leaf, np.int32).ravel()
-    return self._jit(buf, refs)
+    return jit_fn(buf, refs)
 
 
 _PROGRAM_CACHE: dict = {}
@@ -330,6 +375,30 @@ def get_frame_program(W, H, ctb_log2, bit_depth):
 # host-side input assembly
 # ----------------------------------------------------------------------
 
+_SCALE_SHIFT_TABLES: dict = {}
+
+
+_QP_TAB_OFF = 32  # tables cover qp in [-32, 95]
+
+
+def _scale_shift_tables(lw, lh, bit_depth):
+  """Vectorized dequant scale/shift lookup over qp (spec 8.7.3);
+  index with qp + _QP_TAB_OFF."""
+  key = (lw, lh, bit_depth)
+  if key not in _SCALE_SHIFT_TABLES:
+    from .recon import dequant_scale_shift
+    qps = range(-_QP_TAB_OFF, 96)
+    sc = np.zeros(len(qps), np.int32)
+    sh = np.zeros(len(qps), np.int32)
+    for i, qp in enumerate(qps):
+      try:
+        sc[i], sh[i] = dequant_scale_shift(qp, lw, lh, bit_depth)
+      except ValueError:  # qp//6 < 0: unreachable for parsed Qp' values
+        sc[i], sh[i] = 0, 1
+    _SCALE_SHIFT_TABLES[key] = (sc, sh)
+  return _SCALE_SHIFT_TABLES[key]
+
+
 def _bucket_inputs(fs: FrameSyntax, c_idx: int, sizes, W, H):
   from .recon import dequant_scale_shift
 
@@ -337,21 +406,34 @@ def _bucket_inputs(fs: FrameSyntax, c_idx: int, sizes, W, H):
   sel = np.where((fs.tus["c_idx"] == c_idx) & (fs.tus["coded"] == 1))[0]
   ws = fs.tus["w"][sel]
   hs = fs.tus["h"][sel]
+  covered = {(int(a), int(b)) for a, b in zip(ws, hs)}
+  missing = covered - set(sizes)
+  assert not missing, f"coded TU sizes outside bucket list: {missing}"
   out = {}
   for (w, h) in sizes:
-    cap = _bucket_capacity(W >> ss, H >> ss, w, h)
+    needed = int(((ws == w) & (hs == h)).sum())
+    cap = _ratchet((W, H), ("bucket", c_idx, w, h), needed,
+                   _bucket_capacity(W >> ss, H >> ss, w, h), floor=16)
     b = {"x0": np.zeros(cap, np.int32), "y0": np.zeros(cap, np.int32),
          "scale": np.zeros(cap, np.int32), "shift": np.ones(cap, np.int32)}
+    with_kinds = 4 <= w <= 32 or 4 <= h <= 32
+    if with_kinds:
+      b["trh"] = np.zeros(cap, np.int32)
+      b["trv"] = np.zeros(cap, np.int32)
     idx = sel[np.where((ws == w) & (hs == h))[0]]
     n = min(len(idx), cap)
     lw, lh = w.bit_length() - 1, h.bit_length() - 1
-    for k, j in enumerate(idx[:n]):
-      b["x0"][k] = fs.tus["x0"][j]
-      b["y0"][k] = fs.tus["y0"][j]
-      sc, sh = dequant_scale_shift(int(fs.tus["qp"][j]), lw, lh,
-                                   fs.bit_depth)
-      b["scale"][k] = sc
-      b["shift"][k] = sh
+    if n:
+      idxn = idx[:n]
+      b["x0"][:n] = fs.tus["x0"][idxn]
+      b["y0"][:n] = fs.tus["y0"][idxn]
+      sc_tab, sh_tab = _scale_shift_tables(lw, lh, fs.bit_depth)
+      qps = fs.tus["qp"][idxn] + _QP_TAB_OFF
+      b["scale"][:n] = sc_tab[qps]
+      b["shift"][:n] = sh_tab[qps]
+      if with_kinds:
+        b["trh"][:n] = fs.tus["trh"][idxn]
+        b["trv"][:n] = fs.tus["trv"][idxn]
     b["n"] = np.int32(n)
     out[(w, h)] = b
   return out
@@ -430,52 +512,26 @@ def _zero_plane(shape):
   return _ZERO_PLANE_CACHE[shape]
 
 
-_ZERO_DEBLOCK_CACHE: dict = {}
-
-
-def _zero_deblock_grids(Hp_y, Wp_y, Hp_c, Wp_c):
-  """All-zero deblock grids (same keys/shapes as _deblock_grids); used
-  when the slice disables deblocking so input assembly skips the grid
-  derivation entirely."""
-  key = (Hp_y, Wp_y, Hp_c, Wp_c)
-  if key not in _ZERO_DEBLOCK_CACHE:
-    d = {}
-    for tag, (S, E) in (("_v", (Hp_y // 4, Wp_y // 4)),
-                        ("_h", (Wp_y // 4, Hp_y // 4))):
-      for f in ("bs", "qp", "mp", "mq"):
-        d[f"y{f}{tag}"] = np.zeros((S, E), np.int32)
-    d["yhor0"] = np.zeros((Hp_y // 4, Wp_y // 4), np.int32)
-    d["yhor"] = np.zeros((Wp_y // 4, Hp_y // 4), np.int32)
-    for c_idx in (1, 2):
-      for tag, (S, E) in (("_v", (Hp_c // 2, Wp_c // 8)),
-                          ("_h", (Wp_c // 2, Hp_c // 8))):
-        for f in ("bs", "qp", "mp", "mq"):
-          d[f"c{c_idx}{f}{tag}"] = np.zeros((S, E), np.int32)
-    _ZERO_DEBLOCK_CACHE[key] = d
-  return _ZERO_DEBLOCK_CACHE[key]
-
-
 def build_frame_inputs(fs: FrameSyntax, refs_by_poc, ctb_log2=5):
   W, H = fs.width, fs.height
-  n = len(fs.cus["x0"])
-  inp = {"n_cus": np.int32(n),
-         "do_deblock": np.int32(0 if fs.deblock_disabled else 1),
-         "do_sao": np.int32(
-             1 if fs.sao is not None and np.any(fs.sao[..., 0:3]) else 0),
-         "planes": []}
-  # fixed ctrl capacity so the frame program never recompiles on CU count
-  cu_cap = max(1, (W // 4) * (H // 4))
+  inp = {"planes": []}
+  # ratcheted ctrl capacity: recompiles only when a frame exceeds all
+  # previous frames' unit count (pow2 growth bounds that to O(log n));
+  # a column per predict unit (intra TBs + inter CUs, decode order)
+  unit_cap = max(1, (W // 4) * (H // 4) + (W // 2) * (H // 2) // 16)
 
-  def pad_ctrl(ctrl):
-    out = {}
-    for k, v in ctrl.items():
-      vp = np.zeros(cu_cap, np.int32)
-      vp[:len(v)] = v
-      out[k] = vp
-    return out
+  def pad_ctrl(mat):
+    """(26, n_units) control matrix -> (n_units scalar, dict of padded
+    rows — views into one padded matrix, in CTRL_KEYS order)."""
+    n_units = mat.shape[1]
+    cap = _ratchet((W, H), "units", n_units, unit_cap, floor=256)
+    padded = np.zeros((len(CTRL_KEYS), cap), np.int32)
+    padded[:, :n_units] = mat
+    return np.int32(n_units), {k: padded[j]
+                               for j, k in enumerate(CTRL_KEYS)}
 
-  ctrl_y = pad_ctrl(derive_cu_controls(fs, "y", ctb_log2))
-  ctrl_c = pad_ctrl(derive_cu_controls(fs, "c", ctb_log2))
+  n_y, ctrl_y = pad_ctrl(fs.ctrl_y)
+  n_c, ctrl_c = pad_ctrl(fs.ctrl_c)
 
   maxs_y = 1 << ctb_log2
   Hp_y = _round_up(H, 128) + maxs_y
@@ -501,22 +557,20 @@ def build_frame_inputs(fs: FrameSyntax, refs_by_poc, ctb_log2=5):
         "coeff": coeff,
         "buckets": _bucket_inputs(fs, c_idx, sizes, W, H),
         "ctrl": ctrl_y if c_idx == 0 else ctrl_c,
+        "n_units": n_y if c_idx == 0 else n_c,
     })
     refs.append((ref_for(c_idx, 0), ref_for(c_idx, 1)))
-  if fs.deblock_disabled:
-    # program skips the filter via lax.cond; feed cached zero grids
-    inp["deblock"] = _zero_deblock_grids(Hp_y, Wp_y, Hp_c, Wp_c)
-  else:
+  if not fs.deblock_disabled:
     inp["deblock"] = _deblock_grids(fs, Hp_y, Wp_y, Hp_c, Wp_c, ctb_log2)
 
-  sao = fs.sao if fs.sao is not None else _zero_plane(
-      ((H + maxs_y - 1) // maxs_y, (W + maxs_y - 1) // maxs_y, 24))
-  inp["sao"] = {
-      "type": sao[..., 0:3],
-      "band": sao[..., 3:6],
-      "eo": sao[..., 6:9],
-      "offv": sao[..., 9:24].reshape(sao.shape[0], sao.shape[1], 3, 5),
-  }
+  if fs.sao is not None and np.any(fs.sao[..., 0:3]):
+    sao = fs.sao
+    inp["sao"] = {
+        "type": sao[..., 0:3],
+        "band": sao[..., 3:6],
+        "eo": sao[..., 6:9],
+        "offv": sao[..., 9:24].reshape(sao.shape[0], sao.shape[1], 3, 5),
+    }
   return inp, refs
 
 
@@ -529,7 +583,7 @@ def decode_frame_device(fs: FrameSyntax, refs_by_poc=None):
   DPB and feed back as references without any host round-trip.
   """
   assert fs.chroma_format_idc == 1, "4:2:0 only for now"
-  ctb_log2 = 5
+  ctb_log2 = fs.ctb_log2
   prog = get_frame_program(fs.width, fs.height, ctb_log2, fs.bit_depth)
   inp, refs = build_frame_inputs(fs, refs_by_poc, ctb_log2)
   out = prog(inp, refs)

@@ -37,12 +37,41 @@ CTRL_KEYS = (
 MC_INTER = 6  # extra mode class: prediction comes from the MC plane
 
 
+def predict_units(fs: FrameSyntax, is_chroma: bool) -> list:
+  """One (cu_index, x0, y0, w, h, lx0, ly0) per *predict unit*
+  (vvc_intra.c:214-241): intra prediction runs per transform block —
+  later TBs of a transform-tree-split CU read the reconstructed samples
+  of earlier ones — while inter CUs are a single unit."""
+  ss = 1 if (is_chroma and fs.chroma_format_idc == 1) else 0
+  want_c = 1 if is_chroma else 0
+  units = []
+  last_inter_cu = -1
+  tus, cus = fs.tus, fs.cus
+  for j in range(len(tus["x0"])):
+    ci = int(tus["cu_index"][j])
+    if int(cus["pred_mode"][ci]) == 0:  # MODE_INTER: one unit per CU
+      if ci != last_inter_cu:
+        last_inter_cu = ci
+        lx0, ly0 = int(cus["x0"][ci]), int(cus["y0"][ci])
+        units.append((ci, lx0 >> ss, ly0 >> ss, int(cus["w"][ci]) >> ss,
+                      int(cus["h"][ci]) >> ss, lx0, ly0))
+      continue
+    if int(tus["c_idx"][j]) != want_c:
+      continue
+    x0, y0 = int(tus["x0"][j]), int(tus["y0"][j])
+    units.append((ci, x0, y0, int(tus["w"][j]), int(tus["h"][j]),
+                  x0 << ss, y0 << ss))
+  return units
+
+
 def derive_cu_controls(fs: FrameSyntax, plane_kind: str, ctb_log2: int) -> dict:
-  """Host-side per-CU control arrays for one plane type ('y' or 'c')."""
+  """Host-side per-predict-unit control arrays for one plane type
+  ('y' or 'c'); python mirror of native ctrl::derive (decode.cc)."""
   is_chroma = plane_kind == "c"
   ss = 1 if (is_chroma and fs.chroma_format_idc == 1) else 0
   cus = fs.cus
-  n = len(cus["x0"])
+  units = predict_units(fs, is_chroma)
+  n = len(units)
   ctb = 1 << ctb_log2
   pic_w = fs.width >> ss
   pic_h = fs.height >> ss
@@ -53,24 +82,22 @@ def derive_cu_controls(fs: FrameSyntax, plane_kind: str, ctb_log2: int) -> dict:
   recon = np.zeros((pic_h // g, pic_w // g), dtype=bool)
 
   for i in range(n):
-    lx0, ly0 = int(cus["x0"][i]), int(cus["y0"][i])
-    x0, y0 = lx0 >> ss, ly0 >> ss
-    w = int(cus["w"][i]) >> ss
-    h = int(cus["h"][i]) >> ss
-    if int(cus["pred_mode"][i]) == 0:  # MODE_INTER
+    ci, x0, y0, w, h, lx0, ly0 = units[i]
+    if int(cus["pred_mode"][ci]) == 0:  # MODE_INTER
       out["x0"][i] = x0
       out["y0"][i] = y0
       out["w"][i] = w
       out["h"][i] = h
       out["mode_class"][i] = MC_INTER
-      out["pf"][i] = cus["pf"][i]
-      out["m0x"][i] = cus["mv_x"][i]
-      out["m0y"][i] = cus["mv_y"][i]
-      out["m1x"][i] = cus["mv1_x"][i]
-      out["m1y"][i] = cus["mv1_y"][i]
+      out["pf"][i] = cus["pf"][ci]
+      out["m0x"][i] = cus["mv_x"][ci]
+      out["m0y"][i] = cus["mv_y"][ci]
+      out["m1x"][i] = cus["mv1_x"][ci]
+      out["m1y"][i] = cus["mv1_y"][ci]
       recon[y0 // g:(y0 + h) // g, x0 // g:(x0 + w) // g] = True
       continue
-    raw_mode = int(cus["chroma_mode"][i] if is_chroma else cus["luma_mode"][i])
+    raw_mode = int(cus["chroma_mode"][ci] if is_chroma
+                   else cus["luma_mode"][ci])
     mode = I.wide_angle_map(raw_mode, w, h)
     mc = I.classify_mode(mode)
     angle = inv = 0

@@ -76,11 +76,13 @@ struct TuRecord {
   int32_t coded;
   int32_t qp;            // component QP used for dequant
   int32_t cu_index;      // owning CU
+  int32_t trh, trv;      // transform kinds (0=DCT2 1=DST7 2=DCT8)
 };
 #pragma pack(pop)
 
 struct FrameOut {
   int width = 0, height = 0, bit_depth = 8, chroma_format_idc = 1;
+  int ctb_log2 = 5;
   int poc = 0, slice_qp = 26;
   int mcb_w = 0, mcb_h = 0;  // min-CB grid dims of the ipm plane
   int deblock_disabled = 0;
@@ -151,6 +153,8 @@ class Decoder {
   std::vector<int32_t> tab_cbw_, tab_cbh_, tab_cqt_;
   bool ctb_left_ = false, ctb_up_ = false;
   int qp_y_ = 26;
+  // MTS parse state, reset per coded CU (vvc_ctu.c:1805-1806)
+  int mts_zero_out_ = 1, mts_dc_only_ = 1;
   // slice-level partition constraints (I-slice luma; spec 7.4.8)
   struct {
     int min_qt, max_bt, max_tt, max_mtt;
@@ -461,6 +465,7 @@ class Decoder {
     out.height = pps_.height;
     out.bit_depth = sps_.bit_depth;
     out.chroma_format_idc = sps_.sps_chroma_format_idc;
+    out.ctb_log2 = sps_.ctb_log2_size_y;
     out.poc = sh_.ph.ph_pic_order_cnt_lsb;
     out.slice_qp = sh_.slice_qp_y;
     out.coeff[0].assign((size_t)pps_.width * pps_.height, 0);
@@ -934,14 +939,17 @@ class Decoder {
       cu.qp = qp_y_;
       derive_qp_c(cu);
       int cu_index = (int)out.cus.size();
+      size_t tu_begin = out.tus.size();
+      mts_zero_out_ = 1;
+      mts_dc_only_ = 1;
       transform_unit(cu, cu_index, /*is_intra=*/true, /*coded=*/true,
                      /*merge_non_skip=*/false);
+      finish_cu_transforms(cu, /*coded=*/true, tu_begin);
       out.cus.push_back(cu);
     } else {
       inter_data(cu);
     }
     VVC_UNSUPPORTED(sps_.sps_lfnst_enabled_flag, "lfnst (todo)");
-    VVC_UNSUPPORTED(sps_.sps_mts_enabled_flag, "mts (todo)");
   }
 
   void decode_mvd(int32_t* mvd) {
@@ -1066,9 +1074,47 @@ class Decoder {
     cu.qp = qp_y_;
     derive_qp_c(cu);
     int cu_index = (int)out.cus.size();
+    size_t tu_begin = out.tus.size();
+    mts_zero_out_ = 1;
+    mts_dc_only_ = 1;
     transform_unit(cu, cu_index, /*is_intra=*/false, coded != 0,
                    /*merge_non_skip=*/general_merge && !cu.skip);
+    finish_cu_transforms(cu, coded != 0, tu_begin);
     out.cus.push_back(cu);
+  }
+
+  // mts_idx decode + per-TB transform kinds (vvc_ctu.c:842-860,
+  // vvc_intra.c:130-164).  Runs after the CU's transform tree; patches
+  // the luma TuRecords pushed since tu_begin.
+  void finish_cu_transforms(const CuRecord& cu, bool coded,
+                            size_t tu_begin) {
+    int mts_idx = 0;
+    bool is_intra = cu.pred_mode == MODE_INTRA;
+    if (coded && sps_.sps_mts_enabled_flag) {
+      bool explicit_on = is_intra
+          ? sps_.sps_explicit_mts_intra_enabled_flag != 0
+          : sps_.sps_explicit_mts_inter_enabled_flag != 0;
+      // no lfnst / transform-skip / ISP / SBT yet: those terms are 0
+      if (explicit_on && std::max(cu.w, cu.h) <= 32 && mts_zero_out_ &&
+          !mts_dc_only_) {
+        while (mts_idx < 4 && bin(MTS_IDX + mts_idx)) mts_idx++;
+      }
+    }
+    static const int32_t mts_to_trh[] = {0, 1, 2, 1, 2};  // DCT2/DST7/DCT8
+    static const int32_t mts_to_trv[] = {0, 1, 1, 2, 2};
+    bool implicit_on = sps_.sps_mts_enabled_flag && is_intra &&
+                       !sps_.sps_explicit_mts_intra_enabled_flag;
+    for (size_t j = tu_begin; j < out.tus.size(); j++) {
+      TuRecord& tr = out.tus[j];
+      if (tr.c_idx != 0 || !tr.coded) continue;
+      if (implicit_on) {
+        tr.trh = (tr.w >= 4 && tr.w <= 16) ? 1 : 0;
+        tr.trv = (tr.h >= 4 && tr.h <= 16) ? 1 : 0;
+      } else {
+        tr.trh = mts_to_trh[mts_idx];
+        tr.trv = mts_to_trv[mts_idx];
+      }
+    }
   }
 
   int egk_decode(int k, int max_pre, int trunc_len) {
@@ -1202,12 +1248,14 @@ class Decoder {
     }
   }
 
-  // -- transform unit -------------------------------------------------
+  // -- transform tree / unit ------------------------------------------
+  // hls_transform_tree (vvc_ctu.c:406-434): a CU larger than the max
+  // transform size splits in half (wider dimension first) until every
+  // TU fits; each TU carries its co-located chroma TBs (no ISP/SBT yet).
   void transform_unit(CuRecord& cu, int cu_index, bool is_intra, bool coded,
                       bool merge_non_skip) {
-    VVC_UNSUPPORTED(cu.w > sps_.max_tb_size_y || cu.h > sps_.max_tb_size_y,
-                    "transform tree split (todo)");
     bool chroma_avail = sps_.sps_chroma_format_idc != 0;
+    (void)merge_non_skip;
     if (!coded) {
       // skip / uncoded inter CU: record zero-coded TUs for deblock grids
       int hs0 = sps_.hshift_c, vs0 = sps_.vshift_c;
@@ -1225,31 +1273,55 @@ class Decoder {
       }
       return;
     }
+    VVC_UNSUPPORTED(pps_.pps_cu_qp_delta_enabled_flag, "cu qp delta (todo)");
+    VVC_UNSUPPORTED(sps_.sps_joint_cbcr_enabled_flag, "joint cbcr (todo)");
+    VVC_UNSUPPORTED(sps_.sps_transform_skip_enabled_flag, "transform skip (todo)");
+    bool is_large = cu.w > sps_.max_tb_size_y || cu.h > sps_.max_tb_size_y;
+    transform_tree(cu, cu_index, is_intra, is_large, cu.x0, cu.y0, cu.w,
+                   cu.h);
+  }
+
+  void transform_tree(CuRecord& cu, int cu_index, bool is_intra,
+                      bool is_large, int x0, int y0, int tw, int th) {
+    int mtb = sps_.max_tb_size_y;
+    if (tw > mtb || th > mtb) {
+      bool ver = tw > mtb && tw > th;
+      int w2 = ver ? tw / 2 : tw;
+      int h2 = ver ? th : th / 2;
+      transform_tree(cu, cu_index, is_intra, is_large, x0, y0, w2, h2);
+      if (ver)
+        transform_tree(cu, cu_index, is_intra, is_large, x0 + w2, y0, w2, h2);
+      else
+        transform_tree(cu, cu_index, is_intra, is_large, x0, y0 + h2, w2, h2);
+      return;
+    }
+    transform_unit_leaf(cu, cu_index, is_intra, is_large, x0, y0, tw, th);
+  }
+
+  void transform_unit_leaf(CuRecord& cu, int cu_index, bool is_intra,
+                           bool is_large, int x0, int y0, int tw, int th) {
+    bool chroma_avail = sps_.sps_chroma_format_idc != 0;
     int cb_coded = 0, cr_coded = 0;
     if (chroma_avail) {
       cb_coded = bin(TU_CB_CODED_FLAG);
       cr_coded = bin(TU_CR_CODED_FLAG + cb_coded);
     }
     int is_chroma_coded = chroma_avail && (cb_coded || cr_coded);
-    // tu_y_coded_flag: intra always present; inter only if chroma coded,
+    // tu_y_coded_flag present for intra, chroma-coded, or split CUs;
     // else inferred 1 (vvc_ctu.c:274-292)
     int y_coded;
-    if (is_intra || is_chroma_coded)
+    if (is_intra || is_chroma_coded || is_large)
       y_coded = bin(TU_Y_CODED_FLAG);
     else
       y_coded = 1;
-    VVC_UNSUPPORTED(pps_.pps_cu_qp_delta_enabled_flag, "cu qp delta (todo)");
-    VVC_UNSUPPORTED(sps_.sps_joint_cbcr_enabled_flag, "joint cbcr (todo)");
-    VVC_UNSUPPORTED(sps_.sps_transform_skip_enabled_flag, "transform skip (todo)");
-    (void)merge_non_skip;
 
     int hs = sps_.hshift_c, vs = sps_.vshift_c;
     struct {
       int c_idx, x, y, w, h, coded, qp;
     } tbs[3] = {
-        {0, cu.x0, cu.y0, cu.w, cu.h, y_coded, cu.qp + sps_.qp_bd_offset},
-        {1, cu.x0 >> hs, cu.y0 >> vs, cu.w >> hs, cu.h >> vs, cb_coded, cu.qp_c[0]},
-        {2, cu.x0 >> hs, cu.y0 >> vs, cu.w >> hs, cu.h >> vs, cr_coded, cu.qp_c[1]},
+        {0, x0, y0, tw, th, y_coded, cu.qp + sps_.qp_bd_offset},
+        {1, x0 >> hs, y0 >> vs, tw >> hs, th >> vs, cb_coded, cu.qp_c[0]},
+        {2, x0 >> hs, y0 >> vs, tw >> hs, th >> vs, cr_coded, cu.qp_c[1]},
     };
     int n_tbs = chroma_avail ? 3 : 1;
     for (int i = 0; i < n_tbs; i++) {
@@ -1425,6 +1497,8 @@ class Decoder {
     } while (xc != last_x || yc != last_y);
     rc.last_sb = last_sb;
     rc.last_pos = last_scan_pos;
+    if ((last_sb > 0 || last_scan_pos > 0) && c_idx == 0)
+      mts_dc_only_ = 0;  // vvc_cabac.c:2390
 
     int32_t* plane;
     int plane_w;
@@ -1454,8 +1528,9 @@ class Decoder {
     } else {
       *sbc = 1;
     }
+    if (*sbc && (xs > 3 || ys > 3) && c_idx == 0)
+      mts_zero_out_ = 0;  // sig coeff outside 16x16 (vvc_cabac.c:2191)
     if (!*sbc) return;
-    // (mts zero-out tracking lands with MTS support)
 
     int first_pos_mode0 = i == rc.last_sb ? rc.last_pos : rc.num_sb_coeff - 1;
     int first_pos_mode1 = first_pos_mode0;
@@ -1539,6 +1614,271 @@ class Decoder {
   }
 };
 
+// ---------------- per-CU reconstruction controls ----------------
+// Native mirror of ffmpeg_tpu/models/vvc/recon.py:derive_cu_controls and
+// the host-side mode derivations in ffmpeg_tpu/ops/intra.py (spec
+// 8.4.5.2; parity targets vvc_intra.c:591-713).  Emitted as a (26, n)
+// int32 matrix in CTRL_KEYS order so the Python side hands the parser
+// output straight to the frame program.
+namespace ctrl {
+
+constexpr int kNumKeys = 26;
+// CTRL_KEYS order (recon.py): x0,y0,w,h,logw,logh,mode_class,angle,
+// inv_angle,filter_flag,smooth,left_size,top_size,unfilter_last_one,
+// do_pdpc,nscale,avail_l,avail_t,cand_up_left,proj_v,proj_h,
+// pf,m0x,m0y,m1x,m1y
+enum Key {
+  kX0, kY0, kW, kH, kLogW, kLogH, kModeClass, kAngle, kInvAngle,
+  kFilterFlag, kSmooth, kLeftSize, kTopSize, kUnfilterLastOne,
+  kDoPdpc, kNscale, kAvailL, kAvailT, kCandUpLeft, kProjV, kProjH,
+  kPf, kM0x, kM0y, kM1x, kM1y,
+};
+
+constexpr int kPlanar = 0, kDc = 1, kHorz = 18, kDiag = 34, kVert = 50;
+enum ModeClass { MC_PLANAR, MC_DC, MC_VERT, MC_HORZ, MC_ANG_V, MC_ANG_H,
+                 MC_INTER };
+
+constexpr int kAngles[] = {0, 1, 2, 3, 4, 6, 8, 10, 12, 14, 16, 18, 20,
+                           23, 26, 29, 32, 35, 39, 45, 51, 57, 64, 73,
+                           86, 102, 128, 171, 256, 341, 512};
+
+inline int bitlen(int v) {  // python int.bit_length (abs for negatives)
+  unsigned u = (unsigned)(v < 0 ? -v : v);
+  return u ? 32 - __builtin_clz(u) : 0;
+}
+
+inline int wide_angle_map(int mode, int w, int h) {
+  if (w == h || mode == kPlanar || mode == kDc) return mode;
+  int ratio = std::abs((bitlen(w) - 1) - (bitlen(h) - 1));
+  int mx = ratio > 1 ? 8 + 2 * ratio : 8;
+  int mn = ratio > 1 ? 60 - 2 * ratio : 60;
+  if (w > h && mode >= 2 && mode < mx) return mode + 65;
+  if (h > w && mode <= 66 && mode > mn) return mode - 67;
+  return mode;
+}
+
+inline int intra_pred_angle(int mode) {
+  int idx;
+  if (mode > kDiag) idx = mode - kVert;
+  else if (mode > 0) idx = kHorz - mode;
+  else idx = kHorz - 2 - mode;
+  int sign = 1;
+  if (idx < 0) { idx = -idx; sign = -1; }
+  return sign * kAngles[idx];
+}
+
+inline int intra_inv_angle(int angle) {
+  int a = std::abs(angle);
+  int val = (2 * 16384 + a) / (2 * a);
+  return angle > 0 ? val : -val;
+}
+
+inline bool ref_filter_flag(int mode) {
+  switch (mode) {
+    case -14: case -12: case -10: case -6: case 0: case 2: case 34:
+    case 66: case 72: case 76: case 78: case 80: return true;
+    default: return false;
+  }
+}
+
+inline int nscale(int w, int h, int mode) {
+  if (mode == kPlanar || mode == kDc || mode == kHorz || mode == kVert)
+    return (bitlen(w) + bitlen(h) - 4) >> 2;
+  int angle = intra_pred_angle(mode);
+  int inv = intra_inv_angle(angle);
+  int side = mode >= kVert ? h : w;
+  int v = (bitlen(side) - 1) - (bitlen(3 * inv - 2) - 1) + 8;
+  return v < 2 ? v : 2;
+}
+
+inline bool need_pdpc(int w, int h, int mode) {
+  if (w >= 4 && h >= 4) {
+    if (mode == kPlanar || mode == kDc || mode == kHorz || mode == kVert)
+      return true;
+    if (mode > kHorz && mode < kVert) return false;
+    return nscale(w, h, mode) >= 0;
+  }
+  return false;
+}
+
+inline int classify_mode(int mode) {
+  if (mode == kPlanar) return MC_PLANAR;
+  if (mode == kDc) return MC_DC;
+  if (mode == kVert) return MC_VERT;
+  if (mode == kHorz) return MC_HORZ;
+  return mode >= kDiag ? MC_ANG_V : MC_ANG_H;
+}
+
+// One entry per *predict unit* (vvc_intra.c:214-241): for intra CUs the
+// prediction runs per transform block (later TBs of a split CU read the
+// reconstructed samples of earlier ones); inter CUs are one unit.
+struct Unit {
+  int cu_index;
+  int x0, y0, w, h;    // component coords
+  int lx0, ly0;        // luma origin (for CTU-relative availability)
+};
+
+inline std::vector<Unit> predict_units(const FrameOut& fr, bool is_chroma) {
+  const int ss = (is_chroma && fr.chroma_format_idc == 1) ? 1 : 0;
+  const int want_c = is_chroma ? 1 : 0;
+  std::vector<Unit> units;
+  units.reserve(fr.tus.size());
+  int last_inter_cu = -1;
+  for (const TuRecord& tu : fr.tus) {
+    const CuRecord& cu = fr.cus[tu.cu_index];
+    if (cu.pred_mode == 0) {  // MODE_INTER: one unit per CU
+      if (tu.cu_index != last_inter_cu) {
+        last_inter_cu = tu.cu_index;
+        units.push_back({tu.cu_index, cu.x0 >> ss, cu.y0 >> ss,
+                         cu.w >> ss, cu.h >> ss, cu.x0, cu.y0});
+      }
+      continue;
+    }
+    if (tu.c_idx != want_c) continue;
+    units.push_back({tu.cu_index, tu.x0, tu.y0, tu.w, tu.h,
+                     tu.x0 << ss, tu.y0 << ss});
+  }
+  return units;
+}
+
+// derive all 26 control rows for one plane kind; out must hold
+// 26*predict_units(...).size() ints
+inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
+                   const std::vector<Unit>& units, int32_t* out) {
+  const int ss = (is_chroma && fr.chroma_format_idc == 1) ? 1 : 0;
+  const int n = (int)units.size();
+  const int ctb = 1 << ctb_log2;
+  const int pic_w = fr.width >> ss;
+  const int pic_h = fr.height >> ss;
+  const int g = 2;  // recon bitmap granularity (min block dim)
+  const int bw = pic_w / g, bh = pic_h / g;
+  std::vector<uint8_t> recon((size_t)bw * bh, 0);
+  auto rec = [&](int by, int bx) -> uint8_t& {
+    return recon[(size_t)by * bw + bx];
+  };
+  std::memset(out, 0, sizeof(int32_t) * kNumKeys * n);
+  auto O = [&](Key k, int i) -> int32_t& { return out[(size_t)k * n + i]; };
+
+  for (int i = 0; i < n; i++) {
+    const Unit& u = units[i];
+    const CuRecord& cu = fr.cus[u.cu_index];
+    const int lx0 = u.lx0, ly0 = u.ly0;
+    const int x0 = u.x0, y0 = u.y0;
+    const int w = u.w, h = u.h;
+    if (cu.pred_mode == 0) {  // MODE_INTER
+      O(kX0, i) = x0; O(kY0, i) = y0; O(kW, i) = w; O(kH, i) = h;
+      O(kModeClass, i) = MC_INTER;
+      O(kPf, i) = cu.pf;
+      O(kM0x, i) = cu.mv_x; O(kM0y, i) = cu.mv_y;
+      O(kM1x, i) = cu.mv1_x; O(kM1y, i) = cu.mv1_y;
+      for (int by = y0 / g; by < (y0 + h) / g; by++)
+        for (int bx = x0 / g; bx < (x0 + w) / g; bx++) rec(by, bx) = 1;
+      continue;
+    }
+    const int raw_mode = is_chroma ? cu.chroma_mode : cu.luma_mode;
+    const int mode = wide_angle_map(raw_mode, w, h);
+    const int mc = classify_mode(mode);
+    int angle = 0, inv = 0, filter_flag = 0, ns = 0;
+    const bool pdpc = need_pdpc(w, h, mode);
+    if (mc == MC_ANG_V || mc == MC_ANG_H) {
+      angle = intra_pred_angle(mode);
+      inv = angle ? intra_inv_angle(angle) : 0;
+      if (!is_chroma) {
+        if (ref_filter_flag(mode)) {
+          filter_flag = 0;
+        } else {
+          int min_dist = std::min(std::abs(mode - 50), std::abs(mode - 18));
+          static const int thres[5] = {24, 14, 2, 0, 0};
+          int ntbs = ((bitlen(w) - 1) + (bitlen(h) - 1)) >> 1;
+          filter_flag = min_dist > thres[ntbs - 2] ? 1 : 0;
+        }
+      }
+      if (pdpc) ns = nscale(w, h, mode);
+    }
+    const int smooth =
+        (!is_chroma && w * h > 32 && ref_filter_flag(mode)) ? 1 : 0;
+    int left_size, top_size, unfilter_last, need_l, need_t;
+    if (mc == MC_PLANAR) {
+      left_size = h + 1 + smooth; top_size = w + 1 + smooth;
+      unfilter_last = 0; need_l = left_size; need_t = top_size;
+    } else if (mc == MC_DC) {
+      left_size = h; top_size = w; unfilter_last = 1;
+      need_l = h; need_t = w;
+    } else if (mc == MC_VERT) {
+      left_size = pdpc ? h : 1; top_size = w; unfilter_last = 1;
+      need_l = left_size; need_t = w;
+    } else if (mc == MC_HORZ) {
+      left_size = h; top_size = pdpc ? w : 1; unfilter_last = 1;
+      need_l = h; need_t = top_size;
+    } else {
+      left_size = 2 * h; top_size = 2 * w; unfilter_last = 1;
+      need_l = 2 * h; need_t = 2 * w;
+    }
+
+    // availability (parity ff_vvc_get_left/top_available, vvc_intra.c)
+    const int ctb_rx = lx0 >> ctb_log2, ctb_ry = ly0 >> ctb_log2;
+    const bool ctb_left = ctb_rx > 0, ctb_up = ctb_ry > 0;
+    const int end_of_ctb_x = (ctb_rx + 1) << ctb_log2;
+    const int end_of_ctb_y = (ctb_ry + 1) << ctb_log2;
+    const int log2_ctb_c = ctb_log2 - ss;
+    const int y0b_c = y0 & ((1 << log2_ctb_c) - 1);
+    const int x0b_c = x0 & ((1 << log2_ctb_c) - 1);
+
+    int avail_t;
+    if (y0b_c == 0) {
+      avail_t = ctb_up ? std::min(need_t, pic_w - x0) : 0;
+    } else {
+      int max_x = std::min(fr.width, end_of_ctb_x) >> ss;
+      int tgt = std::max(0, std::min(need_t, max_x - x0));
+      int run = 0;
+      int ry_ = (y0 - 1) / g;
+      while (run < tgt && rec(ry_, (x0 + run) / g))
+        run += g - ((x0 + run) % g);
+      avail_t = std::min(run, tgt);
+    }
+    int avail_l;
+    if (x0b_c == 0 && !ctb_left) {
+      avail_l = 0;
+    } else {
+      int max_y = std::min(fr.height, end_of_ctb_y) >> ss;
+      int tgt = std::max(0, std::min(need_l, max_y - y0));
+      if (x0b_c == 0) {
+        avail_l = tgt;
+      } else {
+        int run = 0;
+        int cx_ = (x0 - 1) / g;
+        while (run < tgt && rec((y0 + run) / g, cx_))
+          run += g - ((y0 + run) % g);
+        avail_l = std::min(run, tgt);
+      }
+    }
+
+    // cand_up_left from LUMA coords (ff_vvc_set_neighbour_available)
+    const int x0b_l = lx0 & (ctb - 1), y0b_l = ly0 & (ctb - 1);
+    const bool cand_left = ctb_left || x0b_l;
+    const bool cand_up = ctb_up || y0b_l;
+    const int cul = (x0b_l || y0b_l) ? (cand_left && cand_up ? 1 : 0)
+                                     : (ctb_left && ctb_up ? 1 : 0);
+
+    for (int by = y0 / g; by < (y0 + h) / g; by++)
+      for (int bx = x0 / g; bx < (x0 + w) / g; bx++) rec(by, bx) = 1;
+
+    O(kX0, i) = x0; O(kY0, i) = y0; O(kW, i) = w; O(kH, i) = h;
+    O(kLogW, i) = bitlen(w) - 1; O(kLogH, i) = bitlen(h) - 1;
+    O(kModeClass, i) = mc; O(kAngle, i) = angle; O(kInvAngle, i) = inv;
+    O(kFilterFlag, i) = filter_flag; O(kSmooth, i) = smooth;
+    O(kLeftSize, i) = left_size; O(kTopSize, i) = top_size;
+    O(kUnfilterLastOne, i) = unfilter_last;
+    O(kDoPdpc, i) = pdpc ? 1 : 0; O(kNscale, i) = ns;
+    O(kAvailL, i) = avail_l; O(kAvailT, i) = avail_t;
+    O(kCandUpLeft, i) = cul;
+    O(kProjV, i) = (mc == MC_ANG_V && angle < 0) ? 1 : 0;
+    O(kProjH, i) = (mc == MC_ANG_H && angle < 0) ? 1 : 0;
+  }
+}
+
+}  // namespace ctrl
+
 // ---------------- C API ----------------
 extern "C" {
 
@@ -1577,6 +1917,7 @@ void vvch_frame_info(void* h, int32_t* info) {
     info[12 + i] = o.beta_offset[i];
     info[15 + i] = o.tc_offset[i];
   }
+  info[18] = o.ctb_log2;
 }
 
 const int32_t* vvch_coeffs(void* h, int c_idx) {
@@ -1610,6 +1951,22 @@ void vvch_ref_info(void* h, int32_t* info) {
   info[2] = o.nb_refs[1];
   for (int lx = 0; lx < 2; lx++)
     for (int i = 0; i < 16; i++) info[3 + lx * 16 + i] = o.ref_pocs[lx][i];
+}
+
+// (26, n_units) int32 control matrix in recon.py CTRL_KEYS order —
+// one column per predict unit (intra TBs + inter CUs, in decode
+// order); *n_out receives n_units.  Valid until the next call with the
+// same is_chroma on this thread.
+const int32_t* vvch_cu_ctrl(void* h, int is_chroma, int ctb_log2,
+                            int32_t* n_out) {
+  auto* d = (Decoder*)h;
+  static thread_local std::vector<int32_t> bufs[2];
+  auto& buf = bufs[is_chroma ? 1 : 0];
+  auto units = ctrl::predict_units(d->out, is_chroma != 0);
+  buf.resize((size_t)ctrl::kNumKeys * units.size() + 1);
+  ctrl::derive(d->out, is_chroma != 0, ctb_log2, units, buf.data());
+  *n_out = (int32_t)units.size();
+  return buf.data();
 }
 
 int vvch_cu_record_size() { return (int)(sizeof(CuRecord) / 4); }

@@ -47,8 +47,19 @@ needs_ref = pytest.mark.skipif(not os.path.exists(REF_FFMPEG),
          deblock=True, n_frames=4, max_mv=200),
     dict(width=96, height=64, seed=109, qp=32, bit_depth=10, sao=True,
          deblock=True, inter=True, b_slices=True, n_frames=3),
+    dict(width=96, height=96, seed=301, qp=30, mts=True),
+    dict(width=96, height=96, seed=302, qp=28, mts_implicit=True),
+    dict(width=96, height=64, seed=303, qp=30, mts=True, inter=True,
+         b_slices=True, deblock=True, sao=True, n_frames=3),
+    dict(width=128, height=128, seed=401, qp=30, ctu_log2=6, max_bt_size=64,
+         max_tt_size=64, min_qt_size=16),
+    dict(width=192, height=128, seed=402, qp=28, ctu_log2=6, max_bt_size=64,
+         max_tt_size=64, inter=True, b_slices=True, deblock=True, sao=True,
+         n_frames=3),
 ], ids=["64x64", "128x64x2f", "96x96-dense", "deblock", "deblock-unaligned",
-        "inter-p", "inter-p-deblock", "inter-b", "10bit-sao-full"])
+        "inter-p", "inter-p-deblock", "inter-b", "10bit-sao-full",
+        "mts-explicit", "mts-implicit", "mts-inter-full",
+        "ctu64", "ctu64-inter-full"])
 def test_frame_md5_parity(tmp_path, cfg_kw):
     from ffmpeg_tpu.encoder.encoder import EncoderConfig, encode_stream
 
