@@ -111,6 +111,16 @@ class FrameSyntaxEncoder:
         from .tree import PartitionCtx
 
         self.sps = sps
+        # cu_qp_delta quantization-group state (mirrors vvc_ctu.c)
+        self.cu_qp_delta_enabled = bool(
+            getattr(pps, "pps_cu_qp_delta_enabled_flag", 0))
+        self.cu_qp_delta_subdiv = (
+            sh.ph.ph_cu_qp_delta_subdiv_intra_slice
+            if sh.sh_slice_type == 2
+            else sh.ph.ph_cu_qp_delta_subdiv_inter_slice)
+        self.is_cu_qp_delta_coded = False
+        self.qg_pending_delta = 0
+        self.qp_delta_rng = None  # set by the stream generator
         self.pps = pps
         self.sh = sh
         self.width = pps.pps_pic_width_in_luma_samples
@@ -297,6 +307,12 @@ class FrameSyntaxEncoder:
             self._bin("TU_Y_CODED_FLAG", 0, int(y_coded))
         else:
             assert y_coded, "inter TU with no chroma must have luma coeffs"
+        has_qp_delta = ((is_large or y_coded or is_chroma_coded)
+                        and self.cu_qp_delta_enabled
+                        and not self.is_cu_qp_delta_coded)
+        if has_qp_delta:
+            self._encode_cu_qp_delta(self.qg_pending_delta)
+            self.is_cu_qp_delta_coded = True
         assert not sps.sps_joint_cbcr_enabled_flag
         if y_coded:
             self.res.encode(np.ascontiguousarray(cy), 0)
@@ -304,6 +320,31 @@ class FrameSyntaxEncoder:
             self.res.encode(np.ascontiguousarray(ccb), 1)
         if cr_coded:
             self.res.encode(np.ascontiguousarray(ccr), 2)
+
+    def _encode_cu_qp_delta(self, delta: int) -> None:
+        """cu_qp_delta_abs + sign (vvc_cabac.c:1625-1656): ctx bin for
+        >0, unary ctx prefix to 4, EG0 bypass suffix, bypass sign."""
+        abs_v = abs(delta)
+        self._bin("CU_QP_DELTA_ABS", 0, int(abs_v > 0))
+        if abs_v:
+            for v in range(1, 5):
+                b = 1 if abs_v > v else 0
+                self._bin("CU_QP_DELTA_ABS", 1, b)
+                if not b:
+                    break
+            if abs_v >= 5:
+                u = abs_v - 5
+                k = 0
+                while (1 << (k + 1)) - 1 <= u:
+                    k += 1
+                assert k < 6, "delta out of generator range"
+                for _ in range(k):
+                    self.enc.bypass(1)
+                self.enc.bypass(0)
+                rem = u - ((1 << k) - 1)
+                for i in range(k - 1, -1, -1):
+                    self.enc.bypass((rem >> i) & 1)
+            self.enc.bypass(1 if delta < 0 else 0)
 
     def _encode_mts_idx(self, cu: CuIntent) -> None:
         """mts_idx after the CU's transform tree (vvc_ctu.c:842-860,
@@ -582,9 +623,16 @@ class FrameSyntaxEncoder:
 
     def encode_tree(self, node: dict, x0: int, y0: int, w: int, h: int,
                     cqt_depth: int, mtt_depth: int, depth_offset: int,
-                    part_idx: int, last_split: int) -> None:
+                    part_idx: int, last_split: int, qg_on_y: bool = True,
+                    cb_sub_div: int = 0) -> None:
         from .tree import SPLIT_NONE, can_split, split_children
 
+        # new quantization group (vvc_ctu.c:2043-2046)
+        if (self.cu_qp_delta_enabled and qg_on_y
+                and cb_sub_div <= self.cu_qp_delta_subdiv):
+            self.is_cu_qp_delta_coded = False
+            if self.qp_delta_rng is not None:
+                self.qg_pending_delta = int(self.qp_delta_rng.integers(-6, 7))
         allowed = can_split(self.pc, x0, y0, w, h, mtt_depth, depth_offset,
                             part_idx, last_split)
         node["cqt_depth"] = cqt_depth
@@ -603,11 +651,22 @@ class FrameSyntaxEncoder:
             return
         children = split_children(x0, y0, w, h, split, self.width, self.height)
         assert len(children) == len(node["children"]), (split, x0, y0, w, h)
+        from .tree import SPLIT_QT
+        is_tt = split in (1, 3)  # SPLIT_TT_HOR / SPLIT_TT_VER
+        child_qg = qg_on_y and not (
+            is_tt and not (cb_sub_div + 2 <= self.cu_qp_delta_subdiv))
         for child_node, (cx, cy, cw, ch, dq, dm, doff, idx) in zip(
                 node["children"], children):
+            if split == SPLIT_QT:
+                sd = cb_sub_div + 2
+            elif is_tt:
+                sd = cb_sub_div + (1 if idx == 1 else 2)
+            else:  # BT
+                sd = cb_sub_div + 1
             self.encode_tree(child_node, cx, cy, cw, ch,
                              cqt_depth + dq, mtt_depth + dm,
-                             depth_offset + doff, idx, split)
+                             depth_offset + doff, idx, split,
+                             child_qg, sd)
 
     # -- SAO (hls_sao, vvc_ctu.c:2147-2213) ----------------------------
     def _encode_sao(self, rx: int, ry: int, sao: dict) -> None:

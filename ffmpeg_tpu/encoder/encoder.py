@@ -46,6 +46,9 @@ class EncoderConfig:
     # transform tools
     mts: bool = False           # explicit MTS (intra + inter mts_idx)
     mts_implicit: bool = False  # sps_mts on, explicit off (DST7 4..16)
+    # per-QG delta QP
+    cu_qp_delta: bool = False
+    cu_qp_delta_subdiv: int = 2
 
 
 def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
@@ -85,6 +88,7 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
         # exists (configurable once implemented)
         pps_deblocking_filter_control_present_flag=0 if cfg.deblock else 1,
         pps_deblocking_filter_disabled_flag=0 if cfg.deblock else 1,
+        pps_cu_qp_delta_enabled_flag=1 if cfg.cu_qp_delta else 0,
     )
     return sps, pps
 
@@ -292,6 +296,9 @@ def encode_stream(cfg: EncoderConfig):
         if cfg.sao:
             sh.sh_sao_luma_used_flag = 1
             sh.sh_sao_chroma_used_flag = 1
+        if cfg.cu_qp_delta:
+            sh.ph.ph_cu_qp_delta_subdiv_intra_slice = cfg.cu_qp_delta_subdiv
+            sh.ph.ph_cu_qp_delta_subdiv_inter_slice = cfg.cu_qp_delta_subdiv
         trees = random_frame_intent(cfg, sps, pps, rng, is_inter_slice=is_p)
         if cfg.sao:
             ctb_w = (cfg.width + (1 << cfg.ctu_log2) - 1) >> cfg.ctu_log2
@@ -299,6 +306,7 @@ def encode_stream(cfg: EncoderConfig):
                 t["sao"] = _random_sao(cfg, rng, i % ctb_w > 0,
                                        i // ctb_w > 0)
         fse = FrameSyntaxEncoder(sps, pps, sh)
+        fse.qp_delta_rng = rng
         n_ctus = len(trees)
         idx = 0
         for ry in range(fse.ctb_h):

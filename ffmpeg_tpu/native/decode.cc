@@ -155,6 +155,12 @@ class Decoder {
   int qp_y_ = 26;
   // MTS parse state, reset per coded CU (vvc_ctu.c:1805-1806)
   int mts_zero_out_ = 1, mts_dc_only_ = 1;
+  // cu_qp_delta quantization-group state (vvc_ctu.c:77-171, 2043-2046)
+  int qg_x_ = 0, qg_y_ = 0;
+  int is_first_qg_ = 1;
+  int is_cu_qp_delta_coded_ = 0;
+  int cu_qp_delta_subdiv_ = 0;
+  std::vector<int32_t> tab_qpy_;  // final QpY per min-CB (predictor tab)
   // slice-level partition constraints (I-slice luma; spec 7.4.8)
   struct {
     int min_qt, max_bt, max_tt, max_mtt;
@@ -534,6 +540,10 @@ class Decoder {
     int qp = sh_.slice_qp_y < 0 ? 0 : (sh_.slice_qp_y > 63 ? 63 : sh_.slice_qp_y);
     ctxs_.init(qp, init_type);
     qp_y_ = sh_.slice_qp_y;
+    cu_qp_delta_subdiv_ = sh_.sh_slice_type == 2
+        ? sh_.ph.ph_cu_qp_delta_subdiv_intra_slice
+        : sh_.ph.ph_cu_qp_delta_subdiv_inter_slice;
+    tab_qpy_.assign((size_t)mcb_w_ * mcb_h_, sh_.slice_qp_y);
 
     CabacDecoder cd(r.data(), r.size(), sh_.data_bitpos);
     cd_ = &cd;
@@ -545,7 +555,7 @@ class Decoder {
     int idx = 0;
     for (int ry = 0; ry < ctb_h; ry++) {
       for (int rx = 0; rx < ctb_w; rx++, idx++) {
-        parse_ctu(rx, ry);
+        parse_ctu(rx, ry, idx);
         if (idx == n_ctus - 1) {
           if (!cd.terminate())
             throw std::runtime_error("end_of_slice_one_bit != 1");
@@ -644,17 +654,20 @@ class Decoder {
     }
   }
 
-  void parse_ctu(int rx, int ry) {
+  void parse_ctu(int rx, int ry, int ctu_idx) {
     ctb_left_ = rx > 0;
     ctb_up_ = ry > 0;
-    // HMVP resets at each tile-column start (vvc_ctu.c:2447-2450)
-    if (rx == pps_.ctb_to_col_bd[rx]) hmvp_.clear();
+    // HMVP + first-QG reset at each tile-column start (vvc_ctu.c:2447-2450)
+    if (rx == pps_.ctb_to_col_bd[rx]) {
+      hmvp_.clear();
+      is_first_qg_ = (ry == pps_.ctb_to_row_bd[ry]) || !ctu_idx;
+    }
     if (sh_.sh_sao_luma_used_flag || sh_.sh_sao_chroma_used_flag)
       decode_sao(rx, ry);
     int x0 = rx << sps_.ctb_log2_size_y;
     int y0 = ry << sps_.ctb_log2_size_y;
     coding_tree(x0, y0, sps_.ctb_size_y, sps_.ctb_size_y, 0, 0, 0, 0,
-                SPLIT_NONE);
+                SPLIT_NONE, /*qg_on_y=*/1, /*cb_sub_div=*/0);
   }
 
   // -- coding tree ----------------------------------------------------
@@ -815,7 +828,14 @@ class Decoder {
 
   void coding_tree(int x0, int y0, int cb_w, int cb_h, int cqt_depth,
                    int mtt_depth, int depth_offset, int part_idx,
-                   int last_split) {
+                   int last_split, int qg_on_y = 1, int cb_sub_div = 0) {
+    // new quantization group (vvc_ctu.c:2043-2046)
+    if (pps_.pps_cu_qp_delta_enabled_flag && qg_on_y &&
+        cb_sub_div <= cu_qp_delta_subdiv_) {
+      is_cu_qp_delta_coded_ = 0;
+      qg_x_ = x0;
+      qg_y_ = y0;
+    }
     Allowed a = can_split(x0, y0, cb_w, cb_h, mtt_depth, depth_offset,
                           part_idx, last_split);
     int split = decode_split(x0, y0, cb_w, cb_h, cqt_depth, mtt_depth, a);
@@ -828,51 +848,62 @@ class Decoder {
     switch (split) {
       case SPLIT_QT: {
         int x1 = x0 + cb_w / 2, y1 = y0 + cb_h / 2;
-        coding_tree(x0, y0, cb_w / 2, cb_h / 2, cqt_depth + 1, 0, 0, 0, split);
+        int sd = cb_sub_div + 2;
+        coding_tree(x0, y0, cb_w / 2, cb_h / 2, cqt_depth + 1, 0, 0, 0, split,
+                    qg_on_y, sd);
         if (x1 < W)
-          coding_tree(x1, y0, cb_w / 2, cb_h / 2, cqt_depth + 1, 0, 0, 1, split);
+          coding_tree(x1, y0, cb_w / 2, cb_h / 2, cqt_depth + 1, 0, 0, 1,
+                      split, qg_on_y, sd);
         if (y1 < H)
-          coding_tree(x0, y1, cb_w / 2, cb_h / 2, cqt_depth + 1, 0, 0, 2, split);
+          coding_tree(x0, y1, cb_w / 2, cb_h / 2, cqt_depth + 1, 0, 0, 2,
+                      split, qg_on_y, sd);
         if (x1 < W && y1 < H)
-          coding_tree(x1, y1, cb_w / 2, cb_h / 2, cqt_depth + 1, 0, 0, 3, split);
+          coding_tree(x1, y1, cb_w / 2, cb_h / 2, cqt_depth + 1, 0, 0, 3,
+                      split, qg_on_y, sd);
         break;
       }
       case SPLIT_BT_VER: {
         int doff = depth_offset + (x0 + cb_w > W ? 1 : 0);
         int x1 = x0 + cb_w / 2;
+        int sd = cb_sub_div + 1;
         coding_tree(x0, y0, cb_w / 2, cb_h, cqt_depth, mtt_depth + 1, doff, 0,
-                    split);
+                    split, qg_on_y, sd);
         if (x1 < W)
           coding_tree(x1, y0, cb_w / 2, cb_h, cqt_depth, mtt_depth + 1, doff,
-                      1, split);
+                      1, split, qg_on_y, sd);
         break;
       }
       case SPLIT_BT_HOR: {
         int doff = depth_offset + (y0 + cb_h > H ? 1 : 0);
         int y1 = y0 + cb_h / 2;
+        int sd = cb_sub_div + 1;
         coding_tree(x0, y0, cb_w, cb_h / 2, cqt_depth, mtt_depth + 1, doff, 0,
-                    split);
+                    split, qg_on_y, sd);
         if (y1 < H)
           coding_tree(x0, y1, cb_w, cb_h / 2, cqt_depth, mtt_depth + 1, doff,
-                      1, split);
+                      1, split, qg_on_y, sd);
         break;
       }
-      case SPLIT_TT_VER:
+      case SPLIT_TT_VER: {
+        int qg = qg_on_y && (cb_sub_div + 2 <= cu_qp_delta_subdiv_);
         coding_tree(x0, y0, cb_w / 4, cb_h, cqt_depth, mtt_depth + 1,
-                    depth_offset, 0, split);
+                    depth_offset, 0, split, qg, cb_sub_div + 2);
         coding_tree(x0 + cb_w / 4, y0, cb_w / 2, cb_h, cqt_depth,
-                    mtt_depth + 1, depth_offset, 1, split);
+                    mtt_depth + 1, depth_offset, 1, split, qg, cb_sub_div + 1);
         coding_tree(x0 + 3 * cb_w / 4, y0, cb_w / 4, cb_h, cqt_depth,
-                    mtt_depth + 1, depth_offset, 2, split);
+                    mtt_depth + 1, depth_offset, 2, split, qg, cb_sub_div + 2);
         break;
-      case SPLIT_TT_HOR:
+      }
+      case SPLIT_TT_HOR: {
+        int qg = qg_on_y && (cb_sub_div + 2 <= cu_qp_delta_subdiv_);
         coding_tree(x0, y0, cb_w, cb_h / 4, cqt_depth, mtt_depth + 1,
-                    depth_offset, 0, split);
+                    depth_offset, 0, split, qg, cb_sub_div + 2);
         coding_tree(x0, y0 + cb_h / 4, cb_w, cb_h / 2, cqt_depth,
-                    mtt_depth + 1, depth_offset, 1, split);
+                    mtt_depth + 1, depth_offset, 1, split, qg, cb_sub_div + 1);
         coding_tree(x0, y0 + 3 * cb_h / 4, cb_w, cb_h / 4, cqt_depth,
-                    mtt_depth + 1, depth_offset, 2, split);
+                    mtt_depth + 1, depth_offset, 2, split, qg, cb_sub_div + 2);
         break;
+      }
     }
   }
 
@@ -945,6 +976,7 @@ class Decoder {
       transform_unit(cu, cu_index, /*is_intra=*/true, /*coded=*/true,
                      /*merge_non_skip=*/false);
       finish_cu_transforms(cu, /*coded=*/true, tu_begin);
+      finalize_cu_qp(cu, tu_begin);
       out.cus.push_back(cu);
     } else {
       inter_data(cu);
@@ -1080,7 +1112,21 @@ class Decoder {
     transform_unit(cu, cu_index, /*is_intra=*/false, coded != 0,
                    /*merge_non_skip=*/general_merge && !cu.skip);
     finish_cu_transforms(cu, coded != 0, tu_begin);
+    finalize_cu_qp(cu, tu_begin);
     out.cus.push_back(cu);
+  }
+
+  void finalize_cu_qp(CuRecord& cu, size_t tu_begin) {
+    cu.qp = qp_y_;
+    derive_qp_c(cu);
+    for (size_t j = tu_begin; j < out.tus.size(); j++) {
+      TuRecord& tr = out.tus[j];
+      if (tr.c_idx == 0)
+        tr.qp = cu.qp + sps_.qp_bd_offset;
+      else
+        tr.qp = cu.qp_c[tr.c_idx - 1];
+    }
+    set_cb_tab(tab_qpy_, cu.x0, cu.y0, cu.w, cu.h, qp_y_);
   }
 
   // mts_idx decode + per-TB transform kinds (vvc_ctu.c:842-860,
@@ -1233,6 +1279,77 @@ class Decoder {
     return pred_mode_c[idx][m];
   }
 
+  // parity: get_qp_y_pred (vvc_ctu.c:77-126)
+  int get_qp_y_pred(const CuRecord& cu) {
+    const int ctb_log2 = sps_.ctb_log2_size_y;
+    const int ctb_mask = (1 << ctb_log2) - 1;
+    const int xQg = qg_x_, yQg = qg_y_;
+    const int x_cb = cu.x0 >> min_cb_log2_;
+    const int y_cb = cu.y0 >> min_cb_log2_;
+    const int x_ctb = cu.x0 >> ctb_log2;
+    const int y_ctb = cu.y0 >> ctb_log2;
+    const bool in_same_ctb_a = ((xQg - 1) >> ctb_log2) == x_ctb &&
+                               (yQg >> ctb_log2) == y_ctb;
+    const bool in_same_ctb_b = (xQg >> ctb_log2) == x_ctb &&
+                               ((yQg - 1) >> ctb_log2) == y_ctb;
+    const int x0b = cu.x0 & ctb_mask, y0b = cu.y0 & ctb_mask;
+    const bool cand_left = ctb_left_ || x0b;
+    const bool cand_up = ctb_up_ || y0b;
+
+    if (cand_up) {
+      const bool first_qg_in_ctu = !(xQg & ctb_mask) && !(yQg & ctb_mask);
+      const int qpy_up = tab_qpy_[(size_t)(y_cb - 1) * mcb_w_ + x_cb];
+      if (first_qg_in_ctu && pps_.ctb_to_col_bd[xQg >> ctb_log2] == xQg)
+        return qpy_up;
+    }
+    const int qpy_pred = is_first_qg_ ? sh_.slice_qp_y : qp_y_;
+    int qpy_b, qpy_a;
+    if (!cand_up || !in_same_ctb_b)
+      qpy_b = qpy_pred;
+    else
+      qpy_b = tab_qpy_[(size_t)(y_cb - 1) * mcb_w_ + x_cb];
+    if (!cand_left || !in_same_ctb_a)
+      qpy_a = qpy_pred;
+    else
+      qpy_a = tab_qpy_[(size_t)y_cb * mcb_w_ + (x_cb - 1)];
+    return (qpy_a + qpy_b + 1) >> 1;
+  }
+
+  // parity: set_qp_y (vvc_ctu.c:141-171); x0/y0 are the TU coords
+  void set_qp_y(const CuRecord& cu, int x0, int y0, int has_qp_delta) {
+    if (!pps_.pps_cu_qp_delta_enabled_flag) {
+      qp_y_ = sh_.slice_qp_y;
+    } else if (is_first_qg_ || (qg_x_ == x0 && qg_y_ == y0)) {
+      qp_y_ = get_qp_y_pred(cu);
+      is_first_qg_ = 0;
+    }
+    if (has_qp_delta) {
+      int abs_v = 0;
+      if (bin(CU_QP_DELTA_ABS)) {
+        // prefix: up to 4 more ctx bins; suffix: EG0 bypass (vvc_cabac.c:1625)
+        int v = 1;
+        while (v < 5 && bin(CU_QP_DELTA_ABS + 1)) v++;
+        if (v < 5) {
+          abs_v = v;
+        } else {
+          int k = 0;
+          while (k < 6 && cd_->bypass()) k++;
+          int i = (1 << k) - 1;
+          int sfx = 0;
+          while (k--) sfx = (sfx << 1) + cd_->bypass();
+          abs_v = sfx + i + 5;
+        }
+      }
+      int delta = 0;
+      if (abs_v) delta = cd_->bypass() ? -abs_v : abs_v;
+      is_cu_qp_delta_coded_ = 1;
+      if (delta) {
+        int off = sps_.qp_bd_offset;
+        qp_y_ = (qp_y_ + delta + 64 + 2 * off) % (64 + off) - off;
+      }
+    }
+  }
+
   void derive_qp_c(CuRecord& cu) {
     // parity: vvc_ctu.c set_qp_c (spec 8.7.1)
     int off = sps_.qp_bd_offset;
@@ -1258,6 +1375,7 @@ class Decoder {
     (void)merge_non_skip;
     if (!coded) {
       // skip / uncoded inter CU: record zero-coded TUs for deblock grids
+      set_qp_y(cu, cu.x0, cu.y0, 0);
       int hs0 = sps_.hshift_c, vs0 = sps_.vshift_c;
       TuRecord ty = {cu.x0, cu.y0, cu.w, cu.h, 0, 0,
                      cu.qp + sps_.qp_bd_offset, cu_index};
@@ -1273,7 +1391,6 @@ class Decoder {
       }
       return;
     }
-    VVC_UNSUPPORTED(pps_.pps_cu_qp_delta_enabled_flag, "cu qp delta (todo)");
     VVC_UNSUPPORTED(sps_.sps_joint_cbcr_enabled_flag, "joint cbcr (todo)");
     VVC_UNSUPPORTED(sps_.sps_transform_skip_enabled_flag, "transform skip (todo)");
     bool is_large = cu.w > sps_.max_tb_size_y || cu.h > sps_.max_tb_size_y;
@@ -1314,6 +1431,10 @@ class Decoder {
       y_coded = bin(TU_Y_CODED_FLAG);
     else
       y_coded = 1;
+    const int has_qp_delta = (is_large || y_coded || is_chroma_coded) &&
+                             pps_.pps_cu_qp_delta_enabled_flag &&
+                             !is_cu_qp_delta_coded_;
+    set_qp_y(cu, x0, y0, has_qp_delta);
 
     int hs = sps_.hshift_c, vs = sps_.vshift_c;
     struct {

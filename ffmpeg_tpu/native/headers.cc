@@ -417,9 +417,10 @@ static PictureHeader parse_picture_header(BitReader& r, const Sps& sps,
   if (sps.sps_partition_constraints_override_enabled_flag)
     VVC_UNSUPPORTED(r.flag(), "partition constraints override");
   if (ph.ph_intra_slice_allowed_flag && pps.pps_cu_qp_delta_enabled_flag)
-    r.ue();  // ph_cu_qp_delta_subdiv_intra_slice
+    ph.ph_cu_qp_delta_subdiv_intra_slice = r.ue();
   if (ph.ph_inter_slice_allowed_flag) {
-    if (pps.pps_cu_qp_delta_enabled_flag) r.ue();
+    if (pps.pps_cu_qp_delta_enabled_flag)
+      ph.ph_cu_qp_delta_subdiv_inter_slice = r.ue();
     if (sps.sps_temporal_mvp_enabled_flag) {
       ph.ph_temporal_mvp_enabled_flag = r.flag();
     }

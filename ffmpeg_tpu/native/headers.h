@@ -159,6 +159,8 @@ struct PictureHeader {
   int ph_recovery_poc_cnt = 0;
   int ph_pic_output_flag = 1;
   int ph_temporal_mvp_enabled_flag = 0;
+  int ph_cu_qp_delta_subdiv_intra_slice = 0;
+  int ph_cu_qp_delta_subdiv_inter_slice = 0;
   int ph_mvd_l1_zero_flag = 1;
   int ph_qp_delta = 0;
   int ph_joint_cbcr_sign_flag = 0;

@@ -56,10 +56,16 @@ needs_ref = pytest.mark.skipif(not os.path.exists(REF_FFMPEG),
     dict(width=192, height=128, seed=402, qp=28, ctu_log2=6, max_bt_size=64,
          max_tt_size=64, inter=True, b_slices=True, deblock=True, sao=True,
          n_frames=3),
+    dict(width=96, height=96, seed=601, qp=30, cu_qp_delta=True),
+    dict(width=96, height=64, seed=603, qp=28, cu_qp_delta=True, inter=True,
+         b_slices=True, deblock=True, n_frames=3),
+    dict(width=128, height=64, seed=604, qp=32, cu_qp_delta=True, ctu_log2=6,
+         max_bt_size=64, mts=True, sao=True),
 ], ids=["64x64", "128x64x2f", "96x96-dense", "deblock", "deblock-unaligned",
         "inter-p", "inter-p-deblock", "inter-b", "10bit-sao-full",
         "mts-explicit", "mts-implicit", "mts-inter-full",
-        "ctu64", "ctu64-inter-full"])
+        "ctu64", "ctu64-inter-full",
+        "qp-delta", "qp-delta-inter", "qp-delta-ctu64-mts"])
 def test_frame_md5_parity(tmp_path, cfg_kw):
     from ffmpeg_tpu.encoder.encoder import EncoderConfig, encode_stream
 
