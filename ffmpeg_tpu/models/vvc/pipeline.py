@@ -350,14 +350,26 @@ class PackedProgram:
         ls = [buf[o:o + s].reshape(shape) for o, s, shape in offs]
         return self._body(jax.tree_util.tree_unflatten(treedef, ls), refs)
 
-      var = (treedef, offs, off, jax.jit(run))
+      var = (treedef, offs, off, jax.jit(run), run)
       self._variants[sig] = var
-    treedef_now, offs, total, jit_fn = var
+    treedef_now, offs, total, jit_fn, _ = var
     assert treedef == treedef_now, "frame input structure changed"
     buf = np.empty(total, np.int32)
     for leaf, (o, s, _) in zip(leaves, offs):
       buf[o:o + s] = np.asarray(leaf, np.int32).ravel()
     return jit_fn(buf, refs)
+
+  def packed_example(self, inp, refs):
+    """(unjitted_fn, (packed_buf, refs)) for external jit/shard harnesses."""
+    leaves, _ = jax.tree_util.tree_flatten(inp)
+    sig = tuple(np.shape(leaf) for leaf in leaves)
+    if sig not in self._variants:
+      self(inp, refs)  # establish the variant
+    _, offs, total, _, run = self._variants[sig]
+    buf = np.empty(total, np.int32)
+    for leaf, (o, s, _) in zip(leaves, offs):
+      buf[o:o + s] = np.asarray(leaf, np.int32).ravel()
+    return run, (buf, refs)
 
 
 _PROGRAM_CACHE: dict = {}
