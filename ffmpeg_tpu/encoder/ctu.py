@@ -121,6 +121,7 @@ class FrameSyntaxEncoder:
         self.is_cu_qp_delta_coded = False
         self.qg_pending_delta = 0
         self.qp_delta_rng = None  # set by the stream generator
+        self.tool_rng = None      # rng for per-TU tool choices
         self.pps = pps
         self.sh = sh
         self.width = pps.pps_pic_width_in_luma_samples
@@ -313,12 +314,20 @@ class FrameSyntaxEncoder:
         if has_qp_delta:
             self._encode_cu_qp_delta(self.qg_pending_delta)
             self.is_cu_qp_delta_coded = True
-        assert not sps.sps_joint_cbcr_enabled_flag
+        # tu_joint_cbcr_residual_flag (vvc_ctu.c:374-379)
+        joint = 0
+        if (sps.sps_joint_cbcr_enabled_flag and chroma_available
+                and ((is_intra and (cb_coded or cr_coded))
+                     or (cb_coded and cr_coded))):
+            if self.tool_rng is not None:
+                joint = int(self.tool_rng.random() < 0.5)
+            self._bin("TU_JOINT_CBCR_RESIDUAL_FLAG",
+                      2 * int(cb_coded) + int(cr_coded) - 1, joint)
         if y_coded:
             self.res.encode(np.ascontiguousarray(cy), 0)
         if cb_coded:
             self.res.encode(np.ascontiguousarray(ccb), 1)
-        if cr_coded:
+        if cr_coded and not (cb_coded and joint):
             self.res.encode(np.ascontiguousarray(ccr), 2)
 
     def _encode_cu_qp_delta(self, delta: int) -> None:

@@ -49,6 +49,8 @@ class EncoderConfig:
     # per-QG delta QP
     cu_qp_delta: bool = False
     cu_qp_delta_subdiv: int = 2
+    # joint chroma residual coding
+    joint_cbcr: bool = False
 
 
 def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
@@ -77,6 +79,7 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
             if cfg.max_mtt_depth else 0),
         sps_sao_enabled_flag=1 if cfg.sao else 0,
         sps_mts_enabled_flag=1 if (cfg.mts or cfg.mts_implicit) else 0,
+        sps_joint_cbcr_enabled_flag=1 if cfg.joint_cbcr else 0,
         sps_explicit_mts_intra_enabled_flag=1 if cfg.mts else 0,
         sps_explicit_mts_inter_enabled_flag=1 if cfg.mts else 0,
     )
@@ -299,6 +302,8 @@ def encode_stream(cfg: EncoderConfig):
         if cfg.cu_qp_delta:
             sh.ph.ph_cu_qp_delta_subdiv_intra_slice = cfg.cu_qp_delta_subdiv
             sh.ph.ph_cu_qp_delta_subdiv_inter_slice = cfg.cu_qp_delta_subdiv
+        if cfg.joint_cbcr:
+            sh.ph.ph_joint_cbcr_sign_flag = int(rng.integers(0, 2))
         trees = random_frame_intent(cfg, sps, pps, rng, is_inter_slice=is_p)
         if cfg.sao:
             ctb_w = (cfg.width + (1 << cfg.ctu_log2) - 1) >> cfg.ctu_log2
@@ -307,6 +312,7 @@ def encode_stream(cfg: EncoderConfig):
                                        i // ctb_w > 0)
         fse = FrameSyntaxEncoder(sps, pps, sh)
         fse.qp_delta_rng = rng
+        fse.tool_rng = rng
         n_ctus = len(trees)
         idx = 0
         for ry in range(fse.ctb_h):

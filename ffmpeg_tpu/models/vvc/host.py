@@ -22,7 +22,7 @@ CU_FIELDS = ["x0", "y0", "w", "h", "pred_mode", "luma_mode", "chroma_mode",
              "skip", "merge", "idx", "mv_x", "mv_y", "ref_idx",
              "pf", "mv1_x", "mv1_y", "ref_idx1"]
 TU_FIELDS = ["x0", "y0", "w", "h", "c_idx", "coded", "qp", "cu_index",
-             "trh", "trv"]
+             "trh", "trv", "res", "jop", "qsel", "qp_deq"]
 
 
 def _build() -> None:

@@ -113,6 +113,16 @@ def _residual_from_buckets(coeff_plane, buckets, Hp, Wp, bit_depth, sizes):
                        preferred_element_type=jnp.int32)
     shift2 = 5 + 15 - bit_depth
     out = (out + (1 << (shift2 - 1))) >> shift2
+    if "ts" in b:
+      # transform skip: the dequantized levels ARE the residual
+      out = jnp.where(b["ts"][:, None, None] > 0, deq, out)
+    if "jop" in b:
+      # joint-CbCr derived residual: (r * c_sign) >> shift applied to
+      # the post-ITX samples (add_residual_joint, vvcdsp_template.c:48)
+      jop = b["jop"][:, None, None]
+      sgn = jnp.where((jop == 2) | (jop == 4), -out, out)
+      out = jnp.where(jop == 0, out,
+                      jnp.where(jop >= 3, sgn >> 1, sgn))
     mask = (jnp.arange(cap) < n)[:, None, None]
     res = res.at[yy, xx].add(out * mask)
   return res
@@ -393,6 +403,22 @@ _SCALE_SHIFT_TABLES: dict = {}
 _QP_TAB_OFF = 32  # tables cover qp in [-32, 95]
 
 
+def _scale_shift_tables_ts():
+  """Transform-skip dequant: flat scale, bd_shift = 10 (derive_qp /
+  derive_scale, vvc_intra.c; rect factor never applies)."""
+  key = "ts"
+  if key not in _SCALE_SHIFT_TABLES:
+    from ...ops.transform import LEVEL_SCALE
+    qps = range(-_QP_TAB_OFF, 96)
+    sc = np.zeros(len(qps), np.int32)
+    sh = np.full(len(qps), 10, np.int32)
+    for i, qp in enumerate(qps):
+      if qp >= 0:
+        sc[i] = int(LEVEL_SCALE[0][qp % 6]) << (qp // 6)
+    _SCALE_SHIFT_TABLES[key] = (sc, sh)
+  return _SCALE_SHIFT_TABLES[key]
+
+
 def _scale_shift_tables(lw, lh, bit_depth):
   """Vectorized dequant scale/shift lookup over qp (spec 8.7.3);
   index with qp + _QP_TAB_OFF."""
@@ -415,7 +441,8 @@ def _bucket_inputs(fs: FrameSyntax, c_idx: int, sizes, W, H):
   from .recon import dequant_scale_shift
 
   ss = 0 if c_idx == 0 else 1
-  sel = np.where((fs.tus["c_idx"] == c_idx) & (fs.tus["coded"] == 1))[0]
+  has_res = fs.tus.get("res", fs.tus["coded"])
+  sel = np.where((fs.tus["c_idx"] == c_idx) & (has_res == 1))[0]
   ws = fs.tus["w"][sel]
   hs = fs.tus["h"][sel]
   covered = {(int(a), int(b)) for a, b in zip(ws, hs)}
@@ -432,6 +459,8 @@ def _bucket_inputs(fs: FrameSyntax, c_idx: int, sizes, W, H):
     if with_kinds:
       b["trh"] = np.zeros(cap, np.int32)
       b["trv"] = np.zeros(cap, np.int32)
+    if c_idx:
+      b["jop"] = np.zeros(cap, np.int32)
     idx = sel[np.where((ws == w) & (hs == h))[0]]
     n = min(len(idx), cap)
     lw, lh = w.bit_length() - 1, h.bit_length() - 1
@@ -440,12 +469,23 @@ def _bucket_inputs(fs: FrameSyntax, c_idx: int, sizes, W, H):
       b["x0"][:n] = fs.tus["x0"][idxn]
       b["y0"][:n] = fs.tus["y0"][idxn]
       sc_tab, sh_tab = _scale_shift_tables(lw, lh, fs.bit_depth)
-      qps = fs.tus["qp"][idxn] + _QP_TAB_OFF
+      qp_field = "qp_deq" if "qp_deq" in fs.tus else "qp"
+      qps = fs.tus[qp_field][idxn] + _QP_TAB_OFF
       b["scale"][:n] = sc_tab[qps]
       b["shift"][:n] = sh_tab[qps]
+      if "ts" in fs.tus:
+        ts = fs.tus["ts"][idxn].astype(bool)
+        if ts.any():
+          sc_ts, sh_ts = _scale_shift_tables_ts()
+          b["scale"][:n] = np.where(ts, sc_ts[qps], b["scale"][:n])
+          b["shift"][:n] = np.where(ts, sh_ts[qps], b["shift"][:n])
+          b["ts"] = np.zeros(cap, np.int32)
+          b["ts"][:n] = ts.astype(np.int32)
       if with_kinds:
         b["trh"][:n] = fs.tus["trh"][idxn]
         b["trv"][:n] = fs.tus["trv"][idxn]
+      if c_idx:
+        b["jop"][:n] = fs.tus["jop"][idxn]
     b["n"] = np.int32(n)
     out[(w, h)] = b
   return out
@@ -480,7 +520,12 @@ def _deblock_grids(fs: FrameSyntax, Hp_y, Wp_y, Hp_c, Wp_c, ctb_log2):
     gw = (fs.width >> ss) // g
     gh = (fs.height >> ss) // g
     cbf = np.zeros((gh, gw), np.int32)
-    sel = np.where((fs.tus["c_idx"] == c_idx) & (fs.tus["coded"] == 1))[0]
+    # deblock cbf: parsed tu_coded_flag, OR'd with the joint-CbCr flag
+    # for chroma (vvc_filter.c:680-684)
+    cond = fs.tus["coded"] == 1
+    if c_idx and "jop" in fs.tus:
+      cond = cond | (fs.tus["jop"] > 0)
+    sel = np.where((fs.tus["c_idx"] == c_idx) & cond)[0]
     for j in sel:
       x0, y0 = int(fs.tus["x0"][j]), int(fs.tus["y0"][j])
       w, h = int(fs.tus["w"][j]), int(fs.tus["h"][j])

@@ -73,10 +73,15 @@ struct CuRecord {
 struct TuRecord {
   int32_t x0, y0, w, h;  // component coords
   int32_t c_idx;
-  int32_t coded;
+  int32_t coded;         // *parsed* cbf (what the deblock cbf tab sees)
   int32_t qp;            // component QP used for dequant
   int32_t cu_index;      // owning CU
   int32_t trh, trv;      // transform kinds (0=DCT2 1=DST7 2=DCT8)
+  int32_t res;           // residual present (parsed or jointly derived)
+  int32_t jop;           // joint-CbCr op: 0 none, 1+[sign<0]+2*shift
+  int32_t qsel;          // dequant qp source: 0 by c_idx, 1..3 qp_c[0..2]
+  int32_t qp_deq;        // dequant qp (differs from qp for joint TBs)
+  int32_t ts;            // transform skip
 };
 #pragma pack(pop)
 
@@ -155,6 +160,7 @@ class Decoder {
   int qp_y_ = 26;
   // MTS parse state, reset per coded CU (vvc_ctu.c:1805-1806)
   int mts_zero_out_ = 1, mts_dc_only_ = 1;
+  int cu_first_tb_ts_ = -1;  // ts of the CU's first luma TB (mts gate)
   // cu_qp_delta quantization-group state (vvc_ctu.c:77-171, 2043-2046)
   int qg_x_ = 0, qg_y_ = 0;
   int is_first_qg_ = 1;
@@ -973,6 +979,7 @@ class Decoder {
       size_t tu_begin = out.tus.size();
       mts_zero_out_ = 1;
       mts_dc_only_ = 1;
+      cu_first_tb_ts_ = -1;
       transform_unit(cu, cu_index, /*is_intra=*/true, /*coded=*/true,
                      /*merge_non_skip=*/false);
       finish_cu_transforms(cu, /*coded=*/true, tu_begin);
@@ -1109,6 +1116,7 @@ class Decoder {
     size_t tu_begin = out.tus.size();
     mts_zero_out_ = 1;
     mts_dc_only_ = 1;
+    cu_first_tb_ts_ = -1;
     transform_unit(cu, cu_index, /*is_intra=*/false, coded != 0,
                    /*merge_non_skip=*/general_merge && !cu.skip);
     finish_cu_transforms(cu, coded != 0, tu_begin);
@@ -1121,10 +1129,21 @@ class Decoder {
     derive_qp_c(cu);
     for (size_t j = tu_begin; j < out.tus.size(); j++) {
       TuRecord& tr = out.tus[j];
-      if (tr.c_idx == 0)
+      if (tr.c_idx == 0) {
         tr.qp = cu.qp + sps_.qp_bd_offset;
-      else
-        tr.qp = cu.qp_c[tr.c_idx - 1];
+        tr.qp_deq = tr.qp;
+      } else {
+        // tab qp (deblock) follows set_qp_c_tab: the component qp, or
+        // the joint qp when this TU is jointly coded with both cbfs
+        tr.qp = cu.qp_c[tr.qsel == 3 ? 2 : tr.c_idx - 1];
+        // dequant qp follows derive_qp: the parsed TB's source
+        tr.qp_deq = cu.qp_c[tr.qsel ? tr.qsel - 1 : tr.c_idx - 1];
+      }
+      if (tr.ts) {
+        int lo = 4 + 6 * sps_.sps_min_qp_prime_ts;
+        int hi = 63 + sps_.qp_bd_offset;
+        tr.qp_deq = tr.qp_deq < lo ? lo : (tr.qp_deq > hi ? hi : tr.qp_deq);
+      }
     }
     set_cb_tab(tab_qpy_, cu.x0, cu.y0, cu.w, cu.h, qp_y_);
   }
@@ -1142,7 +1161,7 @@ class Decoder {
           : sps_.sps_explicit_mts_inter_enabled_flag != 0;
       // no lfnst / transform-skip / ISP / SBT yet: those terms are 0
       if (explicit_on && std::max(cu.w, cu.h) <= 32 && mts_zero_out_ &&
-          !mts_dc_only_) {
+          !mts_dc_only_ && cu_first_tb_ts_ <= 0) {
         while (mts_idx < 4 && bin(MTS_IDX + mts_idx)) mts_idx++;
       }
     }
@@ -1378,7 +1397,7 @@ class Decoder {
       set_qp_y(cu, cu.x0, cu.y0, 0);
       int hs0 = sps_.hshift_c, vs0 = sps_.vshift_c;
       TuRecord ty = {cu.x0, cu.y0, cu.w, cu.h, 0, 0,
-                     cu.qp + sps_.qp_bd_offset, cu_index};
+                     cu.qp + sps_.qp_bd_offset, cu_index, 0, 0, 0, 0, 0};
       out.tus.push_back(ty);
       if (chroma_avail) {
         TuRecord tb = {cu.x0 >> hs0, cu.y0 >> vs0, cu.w >> hs0, cu.h >> vs0,
@@ -1391,8 +1410,6 @@ class Decoder {
       }
       return;
     }
-    VVC_UNSUPPORTED(sps_.sps_joint_cbcr_enabled_flag, "joint cbcr (todo)");
-    VVC_UNSUPPORTED(sps_.sps_transform_skip_enabled_flag, "transform skip (todo)");
     bool is_large = cu.w > sps_.max_tb_size_y || cu.h > sps_.max_tb_size_y;
     transform_tree(cu, cu_index, is_intra, is_large, cu.x0, cu.y0, cu.w,
                    cu.h);
@@ -1436,21 +1453,87 @@ class Decoder {
                              !is_cu_qp_delta_coded_;
     set_qp_y(cu, x0, y0, has_qp_delta);
 
+    // tu_joint_cbcr_residual_flag (vvc_ctu.c:374-379)
+    int joint = 0;
+    if (sps_.sps_joint_cbcr_enabled_flag && chroma_avail &&
+        ((is_intra && (cb_coded || cr_coded)) || (cb_coded && cr_coded)))
+      joint = bin(TU_JOINT_CBCR_RESIDUAL_FLAG + 2 * cb_coded + cr_coded - 1);
+
     int hs = sps_.hshift_c, vs = sps_.vshift_c;
-    struct {
-      int c_idx, x, y, w, h, coded, qp;
-    } tbs[3] = {
-        {0, x0, y0, tw, th, y_coded, cu.qp + sps_.qp_bd_offset},
-        {1, x0 >> hs, y0 >> vs, tw >> hs, th >> vs, cb_coded, cu.qp_c[0]},
-        {2, x0 >> hs, y0 >> vs, tw >> hs, th >> vs, cr_coded, cu.qp_c[1]},
+    int xc = x0 >> hs, yc = y0 >> vs, wc = tw >> hs, hc = th >> vs;
+
+    // transform_skip_flag (vvc_ctu.c:394-397; no BDPCM/SBT/ISP yet)
+    auto ts_flag = [&](int w_, int h_, int c) -> int {
+      if (!sps_.sps_transform_skip_enabled_flag) return 0;
+      if (w_ > sps_.max_ts_size || h_ > sps_.max_ts_size) return 0;
+      return bin(TRANSFORM_SKIP_FLAG + (c ? 1 : 0));
     };
-    int n_tbs = chroma_avail ? 3 : 1;
-    for (int i = 0; i < n_tbs; i++) {
-      auto& tb = tbs[i];
-      if (tb.coded) residual_coding(tb.x, tb.y, tb.w, tb.h, tb.c_idx);
-      TuRecord tr = {tb.x, tb.y, tb.w, tb.h, tb.c_idx, tb.coded, tb.qp, cu_index};
-      out.tus.push_back(tr);
+    auto residual = [&](int rx0, int ry0, int w_, int h_, int c, int ts) {
+      if (ts && !sh_.sh_ts_residual_coding_disabled_flag)
+        residual_ts_coding(rx0, ry0, w_, h_, c);
+      else
+        residual_coding(rx0, ry0, w_, h_, c);
+    };
+    int ts_y = 0;
+    if (y_coded) {
+      ts_y = ts_flag(tw, th, 0);
+      residual(x0, y0, tw, th, 0, ts_y);
     }
+    if (cu_first_tb_ts_ < 0) cu_first_tb_ts_ = ts_y;
+    TuRecord ty = {x0, y0, tw, th, 0, y_coded, cu.qp + sps_.qp_bd_offset,
+                   cu_index, 0, 0, y_coded, 0, 0, 0, ts_y};
+    out.tus.push_back(ty);
+    if (!chroma_avail) return;
+
+    // which chroma TBs carry a parsed residual (tb->has_coeffs,
+    // vvc_ctu.c:383-386): Cb if cbf_cb; Cr if cbf_cr unless joint rides
+    // in Cb.  The other component's residual is derived post-ITX.
+    int cb_parsed = cb_coded;
+    int cr_parsed = cr_coded && !(cb_coded && joint);
+    int ts_cb = 0, ts_cr = 0;
+    if (cb_parsed) {
+      ts_cb = ts_flag(wc, hc, 1);
+      residual(xc, yc, wc, hc, 1, ts_cb);
+    }
+    if (cr_parsed) {
+      ts_cr = ts_flag(wc, hc, 2);
+      residual(xc, yc, wc, hc, 2, ts_cr);
+    }
+
+    int is_jcbcr = joint && cb_coded && cr_coded;
+    // qsel: dequant qp source for joint TBs (derive_qp, vvc_intra.c)
+    int parsed_c = cb_parsed ? 1 : 2;
+    int parsed_qsel = is_jcbcr ? 3 : parsed_c;
+    TuRecord tcb = {xc, yc, wc, hc, 1, cb_parsed, cu.qp_c[0], cu_index,
+                    0, 0, cb_parsed, 0, cb_parsed ? parsed_qsel : 0, 0,
+                    ts_cb};
+    TuRecord tcr = {xc, yc, wc, hc, 2, cr_parsed, cu.qp_c[1], cu_index,
+                    0, 0, cr_parsed, 0, cr_parsed ? parsed_qsel : 0, 0,
+                    ts_cr};
+    if (joint) {
+      // derived component: 1 + cbf_cb (add_residual_for_joint_coding,
+      // vvc_intra.c:166-186); shift = cbf_cb ^ cbf_cr
+      int shift = cb_coded ^ cr_coded;
+      int neg = sh_.ph.ph_joint_cbcr_sign_flag ? 1 : 0;
+      int jop = 1 + neg + 2 * shift;
+      TuRecord& drv = cb_coded ? tcr : tcb;
+      drv.res = 1;
+      drv.jop = jop;
+      drv.qsel = parsed_qsel;
+      drv.ts = cb_parsed ? ts_cb : ts_cr;
+      // copy the parsed coefficients into the derived component's
+      // coeff plane so the residual buckets stay per-plane
+      int src_c = parsed_c, dst_c = cb_coded ? 2 : 1;
+      int pw = out.width >> hs;
+      for (int yy = 0; yy < hc; yy++) {
+        const int32_t* srow =
+            out.coeff[src_c].data() + (size_t)(yc + yy) * pw + xc;
+        int32_t* drow = out.coeff[dst_c].data() + (size_t)(yc + yy) * pw + xc;
+        std::memcpy(drow, srow, sizeof(int32_t) * wc);
+      }
+    }
+    out.tus.push_back(tcb);
+    out.tus.push_back(tcr);
   }
 
   // -- residual coding (regular) --------------------------------------
@@ -1633,6 +1716,154 @@ class Decoder {
 
     for (int i = last_sb; i >= 0; i--)
       residual_subblock(rc, i, tb_w, tb_h, c_idx, plane, plane_w, x0, y0);
+  }
+
+  // -- residual coding (transform skip) -------------------------------
+  // parity: vvc_cabac.c:2036-2166 (residual_ts_coding_subblock)
+  void residual_ts_coding(int x0, int y0, int tb_w, int tb_h, int c_idx) {
+    int log2_w = 0, log2_h = 0;
+    while ((1 << log2_w) < tb_w) log2_w++;
+    while ((1 << log2_h) < tb_h) log2_h++;
+    int log2_sb_w = (std::min(log2_w, log2_h) < 2) ? 1 : 2;
+    int log2_sb_h = log2_sb_w;
+    if (log2_w + log2_h > 3) {
+      if (log2_w < 2) {
+        log2_sb_w = log2_w;
+        log2_sb_h = 4 - log2_sb_w;
+      } else if (log2_h < 2) {
+        log2_sb_h = log2_h;
+        log2_sb_w = 4 - log2_sb_h;
+      }
+    }
+    const int num_sb_coeff = 1 << (log2_sb_w + log2_sb_h);
+    const int w_sbs = 1 << (log2_w - log2_sb_w);
+    const int h_sbs = 1 << (log2_h - log2_sb_h);
+    const int last_sb = w_sbs * h_sbs - 1;
+    int rem_bins = ((1 << (log2_w + log2_h)) * 7) >> 2;
+    const DiagScan& sb_scan = diag_scan(log2_w - log2_sb_w,
+                                        log2_h - log2_sb_h);
+    const DiagScan& scan = diag_scan(log2_sb_w, log2_sb_h);
+
+    std::vector<int32_t> sig((size_t)tb_w * tb_h, 0);
+    std::vector<int32_t> pass1((size_t)tb_w * tb_h, 0);
+    std::vector<int32_t> abs_level((size_t)tb_w * tb_h, 0);
+    std::vector<int32_t> sign_level((size_t)tb_w * tb_h, 0);
+    std::vector<uint8_t> sb_coded((size_t)w_sbs * h_sbs, 0);
+    int infer_sb_cbf = 1;
+
+    int32_t* plane;
+    int plane_w;
+    if (c_idx == 0) {
+      plane = out.coeff[0].data();
+      plane_w = out.width;
+    } else {
+      plane = out.coeff[c_idx].data();
+      plane_w = out.width >> sps_.hshift_c;
+    }
+
+    std::vector<int> gtx(num_sb_coeff);
+    std::vector<int> pass2(num_sb_coeff);
+    for (int i = 0; i <= last_sb; i++) {
+      const int xs = sb_scan.x[i], ys = sb_scan.y[i];
+      uint8_t* sbc = &sb_coded[(size_t)ys * w_sbs + xs];
+      if (i != last_sb || !infer_sb_cbf) {
+        int left = xs > 0 ? sbc[-1] : 0;
+        int above = ys > 0 ? sbc[-w_sbs] : 0;
+        *sbc = bin(SB_CODED_FLAG + left + above + 4);
+      } else {
+        *sbc = 1;
+      }
+      if (*sbc && i < last_sb) infer_sb_cbf = 0;
+
+      int infer_sb_sig = 1;
+      int last_pass1 = -1, last_pass2 = -1;
+      // first scan pass: sig / sign / gt1 / par
+      int n = 0;
+      for (; n < num_sb_coeff && rem_bins >= 4; n++) {
+        const int xc = (xs << log2_sb_w) + scan.x[n];
+        const int yc = (ys << log2_sb_h) + scan.y[n];
+        const size_t off = (size_t)yc * tb_w + xc;
+        int par = 0;
+        gtx[n] = 0;
+        last_pass1 = n;
+        if (*sbc && (n != num_sb_coeff - 1 || !infer_sb_sig)) {
+          int l = xc > 0 ? (int)sig[off - 1] : 0;
+          int a = yc > 0 ? (int)sig[off - tb_w] : 0;
+          sig[off] = bin(SIG_COEFF_FLAG + 60 + l + a);
+          rem_bins--;
+          if (sig[off]) infer_sb_sig = 0;
+        } else {
+          sig[off] = (n == num_sb_coeff - 1) && infer_sb_sig && *sbc;
+        }
+        sign_level[off] = 0;
+        if (sig[off]) {
+          int ls = xc > 0 ? (int)sign_level[off - 1] : 0;
+          int as = yc > 0 ? (int)sign_level[off - tb_w] : 0;
+          int inc;
+          if (ls == -as) inc = 0;
+          else if (ls >= 0 && as >= 0) inc = 1;
+          else inc = 2;
+          sign_level[off] = 1 - 2 * bin(COEFF_SIGN_FLAG + inc);
+          int lsf = xc > 0 ? (int)sig[off - 1] : 0;
+          int asf = yc > 0 ? (int)sig[off - tb_w] : 0;
+          gtx[n] = bin(ABS_LEVEL_GTX_FLAG + 64 + lsf + asf);
+          rem_bins -= 2;
+          if (gtx[n]) {
+            par = bin(PAR_LEVEL_FLAG + 32);
+            rem_bins--;
+          }
+        }
+        pass1[off] = (int32_t)(sig[off] + par + gtx[n]);
+      }
+
+      // greater-than-x pass
+      for (n = 0; n < num_sb_coeff && rem_bins >= 4; n++) {
+        const int xc = (xs << log2_sb_w) + scan.x[n];
+        const int yc = (ys << log2_sb_h) + scan.y[n];
+        const size_t off = (size_t)yc * tb_w + xc;
+        pass2[n] = (int)pass1[off];
+        for (int j = 1; j < 5 && gtx[n]; j++) {
+          gtx[n] = bin(ABS_LEVEL_GTX_FLAG + 67 + j);
+          pass2[n] += gtx[n] << 1;
+          rem_bins--;
+        }
+        last_pass2 = n;
+      }
+
+      // remainder pass
+      for (n = 0; n < num_sb_coeff; n++) {
+        const int xc = (xs << log2_sb_w) + scan.x[n];
+        const int yc = (ys << log2_sb_h) + scan.y[n];
+        const size_t off = (size_t)yc * tb_w + xc;
+        int abs_rem = 0;
+        if ((n <= last_pass2 && pass2[n] >= 10) ||
+            (n > last_pass2 && n <= last_pass1 && pass1[off] >= 2) ||
+            (n > last_pass1 && *sbc)) {
+          int rice = sh_.sh_ts_residual_coding_rice_idx_minus1 + 1;
+          abs_rem = abs_decode(rice);
+        }
+        if (n <= last_pass2)
+          abs_level[off] = pass2[n] + 2 * abs_rem;
+        else if (n <= last_pass1)
+          abs_level[off] = pass1[off] + 2 * abs_rem;
+        else {
+          abs_level[off] = abs_rem;
+          if (abs_rem) sign_level[off] = 1 - 2 * cd_->bypass();
+        }
+        // level prediction remap (no BDPCM yet)
+        if (n <= last_pass1) {
+          int left = xc > 0 ? (int)abs_level[off - 1] : 0;
+          int above = yc > 0 ? (int)abs_level[off - tb_w] : 0;
+          int pred = std::max(left, above);
+          if (abs_level[off] == 1 && pred > 0)
+            abs_level[off] = pred;
+          else if (abs_level[off] > 0 && abs_level[off] <= pred)
+            abs_level[off]--;
+        }
+        plane[(size_t)(y0 + yc) * plane_w + (x0 + xc)] =
+            abs_level[off] ? sign_level[off] * abs_level[off] : 0;
+      }
+    }
   }
 
   void residual_subblock(RcCtx& rc, int i, int tb_w, int tb_h, int c_idx,

@@ -234,7 +234,7 @@ Sps parse_sps(BitReader& r) {
   VVC_UNSUPPORTED(r.flag(), "palette");
   if (sps.sps_chroma_format_idc == 3 && !sps.sps_max_luma_transform_size_64_flag)
     VVC_UNSUPPORTED(r.flag(), "ACT");
-  if (sps.sps_transform_skip_enabled_flag) r.ue();  // min_qp_prime_ts
+  if (sps.sps_transform_skip_enabled_flag) sps.sps_min_qp_prime_ts = r.ue();
   VVC_UNSUPPORTED(r.flag(), "IBC");
   VVC_UNSUPPORTED(r.flag(), "LADF");
   VVC_UNSUPPORTED(r.flag(), "explicit scaling lists");

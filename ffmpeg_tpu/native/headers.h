@@ -54,6 +54,7 @@ struct Sps {
   int sps_max_luma_transform_size_64_flag = 0;
   int sps_transform_skip_enabled_flag = 0;
   int max_ts_size = 4;
+  int sps_min_qp_prime_ts = 0;
   int sps_bdpcm_enabled_flag = 0;
   int sps_mts_enabled_flag = 0;
   int sps_explicit_mts_intra_enabled_flag = 0;
@@ -190,6 +191,7 @@ struct SliceHeader {
   int sh_dep_quant_used_flag = 0;
   int sh_sign_data_hiding_used_flag = 0;
   int sh_ts_residual_coding_disabled_flag = 0;
+  int sh_ts_residual_coding_rice_idx_minus1 = 0;
   std::vector<uint32_t> entry_point_offsets;
   size_t data_bitpos = 0;  // byte-aligned start of slice_data()
 };

@@ -61,11 +61,17 @@ needs_ref = pytest.mark.skipif(not os.path.exists(REF_FFMPEG),
          b_slices=True, deblock=True, n_frames=3),
     dict(width=128, height=64, seed=604, qp=32, cu_qp_delta=True, ctu_log2=6,
          max_bt_size=64, mts=True, sao=True),
+    dict(width=96, height=96, seed=701, qp=30, joint_cbcr=True),
+    dict(width=96, height=64, seed=702, qp=28, joint_cbcr=True, inter=True,
+         b_slices=True, deblock=True, n_frames=3),
+    dict(width=128, height=64, seed=703, qp=32, joint_cbcr=True,
+         cu_qp_delta=True, mts=True, sao=True, ctu_log2=6, max_bt_size=64),
 ], ids=["64x64", "128x64x2f", "96x96-dense", "deblock", "deblock-unaligned",
         "inter-p", "inter-p-deblock", "inter-b", "10bit-sao-full",
         "mts-explicit", "mts-implicit", "mts-inter-full",
         "ctu64", "ctu64-inter-full",
-        "qp-delta", "qp-delta-inter", "qp-delta-ctu64-mts"])
+        "qp-delta", "qp-delta-inter", "qp-delta-ctu64-mts",
+        "joint-cbcr", "joint-cbcr-inter", "joint-cbcr-full"])
 def test_frame_md5_parity(tmp_path, cfg_kw):
     from ffmpeg_tpu.encoder.encoder import EncoderConfig, encode_stream
 
