@@ -102,6 +102,12 @@ class CuIntent:
     # explicit MTS index (0=DCT2, 1..4 = DST7/DCT8 combos); only legal
     # when the CU is MTS-eligible (checked at encode time)
     mts_idx: int = 0
+    # BDPCM (forces luma/chroma mode HORZ/VERT and transform skip)
+    bdpcm_l: int = 0
+    bdpcm_c: int = 0
+    bdpcm_dir_c: int = 0  # 0 = HORZ, 1 = VERT
+    # LFNST index (0 off, 1..2 kernel); only when the CU is eligible
+    lfnst_idx: int = 0
 
 
 class FrameSyntaxEncoder:
@@ -122,6 +128,8 @@ class FrameSyntaxEncoder:
         self.qg_pending_delta = 0
         self.qp_delta_rng = None  # set by the stream generator
         self.tool_rng = None      # rng for per-TU tool choices
+        self.cu_first_tb_ts = -1  # ts of the CU's first luma TB
+        self.cu_any_coded_ts = False
         self.pps = pps
         self.sh = sh
         self.width = pps.pps_pic_width_in_luma_samples
@@ -299,13 +307,16 @@ class FrameSyntaxEncoder:
         cr_coded = ccr is not None and np.any(ccr)
         y_coded = cy is not None and np.any(cy)
         if chroma_available:
-            self._bin("TU_CB_CODED_FLAG", 0, int(cb_coded))
-            self._bin("TU_CR_CODED_FLAG", int(cb_coded), int(cr_coded))
+            # cbf ctx shifts under BDPCM (vvc_cabac.c:1199-1216)
+            self._bin("TU_CB_CODED_FLAG", cu.bdpcm_c, int(cb_coded))
+            self._bin("TU_CR_CODED_FLAG",
+                      2 if cu.bdpcm_c else int(cb_coded), int(cr_coded))
         is_chroma_coded = chroma_available and (cb_coded or cr_coded)
         # tu_y_coded_flag: present for intra, chroma-coded, or split CUs;
         # else inferred 1 (vvc_ctu.c:274-292)
         if is_intra or is_chroma_coded or is_large:
-            self._bin("TU_Y_CODED_FLAG", 0, int(y_coded))
+            self._bin("TU_Y_CODED_FLAG", 1 if cu.bdpcm_l else 0,
+                      int(y_coded))
         else:
             assert y_coded, "inter TU with no chroma must have luma coeffs"
         has_qp_delta = ((is_large or y_coded or is_chroma_coded)
@@ -323,12 +334,44 @@ class FrameSyntaxEncoder:
                 joint = int(self.tool_rng.random() < 0.5)
             self._bin("TU_JOINT_CBCR_RESIDUAL_FLAG",
                       2 * int(cb_coded) + int(cr_coded) - 1, joint)
+        def ts_flag(c, w_, h_):
+            # transform_skip_flag (vvc_ctu.c:386-397; no SBT/ISP)
+            if (cu.bdpcm_c if c else cu.bdpcm_l):
+                return 1  # forced, no flag
+            if not sps.sps_transform_skip_enabled_flag:
+                return 0
+            max_ts = 1 << (sps.sps_log2_transform_skip_max_size_minus2 + 2)
+            if w_ > max_ts or h_ > max_ts:
+                return 0
+            ts = int(self.tool_rng is not None
+                     and self.tool_rng.random() < 0.5)
+            if c == 0 and cu.mts_idx > 0:
+                ts = 0  # an explicit MTS choice requires a non-ts first TB
+            if cu.lfnst_idx > 0:
+                ts = 0  # LFNST requires no transform-skip TB in the CU
+            self._bin("TRANSFORM_SKIP_FLAG", 1 if c else 0, ts)
+            return ts
+
+        def encode_res(c, arr, ts):
+            arr = np.ascontiguousarray(arr)
+            if ts:
+                self.cu_any_coded_ts = True
+            bdpcm = cu.bdpcm_c if c else cu.bdpcm_l
+            if ts and not self.sh.sh_ts_residual_coding_disabled_flag:
+                self.res.encode_ts(arr, c, bdpcm=bdpcm)
+            else:
+                self.res.encode(arr, c)
+
+        ts_y = 0
         if y_coded:
-            self.res.encode(np.ascontiguousarray(cy), 0)
+            ts_y = ts_flag(0, tw, th)
+            encode_res(0, cy, ts_y)
+        if self.cu_first_tb_ts < 0:
+            self.cu_first_tb_ts = ts_y
         if cb_coded:
-            self.res.encode(np.ascontiguousarray(ccb), 1)
+            encode_res(1, ccb, ts_flag(1, tw >> 1, th >> 1))
         if cr_coded and not (cb_coded and joint):
-            self.res.encode(np.ascontiguousarray(ccr), 2)
+            encode_res(2, ccr, ts_flag(2, tw >> 1, th >> 1))
 
     def _encode_cu_qp_delta(self, delta: int) -> None:
         """cu_qp_delta_abs + sign (vvc_cabac.c:1625-1656): ctx bin for
@@ -355,6 +398,27 @@ class FrameSyntaxEncoder:
                     self.enc.bypass((rem >> i) & 1)
             self.enc.bypass(1 if delta < 0 else 0)
 
+    def _encode_lfnst_idx(self, cu: CuIntent) -> None:
+        """lfnst_idx after the CU's transform tree (vvc_ctu.c:791-839);
+        single tree, intra, no transform-skip TBs."""
+        sps = self.sps
+        if not sps.sps_lfnst_enabled_flag:
+            assert cu.lfnst_idx == 0
+            return
+        eligible = (cu.pred_mode == "intra"
+                    and max(cu.w, cu.h) <= (64 if
+                        sps.sps_max_luma_transform_size_64_flag else 32)
+                    and not self.cu_any_coded_ts
+                    and min(cu.w, cu.h) >= 4
+                    and not self.res.lfnst_dc_only
+                    and self.res.lfnst_zero_out_sig_coeff_flag)
+        if not eligible:
+            assert cu.lfnst_idx == 0, "lfnst chosen for ineligible CU"
+            return
+        self._bin("LFNST_IDX", 0, int(cu.lfnst_idx > 0))
+        if cu.lfnst_idx > 0:
+            self._bin("LFNST_IDX", 2, int(cu.lfnst_idx == 2))
+
     def _encode_mts_idx(self, cu: CuIntent) -> None:
         """mts_idx after the CU's transform tree (vvc_ctu.c:842-860,
         1810-1811); only when explicit MTS is eligible for this CU."""
@@ -365,9 +429,11 @@ class FrameSyntaxEncoder:
         explicit = (sps.sps_explicit_mts_intra_enabled_flag
                     if cu.pred_mode == "intra"
                     else sps.sps_explicit_mts_inter_enabled_flag)
-        eligible = (explicit and max(cu.w, cu.h) <= 32
+        eligible = (explicit and cu.lfnst_idx == 0
+                    and max(cu.w, cu.h) <= 32
                     and self.res.mts_zero_out_sig_coeff_flag
-                    and not self.res.mts_dc_only)
+                    and not self.res.mts_dc_only
+                    and self.cu_first_tb_ts <= 0)
         if not eligible:
             assert cu.mts_idx == 0, "mts_idx chosen for ineligible CU"
             return
@@ -504,6 +570,8 @@ class FrameSyntaxEncoder:
         self.res.lfnst_zero_out_sig_coeff_flag = 1
         self.res.mts_dc_only = 1
         self.res.mts_zero_out_sig_coeff_flag = 1
+        self.cu_first_tb_ts = -1
+        self.cu_any_coded_ts = False
         s = self.min_cb_log2
         ys, xs = cu.y0 >> s, cu.x0 >> s
         area = (slice(ys, ys + (cu.h >> s)), slice(xs, xs + (cu.w >> s)))
@@ -528,17 +596,46 @@ class FrameSyntaxEncoder:
         self.tab_skip[area] = int(cu.skip)
 
         if is_intra:
-            self._encode_luma_intra_mode(cu)
+            sps = self.sps
+            max_ts = 1 << (sps.sps_log2_transform_skip_max_size_minus2 + 2)
+            # intra_bdpcm_luma (vvc_ctu.c:962-966)
+            if (sps.sps_bdpcm_enabled_flag and cu.w <= max_ts
+                    and cu.h <= max_ts):
+                self._bin("INTRA_BDPCM_LUMA_FLAG", 0, cu.bdpcm_l)
+            else:
+                assert not cu.bdpcm_l
+            if cu.bdpcm_l:
+                assert cu.luma_mode in (18, 50)
+                self._bin("INTRA_BDPCM_LUMA_DIR_FLAG", 0,
+                          int(cu.luma_mode == 50))
+                s_ = self.min_cb_log2
+                ys, xs = cu.y0 >> s_, cu.x0 >> s_
+                self.tab_ipm[ys:ys + (cu.h >> s_),
+                             xs:xs + (cu.w >> s_)] = cu.luma_mode
+                self.tab_cpm[ys:ys + (cu.h >> s_),
+                             xs:xs + (cu.w >> s_)] = MODE_INTRA
+            else:
+                self._encode_luma_intra_mode(cu)
             if self.sps.sps_chroma_format_idc:
-                self._encode_chroma_intra_mode(cu)
+                # intra_bdpcm_chroma (vvc_ctu.c:1008-1015)
+                if (sps.sps_bdpcm_enabled_flag and cu.w // 2 <= max_ts
+                        and cu.h // 2 <= max_ts):
+                    self._bin("INTRA_BDPCM_CHROMA_FLAG", 0, cu.bdpcm_c)
+                else:
+                    assert not cu.bdpcm_c
+                if cu.bdpcm_c:
+                    self._bin("INTRA_BDPCM_CHROMA_DIR_FLAG", 0,
+                              cu.bdpcm_dir_c)
+                else:
+                    self._encode_chroma_intra_mode(cu)
             if self.motion is not None:
                 self.motion.set_intra(cu.x0, cu.y0, cu.w, cu.h)
             self._encode_transform_unit(cu)
+            self._encode_lfnst_idx(cu)
             self._encode_mts_idx(cu)
         else:
             self.tab_cpm[area] = MODE_INTER
             self._encode_inter_cu(cu)
-        assert not self.sps.sps_lfnst_enabled_flag
 
     def _get_inc(self, tab, x0, y0) -> int:
         left, top = self._left_top_tab(tab, x0, y0, 0)

@@ -51,6 +51,13 @@ class EncoderConfig:
     cu_qp_delta_subdiv: int = 2
     # joint chroma residual coding
     joint_cbcr: bool = False
+    # transform skip
+    transform_skip: bool = False
+    ts_max_size: int = 8
+    # BDPCM (requires transform_skip SPS machinery)
+    bdpcm: bool = False
+    # LFNST secondary transform
+    lfnst: bool = False
 
 
 def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
@@ -80,6 +87,13 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
         sps_sao_enabled_flag=1 if cfg.sao else 0,
         sps_mts_enabled_flag=1 if (cfg.mts or cfg.mts_implicit) else 0,
         sps_joint_cbcr_enabled_flag=1 if cfg.joint_cbcr else 0,
+        sps_transform_skip_enabled_flag=(
+            1 if (cfg.transform_skip or cfg.bdpcm) else 0),
+        sps_log2_transform_skip_max_size_minus2=(
+            cfg.ts_max_size.bit_length() - 3
+            if (cfg.transform_skip or cfg.bdpcm) else 0),
+        sps_bdpcm_enabled_flag=1 if cfg.bdpcm else 0,
+        sps_lfnst_enabled_flag=1 if cfg.lfnst else 0,
         sps_explicit_mts_intra_enabled_flag=1 if cfg.mts else 0,
         sps_explicit_mts_inter_enabled_flag=1 if cfg.mts else 0,
     )
@@ -145,9 +159,61 @@ def _random_cu(cfg, rng, x0, y0, w, h, is_inter_slice=False):
                 c[int(rng.integers(0, h)), int(rng.integers(0, w))] = \
                     int(rng.integers(1, cfg.max_level + 1))
                 cu.coeff_y = c
-    if cfg.mts and max(w, h) <= 32 and rng.random() < 0.5:
+    if (cfg.bdpcm and cu.pred_mode == "intra"
+            and max(w, h) <= cfg.ts_max_size and rng.random() < 0.5):
+        cu.bdpcm_l = 1
+        cu.luma_mode = 50 if rng.random() < 0.5 else 18
+        if (w // 2) <= cfg.ts_max_size and (h // 2) <= cfg.ts_max_size \
+                and rng.random() < 0.7:
+            cu.bdpcm_c = 1
+            cu.bdpcm_dir_c = int(rng.random() < 0.5)
+    if (cfg.mts and max(w, h) <= 32 and not cu.bdpcm_l
+            and rng.random() < 0.5):
         _try_mts(cu, rng)
+    if (cfg.lfnst and cu.pred_mode == "intra" and not cu.bdpcm_l
+            and cu.mts_idx == 0 and min(w, h) >= 4 and max(w, h) <= 32
+            and rng.random() < 0.5):
+        _try_lfnst(cu, rng)
     return cu
+
+
+def _lfnst_restrict(c, w, h):
+    """Zero everything outside the LFNST-legal coefficient region: the
+    first 4x4 subblock, and only its first 8 scan positions for square
+    4x4/8x8 TBs (the lfnst_zero_out tracker conditions)."""
+    if c is None or w < 4 or h < 4:
+        return c
+    from .scan import diag_scan
+    keep = np.zeros((h, w), bool)
+    n = 8 if ((w == 4 and h == 4) or (w == 8 and h == 8)) else 16
+    for x, y in diag_scan(4, 4)[:n]:
+        keep[y, x] = True
+    return np.where(keep, c, 0).astype(np.int32)
+
+
+def _try_lfnst(cu, rng):
+    """Pick lfnst_idx if the CU's coefficients can be made eligible:
+    all >=4x4 TBs confined to the LFNST region and some non-DC
+    coefficient present (lfnst_dc_only must clear)."""
+    cy = _lfnst_restrict(cu.coeff_y, cu.w, cu.h)
+    ccb = _lfnst_restrict(cu.coeff_cb, cu.w // 2, cu.h // 2)
+    ccr = _lfnst_restrict(cu.coeff_cr, cu.w // 2, cu.h // 2)
+
+    def non_dc(c):
+        if c is None or not np.any(c):
+            return False
+        nz = np.argwhere(c != 0)
+        return len(nz) > 1 or tuple(nz[0]) != (0, 0)
+
+    clears = (non_dc(cy)
+              or (ccb is not None and min(cu.w // 2, cu.h // 2) >= 4
+                  and non_dc(ccb))
+              or (ccr is not None and min(cu.w // 2, cu.h // 2) >= 4
+                  and non_dc(ccr)))
+    if not clears:
+        return
+    cu.coeff_y, cu.coeff_cb, cu.coeff_cr = cy, ccb, ccr
+    cu.lfnst_idx = int(rng.integers(1, 3))
 
 
 def _try_mts(cu, rng):

@@ -126,6 +126,193 @@ class ResidualEncoder:
             self.enc.bypass_bits(value - base, length)
 
     # -- main ----------------------------------------------------------
+    def encode_ts(self, coeffs: np.ndarray, c_idx: int,
+                  bdpcm: int = 0) -> None:
+        """Transform-skip residual coding — encoder side.
+
+        Bin-exact mirror of residual_ts_coding (spec 7.3.11.11 ts path;
+        decode parity vvc_cabac.c:2036-2166): per-subblock sig/sign/
+        gt1/par pass, gtx pass, remainder pass with the level
+        prediction remap applied in inverse.
+        """
+        h, w = coeffs.shape
+        log2_w, log2_h = w.bit_length() - 1, h.bit_length() - 1
+        log2_sb_w = 1 if min(log2_w, log2_h) < 2 else 2
+        log2_sb_h = log2_sb_w
+        if log2_w + log2_h > 3:
+            if log2_w < 2:
+                log2_sb_w = log2_w
+                log2_sb_h = 4 - log2_sb_w
+            elif log2_h < 2:
+                log2_sb_h = log2_h
+                log2_sb_w = 4 - log2_sb_h
+        num_sb = 1 << (log2_sb_w + log2_sb_h)
+        w_sbs = 1 << (log2_w - log2_sb_w)
+        h_sbs = 1 << (log2_h - log2_sb_h)
+        sb_scan = diag_scan(w_sbs, h_sbs)
+        scan = diag_scan(1 << log2_sb_w, 1 << log2_sb_h)
+        rem_bins = ((1 << (log2_w + log2_h)) * 7) >> 2
+        last_sb = w_sbs * h_sbs - 1
+
+        sig = np.zeros((h, w), np.int32)
+        sign_level = np.zeros((h, w), np.int32)
+        abs_final = np.zeros((h, w), np.int32)  # progressive decoded plane
+        sb_coded = np.zeros((h_sbs, w_sbs), np.int32)
+        infer_sb_cbf = 1
+
+        def sb_has_coeff(xs, ys):
+            y0, x0 = ys << log2_sb_h, xs << log2_sb_w
+            return int(np.any(coeffs[y0:y0 + (1 << log2_sb_h),
+                                     x0:x0 + (1 << log2_sb_w)]))
+
+        for i in range(last_sb + 1):
+            xs, ys = sb_scan[i]
+            sbc = sb_has_coeff(xs, ys)
+            if i != last_sb or not infer_sb_cbf:
+                left = int(sb_coded[ys, xs - 1]) if xs > 0 else 0
+                above = int(sb_coded[ys - 1, xs]) if ys > 0 else 0
+                self._bin("SB_CODED_FLAG", left + above + 4, sbc)
+            else:
+                assert sbc, "inferred-coded ts subblock must have coeffs"
+                sbc = 1
+            sb_coded[ys, xs] = sbc
+            if sbc and i < last_sb:
+                infer_sb_cbf = 0
+
+            # the *coded* value v per position: inverse of the level
+            # prediction remap, computed lazily in the remainder pass
+            # (pred depends on neighbours decoded so far); passes 1-2
+            # need v up front, so precompute with a shadow plane.
+            infer_sb_sig = 1
+            last_pass1 = -1
+            last_pass2 = -1
+            gtx = [0] * num_sb
+            pass1 = [0] * num_sb
+            vcoded = [0] * num_sb
+
+            # Precompute v for each n: the remap for position n uses
+            # FINAL abs values of left/above neighbours, which for
+            # earlier scan positions in this sb (and any earlier sb) are
+            # already final.  Process in scan order, filling abs_final.
+            n_coords = []
+            for n in range(num_sb):
+                xc = (xs << log2_sb_w) + scan[n][0]
+                yc = (ys << log2_sb_h) + scan[n][1]
+                n_coords.append((xc, yc))
+
+            # pass 1
+            n = 0
+            while n < num_sb and rem_bins >= 4:
+                xc, yc = n_coords[n]
+                F = int(abs(coeffs[yc, xc]))
+                # inverse remap needs pred at remainder time; but the
+                # remap neighbours are in raster (left/above), and the
+                # remainder pass for this sb runs after passes 1-2 with
+                # the same plane state as now EXCEPT positions of this
+                # sb processed earlier in the remainder pass itself.
+                # Since scan order fills positions so that left/above
+                # raster neighbours inside the sb always precede a
+                # position in scan order (diagonal scan property), we
+                # can compute v progressively here.
+                if bdpcm:
+                    v = F  # no level prediction remap for BDPCM
+                else:
+                    left = int(abs_final[yc, xc - 1]) if xc > 0 else 0
+                    above = int(abs_final[yc - 1, xc]) if yc > 0 else 0
+                    pred = max(left, above)
+                    if pred > 0 and F == pred:
+                        v = 1
+                    elif pred > 0 and 1 <= F <= pred - 1:
+                        v = F + 1
+                    else:
+                        v = F
+                vcoded[n] = v
+                abs_final[yc, xc] = F
+                last_pass1 = n
+                if sbc and (n != num_sb - 1 or not infer_sb_sig):
+                    l = int(sig[yc, xc - 1]) if xc > 0 else 0
+                    a = int(sig[yc - 1, xc]) if yc > 0 else 0
+                    self._bin("SIG_COEFF_FLAG", 60 + l + a, int(v > 0))
+                    sig[yc, xc] = int(v > 0)
+                    rem_bins -= 1
+                    if v > 0:
+                        infer_sb_sig = 0
+                else:
+                    inferred = int(n == num_sb - 1 and infer_sb_sig and sbc)
+                    assert inferred == int(v > 0), \
+                        "ts sig inference mismatch (generator)"
+                    sig[yc, xc] = inferred
+                par = 0
+                if sig[yc, xc]:
+                    ls = int(sign_level[yc, xc - 1]) if xc > 0 else 0
+                    a_s = int(sign_level[yc - 1, xc]) if yc > 0 else 0
+                    if ls == -a_s:
+                        inc = 3 if bdpcm else 0
+                    elif ls >= 0 and a_s >= 0:
+                        inc = 4 if bdpcm else 1
+                    else:
+                        inc = 5 if bdpcm else 2
+                    neg = int(coeffs[yc, xc] < 0)
+                    self._bin("COEFF_SIGN_FLAG", inc, neg)
+                    sign_level[yc, xc] = 1 - 2 * neg
+                    if bdpcm:
+                        gt1_inc = 67
+                    else:
+                        lsf = int(sig[yc, xc - 1]) if xc > 0 else 0
+                        asf = int(sig[yc - 1, xc]) if yc > 0 else 0
+                        gt1_inc = 64 + lsf + asf
+                    gt1 = int(v > 1)
+                    self._bin("ABS_LEVEL_GTX_FLAG", gt1_inc, gt1)
+                    gtx[n] = gt1
+                    rem_bins -= 2
+                    if gt1:
+                        par = (v - 2) & 1
+                        self._bin("PAR_LEVEL_FLAG", 32, par)
+                        rem_bins -= 1
+                pass1[n] = sig[yc, xc] + par + gtx[n]
+                n += 1
+
+            # pass 2: gtx chain
+            pass2 = [0] * num_sb
+            n = 0
+            while n < num_sb and rem_bins >= 4:
+                pass2[n] = pass1[n]
+                v = vcoded[n]
+                j = 1
+                while j < 5 and gtx[n]:
+                    b = int(v >= pass2[n] + 2)
+                    self._bin("ABS_LEVEL_GTX_FLAG", 67 + j, b)
+                    gtx[n] = b
+                    pass2[n] += b << 1
+                    rem_bins -= 1
+                    j += 1
+                last_pass2 = n
+                n += 1
+
+            # remainder pass
+            for n in range(num_sb):
+                xc, yc = n_coords[n]
+                if n <= last_pass1:
+                    v = vcoded[n]
+                else:
+                    # beyond the pass-1 budget the raw value is coded
+                    F = int(abs(coeffs[yc, xc]))
+                    v = F
+                    abs_final[yc, xc] = F
+                if ((n <= last_pass2 and pass2[n] >= 10)
+                        or (last_pass2 < n <= last_pass1 and pass1[n] >= 2)
+                        or (n > last_pass1 and sbc)):
+                    if n <= last_pass2:
+                        rem = (v - pass2[n]) >> 1
+                    elif n <= last_pass1:
+                        rem = (v - pass1[n]) >> 1
+                    else:
+                        rem = v
+                    assert rem >= 0
+                    self._abs_encode(rem, 1)
+                if n > last_pass1 and v:
+                    self.enc.bypass(int(coeffs[yc, xc] < 0))
+
     def encode(self, coeffs: np.ndarray, c_idx: int) -> None:
         """coeffs: int array shaped (tb_height, tb_width), raster order."""
         h, w = coeffs.shape

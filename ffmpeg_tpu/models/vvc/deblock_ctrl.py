@@ -47,7 +47,8 @@ def _mv_far(ax, ay, bx, by):
   return (np.abs(ax - bx) >= 8) | (np.abs(ay - by) >= 8)
 
 
-def _bs_between(motion_p, motion_q, cbf_p, cbf_q):
+def _bs_between(motion_p, motion_q, cbf_p, cbf_q, pcmf_p=None,
+                pcmf_q=None):
   """Luma bs core — full boundary_strength (vvc_filter.c:308-372).
 
   motion_*: dict with per-sample planes pf, m0x, m0y, p0 (L0 mv/refpoc),
@@ -81,10 +82,15 @@ def _bs_between(motion_p, motion_q, cbf_p, cbf_q):
   bs_uni = ((ppoc != qpoc) | _mv_far(pax, pay, qax, qay)).astype(np.int32)
 
   bs_mv = np.where(both_bi, bs_bi, np.where(both_uni, bs_uni, 1))
-  return np.where(intra, 2, np.where(cbf, 1, bs_mv))
+  bs = np.where(intra, 2, np.where(cbf, 1, bs_mv))
+  if pcmf_p is not None:
+    # both sides BDPCM -> no filtering (pcmf, vvc_filter.c:556,677)
+    bs = np.where((pcmf_p & pcmf_q) > 0, 0, bs)
+  return bs
 
 
-def _luma_edge_params(pos, tw, qp, motion, cbf, Sp: int, Ep: int):
+def _luma_edge_params(pos, tw, qp, motion, cbf, Sp: int, Ep: int,
+                      pcmf=None):
   """Vertical-orientation params on (S, E) grids from 4-granular planes.
 
   pos/tw/qp/cbf: (gh, gw) grids at 4-sample granularity (rows = segments).
@@ -100,7 +106,9 @@ def _luma_edge_params(pos, tw, qp, motion, cbf, Sp: int, Ep: int):
   is_edge = pos[:, 1:] == (e[None, :] * 4)  # TU starts here
   mp_side = {k: m[:, :-1] for k, m in motion.items()}
   mq_side = {k: m[:, 1:] for k, m in motion.items()}
-  bs_v = _bs_between(mp_side, mq_side, cbf[:, :-1], cbf[:, 1:])
+  pp = pcmf[:, :-1] if pcmf is not None else None
+  pq = pcmf[:, 1:] if pcmf is not None else None
+  bs_v = _bs_between(mp_side, mq_side, cbf[:, :-1], cbf[:, 1:], pp, pq)
   bs[:gh, 1:gw] = np.where(is_edge, bs_v, 0)
   size_p = tw[:, :-1]
   size_q = tw[:, 1:]
@@ -114,7 +122,7 @@ def _luma_edge_params(pos, tw, qp, motion, cbf, Sp: int, Ep: int):
 
 
 def _chroma_edge_params(pos, tw, qp, motion, cbf, Sp: int, Ep: int,
-                        ctu_edge_cols=None):
+                        ctu_edge_cols=None, pcmf=None):
   """Vertical-orientation chroma params; grids at 2-sample granularity,
   edges every 8 chroma samples (= every 4 grid columns).
   motion/cbf are at the same 2-chroma-sample granularity."""
@@ -132,6 +140,8 @@ def _chroma_edge_params(pos, tw, qp, motion, cbf, Sp: int, Ep: int,
     pf_q = motion["pf"][:, c]
     b0 = np.where((pf_p == 0) | (pf_q == 0), 2,
                   np.where((cbf[:, c - 1] | cbf[:, c]) > 0, 1, 0))
+    if pcmf is not None:
+      b0 = np.where((pcmf[:, c - 1] & pcmf[:, c]) > 0, 0, b0)
     b = np.where(is_edge, b0, 0)
     size_p = tw[:, c - 1]
     size_q = tw[:, c]

@@ -20,9 +20,10 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "libvvc_host.so")
 CU_FIELDS = ["x0", "y0", "w", "h", "pred_mode", "luma_mode", "chroma_mode",
              "qp", "qp_cb", "qp_cr", "qp_jcbcr",
              "skip", "merge", "idx", "mv_x", "mv_y", "ref_idx",
-             "pf", "mv1_x", "mv1_y", "ref_idx1"]
+             "pf", "mv1_x", "mv1_y", "ref_idx1", "bdpcm_l", "bdpcm_c"]
 TU_FIELDS = ["x0", "y0", "w", "h", "c_idx", "coded", "qp", "cu_index",
-             "trh", "trv", "res", "jop", "qsel", "qp_deq"]
+             "trh", "trv", "res", "jop", "qsel", "qp_deq", "ts", "pcmf",
+             "lf_sel", "lf_tr"]
 
 
 def _build() -> None:

@@ -66,6 +66,83 @@ def _ratchet(geom_key, slot, needed, maxcap, floor=64):
   return caps[slot]
 
 
+
+
+_LFNST_CACHE: dict = {}
+
+
+def _lfnst_consts(big: bool):
+  """Static tables for the inverse LFNST (ilfnst_transform,
+  vvc_intra.c:419-480): stacked kernel matrices [8][16][N]
+  (set*2 + kernel) and scatter coordinates for the normal and
+  transposed output layouts."""
+  key = big
+  if key not in _LFNST_CACHE:
+    from ...encoder.scan import diag_scan
+    from ...ops.intra import _TABLES
+
+    mats = _TABLES["lfnst_8x8" if big else "lfnst_4x4"].astype(np.int32)
+    mats = mats.reshape(8, 16, mats.shape[-1])  # (set*2+kernel, 16, N)
+    sc = diag_scan(4, 4)
+    in_x = np.array([p[0] for p in sc], np.int32)
+    in_y = np.array([p[1] for p in sc], np.int32)
+    oy, ox, ty, tx = [], [], [], []
+    if big:
+      # rows 0-3: 8 wide; rows 4-7: 4 wide (48 outputs)
+      for y in range(8):
+        for x in range(8 if y < 4 else 4):
+          oy.append(y)
+          ox.append(x)
+      # transpose layout (vvc_intra.c:441-457): index src by j
+      # dst[y][0..3] = src[y + 8*k]; rows 0-3 also cols 4-7 from 32+...
+      grid = {}
+      for y in range(8):
+        for k in range(4):
+          grid[(y, k)] = y + 8 * k
+        if y < 4:
+          for k in range(4):
+            grid[(y, 4 + k)] = 32 + y + 4 * k
+      # invert: for output j, its (y, x)
+      inv = {v: yx for yx, v in grid.items()}
+      for j in range(48):
+        y, x = inv[j]
+        ty.append(y)
+        tx.append(x)
+    else:
+      for y in range(4):
+        for x in range(4):
+          oy.append(y)
+          ox.append(x)
+      for j in range(16):
+        ty.append(j % 4)
+        tx.append(j // 4)
+    _LFNST_CACHE[key] = (mats, in_y, in_x,
+                         np.array(oy, np.int32), np.array(ox, np.int32),
+                         np.array(ty, np.int32), np.array(tx, np.int32))
+  return _LFNST_CACHE[key]
+
+
+def _apply_lfnst(deq, b, w, h, bit_depth):
+  """Inverse LFNST on the dequantized coefficients of lfnst TUs
+  (wholesale block replace is safe: signaling legality confines the
+  parsed coefficients to the gather region)."""
+  big = w >= 8 and h >= 8
+  mats, in_y, in_x, oy, ox, ty, tx = _lfnst_consts(big)
+  rng = 15 if bit_depth <= 9 else bit_depth + 6
+  lim = 1 << rng
+  u = deq[:, in_y, in_x]                      # (cap, 16)
+  sel = jnp.clip(b["lf_sel"], 0, 7)
+  M = jnp.asarray(mats)[sel]                  # (cap, 16, N)
+  v = jnp.einsum("ni,nio->no", u, M, preferred_element_type=jnp.int32)
+  v = jnp.clip((v + 64) >> 7, -lim, lim - 1)
+  blk = jnp.zeros_like(deq)
+  norm = blk.at[:, oy, ox].set(v)
+  trans = blk.at[:, ty, tx].set(v)
+  out = jnp.where(b["lf_tr"][:, None, None] > 0, trans, norm)
+  on = (b["lf_sel"] >= 0)[:, None, None]
+  return jnp.where(on, out, deq)
+
+
 # ----------------------------------------------------------------------
 # device-side pieces (traced inside the frame program)
 # ----------------------------------------------------------------------
@@ -86,6 +163,8 @@ def _residual_from_buckets(coeff_plane, buckets, Hp, Wp, bit_depth, sizes):
     sh = b["shift"][:, None, None]
     deq = (levels * scale16 + off) >> sh
     deq = jnp.where(levels == 0, 0, jnp.clip(deq, -(1 << 15), (1 << 15) - 1))
+    if "lf_sel" in b:
+      deq = _apply_lfnst(deq, b, w, h, bit_depth)
     # per-TU transform kind (0=DCT2 1=DST7 2=DCT8, spec 8.7.4 / MTS);
     # DST7/DCT8 exist for 4..32 only — other sizes are always DCT2
     if 4 <= h <= 32:
@@ -461,6 +540,10 @@ def _bucket_inputs(fs: FrameSyntax, c_idx: int, sizes, W, H):
       b["trv"] = np.zeros(cap, np.int32)
     if c_idx:
       b["jop"] = np.zeros(cap, np.int32)
+    lf_able = (c_idx == 0 and w >= 4 and h >= 4 and "lf_sel" in fs.tus)
+    if lf_able:
+      b["lf_sel"] = np.full(cap, -1, np.int32)
+      b["lf_tr"] = np.zeros(cap, np.int32)
     idx = sel[np.where((ws == w) & (hs == h))[0]]
     n = min(len(idx), cap)
     lw, lh = w.bit_length() - 1, h.bit_length() - 1
@@ -486,6 +569,9 @@ def _bucket_inputs(fs: FrameSyntax, c_idx: int, sizes, W, H):
         b["trv"][:n] = fs.tus["trv"][idxn]
       if c_idx:
         b["jop"][:n] = fs.tus["jop"][idxn]
+      if lf_able:
+        b["lf_sel"][:n] = fs.tus["lf_sel"][idxn]
+        b["lf_tr"][:n] = fs.tus["lf_tr"][idxn]
     b["n"] = np.int32(n)
     out[(w, h)] = b
   return out
@@ -532,15 +618,32 @@ def _deblock_grids(fs: FrameSyntax, Hp_y, Wp_y, Hp_c, Wp_c, ctb_log2):
       cbf[y0 // g:(y0 + h) // g, x0 // g:(x0 + w) // g] = 1
     return cbf
 
+  def pcmf_plane(want_c, g):
+    if "pcmf" not in fs.tus or not np.any(fs.tus["pcmf"]):
+      return None
+    ss = 0 if want_c == 0 else 1
+    gw = (fs.width >> ss) // g
+    gh = (fs.height >> ss) // g
+    pl = np.zeros((gh, gw), np.int32)
+    sel = np.where((fs.tus["c_idx"] == want_c) & (fs.tus["pcmf"] == 1))[0]
+    for j in sel:
+      x0, y0 = int(fs.tus["x0"][j]), int(fs.tus["y0"][j])
+      w, h = int(fs.tus["w"][j]), int(fs.tus["h"][j])
+      pl[y0 // g:(y0 + h) // g, x0 // g:(x0 + w) // g] = 1
+    return pl
+
   cbf_y = cbf_plane(0, 4)
+  pcmf_y = pcmf_plane(0, 4)
+  pcmf_c = pcmf_plane(1, 2)  # CB records mark the shared chroma plane
   d = {}
   Sv, Ev = Hp_y // 4, Wp_y // 4
   d["ybs_v"], d["yqp_v"], d["ymp_v"], d["ymq_v"] = D._luma_edge_params(
-      y_pos_x, y_w, y_qp, motion, cbf_y, Sv, Ev)
+      y_pos_x, y_w, y_qp, motion, cbf_y, Sv, Ev, pcmf_y)
   d["yhor0"] = np.zeros((Sv, Ev), np.int32)
   Sh, Eh = Wp_y // 4, Hp_y // 4
   d["ybs_h"], d["yqp_h"], d["ymp_h"], d["ymq_h"] = D._luma_edge_params(
-      y_pos_y.T, y_h.T, y_qp.T, motion_t, cbf_y.T, Sh, Eh)
+      y_pos_y.T, y_h.T, y_qp.T, motion_t, cbf_y.T, Sh, Eh,
+      pcmf_y.T if pcmf_y is not None else None)
   hor = np.zeros((Sh, Eh), np.int32)
   hor[:, :] = (((np.arange(Eh) * 4) % ctb) == 0)[None, :]
   d["yhor"] = hor
@@ -550,13 +653,15 @@ def _deblock_grids(fs: FrameSyntax, Hp_y, Wp_y, Hp_c, Wp_c, ctb_log2):
     Sv, Ev = Hp_c // 2, Wp_c // 8
     (d[f"c{c_idx}bs_v"], d[f"c{c_idx}qp_v"], d[f"c{c_idx}mp_v"],
      d[f"c{c_idx}mq_v"]) = D._chroma_edge_params(pos_x, tw, qpc, motion,
-                                                 cbf_c, Sv, Ev)
+                                                 cbf_c, Sv, Ev,
+                                                 pcmf=pcmf_c)
     Sh, Eh = Wp_c // 2, Hp_c // 8
     ctu_cols = ((np.arange(Eh) * 8 * 2) % ctb) == 0
     (d[f"c{c_idx}bs_h"], d[f"c{c_idx}qp_h"], d[f"c{c_idx}mp_h"],
-     d[f"c{c_idx}mq_h"]) = D._chroma_edge_params(pos_y.T, th.T, qpc.T,
-                                                 motion_t, cbf_c.T, Sh, Eh,
-                                                 ctu_edge_cols=ctu_cols)
+     d[f"c{c_idx}mq_h"]) = D._chroma_edge_params(
+         pos_y.T, th.T, qpc.T, motion_t, cbf_c.T, Sh, Eh,
+         ctu_edge_cols=ctu_cols,
+         pcmf=pcmf_c.T if pcmf_c is not None else None)
   return d
 
 

@@ -98,11 +98,13 @@ def derive_cu_controls(fs: FrameSyntax, plane_kind: str, ctb_log2: int) -> dict:
       continue
     raw_mode = int(cus["chroma_mode"][ci] if is_chroma
                    else cus["luma_mode"][ci])
+    bdpcm_key = "bdpcm_c" if is_chroma else "bdpcm_l"
+    bdpcm = int(cus[bdpcm_key][ci]) if bdpcm_key in cus else 0
     mode = I.wide_angle_map(raw_mode, w, h)
     mc = I.classify_mode(mode)
     angle = inv = 0
     filter_flag = 0
-    pdpc = I.need_pdpc(w, h, mode)
+    pdpc = (not bdpcm) and I.need_pdpc(w, h, mode)
     ns = 0
     if mc in (I.MC_ANG_V, I.MC_ANG_H):
       angle = I.intra_pred_angle(mode)

@@ -69,6 +69,7 @@ struct CuRecord {
   int32_t mv_x, mv_y, ref_idx; // L0 motion (1/16 pel)
   int32_t pf;                  // PF_* of final motion
   int32_t mv1_x, mv1_y, ref_idx1;  // L1 motion
+  int32_t bdpcm_l, bdpcm_c;    // BDPCM per component pair
 };
 struct TuRecord {
   int32_t x0, y0, w, h;  // component coords
@@ -82,6 +83,9 @@ struct TuRecord {
   int32_t qsel;          // dequant qp source: 0 by c_idx, 1..3 qp_c[0..2]
   int32_t qp_deq;        // dequant qp (differs from qp for joint TBs)
   int32_t ts;            // transform skip
+  int32_t pcmf;          // BDPCM marker for deblock (luma / CB-as-chroma)
+  int32_t lf_sel;        // LFNST kernel: -1 none, else set*2 + (idx-1)
+  int32_t lf_tr;         // LFNST transpose (pred mode > 34)
 };
 #pragma pack(pop)
 
@@ -106,6 +110,283 @@ struct FrameOut {
   // per-CTB SAO params, 24 ints each:
   // type[3], band_position[3], eo_class[3], offset_val[3][5]
   std::vector<int32_t> sao;
+};
+
+// ---------------- per-CU reconstruction controls ----------------
+// Native mirror of ffmpeg_tpu/models/vvc/recon.py:derive_cu_controls and
+// the host-side mode derivations in ffmpeg_tpu/ops/intra.py (spec
+// 8.4.5.2; parity targets vvc_intra.c:591-713).  Emitted as a (26, n)
+// int32 matrix in CTRL_KEYS order so the Python side hands the parser
+// output straight to the frame program.
+namespace ctrl {
+
+constexpr int kNumKeys = 26;
+// CTRL_KEYS order (recon.py): x0,y0,w,h,logw,logh,mode_class,angle,
+// inv_angle,filter_flag,smooth,left_size,top_size,unfilter_last_one,
+// do_pdpc,nscale,avail_l,avail_t,cand_up_left,proj_v,proj_h,
+// pf,m0x,m0y,m1x,m1y
+enum Key {
+  kX0, kY0, kW, kH, kLogW, kLogH, kModeClass, kAngle, kInvAngle,
+  kFilterFlag, kSmooth, kLeftSize, kTopSize, kUnfilterLastOne,
+  kDoPdpc, kNscale, kAvailL, kAvailT, kCandUpLeft, kProjV, kProjH,
+  kPf, kM0x, kM0y, kM1x, kM1y,
+};
+
+constexpr int kPlanar = 0, kDc = 1, kHorz = 18, kDiag = 34, kVert = 50;
+enum ModeClass { MC_PLANAR, MC_DC, MC_VERT, MC_HORZ, MC_ANG_V, MC_ANG_H,
+                 MC_INTER };
+
+constexpr int kAngles[] = {0, 1, 2, 3, 4, 6, 8, 10, 12, 14, 16, 18, 20,
+                           23, 26, 29, 32, 35, 39, 45, 51, 57, 64, 73,
+                           86, 102, 128, 171, 256, 341, 512};
+
+inline int bitlen(int v) {  // python int.bit_length (abs for negatives)
+  unsigned u = (unsigned)(v < 0 ? -v : v);
+  return u ? 32 - __builtin_clz(u) : 0;
+}
+
+inline int wide_angle_map(int mode, int w, int h) {
+  if (w == h || mode == kPlanar || mode == kDc) return mode;
+  int ratio = std::abs((bitlen(w) - 1) - (bitlen(h) - 1));
+  int mx = ratio > 1 ? 8 + 2 * ratio : 8;
+  int mn = ratio > 1 ? 60 - 2 * ratio : 60;
+  if (w > h && mode >= 2 && mode < mx) return mode + 65;
+  if (h > w && mode <= 66 && mode > mn) return mode - 67;
+  return mode;
+}
+
+inline int intra_pred_angle(int mode) {
+  int idx;
+  if (mode > kDiag) idx = mode - kVert;
+  else if (mode > 0) idx = kHorz - mode;
+  else idx = kHorz - 2 - mode;
+  int sign = 1;
+  if (idx < 0) { idx = -idx; sign = -1; }
+  return sign * kAngles[idx];
+}
+
+inline int intra_inv_angle(int angle) {
+  int a = std::abs(angle);
+  int val = (2 * 16384 + a) / (2 * a);
+  return angle > 0 ? val : -val;
+}
+
+inline bool ref_filter_flag(int mode) {
+  switch (mode) {
+    case -14: case -12: case -10: case -6: case 0: case 2: case 34:
+    case 66: case 72: case 76: case 78: case 80: return true;
+    default: return false;
+  }
+}
+
+inline int nscale(int w, int h, int mode) {
+  if (mode == kPlanar || mode == kDc || mode == kHorz || mode == kVert)
+    return (bitlen(w) + bitlen(h) - 4) >> 2;
+  int angle = intra_pred_angle(mode);
+  int inv = intra_inv_angle(angle);
+  int side = mode >= kVert ? h : w;
+  int v = (bitlen(side) - 1) - (bitlen(3 * inv - 2) - 1) + 8;
+  return v < 2 ? v : 2;
+}
+
+inline bool need_pdpc(int w, int h, int mode) {
+  if (w >= 4 && h >= 4) {
+    if (mode == kPlanar || mode == kDc || mode == kHorz || mode == kVert)
+      return true;
+    if (mode > kHorz && mode < kVert) return false;
+    return nscale(w, h, mode) >= 0;
+  }
+  return false;
+}
+
+inline int classify_mode(int mode) {
+  if (mode == kPlanar) return MC_PLANAR;
+  if (mode == kDc) return MC_DC;
+  if (mode == kVert) return MC_VERT;
+  if (mode == kHorz) return MC_HORZ;
+  return mode >= kDiag ? MC_ANG_V : MC_ANG_H;
+}
+
+// One entry per *predict unit* (vvc_intra.c:214-241): for intra CUs the
+// prediction runs per transform block (later TBs of a split CU read the
+// reconstructed samples of earlier ones); inter CUs are one unit.
+struct Unit {
+  int cu_index;
+  int x0, y0, w, h;    // component coords
+  int lx0, ly0;        // luma origin (for CTU-relative availability)
+};
+
+inline std::vector<Unit> predict_units(const FrameOut& fr, bool is_chroma) {
+  const int ss = (is_chroma && fr.chroma_format_idc == 1) ? 1 : 0;
+  const int want_c = is_chroma ? 1 : 0;
+  std::vector<Unit> units;
+  units.reserve(fr.tus.size());
+  int last_inter_cu = -1;
+  for (const TuRecord& tu : fr.tus) {
+    const CuRecord& cu = fr.cus[tu.cu_index];
+    if (cu.pred_mode == 0) {  // MODE_INTER: one unit per CU
+      if (tu.cu_index != last_inter_cu) {
+        last_inter_cu = tu.cu_index;
+        units.push_back({tu.cu_index, cu.x0 >> ss, cu.y0 >> ss,
+                         cu.w >> ss, cu.h >> ss, cu.x0, cu.y0});
+      }
+      continue;
+    }
+    if (tu.c_idx != want_c) continue;
+    units.push_back({tu.cu_index, tu.x0, tu.y0, tu.w, tu.h,
+                     tu.x0 << ss, tu.y0 << ss});
+  }
+  return units;
+}
+
+// derive all 26 control rows for one plane kind; out must hold
+// 26*predict_units(...).size() ints
+inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
+                   const std::vector<Unit>& units, int32_t* out) {
+  const int ss = (is_chroma && fr.chroma_format_idc == 1) ? 1 : 0;
+  const int n = (int)units.size();
+  const int ctb = 1 << ctb_log2;
+  const int pic_w = fr.width >> ss;
+  const int pic_h = fr.height >> ss;
+  const int g = 2;  // recon bitmap granularity (min block dim)
+  const int bw = pic_w / g, bh = pic_h / g;
+  std::vector<uint8_t> recon((size_t)bw * bh, 0);
+  auto rec = [&](int by, int bx) -> uint8_t& {
+    return recon[(size_t)by * bw + bx];
+  };
+  std::memset(out, 0, sizeof(int32_t) * kNumKeys * n);
+  auto O = [&](Key k, int i) -> int32_t& { return out[(size_t)k * n + i]; };
+
+  for (int i = 0; i < n; i++) {
+    const Unit& u = units[i];
+    const CuRecord& cu = fr.cus[u.cu_index];
+    const int lx0 = u.lx0, ly0 = u.ly0;
+    const int x0 = u.x0, y0 = u.y0;
+    const int w = u.w, h = u.h;
+    if (cu.pred_mode == 0) {  // MODE_INTER
+      O(kX0, i) = x0; O(kY0, i) = y0; O(kW, i) = w; O(kH, i) = h;
+      O(kModeClass, i) = MC_INTER;
+      O(kPf, i) = cu.pf;
+      O(kM0x, i) = cu.mv_x; O(kM0y, i) = cu.mv_y;
+      O(kM1x, i) = cu.mv1_x; O(kM1y, i) = cu.mv1_y;
+      for (int by = y0 / g; by < (y0 + h) / g; by++)
+        for (int bx = x0 / g; bx < (x0 + w) / g; bx++) rec(by, bx) = 1;
+      continue;
+    }
+    const int raw_mode = is_chroma ? cu.chroma_mode : cu.luma_mode;
+    const int bdpcm = is_chroma ? cu.bdpcm_c : cu.bdpcm_l;
+    const int mode = wide_angle_map(raw_mode, w, h);
+    const int mc = classify_mode(mode);
+    int angle = 0, inv = 0, filter_flag = 0, ns = 0;
+    const bool pdpc = !bdpcm && need_pdpc(w, h, mode);
+    if (mc == MC_ANG_V || mc == MC_ANG_H) {
+      angle = intra_pred_angle(mode);
+      inv = angle ? intra_inv_angle(angle) : 0;
+      if (!is_chroma) {
+        if (ref_filter_flag(mode)) {
+          filter_flag = 0;
+        } else {
+          int min_dist = std::min(std::abs(mode - 50), std::abs(mode - 18));
+          static const int thres[5] = {24, 14, 2, 0, 0};
+          int ntbs = ((bitlen(w) - 1) + (bitlen(h) - 1)) >> 1;
+          filter_flag = min_dist > thres[ntbs - 2] ? 1 : 0;
+        }
+      }
+      if (pdpc) ns = nscale(w, h, mode);
+    }
+    const int smooth =
+        (!is_chroma && w * h > 32 && ref_filter_flag(mode)) ? 1 : 0;
+    int left_size, top_size, unfilter_last, need_l, need_t;
+    if (mc == MC_PLANAR) {
+      left_size = h + 1 + smooth; top_size = w + 1 + smooth;
+      unfilter_last = 0; need_l = left_size; need_t = top_size;
+    } else if (mc == MC_DC) {
+      left_size = h; top_size = w; unfilter_last = 1;
+      need_l = h; need_t = w;
+    } else if (mc == MC_VERT) {
+      left_size = pdpc ? h : 1; top_size = w; unfilter_last = 1;
+      need_l = left_size; need_t = w;
+    } else if (mc == MC_HORZ) {
+      left_size = h; top_size = pdpc ? w : 1; unfilter_last = 1;
+      need_l = h; need_t = top_size;
+    } else {
+      left_size = 2 * h; top_size = 2 * w; unfilter_last = 1;
+      need_l = 2 * h; need_t = 2 * w;
+    }
+
+    // availability (parity ff_vvc_get_left/top_available, vvc_intra.c)
+    const int ctb_rx = lx0 >> ctb_log2, ctb_ry = ly0 >> ctb_log2;
+    const bool ctb_left = ctb_rx > 0, ctb_up = ctb_ry > 0;
+    const int end_of_ctb_x = (ctb_rx + 1) << ctb_log2;
+    const int end_of_ctb_y = (ctb_ry + 1) << ctb_log2;
+    const int log2_ctb_c = ctb_log2 - ss;
+    const int y0b_c = y0 & ((1 << log2_ctb_c) - 1);
+    const int x0b_c = x0 & ((1 << log2_ctb_c) - 1);
+
+    int avail_t;
+    if (y0b_c == 0) {
+      avail_t = ctb_up ? std::min(need_t, pic_w - x0) : 0;
+    } else {
+      int max_x = std::min(fr.width, end_of_ctb_x) >> ss;
+      int tgt = std::max(0, std::min(need_t, max_x - x0));
+      int run = 0;
+      int ry_ = (y0 - 1) / g;
+      while (run < tgt && rec(ry_, (x0 + run) / g))
+        run += g - ((x0 + run) % g);
+      avail_t = std::min(run, tgt);
+    }
+    int avail_l;
+    if (x0b_c == 0 && !ctb_left) {
+      avail_l = 0;
+    } else {
+      int max_y = std::min(fr.height, end_of_ctb_y) >> ss;
+      int tgt = std::max(0, std::min(need_l, max_y - y0));
+      if (x0b_c == 0) {
+        avail_l = tgt;
+      } else {
+        int run = 0;
+        int cx_ = (x0 - 1) / g;
+        while (run < tgt && rec((y0 + run) / g, cx_))
+          run += g - ((y0 + run) % g);
+        avail_l = std::min(run, tgt);
+      }
+    }
+
+    // cand_up_left from LUMA coords (ff_vvc_set_neighbour_available)
+    const int x0b_l = lx0 & (ctb - 1), y0b_l = ly0 & (ctb - 1);
+    const bool cand_left = ctb_left || x0b_l;
+    const bool cand_up = ctb_up || y0b_l;
+    const int cul = (x0b_l || y0b_l) ? (cand_left && cand_up ? 1 : 0)
+                                     : (ctb_left && ctb_up ? 1 : 0);
+
+    for (int by = y0 / g; by < (y0 + h) / g; by++)
+      for (int bx = x0 / g; bx < (x0 + w) / g; bx++) rec(by, bx) = 1;
+
+    O(kX0, i) = x0; O(kY0, i) = y0; O(kW, i) = w; O(kH, i) = h;
+    O(kLogW, i) = bitlen(w) - 1; O(kLogH, i) = bitlen(h) - 1;
+    O(kModeClass, i) = mc; O(kAngle, i) = angle; O(kInvAngle, i) = inv;
+    O(kFilterFlag, i) = filter_flag; O(kSmooth, i) = smooth;
+    O(kLeftSize, i) = left_size; O(kTopSize, i) = top_size;
+    O(kUnfilterLastOne, i) = unfilter_last;
+    O(kDoPdpc, i) = pdpc ? 1 : 0; O(kNscale, i) = ns;
+    O(kAvailL, i) = avail_l; O(kAvailT, i) = avail_t;
+    O(kCandUpLeft, i) = cul;
+    O(kProjV, i) = (mc == MC_ANG_V && angle < 0) ? 1 : 0;
+    O(kProjH, i) = (mc == MC_ANG_H && angle < 0) ? 1 : 0;
+  }
+}
+
+}  // namespace ctrl
+
+// LFNST transform-set selection by intra mode (spec table 38;
+// parity ff_vvc_lfnst_tr_set_index, vvc_data.c:1631)
+static const uint8_t kLfnstTrSet[95] = {
+    0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2,
+    2, 2, 2, 2, 2, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 3,
+    3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 2, 2, 2,
+    2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1
 };
 
 class Decoder {
@@ -161,6 +442,9 @@ class Decoder {
   // MTS parse state, reset per coded CU (vvc_ctu.c:1805-1806)
   int mts_zero_out_ = 1, mts_dc_only_ = 1;
   int cu_first_tb_ts_ = -1;  // ts of the CU's first luma TB (mts gate)
+  int cu_any_coded_ts_ = 0;  // any coded TB used transform skip
+  // LFNST parse state (vvc_cabac.c:2383-2389, vvc_ctu.c:791-839)
+  int lfnst_dc_only_ = 1, lfnst_zero_out_ = 1;
   // cu_qp_delta quantization-group state (vvc_ctu.c:77-171, 2043-2046)
   int qg_x_ = 0, qg_y_ = 0;
   int is_first_qg_ = 1;
@@ -954,19 +1238,35 @@ class Decoder {
     set_cb_tab(tab_cpm_, x0, y0, cb_w, cb_h, cu.pred_mode);
 
     if (is_intra) {
-      cu.luma_mode = decode_luma_intra_mode(x0, y0, cb_w, cb_h);
+      // intra_bdpcm_luma (vvc_ctu.c:962-966)
+      if (sps_.sps_bdpcm_enabled_flag && cb_w <= sps_.max_ts_size &&
+          cb_h <= sps_.max_ts_size)
+        cu.bdpcm_l = bin(INTRA_BDPCM_LUMA_FLAG);
+      if (cu.bdpcm_l)
+        cu.luma_mode = bin(INTRA_BDPCM_LUMA_DIR_FLAG) ? 50 : 18;
+      else
+        cu.luma_mode = decode_luma_intra_mode(x0, y0, cb_w, cb_h);
       set_cb_tab(tab_ipm_, x0, y0, cb_w, cb_h, cu.luma_mode);
       set_cb_tab(out.ipm, x0, y0, cb_w, cb_h, cu.luma_mode);
       int chroma_mode_idx = 4;
       if (sps_.sps_chroma_format_idc) {
         VVC_UNSUPPORTED(sps_.sps_cclm_enabled_flag, "cclm (todo)");
-        if (!bin(INTRA_CHROMA_PRED_MODE)) {
-          chroma_mode_idx = 4;
+        // intra_bdpcm_chroma (vvc_ctu.c:1008-1015)
+        if (sps_.sps_bdpcm_enabled_flag &&
+            (cb_w >> sps_.hshift_c) <= sps_.max_ts_size &&
+            (cb_h >> sps_.vshift_c) <= sps_.max_ts_size)
+          cu.bdpcm_c = bin(INTRA_BDPCM_CHROMA_FLAG);
+        if (cu.bdpcm_c) {
+          cu.chroma_mode = bin(INTRA_BDPCM_CHROMA_DIR_FLAG) ? 50 : 18;
         } else {
-          chroma_mode_idx = (int)cd_->bypass_bits(2);
+          if (!bin(INTRA_CHROMA_PRED_MODE)) {
+            chroma_mode_idx = 4;
+          } else {
+            chroma_mode_idx = (int)cd_->bypass_bits(2);
+          }
+          cu.chroma_mode = derive_chroma_mode(chroma_mode_idx, cu.luma_mode,
+                                              x0, y0, cb_w, cb_h);
         }
-        cu.chroma_mode = derive_chroma_mode(chroma_mode_idx, cu.luma_mode,
-                                            x0, y0, cb_w, cb_h);
       }
       if (inter_slice) {
         MvF f;
@@ -980,6 +1280,9 @@ class Decoder {
       mts_zero_out_ = 1;
       mts_dc_only_ = 1;
       cu_first_tb_ts_ = -1;
+      cu_any_coded_ts_ = 0;
+      lfnst_dc_only_ = 1;
+      lfnst_zero_out_ = 1;
       transform_unit(cu, cu_index, /*is_intra=*/true, /*coded=*/true,
                      /*merge_non_skip=*/false);
       finish_cu_transforms(cu, /*coded=*/true, tu_begin);
@@ -988,7 +1291,6 @@ class Decoder {
     } else {
       inter_data(cu);
     }
-    VVC_UNSUPPORTED(sps_.sps_lfnst_enabled_flag, "lfnst (todo)");
   }
 
   void decode_mvd(int32_t* mvd) {
@@ -1117,6 +1419,9 @@ class Decoder {
     mts_zero_out_ = 1;
     mts_dc_only_ = 1;
     cu_first_tb_ts_ = -1;
+    cu_any_coded_ts_ = 0;
+    lfnst_dc_only_ = 1;
+    lfnst_zero_out_ = 1;
     transform_unit(cu, cu_index, /*is_intra=*/false, coded != 0,
                    /*merge_non_skip=*/general_merge && !cu.skip);
     finish_cu_transforms(cu, coded != 0, tu_begin);
@@ -1153,9 +1458,30 @@ class Decoder {
   // the luma TuRecords pushed since tu_begin.
   void finish_cu_transforms(const CuRecord& cu, bool coded,
                             size_t tu_begin) {
-    int mts_idx = 0;
     bool is_intra = cu.pred_mode == MODE_INTRA;
-    if (coded && sps_.sps_mts_enabled_flag) {
+    // lfnst_idx (vvc_ctu.c:791-839); single tree: luma only
+    int lfnst_idx = 0;
+    if (coded && sps_.sps_lfnst_enabled_flag && is_intra &&
+        std::max(cu.w, cu.h) <= sps_.max_tb_size_y && !cu_any_coded_ts_ &&
+        std::min(cu.w, cu.h) >= 4) {
+      if (!lfnst_dc_only_ && lfnst_zero_out_) {
+        if (bin(LFNST_IDX + 0))
+          lfnst_idx = bin(LFNST_IDX + 2) ? 2 : 1;
+      }
+    }
+    if (lfnst_idx) {
+      for (size_t j = tu_begin; j < out.tus.size(); j++) {
+        TuRecord& tr = out.tus[j];
+        if (tr.c_idx != 0 || !tr.coded) continue;
+        // derive_ilfnst_pred_mode_intra + wide angle (vvc_intra.c:380-417)
+        int mode = ctrl::wide_angle_map(cu.luma_mode, tr.w, tr.h);
+        tr.lf_tr = mode > 34;
+        int set = mode < 0 ? 1 : kLfnstTrSet[mode];
+        tr.lf_sel = set * 2 + (lfnst_idx - 1);
+      }
+    }
+    int mts_idx = 0;
+    if (coded && !lfnst_idx && sps_.sps_mts_enabled_flag) {
       bool explicit_on = is_intra
           ? sps_.sps_explicit_mts_intra_enabled_flag != 0
           : sps_.sps_explicit_mts_inter_enabled_flag != 0;
@@ -1168,7 +1494,8 @@ class Decoder {
     static const int32_t mts_to_trh[] = {0, 1, 2, 1, 2};  // DCT2/DST7/DCT8
     static const int32_t mts_to_trv[] = {0, 1, 1, 2, 2};
     bool implicit_on = sps_.sps_mts_enabled_flag && is_intra &&
-                       !sps_.sps_explicit_mts_intra_enabled_flag;
+                       !sps_.sps_explicit_mts_intra_enabled_flag &&
+                       !lfnst_idx;
     for (size_t j = tu_begin; j < out.tus.size(); j++) {
       TuRecord& tr = out.tus[j];
       if (tr.c_idx != 0 || !tr.coded) continue;
@@ -1397,7 +1724,8 @@ class Decoder {
       set_qp_y(cu, cu.x0, cu.y0, 0);
       int hs0 = sps_.hshift_c, vs0 = sps_.vshift_c;
       TuRecord ty = {cu.x0, cu.y0, cu.w, cu.h, 0, 0,
-                     cu.qp + sps_.qp_bd_offset, cu_index, 0, 0, 0, 0, 0};
+                     cu.qp + sps_.qp_bd_offset, cu_index, 0, 0, 0, 0, 0,
+                     0, 0, 0, -1, 0};
       out.tus.push_back(ty);
       if (chroma_avail) {
         TuRecord tb = {cu.x0 >> hs0, cu.y0 >> vs0, cu.w >> hs0, cu.h >> vs0,
@@ -1437,15 +1765,16 @@ class Decoder {
     bool chroma_avail = sps_.sps_chroma_format_idc != 0;
     int cb_coded = 0, cr_coded = 0;
     if (chroma_avail) {
-      cb_coded = bin(TU_CB_CODED_FLAG);
-      cr_coded = bin(TU_CR_CODED_FLAG + cb_coded);
+      // cbf ctx shifts under BDPCM (vvc_cabac.c:1199-1216)
+      cb_coded = bin(TU_CB_CODED_FLAG + cu.bdpcm_c);
+      cr_coded = bin(TU_CR_CODED_FLAG + (cu.bdpcm_c ? 2 : cb_coded));
     }
     int is_chroma_coded = chroma_avail && (cb_coded || cr_coded);
     // tu_y_coded_flag present for intra, chroma-coded, or split CUs;
     // else inferred 1 (vvc_ctu.c:274-292)
     int y_coded;
     if (is_intra || is_chroma_coded || is_large)
-      y_coded = bin(TU_Y_CODED_FLAG);
+      y_coded = bin(TU_Y_CODED_FLAG + (cu.bdpcm_l ? 1 : 0));
     else
       y_coded = 1;
     const int has_qp_delta = (is_large || y_coded || is_chroma_coded) &&
@@ -1464,15 +1793,21 @@ class Decoder {
 
     // transform_skip_flag (vvc_ctu.c:394-397; no BDPCM/SBT/ISP yet)
     auto ts_flag = [&](int w_, int h_, int c) -> int {
+      int bdpcm = c ? cu.bdpcm_c : cu.bdpcm_l;
+      if (bdpcm) return 1;  // forced, no flag (vvc_ctu.c:386)
       if (!sps_.sps_transform_skip_enabled_flag) return 0;
       if (w_ > sps_.max_ts_size || h_ > sps_.max_ts_size) return 0;
       return bin(TRANSFORM_SKIP_FLAG + (c ? 1 : 0));
     };
     auto residual = [&](int rx0, int ry0, int w_, int h_, int c, int ts) {
+      int bdpcm = c ? cu.bdpcm_c : cu.bdpcm_l;
+      if (ts) cu_any_coded_ts_ = 1;
       if (ts && !sh_.sh_ts_residual_coding_disabled_flag)
-        residual_ts_coding(rx0, ry0, w_, h_, c);
+        residual_ts_coding(rx0, ry0, w_, h_, c, bdpcm);
       else
-        residual_coding(rx0, ry0, w_, h_, c);
+        residual_coding(rx0, ry0, w_, h_, c, ts);
+      if (bdpcm)
+        bdpcm_accumulate(rx0, ry0, w_, h_, c, cu.luma_mode, cu.chroma_mode);
     };
     int ts_y = 0;
     if (y_coded) {
@@ -1481,7 +1816,8 @@ class Decoder {
     }
     if (cu_first_tb_ts_ < 0) cu_first_tb_ts_ = ts_y;
     TuRecord ty = {x0, y0, tw, th, 0, y_coded, cu.qp + sps_.qp_bd_offset,
-                   cu_index, 0, 0, y_coded, 0, 0, 0, ts_y};
+                   cu_index, 0, 0, y_coded, 0, 0, 0, ts_y, cu.bdpcm_l,
+                   -1, 0};
     out.tus.push_back(ty);
     if (!chroma_avail) return;
 
@@ -1506,10 +1842,10 @@ class Decoder {
     int parsed_qsel = is_jcbcr ? 3 : parsed_c;
     TuRecord tcb = {xc, yc, wc, hc, 1, cb_parsed, cu.qp_c[0], cu_index,
                     0, 0, cb_parsed, 0, cb_parsed ? parsed_qsel : 0, 0,
-                    ts_cb};
+                    ts_cb, cu.bdpcm_c, -1, 0};
     TuRecord tcr = {xc, yc, wc, hc, 2, cr_parsed, cu.qp_c[1], cu_index,
                     0, 0, cr_parsed, 0, cr_parsed ? parsed_qsel : 0, 0,
-                    ts_cr};
+                    ts_cr, 0, -1, 0};
     if (joint) {
       // derived component: 1 + cbf_cb (add_residual_for_joint_coding,
       // vvc_intra.c:166-186); shift = cbf_cb ^ cbf_cr
@@ -1637,7 +1973,8 @@ class Decoder {
     return i;
   }
 
-  void residual_coding(int x0, int y0, int tb_w, int tb_h, int c_idx) {
+  void residual_coding(int x0, int y0, int tb_w, int tb_h, int c_idx,
+                       int is_ts = 0) {
     int log2_w = 0, log2_h = 0;
     while ((1 << log2_w) < tb_w) log2_w++;
     while ((1 << log2_h) < tb_h) log2_h++;
@@ -1703,6 +2040,14 @@ class Decoder {
     rc.last_pos = last_scan_pos;
     if ((last_sb > 0 || last_scan_pos > 0) && c_idx == 0)
       mts_dc_only_ = 0;  // vvc_cabac.c:2390
+    // LFNST trackers (vvc_cabac.c:2383-2389)
+    if (!last_sb && log2_w >= 2 && log2_h >= 2 && !is_ts &&
+        last_scan_pos > 0)
+      lfnst_dc_only_ = 0;
+    if ((last_sb > 0 && log2_w >= 2 && log2_h >= 2) ||
+        (last_scan_pos > 7 && (log2_w == 2 || log2_w == 3) &&
+         log2_w == log2_h))
+      lfnst_zero_out_ = 0;
 
     int32_t* plane;
     int plane_w;
@@ -1718,9 +2063,43 @@ class Decoder {
       residual_subblock(rc, i, tb_w, tb_h, c_idx, plane, plane_w, x0, y0);
   }
 
+  void bdpcm_accumulate(int x0, int y0, int tb_w, int tb_h, int c_idx,
+                        int luma_mode, int chroma_mode) {
+    int mode = c_idx ? chroma_mode : luma_mode;
+    bool vertical = mode == 50;
+    int32_t* plane;
+    int plane_w;
+    if (c_idx == 0) {
+      plane = out.coeff[0].data();
+      plane_w = out.width;
+    } else {
+      plane = out.coeff[c_idx].data();
+      plane_w = out.width >> sps_.hshift_c;
+    }
+    const int range = sps_.bit_depth <= 9 ? 15 : sps_.bit_depth + 6;
+    const int64_t hi = (1LL << range) - 1, lo = -(1LL << range);
+    auto clip = [&](int64_t v) {
+      return (int32_t)(v < lo ? lo : (v > hi ? hi : v));
+    };
+    if (vertical) {
+      for (int y = 1; y < tb_h; y++)
+        for (int x = 0; x < tb_w; x++) {
+          int32_t* q = plane + (size_t)(y0 + y) * plane_w + x0 + x;
+          *q = clip((int64_t)*q + q[-plane_w]);
+        }
+    } else {
+      for (int y = 0; y < tb_h; y++)
+        for (int x = 1; x < tb_w; x++) {
+          int32_t* q = plane + (size_t)(y0 + y) * plane_w + x0 + x;
+          *q = clip((int64_t)*q + q[-1]);
+        }
+    }
+  }
+
   // -- residual coding (transform skip) -------------------------------
   // parity: vvc_cabac.c:2036-2166 (residual_ts_coding_subblock)
-  void residual_ts_coding(int x0, int y0, int tb_w, int tb_h, int c_idx) {
+  void residual_ts_coding(int x0, int y0, int tb_w, int tb_h, int c_idx,
+                          int bdpcm = 0) {
     int log2_w = 0, log2_h = 0;
     while ((1 << log2_w) < tb_w) log2_w++;
     while ((1 << log2_h) < tb_h) log2_h++;
@@ -1800,13 +2179,19 @@ class Decoder {
           int ls = xc > 0 ? (int)sign_level[off - 1] : 0;
           int as = yc > 0 ? (int)sign_level[off - tb_w] : 0;
           int inc;
-          if (ls == -as) inc = 0;
-          else if (ls >= 0 && as >= 0) inc = 1;
-          else inc = 2;
+          if (ls == -as) inc = bdpcm ? 3 : 0;
+          else if (ls >= 0 && as >= 0) inc = bdpcm ? 4 : 1;
+          else inc = bdpcm ? 5 : 2;
           sign_level[off] = 1 - 2 * bin(COEFF_SIGN_FLAG + inc);
-          int lsf = xc > 0 ? (int)sig[off - 1] : 0;
-          int asf = yc > 0 ? (int)sig[off - tb_w] : 0;
-          gtx[n] = bin(ABS_LEVEL_GTX_FLAG + 64 + lsf + asf);
+          int gt1_inc;
+          if (bdpcm) {
+            gt1_inc = 67;
+          } else {
+            int lsf = xc > 0 ? (int)sig[off - 1] : 0;
+            int asf = yc > 0 ? (int)sig[off - tb_w] : 0;
+            gt1_inc = 64 + lsf + asf;
+          }
+          gtx[n] = bin(ABS_LEVEL_GTX_FLAG + gt1_inc);
           rem_bins -= 2;
           if (gtx[n]) {
             par = bin(PAR_LEVEL_FLAG + 32);
@@ -1850,8 +2235,8 @@ class Decoder {
           abs_level[off] = abs_rem;
           if (abs_rem) sign_level[off] = 1 - 2 * cd_->bypass();
         }
-        // level prediction remap (no BDPCM yet)
-        if (n <= last_pass1) {
+        // level prediction remap (skipped for BDPCM)
+        if (!bdpcm && n <= last_pass1) {
           int left = xc > 0 ? (int)abs_level[off - 1] : 0;
           int above = yc > 0 ? (int)abs_level[off - tb_w] : 0;
           int pred = std::max(left, above);
@@ -1966,270 +2351,6 @@ class Decoder {
   }
 };
 
-// ---------------- per-CU reconstruction controls ----------------
-// Native mirror of ffmpeg_tpu/models/vvc/recon.py:derive_cu_controls and
-// the host-side mode derivations in ffmpeg_tpu/ops/intra.py (spec
-// 8.4.5.2; parity targets vvc_intra.c:591-713).  Emitted as a (26, n)
-// int32 matrix in CTRL_KEYS order so the Python side hands the parser
-// output straight to the frame program.
-namespace ctrl {
-
-constexpr int kNumKeys = 26;
-// CTRL_KEYS order (recon.py): x0,y0,w,h,logw,logh,mode_class,angle,
-// inv_angle,filter_flag,smooth,left_size,top_size,unfilter_last_one,
-// do_pdpc,nscale,avail_l,avail_t,cand_up_left,proj_v,proj_h,
-// pf,m0x,m0y,m1x,m1y
-enum Key {
-  kX0, kY0, kW, kH, kLogW, kLogH, kModeClass, kAngle, kInvAngle,
-  kFilterFlag, kSmooth, kLeftSize, kTopSize, kUnfilterLastOne,
-  kDoPdpc, kNscale, kAvailL, kAvailT, kCandUpLeft, kProjV, kProjH,
-  kPf, kM0x, kM0y, kM1x, kM1y,
-};
-
-constexpr int kPlanar = 0, kDc = 1, kHorz = 18, kDiag = 34, kVert = 50;
-enum ModeClass { MC_PLANAR, MC_DC, MC_VERT, MC_HORZ, MC_ANG_V, MC_ANG_H,
-                 MC_INTER };
-
-constexpr int kAngles[] = {0, 1, 2, 3, 4, 6, 8, 10, 12, 14, 16, 18, 20,
-                           23, 26, 29, 32, 35, 39, 45, 51, 57, 64, 73,
-                           86, 102, 128, 171, 256, 341, 512};
-
-inline int bitlen(int v) {  // python int.bit_length (abs for negatives)
-  unsigned u = (unsigned)(v < 0 ? -v : v);
-  return u ? 32 - __builtin_clz(u) : 0;
-}
-
-inline int wide_angle_map(int mode, int w, int h) {
-  if (w == h || mode == kPlanar || mode == kDc) return mode;
-  int ratio = std::abs((bitlen(w) - 1) - (bitlen(h) - 1));
-  int mx = ratio > 1 ? 8 + 2 * ratio : 8;
-  int mn = ratio > 1 ? 60 - 2 * ratio : 60;
-  if (w > h && mode >= 2 && mode < mx) return mode + 65;
-  if (h > w && mode <= 66 && mode > mn) return mode - 67;
-  return mode;
-}
-
-inline int intra_pred_angle(int mode) {
-  int idx;
-  if (mode > kDiag) idx = mode - kVert;
-  else if (mode > 0) idx = kHorz - mode;
-  else idx = kHorz - 2 - mode;
-  int sign = 1;
-  if (idx < 0) { idx = -idx; sign = -1; }
-  return sign * kAngles[idx];
-}
-
-inline int intra_inv_angle(int angle) {
-  int a = std::abs(angle);
-  int val = (2 * 16384 + a) / (2 * a);
-  return angle > 0 ? val : -val;
-}
-
-inline bool ref_filter_flag(int mode) {
-  switch (mode) {
-    case -14: case -12: case -10: case -6: case 0: case 2: case 34:
-    case 66: case 72: case 76: case 78: case 80: return true;
-    default: return false;
-  }
-}
-
-inline int nscale(int w, int h, int mode) {
-  if (mode == kPlanar || mode == kDc || mode == kHorz || mode == kVert)
-    return (bitlen(w) + bitlen(h) - 4) >> 2;
-  int angle = intra_pred_angle(mode);
-  int inv = intra_inv_angle(angle);
-  int side = mode >= kVert ? h : w;
-  int v = (bitlen(side) - 1) - (bitlen(3 * inv - 2) - 1) + 8;
-  return v < 2 ? v : 2;
-}
-
-inline bool need_pdpc(int w, int h, int mode) {
-  if (w >= 4 && h >= 4) {
-    if (mode == kPlanar || mode == kDc || mode == kHorz || mode == kVert)
-      return true;
-    if (mode > kHorz && mode < kVert) return false;
-    return nscale(w, h, mode) >= 0;
-  }
-  return false;
-}
-
-inline int classify_mode(int mode) {
-  if (mode == kPlanar) return MC_PLANAR;
-  if (mode == kDc) return MC_DC;
-  if (mode == kVert) return MC_VERT;
-  if (mode == kHorz) return MC_HORZ;
-  return mode >= kDiag ? MC_ANG_V : MC_ANG_H;
-}
-
-// One entry per *predict unit* (vvc_intra.c:214-241): for intra CUs the
-// prediction runs per transform block (later TBs of a split CU read the
-// reconstructed samples of earlier ones); inter CUs are one unit.
-struct Unit {
-  int cu_index;
-  int x0, y0, w, h;    // component coords
-  int lx0, ly0;        // luma origin (for CTU-relative availability)
-};
-
-inline std::vector<Unit> predict_units(const FrameOut& fr, bool is_chroma) {
-  const int ss = (is_chroma && fr.chroma_format_idc == 1) ? 1 : 0;
-  const int want_c = is_chroma ? 1 : 0;
-  std::vector<Unit> units;
-  units.reserve(fr.tus.size());
-  int last_inter_cu = -1;
-  for (const TuRecord& tu : fr.tus) {
-    const CuRecord& cu = fr.cus[tu.cu_index];
-    if (cu.pred_mode == 0) {  // MODE_INTER: one unit per CU
-      if (tu.cu_index != last_inter_cu) {
-        last_inter_cu = tu.cu_index;
-        units.push_back({tu.cu_index, cu.x0 >> ss, cu.y0 >> ss,
-                         cu.w >> ss, cu.h >> ss, cu.x0, cu.y0});
-      }
-      continue;
-    }
-    if (tu.c_idx != want_c) continue;
-    units.push_back({tu.cu_index, tu.x0, tu.y0, tu.w, tu.h,
-                     tu.x0 << ss, tu.y0 << ss});
-  }
-  return units;
-}
-
-// derive all 26 control rows for one plane kind; out must hold
-// 26*predict_units(...).size() ints
-inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
-                   const std::vector<Unit>& units, int32_t* out) {
-  const int ss = (is_chroma && fr.chroma_format_idc == 1) ? 1 : 0;
-  const int n = (int)units.size();
-  const int ctb = 1 << ctb_log2;
-  const int pic_w = fr.width >> ss;
-  const int pic_h = fr.height >> ss;
-  const int g = 2;  // recon bitmap granularity (min block dim)
-  const int bw = pic_w / g, bh = pic_h / g;
-  std::vector<uint8_t> recon((size_t)bw * bh, 0);
-  auto rec = [&](int by, int bx) -> uint8_t& {
-    return recon[(size_t)by * bw + bx];
-  };
-  std::memset(out, 0, sizeof(int32_t) * kNumKeys * n);
-  auto O = [&](Key k, int i) -> int32_t& { return out[(size_t)k * n + i]; };
-
-  for (int i = 0; i < n; i++) {
-    const Unit& u = units[i];
-    const CuRecord& cu = fr.cus[u.cu_index];
-    const int lx0 = u.lx0, ly0 = u.ly0;
-    const int x0 = u.x0, y0 = u.y0;
-    const int w = u.w, h = u.h;
-    if (cu.pred_mode == 0) {  // MODE_INTER
-      O(kX0, i) = x0; O(kY0, i) = y0; O(kW, i) = w; O(kH, i) = h;
-      O(kModeClass, i) = MC_INTER;
-      O(kPf, i) = cu.pf;
-      O(kM0x, i) = cu.mv_x; O(kM0y, i) = cu.mv_y;
-      O(kM1x, i) = cu.mv1_x; O(kM1y, i) = cu.mv1_y;
-      for (int by = y0 / g; by < (y0 + h) / g; by++)
-        for (int bx = x0 / g; bx < (x0 + w) / g; bx++) rec(by, bx) = 1;
-      continue;
-    }
-    const int raw_mode = is_chroma ? cu.chroma_mode : cu.luma_mode;
-    const int mode = wide_angle_map(raw_mode, w, h);
-    const int mc = classify_mode(mode);
-    int angle = 0, inv = 0, filter_flag = 0, ns = 0;
-    const bool pdpc = need_pdpc(w, h, mode);
-    if (mc == MC_ANG_V || mc == MC_ANG_H) {
-      angle = intra_pred_angle(mode);
-      inv = angle ? intra_inv_angle(angle) : 0;
-      if (!is_chroma) {
-        if (ref_filter_flag(mode)) {
-          filter_flag = 0;
-        } else {
-          int min_dist = std::min(std::abs(mode - 50), std::abs(mode - 18));
-          static const int thres[5] = {24, 14, 2, 0, 0};
-          int ntbs = ((bitlen(w) - 1) + (bitlen(h) - 1)) >> 1;
-          filter_flag = min_dist > thres[ntbs - 2] ? 1 : 0;
-        }
-      }
-      if (pdpc) ns = nscale(w, h, mode);
-    }
-    const int smooth =
-        (!is_chroma && w * h > 32 && ref_filter_flag(mode)) ? 1 : 0;
-    int left_size, top_size, unfilter_last, need_l, need_t;
-    if (mc == MC_PLANAR) {
-      left_size = h + 1 + smooth; top_size = w + 1 + smooth;
-      unfilter_last = 0; need_l = left_size; need_t = top_size;
-    } else if (mc == MC_DC) {
-      left_size = h; top_size = w; unfilter_last = 1;
-      need_l = h; need_t = w;
-    } else if (mc == MC_VERT) {
-      left_size = pdpc ? h : 1; top_size = w; unfilter_last = 1;
-      need_l = left_size; need_t = w;
-    } else if (mc == MC_HORZ) {
-      left_size = h; top_size = pdpc ? w : 1; unfilter_last = 1;
-      need_l = h; need_t = top_size;
-    } else {
-      left_size = 2 * h; top_size = 2 * w; unfilter_last = 1;
-      need_l = 2 * h; need_t = 2 * w;
-    }
-
-    // availability (parity ff_vvc_get_left/top_available, vvc_intra.c)
-    const int ctb_rx = lx0 >> ctb_log2, ctb_ry = ly0 >> ctb_log2;
-    const bool ctb_left = ctb_rx > 0, ctb_up = ctb_ry > 0;
-    const int end_of_ctb_x = (ctb_rx + 1) << ctb_log2;
-    const int end_of_ctb_y = (ctb_ry + 1) << ctb_log2;
-    const int log2_ctb_c = ctb_log2 - ss;
-    const int y0b_c = y0 & ((1 << log2_ctb_c) - 1);
-    const int x0b_c = x0 & ((1 << log2_ctb_c) - 1);
-
-    int avail_t;
-    if (y0b_c == 0) {
-      avail_t = ctb_up ? std::min(need_t, pic_w - x0) : 0;
-    } else {
-      int max_x = std::min(fr.width, end_of_ctb_x) >> ss;
-      int tgt = std::max(0, std::min(need_t, max_x - x0));
-      int run = 0;
-      int ry_ = (y0 - 1) / g;
-      while (run < tgt && rec(ry_, (x0 + run) / g))
-        run += g - ((x0 + run) % g);
-      avail_t = std::min(run, tgt);
-    }
-    int avail_l;
-    if (x0b_c == 0 && !ctb_left) {
-      avail_l = 0;
-    } else {
-      int max_y = std::min(fr.height, end_of_ctb_y) >> ss;
-      int tgt = std::max(0, std::min(need_l, max_y - y0));
-      if (x0b_c == 0) {
-        avail_l = tgt;
-      } else {
-        int run = 0;
-        int cx_ = (x0 - 1) / g;
-        while (run < tgt && rec((y0 + run) / g, cx_))
-          run += g - ((y0 + run) % g);
-        avail_l = std::min(run, tgt);
-      }
-    }
-
-    // cand_up_left from LUMA coords (ff_vvc_set_neighbour_available)
-    const int x0b_l = lx0 & (ctb - 1), y0b_l = ly0 & (ctb - 1);
-    const bool cand_left = ctb_left || x0b_l;
-    const bool cand_up = ctb_up || y0b_l;
-    const int cul = (x0b_l || y0b_l) ? (cand_left && cand_up ? 1 : 0)
-                                     : (ctb_left && ctb_up ? 1 : 0);
-
-    for (int by = y0 / g; by < (y0 + h) / g; by++)
-      for (int bx = x0 / g; bx < (x0 + w) / g; bx++) rec(by, bx) = 1;
-
-    O(kX0, i) = x0; O(kY0, i) = y0; O(kW, i) = w; O(kH, i) = h;
-    O(kLogW, i) = bitlen(w) - 1; O(kLogH, i) = bitlen(h) - 1;
-    O(kModeClass, i) = mc; O(kAngle, i) = angle; O(kInvAngle, i) = inv;
-    O(kFilterFlag, i) = filter_flag; O(kSmooth, i) = smooth;
-    O(kLeftSize, i) = left_size; O(kTopSize, i) = top_size;
-    O(kUnfilterLastOne, i) = unfilter_last;
-    O(kDoPdpc, i) = pdpc ? 1 : 0; O(kNscale, i) = ns;
-    O(kAvailL, i) = avail_l; O(kAvailT, i) = avail_t;
-    O(kCandUpLeft, i) = cul;
-    O(kProjV, i) = (mc == MC_ANG_V && angle < 0) ? 1 : 0;
-    O(kProjH, i) = (mc == MC_ANG_H && angle < 0) ? 1 : 0;
-  }
-}
-
-}  // namespace ctrl
 
 // ---------------- C API ----------------
 extern "C" {

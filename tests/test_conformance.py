@@ -66,12 +66,31 @@ needs_ref = pytest.mark.skipif(not os.path.exists(REF_FFMPEG),
          b_slices=True, deblock=True, n_frames=3),
     dict(width=128, height=64, seed=703, qp=32, joint_cbcr=True,
          cu_qp_delta=True, mts=True, sao=True, ctu_log2=6, max_bt_size=64),
+    dict(width=96, height=96, seed=801, qp=30, transform_skip=True),
+    dict(width=64, height=64, seed=802, qp=40, transform_skip=True,
+         coeff_density=0.5, max_level=30),
+    dict(width=96, height=96, seed=807, qp=28, transform_skip=True,
+         joint_cbcr=True, mts=True, deblock=True, inter=True, b_slices=True,
+         n_frames=4),
+    dict(width=96, height=96, seed=901, qp=30, bdpcm=True),
+    dict(width=96, height=64, seed=902, qp=28, bdpcm=True, transform_skip=True,
+         deblock=True, inter=True, b_slices=True, n_frames=3),
+    dict(width=64, height=64, seed=903, qp=33, bdpcm=True, ts_max_size=16,
+         bit_depth=10, sao=True),
+    dict(width=96, height=96, seed=1001, qp=30, lfnst=True),
+    dict(width=128, height=64, seed=1003, qp=28, lfnst=True, mts=True,
+         joint_cbcr=True, cu_qp_delta=True, deblock=True, sao=True),
+    dict(width=128, height=128, seed=1005, qp=30, lfnst=True, ctu_log2=6,
+         max_bt_size=64, min_qt_size=16),
 ], ids=["64x64", "128x64x2f", "96x96-dense", "deblock", "deblock-unaligned",
         "inter-p", "inter-p-deblock", "inter-b", "10bit-sao-full",
         "mts-explicit", "mts-implicit", "mts-inter-full",
         "ctu64", "ctu64-inter-full",
         "qp-delta", "qp-delta-inter", "qp-delta-ctu64-mts",
-        "joint-cbcr", "joint-cbcr-inter", "joint-cbcr-full"])
+        "joint-cbcr", "joint-cbcr-inter", "joint-cbcr-full",
+        "transform-skip", "transform-skip-dense", "transform-skip-full",
+        "bdpcm", "bdpcm-ts-inter", "bdpcm-10bit",
+        "lfnst", "lfnst-full", "lfnst-ctu64"])
 def test_frame_md5_parity(tmp_path, cfg_kw):
     from ffmpeg_tpu.encoder.encoder import EncoderConfig, encode_stream
 
