@@ -113,9 +113,10 @@ class CuIntent:
 class FrameSyntaxEncoder:
     """Encodes slice data (all CTUs) of one frame."""
 
-    def __init__(self, sps, pps, sh):
+    def __init__(self, sps, pps, sh, col_store=None):
         from .tree import PartitionCtx
 
+        self.col_store = col_store or {}
         self.sps = sps
         # cu_qp_delta quantization-group state (mirrors vvc_ctu.c)
         self.cu_qp_delta_enabled = bool(
@@ -172,8 +173,15 @@ class FrameSyntaxEncoder:
                     for i in range(2)]
             self.num_ref_idx_active = sh.num_ref_idx_active(
                 pps, sh.sh_ref_pic_lists)
+            col = None
+            if sh.ph.ph_temporal_mvp_enabled_flag and self.col_store:
+                lx = 0 if sh.sh_collocated_from_l0_flag else 1
+                col_poc = rpls[lx][sh.sh_collocated_ref_idx]
+                col = self.col_store.get(col_poc)
             self.motion = MotionState(self.width, self.height, self.ctb_log2,
-                                      tuple(rpls))
+                                      tuple(rpls), poc=poc, col=col,
+                                      collocated_from_l0=(
+                                          sh.sh_collocated_from_l0_flag))
 
         self.slice_qp_y = 26 + pps.pps_init_qp_minus26 + sh.sh_qp_delta
         init_type = 2 - sh.sh_slice_type
@@ -443,6 +451,30 @@ class FrameSyntaxEncoder:
             if not b:
                 break
 
+    def _encode_ref_idx(self, lx: int) -> int:
+        """Pick and encode ref_idx_lx (vvc_cabac.c ff_vvc_ref_idx_lx):
+        up to two ctx bins then bypass extension."""
+        c_max = self.num_ref_idx_active[lx] - 1
+        if c_max <= 0:
+            return 0
+        ref_idx = (int(self.tool_rng.integers(0, c_max + 1))
+                   if self.tool_rng is not None else 0)
+        i = 0
+        max_ctx = min(c_max, 2)
+        while i < max_ctx:
+            b = 1 if ref_idx > i else 0
+            self._bin("REF_IDX_LX", i, b)
+            if not b:
+                return ref_idx
+            i += 1
+        while i < c_max:
+            b = 1 if ref_idx > i else 0
+            self.enc.bypass(b)
+            if not b:
+                break
+            i += 1
+        return ref_idx
+
     def _encode_mvd(self, mvd) -> None:
         for c in (0, 1):
             self._bin("ABS_MVD_GREATER0_FLAG", 0, int(abs(mvd[c]) > 0))
@@ -496,17 +528,17 @@ class FrameSyntaxEncoder:
                     self._bin("INTER_PRED_IDC", 5, int(pf == PF_L1))
             else:
                 assert pf == PF_L0
-            # mvd_l1_zero off in generated B streams; one active ref/list
             mvds = [None, None]
             mvps = [cu.mvp_flag, cu.mvp_flag1]
+            ref_sel = [0, 0]
             if pf != PF_L1:
-                assert self.num_ref_idx_active[0] == 1, "multi-ref todo"
+                ref_sel[0] = self._encode_ref_idx(0)
                 mvds[0] = cu.mvd
                 self._encode_mvd(cu.mvd)
                 self._bin("MVP_LX_FLAG", 0, cu.mvp_flag)
             if pf != PF_L0:
-                assert self.num_ref_idx_active[1] == 1, "multi-ref todo"
                 assert not self.sh.ph.ph_mvd_l1_zero_flag or pf != PF_BI
+                ref_sel[1] = self._encode_ref_idx(1)
                 mvds[1] = cu.mvd1
                 self._encode_mvd(cu.mvd1)
                 self._bin("MVP_LX_FLAG", 0, cu.mvp_flag1)
@@ -516,8 +548,8 @@ class FrameSyntaxEncoder:
             for lx in (0, 1):
                 if pf & (lx + 1):
                     pred = m.mvp(cu.x0, cu.y0, cu.w, cu.h, mvps[lx], lx,
-                                 [0, 0], amvr_shift)
-                    mvf.ref_idx[lx] = 0
+                                 ref_sel, amvr_shift)
+                    mvf.ref_idx[lx] = ref_sel[lx]
                     mvf.mv[lx] = [pred[0] + (mvds[lx][0] << amvr_shift),
                                   pred[1] + (mvds[lx][1] << amvr_shift)]
             m.set_mvf(cu.x0, cu.y0, cu.w, cu.h, mvf)

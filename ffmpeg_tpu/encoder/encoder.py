@@ -18,6 +18,9 @@ from .ctu import CuIntent, FrameSyntaxEncoder
 
 @dataclass
 class EncoderConfig:
+    def n_frames_total(self):
+        return self.n_frames
+
     width: int = 64
     height: int = 64
     ctu_log2: int = 5  # 32x32 CTU
@@ -58,6 +61,11 @@ class EncoderConfig:
     bdpcm: bool = False
     # LFNST secondary transform
     lfnst: bool = False
+    # random-access GOP-4 pyramid: multi-ref B slices + output reorder
+    # (requires inter; n_frames should be 4k+1)
+    ra: bool = False
+    # temporal motion vector prediction (collocated-picture candidates)
+    tmvp: bool = False
 
 
 def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
@@ -85,6 +93,8 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
             cfg.max_tt_size.bit_length() - 1 - min_qt_log2
             if cfg.max_mtt_depth else 0),
         sps_sao_enabled_flag=1 if cfg.sao else 0,
+        dpb_max_num_reorder_pics=2 if cfg.ra else 0,
+        sps_temporal_mvp_enabled_flag=1 if cfg.tmvp else 0,
         sps_mts_enabled_flag=1 if (cfg.mts or cfg.mts_implicit) else 0,
         sps_joint_cbcr_enabled_flag=1 if cfg.joint_cbcr else 0,
         sps_transform_skip_enabled_flag=(
@@ -346,7 +356,35 @@ def encode_stream(cfg: EncoderConfig):
         "frames": [],
     }
 
-    for poc in range(cfg.n_frames):
+    col_store: dict = {}  # poc -> collocated motion snapshot (TMVP)
+
+    def rpl_from_pocs(cur, refs):
+        entries = []
+        prev = cur
+        for r in refs:
+            d = r - prev
+            entries.append((abs(d), 1 if d < 0 else 0))
+            prev = r
+        return RefPicListStruct(entries=entries)
+
+    if cfg.ra:
+        # GOP-4 pyramid in decode order (poc, l0_refs, l1_refs)
+        assert cfg.inter and cfg.b_slices, "ra implies inter B slices"
+        schedule = [(0, None, None)]
+        g = 0
+        while g + 4 < cfg.n_frames_total():
+            schedule += [
+                (g + 4, [g] + ([g - 4] if g >= 4 else []), [g]),
+                (g + 2, [g], [g + 4]),
+                (g + 1, [g, g + 2], [g + 2, g + 4]),
+                (g + 3, [g + 2, g], [g + 4, g + 2]),
+            ]
+            g += 4
+        frame_plan = schedule
+    else:
+        frame_plan = [(poc, None, None) for poc in range(cfg.n_frames)]
+
+    for poc, l0_refs, l1_refs in frame_plan:
         is_p = cfg.inter and poc > 0
         nal_type = NAL_TRAIL if is_p else NAL_IDR_N_LP
         sh = SliceHeader(nal_unit_type=nal_type)
@@ -356,12 +394,23 @@ def encode_stream(cfg: EncoderConfig):
             sh.ph.ph_gdr_or_irap_pic_flag = 0
             sh.ph.ph_inter_slice_allowed_flag = 1
             sh.ph.ph_intra_slice_allowed_flag = 1
-            # short-term ref(s): the previous frame (delta_poc -1)
-            l1 = (RefPicListStruct(entries=[(1, 1)]) if cfg.b_slices
-                  else RefPicListStruct())
-            sh.sh_ref_pic_lists = (RefPicListStruct(entries=[(1, 1)]), l1)
+            if l0_refs is not None:
+                sh.sh_ref_pic_lists = (rpl_from_pocs(poc, l0_refs),
+                                       rpl_from_pocs(poc, l1_refs))
+                if max(len(l0_refs), len(l1_refs)) > 1:
+                    sh.sh_num_ref_idx_active_override_flag = 1
+                    sh.sh_num_ref_idx_active_minus1 = (
+                        len(l0_refs) - 1, len(l1_refs) - 1)
+            else:
+                # short-term ref(s): the previous frame (delta_poc -1)
+                l1 = (RefPicListStruct(entries=[(1, 1)]) if cfg.b_slices
+                      else RefPicListStruct())
+                sh.sh_ref_pic_lists = (RefPicListStruct(entries=[(1, 1)]),
+                                       l1)
             if cfg.b_slices:
                 sh.ph.ph_mvd_l1_zero_flag = 0
+            if cfg.tmvp:
+                sh.ph.ph_temporal_mvp_enabled_flag = 1
         if cfg.sao:
             sh.sh_sao_luma_used_flag = 1
             sh.sh_sao_chroma_used_flag = 1
@@ -376,7 +425,7 @@ def encode_stream(cfg: EncoderConfig):
             for i, t in enumerate(trees):
                 t["sao"] = _random_sao(cfg, rng, i % ctb_w > 0,
                                        i // ctb_w > 0)
-        fse = FrameSyntaxEncoder(sps, pps, sh)
+        fse = FrameSyntaxEncoder(sps, pps, sh, col_store=col_store)
         fse.qp_delta_rng = rng
         fse.tool_rng = rng
         n_ctus = len(trees)
@@ -386,6 +435,20 @@ def encode_stream(cfg: EncoderConfig):
                 fse.encode_ctu(rx, ry, trees[idx], idx == n_ctus - 1)
                 idx += 1
         payload = fse.finish()
+        # snapshot this frame's motion for TMVP readers
+        if cfg.tmvp:
+            import numpy as _np
+            if fse.motion is not None:
+                m = fse.motion
+                col_store[poc] = (poc, m.pf.copy(), m.mvx.copy(),
+                                  m.mvy.copy(), m.ridx.copy(), m.rpl)
+            else:  # intra frame: all-intra motion field
+                ph4, pw4 = cfg.height >> 2, cfg.width >> 2
+                col_store[poc] = (poc, _np.zeros((ph4, pw4), _np.int32),
+                                  _np.zeros((2, ph4, pw4), _np.int32),
+                                  _np.zeros((2, ph4, pw4), _np.int32),
+                                  _np.full((2, ph4, pw4), -1, _np.int32),
+                                  ((), ()))
 
         w = BitWriter()
         sh.write(w, sps, pps)

@@ -56,7 +56,15 @@ class MotionState:
     """Per-frame motion context shared by the CU encoder."""
 
     def __init__(self, pic_w: int, pic_h: int, ctb_log2: int,
-                 rpl_pocs: tuple):
+                 rpl_pocs: tuple, poc: int = 0, col=None,
+                 collocated_from_l0: int = 1):
+        # col: (col_poc, pf, mvx, mvy, ridx, col_rpl) snapshot of the
+        # collocated picture's motion (TMVP), or None
+        self.poc = poc
+        self.col = col
+        self.collocated_from_l0 = collocated_from_l0
+        self.no_backward = int(not any(p > poc for lst in rpl_pocs
+                                       for p in lst))
         self.pw = pic_w >> 2
         self.ph = pic_h >> 2
         self.ctb_log2 = ctb_log2
@@ -149,6 +157,81 @@ class MotionState:
             return None
         return f
 
+    # -- TMVP (vvc_mvs.c:46-246) ----------------------------------------
+    @staticmethod
+    def _clip17(v: int) -> int:
+        return max(-(1 << 17), min((1 << 17) - 1, int(v)))
+
+    @staticmethod
+    def _compress1(v: int) -> int:
+        s = v >> 17
+        u = (v ^ s) | 31
+        f = u.bit_length() - 1 - 4
+        mask = (-1 * (1 << f)) >> 1
+        rnd = (1 << f) >> 2
+        return (v + rnd) & mask
+
+    def _mv_scale(self, src, td: int, tb: int):
+        td = max(-128, min(127, td))
+        tb = max(-128, min(127, tb))
+        tx = (0x4000 + (abs(td) >> 1)) // td if td > 0 else \
+            -((0x4000 + (abs(td) >> 1)) // -td)
+        sf = (tb * tx + 32) >> 6
+        sf = max(-(1 << 12), min((1 << 12) - 1, sf))
+        out = []
+        for v in src:
+            pv = sf * v
+            out.append(self._clip17((pv + 127 + (1 if pv < 0 else 0)) >> 8))
+        return out
+
+    def _check_mvset(self, tc: MvField, list_col: int, ref_idx_lx: int,
+                     x_list: int):
+        col_poc, _, _, _, _, col_rpl = self.col
+        col_poc_diff = col_poc - col_rpl[list_col][tc.ref_idx[list_col]]
+        cur_poc_diff = self.poc - self.rpl[x_list][ref_idx_lx]
+        mv_col = [self._compress1(tc.mv[list_col][0]),
+                  self._compress1(tc.mv[list_col][1])]
+        if col_poc_diff == cur_poc_diff:
+            return [self._clip17(mv_col[0]), self._clip17(mv_col[1])]
+        return self._mv_scale(mv_col, col_poc_diff, cur_poc_diff)
+
+    def _derive_col_mv(self, tc: MvField, ref_idx_lx: int, x_list: int):
+        if tc.pred_flag == PF_INTRA:
+            return None
+        if not (tc.pred_flag & PF_L0):
+            list_col = 1
+        elif tc.pred_flag == PF_L0:
+            list_col = 0
+        else:
+            if self.no_backward:
+                list_col = x_list
+            else:
+                list_col = 1 if self.collocated_from_l0 else 0
+        return self._check_mvset(tc, list_col, ref_idx_lx, x_list)
+
+    def _col_mvf_at(self, x: int, y: int) -> MvField:
+        _, pf, mvx, mvy, ridx, _ = self.col
+        px, py = x >> 2, y >> 2
+        f = MvField()
+        f.pred_flag = int(pf[py, px])
+        for i in range(2):
+            f.mv[i] = [int(mvx[i, py, px]), int(mvy[i, py, px])]
+            f.ref_idx[i] = int(ridx[i, py, px])
+        return f
+
+    def temporal_mv(self, x0, y0, w, h, ref_idx_lx: int, x_list: int):
+        if self.col is None or w * h <= 32:
+            return None
+        x, y = x0 + w, y0 + h
+        if ((y0 >> self.ctb_log2) == (y >> self.ctb_log2)
+                and y < self.pic_h and x < self.pic_w):
+            tc = self._col_mvf_at(x & ~7, y & ~7)
+            mv = self._derive_col_mv(tc, ref_idx_lx, x_list)
+            if mv is not None:
+                return mv
+        tc = self._col_mvf_at((x0 + (w >> 1)) & ~7, (y0 + (h >> 1)) & ~7)
+        return self._derive_col_mv(tc, ref_idx_lx, x_list)
+
     # -- merge list (vvc_mvs.c:637-830) --------------------------------
     def merge_candidate(self, x0, y0, w, h, merge_idx: int,
                         max_num_merge: int, is_b: bool,
@@ -179,7 +262,22 @@ class MotionState:
                 cand_list.append(c.copy())
                 if merge_idx == len(cand_list) - 1:
                     return cand_list[merge_idx]
-        # no TMVP (sps_temporal_mvp off)
+        # temporal candidate (mv_merge_temporal_candidate, vvc_mvs.c:678)
+        if self.col is not None:
+            c = MvField()
+            m0 = self.temporal_mv(x0, y0, w, h, 0, 0)
+            m1 = self.temporal_mv(x0, y0, w, h, 0, 1) if is_b else None
+            c.pred_flag = ((PF_L0 if m0 is not None else 0)
+                           | (PF_L1 if m1 is not None else 0))
+            if c.pred_flag:
+                if m0 is not None:
+                    c.mv[0] = m0
+                if m1 is not None:
+                    c.mv[1] = m1
+                c.ref_idx = [0, 0]
+                cand_list.append(c)
+                if merge_idx == len(cand_list) - 1:
+                    return cand_list[merge_idx]
         # HMVP (vvc_mvs.c:692-709)
         for i in range(1, len(self.hmvp) + 1):
             if len(cand_list) >= max_num_merge - 1:
@@ -270,7 +368,15 @@ class MotionState:
                 if mvp_lx_flag == num_cands:
                     return mvb
                 num_cands += 1
-        # no TMVP; HMVP (vvc_mvs.c:1543-1568)
+        # temporal candidate (mvp_temporal_candidates, vvc_mvs.c:1526)
+        if self.col is not None:
+            tmv = self.temporal_mv(x0, y0, w, h, ref_idx[lx], lx)
+            if tmv is not None:
+                if mvp_lx_flag == num_cands:
+                    return list(round_mv(tmv[0], tmv[1], amvr_shift,
+                                         amvr_shift))
+                num_cands += 1
+        # HMVP (vvc_mvs.c:1543-1568)
         poc = self.rpl[lx][ref_idx[lx]]
         for i in range(1, min(4, len(self.hmvp)) + 1):
             hc = self.hmvp[i - 1]

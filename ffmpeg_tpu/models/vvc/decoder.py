@@ -141,7 +141,7 @@ class VVCDecoder:
 
     def decode(self, data: bytes, fetch: bool = True):
         """Decode a buffer holding one or more access units; yields Frames
-        in decode order (no reordering needed yet: P-only GOPs).
+        in output order (DPB bumping bounded by the reorder depth).
 
         With fetch=False, frames are yielded as soon as dispatched with
         device-resident pixel buffers (fetched lazily on access) — the
@@ -149,6 +149,9 @@ class VVCDecoder:
         """
         from collections import deque
 
+        from .host import col_store_reset
+
+        col_store_reset()
         aus = self._split_aus(data)
         window: list = []  # [(Frame, packed)] dispatched, not yet fetched
 
@@ -164,6 +167,10 @@ class VVCDecoder:
 
         inflight: deque = deque()  # (is_idr, future) in decode order
         next_submit = 0
+        # output reordering (DPB bumping): frames leave in POC order,
+        # held back by at most sps_dpb_max_num_reorder_pics
+        pending_out: list = []
+        reorder_depth = 0
 
         def top_up():
             nonlocal next_submit
@@ -173,7 +180,24 @@ class VVCDecoder:
                 inflight.append((is_idr, self._exec.submit(self._parse_au, au)))
                 next_submit += 1
 
+        def emit(frame):
+            if not fetch:
+                return [frame]
+            window.append((frame, frame.buf))
+            if len(window) >= FETCH_BATCH:
+                return flush()
+            return []
+
+        def bump(all_of_them=False):
+            out = []
+            limit = 0 if all_of_them else reorder_depth
+            while len(pending_out) > limit:
+                pending_out.sort(key=lambda f: f.poc)
+                out.extend(emit(pending_out.pop(0)))
+            return out
+
         top_up()
+        first = True
         while inflight:
             is_idr, fut = inflight.popleft()
             fs = fut.result()
@@ -181,7 +205,11 @@ class VVCDecoder:
             if fs is None:
                 continue
             if is_idr:
+                if not first:
+                    yield from bump(all_of_them=True)
                 self._dpb.clear()
+            first = False
+            reorder_depth = fs.max_num_reorder
             if fs.slice_type != 2:
                 needed = set(fs.ref_pocs[0]) | set(fs.ref_pocs[1])
                 missing = needed - set(self._dpb)
@@ -191,14 +219,11 @@ class VVCDecoder:
             self._dpb[fs.poc] = planes
             while len(self._dpb) > DPB_KEEP:
                 del self._dpb[min(self._dpb)]
-            frame = Frame(poc=fs.poc, buf=packed, width=fs.width,
-                          height=fs.height, bit_depth=fs.bit_depth)
-            if not fetch:
-                yield frame
-                continue
-            window.append((frame, packed))
-            if len(window) >= FETCH_BATCH:
-                yield from flush()
+            pending_out.append(Frame(poc=fs.poc, buf=packed, width=fs.width,
+                                     height=fs.height,
+                                     bit_depth=fs.bit_depth))
+            yield from bump()
+        yield from bump(all_of_them=True)
         if window:
             yield from flush()
 

@@ -60,6 +60,8 @@ def _get_lib():
                 [ctypes.c_int] if name in ("vvch_coeffs", "vvch_mvf") else [])
         lib.vvch_ref_info.argtypes = [ctypes.c_void_p,
                                       ctypes.POINTER(ctypes.c_int32)]
+        lib.vvch_col_reset.restype = None
+        lib.vvch_col_reset.argtypes = []
         lib.vvch_cu_ctrl.restype = ctypes.POINTER(ctypes.c_int32)
         lib.vvch_cu_ctrl.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                      ctypes.c_int,
@@ -94,6 +96,13 @@ class FrameSyntax:
     ctrl_y: np.ndarray | None = None
     ctrl_c: np.ndarray | None = None
     ctb_log2: int = 5
+    max_num_reorder: int = 0
+
+
+def col_store_reset() -> None:
+    """Clear the shared collocated-motion store (TMVP) — call at the
+    start of each independent decode session."""
+    _get_lib().vvch_col_reset()
 
 
 class HostDecoder:
@@ -113,7 +122,7 @@ class HostDecoder:
         if ret != 0:
             raise RuntimeError(
                 f"native decode error: {self._lib.vvch_last_error().decode()}")
-        info = (ctypes.c_int32 * 19)()
+        info = (ctypes.c_int32 * 20)()
         self._lib.vvch_frame_info(self._h, info)
         if not info[0]:
             return None  # no frame in this AU (parameter sets only)
@@ -122,6 +131,7 @@ class HostDecoder:
         beta_off = tuple(info[12:15])
         tc_off = tuple(info[15:18])
         ctb_log2 = int(info[18])
+        max_num_reorder = int(info[19])
 
         def plane(c_idx, pw, ph):
             ptr = self._lib.vvch_coeffs(self._h, c_idx)
@@ -149,15 +159,16 @@ class HostDecoder:
         sao = np.ctypeslib.as_array(self._lib.vvch_sao(self._h),
                                     shape=(cbh, cbw, 24)).copy()
         def cu_ctrl(is_chroma):
+            n_keys = 28  # ctrl::kNumKeys
             if not n_cus:
-                return np.zeros((26, 0), np.int32)
+                return np.zeros((n_keys, 0), np.int32)
             n_units = ctypes.c_int32(0)
             ptr = self._lib.vvch_cu_ctrl(self._h, int(is_chroma), ctb_log2,
                                          ctypes.byref(n_units))
             nu = int(n_units.value)
             if not nu:
-                return np.zeros((26, 0), np.int32)
-            return np.ctypeslib.as_array(ptr, shape=(26, nu)).copy()
+                return np.zeros((n_keys, 0), np.int32)
+            return np.ctypeslib.as_array(ptr, shape=(n_keys, nu)).copy()
 
         pu_h, pu_w = h // 4, w // 4
         mvf = {name: np.ctypeslib.as_array(
@@ -185,4 +196,5 @@ class HostDecoder:
             ctrl_y=cu_ctrl(False),
             ctrl_c=cu_ctrl(True),
             ctb_log2=ctb_log2,
+            max_num_reorder=max_num_reorder,
         )

@@ -208,9 +208,10 @@ def _residual_from_buckets(coeff_plane, buckets, Hp, Wp, bit_depth, sizes):
 
 
 def _mc_block(refs, x0, y0, mvx, mvy, maxs, taps, before, frac_bits,
-              bit_depth, lx):
-  """Generic separable MC window for one CU (maxs x maxs), 14-bit out."""
-  ref = refs[lx]
+              bit_depth, slot):
+  """Generic separable MC window for one CU (maxs x maxs), 14-bit out.
+  refs: (n_refs, H, W) stacked reference planes; slot selects one."""
+  ref = refs[slot]
   H, W = ref.shape
   mask = (1 << frac_bits) - 1
   frac_x = mvx & mask
@@ -286,9 +287,9 @@ def _recon_plane(res_plane, ctrl, n_cus, refs, *, maxs, is_chroma,
     def inter_pred():
       pf = ctrl["pf"][i]
       t0 = _mc_block(refs, x0, y0, ctrl["m0x"][i], ctrl["m0y"][i], maxs,
-                     taps, before, frac_bits, bit_depth, 0)
+                     taps, before, frac_bits, bit_depth, ctrl["r0slot"][i])
       t1 = _mc_block(refs, x0, y0, ctrl["m1x"][i], ctrl["m1y"][i], maxs,
-                     taps, before, frac_bits, bit_depth, 1)
+                     taps, before, frac_bits, bit_depth, ctrl["r1slot"][i])
       # uni: put_uni rounding on the used list; bi: avg
       shift2 = 14 - bit_depth
       off2 = 1 << (shift2 - 1)
@@ -353,8 +354,8 @@ def _build_frame_program(shapes):
                                    sizes)
       ss = 0 if c_idx == 0 else 1
       # refs arrive padded (device-resident DPB planes); crop to pic size
-      r0, r1 = refs_in[c_idx]
-      refs = jnp.stack([r0[:H >> ss, :W >> ss], r1[:H >> ss, :W >> ss]])
+      # [L0 slots..., L1 slots...] per plane, variable count per stream
+      refs = jnp.stack([r[:H >> ss, :W >> ss] for r in refs_in[c_idx]])
       plane = _recon_plane(res, p["ctrl"], p["n_units"], refs,
                            maxs=maxs, is_chroma=c_idx > 0, bit_depth=bd,
                            mv_shift=0)
@@ -701,15 +702,24 @@ def build_frame_inputs(fs: FrameSyntax, refs_by_poc, ctb_log2=5):
   Hp_c = _round_up(H >> 1, 64) + (maxs_y >> 1)
   Wp_c = _round_up(W >> 1, 64) + (maxs_y >> 1)
 
-  def ref_for(c_idx, lx):
-    """Padded reference plane for list lx: a device-resident DPB plane
-    when available (no host round-trip), else cached zeros."""
+  # reference slots: [L0 entries..., L1 entries...] (>=1 each so the
+  # MC gather always has a plane to index)
+  n_l0 = max(1, len(fs.ref_pocs[0]))
+  n_l1 = max(1, len(fs.ref_pocs[1]))
+
+  def ref_for(c_idx, lx, k):
+    """Padded reference plane: a device-resident DPB plane when
+    available (no host round-trip), else cached zeros."""
     shape = (Hp_y, Wp_y) if c_idx == 0 else (Hp_c, Wp_c)
-    if fs.ref_pocs[lx]:
-      poc = fs.ref_pocs[lx][0]
+    if k < len(fs.ref_pocs[lx]):
+      poc = fs.ref_pocs[lx][k]
       if refs_by_poc and poc in refs_by_poc:
         return refs_by_poc[poc][c_idx]
     return _zero_plane(shape)
+
+  # L1 motion indexes slots after the L0 block
+  for c in (ctrl_y, ctrl_c):
+    c["r1slot"] = c["r1slot"] + np.int32(n_l0)
 
   refs = []
   for c_idx in range(3):
@@ -721,7 +731,8 @@ def build_frame_inputs(fs: FrameSyntax, refs_by_poc, ctb_log2=5):
         "ctrl": ctrl_y if c_idx == 0 else ctrl_c,
         "n_units": n_y if c_idx == 0 else n_c,
     })
-    refs.append((ref_for(c_idx, 0), ref_for(c_idx, 1)))
+    refs.append(tuple(ref_for(c_idx, 0, k) for k in range(n_l0))
+                + tuple(ref_for(c_idx, 1, k) for k in range(n_l1)))
   if not fs.deblock_disabled:
     inp["deblock"] = _deblock_grids(fs, Hp_y, Wp_y, Hp_c, Wp_c, ctb_log2)
 

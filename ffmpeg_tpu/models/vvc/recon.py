@@ -31,7 +31,8 @@ CTRL_KEYS = (
     "x0", "y0", "w", "h", "logw", "logh", "mode_class", "angle", "inv_angle",
     "filter_flag", "smooth", "left_size", "top_size", "unfilter_last_one",
     "do_pdpc", "nscale", "avail_l", "avail_t", "cand_up_left",
-    "proj_v", "proj_h", "pf", "m0x", "m0y", "m1x", "m1y")
+    "proj_v", "proj_h", "pf", "m0x", "m0y", "m1x", "m1y",
+    "r0slot", "r1slot")
 
 
 MC_INTER = 6  # extra mode class: prediction comes from the MC plane
@@ -94,6 +95,8 @@ def derive_cu_controls(fs: FrameSyntax, plane_kind: str, ctb_log2: int) -> dict:
       out["m0y"][i] = cus["mv_y"][ci]
       out["m1x"][i] = cus["mv1_x"][ci]
       out["m1y"][i] = cus["mv1_y"][ci]
+      out["r0slot"][i] = max(0, int(cus["ref_idx"][ci]))
+      out["r1slot"][i] = max(0, int(cus["ref_idx1"][ci]))
       recon[y0 // g:(y0 + h) // g, x0 // g:(x0 + w) // g] = True
       continue
     raw_mode = int(cus["chroma_mode"][ci] if is_chroma

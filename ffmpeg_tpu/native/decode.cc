@@ -10,8 +10,13 @@
 // v1 toolset: all-intra, single tree, CU == CTU or no-split configs
 // (split decoding lands with can_split), regular residual coding.
 #include <algorithm>
+#include <chrono>
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <map>
+#include <memory>
+#include <mutex>
 #include <string>
 #include <vector>
 
@@ -92,6 +97,7 @@ struct TuRecord {
 struct FrameOut {
   int width = 0, height = 0, bit_depth = 8, chroma_format_idc = 1;
   int ctb_log2 = 5;
+  int max_num_reorder = 0;
   int poc = 0, slice_qp = 26;
   int mcb_w = 0, mcb_h = 0;  // min-CB grid dims of the ipm plane
   int deblock_disabled = 0;
@@ -120,16 +126,16 @@ struct FrameOut {
 // output straight to the frame program.
 namespace ctrl {
 
-constexpr int kNumKeys = 26;
+constexpr int kNumKeys = 28;
 // CTRL_KEYS order (recon.py): x0,y0,w,h,logw,logh,mode_class,angle,
 // inv_angle,filter_flag,smooth,left_size,top_size,unfilter_last_one,
 // do_pdpc,nscale,avail_l,avail_t,cand_up_left,proj_v,proj_h,
-// pf,m0x,m0y,m1x,m1y
+// pf,m0x,m0y,m1x,m1y,r0slot,r1slot
 enum Key {
   kX0, kY0, kW, kH, kLogW, kLogH, kModeClass, kAngle, kInvAngle,
   kFilterFlag, kSmooth, kLeftSize, kTopSize, kUnfilterLastOne,
   kDoPdpc, kNscale, kAvailL, kAvailT, kCandUpLeft, kProjV, kProjH,
-  kPf, kM0x, kM0y, kM1x, kM1y,
+  kPf, kM0x, kM0y, kM1x, kM1y, kR0Idx, kR1Idx,
 };
 
 constexpr int kPlanar = 0, kDc = 1, kHorz = 18, kDiag = 34, kVert = 50;
@@ -269,6 +275,8 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
       O(kPf, i) = cu.pf;
       O(kM0x, i) = cu.mv_x; O(kM0y, i) = cu.mv_y;
       O(kM1x, i) = cu.mv1_x; O(kM1y, i) = cu.mv1_y;
+      O(kR0Idx, i) = cu.ref_idx < 0 ? 0 : cu.ref_idx;
+      O(kR1Idx, i) = cu.ref_idx1 < 0 ? 0 : cu.ref_idx1;
       for (int by = y0 / g; by < (y0 + h) / g; by++)
         for (int bx = x0 / g; bx < (x0 + w) / g; bx++) rec(by, bx) = 1;
       continue;
@@ -389,6 +397,41 @@ static const uint8_t kLfnstTrSet[95] = {
     1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1
 };
 
+// motion field entry (mirror of ffmpeg_tpu/encoder/mvs.py MvField)
+constexpr int PF_INTRA = 0, PF_L0 = 1, PF_L1 = 2, PF_BI = 3;
+struct MvF {
+  int32_t mv[2][2] = {{0, 0}, {0, 0}};  // [list][x/y], 1/16 pel
+  int32_t ref_idx[2] = {-1, -1};
+  int32_t pred_flag = PF_INTRA;
+  bool operator==(const MvF& o) const {
+    if (pred_flag != o.pred_flag) return false;
+    for (int i = 0; i < 2; i++) {
+      if (pred_flag & (i + 1)) {
+        if (mv[i][0] != o.mv[i][0] || mv[i][1] != o.mv[i][1] ||
+            ref_idx[i] != o.ref_idx[i])
+          return false;
+      }
+    }
+    return true;
+  }
+};
+
+// Collocated-picture motion store for TMVP, shared across decoder
+// instances: frame-parallel parsing threads publish each picture's
+// motion field and wait here for their collocated picture (the
+// reference serializes this through its per-frame progress waits,
+// vvc_thread.c).  Keyed by POC; reset per decode session.
+struct ColData {
+  int poc = 0;
+  int pu_w = 0, pu_h = 0;
+  std::vector<MvF> mvf;  // 4x4 granularity
+  int32_t ref_pocs[2][16] = {};
+  int nb_refs[2] = {0, 0};
+};
+static std::mutex g_col_mu;
+static std::condition_variable g_col_cv;
+static std::map<int, std::shared_ptr<ColData>> g_col;
+
 class Decoder {
  public:
   int decode_au(const uint8_t* data, size_t size, std::string* err) {
@@ -457,24 +500,9 @@ class Decoder {
   } part_;
 
   // ---- motion state (mirror of ffmpeg_tpu/encoder/mvs.py) ----
-  static constexpr int PF_INTRA = 0, PF_L0 = 1, PF_L1 = 2, PF_BI = 3;
-  struct MvF {
-    int32_t mv[2][2] = {{0, 0}, {0, 0}};  // [list][x/y], 1/16 pel
-    int32_t ref_idx[2] = {-1, -1};
-    int32_t pred_flag = PF_INTRA;
-    bool operator==(const MvF& o) const {
-      if (pred_flag != o.pred_flag) return false;
-      for (int i = 0; i < 2; i++) {
-        if (pred_flag & (i + 1)) {
-          if (mv[i][0] != o.mv[i][0] || mv[i][1] != o.mv[i][1] ||
-              ref_idx[i] != o.ref_idx[i])
-            return false;
-        }
-      }
-      return true;
-    }
-  };
   std::vector<MvF> mvf_;       // 4x4 plane
+  std::shared_ptr<ColData> col_;  // collocated picture (TMVP)
+  int no_backward_ = 1;
   std::vector<uint8_t> mvf_set_;
   int pu_w_ = 0, pu_h_ = 0;
   std::vector<MvF> hmvp_;
@@ -548,6 +576,87 @@ class Decoder {
   }
 
   // merge candidate list (vvc_mvs.c:637-830; translational, no TMVP)
+  // parity: mv_compression + ff_vvc_mv_scale + check_mvset +
+  // derive_temporal_colocated_mvs + temporal_luma_motion_vector
+  // (vvc_mvs.c:46-246)
+  static int32_t clip_intp2_17(int64_t v) {
+    const int64_t lim = 1LL << 17;
+    return (int32_t)(v < -lim ? -lim : (v > lim - 1 ? lim - 1 : v));
+  }
+
+  static int32_t mv_compress1(int32_t v) {
+    const int s = v >> 17;
+    unsigned u = (unsigned)((v ^ s) | 31);
+    int log2 = 31 - __builtin_clz(u);
+    const int f = log2 - 4;
+    const int mask = (-1 * (1 << f)) >> 1;
+    const int round = (1 << f) >> 2;
+    return (v + round) & mask;
+  }
+
+  static void mv_scale(int32_t* dst, const int32_t* src, int td, int tb) {
+    td = td < -128 ? -128 : (td > 127 ? 127 : td);
+    tb = tb < -128 ? -128 : (tb > 127 ? 127 : tb);
+    int tx = (0x4000 + (std::abs(td) >> 1)) / td;
+    int64_t sf = ((int64_t)tb * tx + 32) >> 6;
+    sf = sf < -(1 << 12) ? -(1 << 12) : (sf > (1 << 12) - 1 ? (1 << 12) - 1
+                                                            : sf);
+    for (int i = 0; i < 2; i++) {
+      int64_t p = sf * src[i];
+      dst[i] = clip_intp2_17((p + 127 + (p < 0)) >> 8);
+    }
+  }
+
+  int check_mvset(const MvF& tc, int list_col, int ref_idx_lx, int X,
+                  int32_t* mv_out) {
+    int col_poc_diff = col_->poc - col_->ref_pocs[list_col][tc.ref_idx[list_col]];
+    int cur_poc_diff = out.poc - out.ref_pocs[X][ref_idx_lx];
+    int32_t mv_col[2] = {mv_compress1(tc.mv[list_col][0]),
+                         mv_compress1(tc.mv[list_col][1])};
+    if (col_poc_diff == cur_poc_diff) {
+      mv_out[0] = clip_intp2_17(mv_col[0]);
+      mv_out[1] = clip_intp2_17(mv_col[1]);
+    } else {
+      mv_scale(mv_out, mv_col, col_poc_diff, cur_poc_diff);
+    }
+    return 1;
+  }
+
+  int derive_col_mv(const MvF& tc, int ref_idx_lx, int X, int32_t* mv_out) {
+    if (tc.pred_flag == PF_INTRA) return 0;
+    int list_col;
+    if (!(tc.pred_flag & PF_L0))
+      list_col = 1;
+    else if (tc.pred_flag == PF_L0)
+      list_col = 0;
+    else {  // BI
+      if (no_backward_)
+        list_col = X;
+      else
+        list_col = sh_.sh_collocated_from_l0_flag ? 1 : 0;
+    }
+    return check_mvset(tc, list_col, ref_idx_lx, X, mv_out);
+  }
+
+  bool temporal_mv(int x0, int y0, int w, int h, int ref_idx_lx, int X,
+                   bool check_center, int32_t* mv_out) {
+    if (!col_ || !sh_.ph.ph_temporal_mvp_enabled_flag || w * h <= 32)
+      return false;
+    int x = x0 + w, y = y0 + h;
+    if ((y0 >> sps_.ctb_log2_size_y) == (y >> sps_.ctb_log2_size_y) &&
+        y < pps_.height && x < pps_.width) {
+      int xc = x & ~7, yc = y & ~7;
+      const MvF& tc = col_->mvf[(size_t)(yc >> 2) * col_->pu_w + (xc >> 2)];
+      if (derive_col_mv(tc, ref_idx_lx, X, mv_out)) return true;
+    }
+    if (check_center) {
+      int xc = (x0 + (w >> 1)) & ~7, yc = (y0 + (h >> 1)) & ~7;
+      const MvF& tc = col_->mvf[(size_t)(yc >> 2) * col_->pu_w + (xc >> 2)];
+      if (derive_col_mv(tc, ref_idx_lx, X, mv_out)) return true;
+    }
+    return false;
+  }
+
   MvF merge_candidate(int x0, int y0, int w, int h, int merge_idx,
                       int max_num_merge, bool is_b) {
     Nb nbs[7];
@@ -571,6 +680,20 @@ class Decoder {
       nb_list[5] = c;
       if (c && !same(c, nb_list[1]) && !same(c, nb_list[4])) {
         cands.push_back(*c);
+        if (merge_idx == (int)cands.size() - 1) return cands.back();
+      }
+    }
+    // temporal candidate (mv_merge_temporal_candidate, vvc_mvs.c:678)
+    {
+      MvF c;
+      bool a0 = temporal_mv(x0, y0, w, h, 0, 0, true, c.mv[0]);
+      bool a1 = is_b ? temporal_mv(x0, y0, w, h, 0, 1, true, c.mv[1])
+                     : false;
+      c.pred_flag = (a0 ? PF_L0 : 0) | (a1 ? PF_L1 : 0);
+      if (c.pred_flag) {
+        c.ref_idx[0] = 0;
+        c.ref_idx[1] = 0;
+        cands.push_back(c);
         if (merge_idx == (int)cands.size() - 1) return cands.back();
       }
     }
@@ -695,6 +818,16 @@ class Decoder {
         num_cands++;
       }
     }
+    // temporal candidate (mvp_temporal_candidates, vvc_mvs.c:1526)
+    if (temporal_mv(x0, y0, w, h, ref_idx[lx], lx, true, mv)) {
+      if (mvp_lx_flag == num_cands) {
+        round_mv(&mv[0], &mv[1], amvr_shift, amvr_shift);
+        mv_out[0] = mv[0];
+        mv_out[1] = mv[1];
+        return;
+      }
+      num_cands++;
+    }
     int poc = out.ref_pocs[lx][ref_idx[lx]];
     int n_h = std::min((size_t)4, hmvp_.size());
     for (int i = 1; i <= n_h; i++) {
@@ -762,6 +895,7 @@ class Decoder {
     out.bit_depth = sps_.bit_depth;
     out.chroma_format_idc = sps_.sps_chroma_format_idc;
     out.ctb_log2 = sps_.ctb_log2_size_y;
+    out.max_num_reorder = sps_.dpb_max_num_reorder_pics;
     out.poc = sh_.ph.ph_pic_order_cnt_lsb;
     out.slice_qp = sh_.slice_qp_y;
     out.coeff[0].assign((size_t)pps_.width * pps_.height, 0);
@@ -825,6 +959,24 @@ class Decoder {
       }
     }
 
+    // NoBackwardPredFlag + collocated picture for TMVP (vvc_mvs.c:121,
+    // vvc_refs.c:461-463); parsing waits for the collocated picture's
+    // motion field when frame-parallel workers run ahead
+    no_backward_ = 1;
+    for (int lx = 0; lx < 2; lx++)
+      for (int i = 0; i < out.nb_refs[lx]; i++)
+        if (out.ref_pocs[lx][i] > out.poc) no_backward_ = 0;
+    col_.reset();
+    if (sh_.ph.ph_temporal_mvp_enabled_flag && sh_.sh_slice_type != 2) {
+      int lx = sh_.sh_collocated_from_l0_flag ? 0 : 1;
+      int cpoc = out.ref_pocs[lx][sh_.sh_collocated_ref_idx];
+      std::unique_lock<std::mutex> lk(g_col_mu);
+      if (!g_col_cv.wait_for(lk, std::chrono::seconds(30),
+                             [&] { return g_col.count(cpoc) > 0; }))
+        throw std::runtime_error("tmvp: collocated picture unavailable");
+      col_ = g_col[cpoc];
+    }
+
     int init_type = 2 - sh_.sh_slice_type;
     if (sh_.sh_cabac_init_flag && sh_.sh_slice_type != 2) init_type ^= 3;
     int qp = sh_.slice_qp_y < 0 ? 0 : (sh_.slice_qp_y > 63 ? 63 : sh_.slice_qp_y);
@@ -853,6 +1005,22 @@ class Decoder {
       }
     }
     cd_ = nullptr;
+    // publish this picture's motion field for later TMVP readers
+    {
+      auto cdta = std::make_shared<ColData>();
+      cdta->poc = out.poc;
+      cdta->pu_w = pu_w_;
+      cdta->pu_h = pu_h_;
+      cdta->mvf = mvf_;
+      for (int lx = 0; lx < 2; lx++) {
+        cdta->nb_refs[lx] = out.nb_refs[lx];
+        std::memcpy(cdta->ref_pocs[lx], out.ref_pocs[lx],
+                    sizeof(cdta->ref_pocs[lx]));
+      }
+      std::lock_guard<std::mutex> lk(g_col_mu);
+      g_col[out.poc] = cdta;
+      g_col_cv.notify_all();
+    }
     // export MvField planes (L0) for MC + deblock BS derivation
     size_t n = (size_t)pu_w_ * pu_h_;
     out.mvf_pf.resize(n);
@@ -2391,6 +2559,7 @@ void vvch_frame_info(void* h, int32_t* info) {
     info[15 + i] = o.tc_offset[i];
   }
   info[18] = o.ctb_log2;
+  info[19] = o.max_num_reorder;
 }
 
 const int32_t* vvch_coeffs(void* h, int c_idx) {
@@ -2440,6 +2609,11 @@ const int32_t* vvch_cu_ctrl(void* h, int is_chroma, int ctb_log2,
   ctrl::derive(d->out, is_chroma != 0, ctb_log2, units, buf.data());
   *n_out = (int32_t)units.size();
   return buf.data();
+}
+
+void vvch_col_reset() {
+  std::lock_guard<std::mutex> lk(vvc::g_col_mu);
+  vvc::g_col.clear();
 }
 
 int vvch_cu_record_size() { return (int)(sizeof(CuRecord) / 4); }

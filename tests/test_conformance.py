@@ -82,6 +82,17 @@ needs_ref = pytest.mark.skipif(not os.path.exists(REF_FFMPEG),
          joint_cbcr=True, cu_qp_delta=True, deblock=True, sao=True),
     dict(width=128, height=128, seed=1005, qp=30, lfnst=True, ctu_log2=6,
          max_bt_size=64, min_qt_size=16),
+    dict(width=96, height=64, seed=1101, qp=30, inter=True, b_slices=True,
+         ra=True, n_frames=9),
+    dict(width=96, height=96, seed=1102, qp=28, inter=True, b_slices=True,
+         ra=True, n_frames=9, deblock=True, sao=True, max_mv=200),
+    dict(width=96, height=64, seed=1103, qp=30, inter=True, b_slices=True,
+         ra=True, n_frames=13, mts=True, cu_qp_delta=True,
+         transform_skip=True, deblock=True),
+    dict(width=96, height=64, seed=1202, qp=28, inter=True, b_slices=True,
+         tmvp=True, n_frames=4, deblock=True),
+    dict(width=96, height=96, seed=1203, qp=30, inter=True, b_slices=True,
+         ra=True, tmvp=True, n_frames=9, sao=True),
 ], ids=["64x64", "128x64x2f", "96x96-dense", "deblock", "deblock-unaligned",
         "inter-p", "inter-p-deblock", "inter-b", "10bit-sao-full",
         "mts-explicit", "mts-implicit", "mts-inter-full",
@@ -90,7 +101,9 @@ needs_ref = pytest.mark.skipif(not os.path.exists(REF_FFMPEG),
         "joint-cbcr", "joint-cbcr-inter", "joint-cbcr-full",
         "transform-skip", "transform-skip-dense", "transform-skip-full",
         "bdpcm", "bdpcm-ts-inter", "bdpcm-10bit",
-        "lfnst", "lfnst-full", "lfnst-ctu64"])
+        "lfnst", "lfnst-full", "lfnst-ctu64",
+        "ra-pyramid", "ra-full", "ra-tools",
+        "tmvp", "tmvp-ra"])
 def test_frame_md5_parity(tmp_path, cfg_kw):
     from ffmpeg_tpu.encoder.encoder import EncoderConfig, encode_stream
 
