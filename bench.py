@@ -30,39 +30,28 @@ def gen_stream(path: str) -> None:
 
 
 def bench_ours(path: str) -> float:
-    """Frames/s to fully decode on device, mirroring the reference's
-    `-f null` run (decode everything, discard the output).  The final
-    device->host pixel transfer is excluded — it is tunnel I/O, not
-    decode work — but every frame is verified afterwards by fetching
-    and hashing it, so the timed decode is provably complete."""
-    import hashlib
-
-    import jax
-
+    """Frames/s to fully decode INCLUDING the device->host pixel fetch
+    (the reference's `-f null` run materializes every frame in host
+    memory, so the timed region must too for an honest ratio)."""
     from ffmpeg_tpu.models.vvc.decoder import VVCDecoder
-
-    from ffmpeg_tpu.models.vvc.decoder import _fetch_group
 
     with open(path, "rb") as f:
         data = f.read()
-    # warmup (compiles); no device->host fetch before the timed run —
-    # the transport degrades all later traffic after a sync D2H pull
-    frames = list(VVCDecoder().decode(data, fetch=False))
+    # warmup run (compiles every frame program)
+    frames = list(VVCDecoder().decode(data))
     assert len(frames) == FRAMES
-    jax.block_until_ready([f.buf for f in frames])
+    assert all(hasattr(f.buf, "tobytes") for f in frames)
 
     dt = float("inf")  # best-of-3: the tunnel transport is jittery
     for _ in range(3):
         t0 = time.perf_counter()
-        frames = list(VVCDecoder().decode(data, fetch=False))
-        jax.block_until_ready([f.buf for f in frames])
+        frames = list(VVCDecoder().decode(data))
+        for f in frames:
+            f._host_buf()  # frames materialized on host inside the loop
         dt = min(dt, time.perf_counter() - t0)
 
-    # untimed correctness check: fetch every frame, hash, compare with
-    # the reference decoder's framemd5 on the same stream
-    bufs = _fetch_group([f.buf for f in frames])
-    for f, b in zip(frames, bufs):
-        f.buf = b
+    # untimed correctness check: hash every frame, compare with the
+    # reference decoder's framemd5 on the same stream
     got = [f.md5() for f in frames]
     ref = ref_frame_md5s(path)
     if ref:

@@ -327,7 +327,10 @@ class FrameSyntaxEncoder:
                       int(y_coded))
         else:
             assert y_coded, "inter TU with no chroma must have luma coeffs"
-        has_qp_delta = ((is_large or y_coded or is_chroma_coded)
+        # qp_delta gates on is_128 (CbWidth/CbHeight > 64, vvc_ctu.c:323),
+        # not is_large (> max_tb_size, tu_y_coded presence only)
+        is_128 = cu.w > 64 or cu.h > 64
+        has_qp_delta = ((is_128 or y_coded or is_chroma_coded)
                         and self.cu_qp_delta_enabled
                         and not self.is_cu_qp_delta_coded)
         if has_qp_delta:

@@ -106,36 +106,45 @@ class VVCDecoder:
         import queue
         from concurrent.futures import ThreadPoolExecutor
 
+        from .host import ColStore
+
+        self._colstore = ColStore()  # session-scoped TMVP exchange
         self._hosts: queue.Queue = queue.Queue()
         for _ in range(host_threads):
-            self._hosts.put(HostDecoder())
+            self._hosts.put(HostDecoder(self._colstore))
         self._exec = ThreadPoolExecutor(max_workers=host_threads)
         self._parse_ahead = 2 * host_threads
         self._dpb: dict[int, list] = {}  # poc -> [Y, Cb, Cr] device planes
 
-    def _parse_au(self, au: bytes):
+    def _parse_au(self, au: bytes, epoch: int):
         hd = self._hosts.get()
         try:
-            return hd.decode_au(au)
+            return hd.decode_au(au, epoch)
         finally:
             self._hosts.put(hd)
 
     def _split_aus(self, data: bytes):
-        """[(is_idr, au_bytes)] where each AU is self-contained: the
-        parameter sets seen so far are prepended, so any worker can
-        parse any AU without shared state."""
+        """[(is_idr, epoch, au_bytes)] where each AU is self-contained:
+        the parameter sets seen so far are prepended, so any worker can
+        parse any AU without shared state.  `epoch` counts IDRs so the
+        TMVP store can disambiguate restarted POCs under parse-ahead."""
         from ...bitstream.bits import split_annexb_raw
 
         params: list[bytes] = []
         cur: list[bytes] = []
         aus = []
+        epoch = -1
         for t, _layer, _tid, raw in split_annexb_raw(data):
             if t in _PARAM_NAL_TYPES:
                 params.append(raw)
                 continue
             cur.append(raw)
             if t <= 10:  # slice NAL closes an AU (v1: one slice per frame)
-                aus.append((t in (7, 8), b"".join(params) + b"".join(cur)))
+                is_idr = t in (7, 8)
+                if is_idr:
+                    epoch += 1
+                aus.append((is_idr, max(epoch, 0),
+                            b"".join(params) + b"".join(cur)))
                 cur = []
         return aus
 
@@ -149,9 +158,6 @@ class VVCDecoder:
         """
         from collections import deque
 
-        from .host import col_store_reset
-
-        col_store_reset()
         aus = self._split_aus(data)
         window: list = []  # [(Frame, packed)] dispatched, not yet fetched
 
@@ -176,8 +182,9 @@ class VVCDecoder:
             nonlocal next_submit
             while (next_submit < len(aus)
                    and len(inflight) < self._parse_ahead):
-                is_idr, au = aus[next_submit]
-                inflight.append((is_idr, self._exec.submit(self._parse_au, au)))
+                is_idr, epoch, au = aus[next_submit]
+                inflight.append((is_idr,
+                                 self._exec.submit(self._parse_au, au, epoch)))
                 next_submit += 1
 
         def emit(frame):

@@ -62,6 +62,10 @@ def _get_lib():
                                       ctypes.POINTER(ctypes.c_int32)]
         lib.vvch_col_reset.restype = None
         lib.vvch_col_reset.argtypes = []
+        lib.vvch_colstore_new.restype = ctypes.c_void_p
+        lib.vvch_colstore_free.argtypes = [ctypes.c_void_p]
+        lib.vvch_set_colstore.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.vvch_set_epoch.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.vvch_cu_ctrl.restype = ctypes.POINTER(ctypes.c_int32)
         lib.vvch_cu_ctrl.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                      ctypes.c_int,
@@ -99,25 +103,38 @@ class FrameSyntax:
     max_num_reorder: int = 0
 
 
-def col_store_reset() -> None:
-    """Clear the shared collocated-motion store (TMVP) — call at the
-    start of each independent decode session."""
-    _get_lib().vvch_col_reset()
+class ColStore:
+    """Session-scoped collocated-motion store (TMVP): one per decode
+    session, shared across that session's pooled HostDecoders, so
+    concurrent sessions never clobber each other's in-flight state."""
+
+    def __init__(self) -> None:
+        self._lib = _get_lib()
+        self._s = self._lib.vvch_colstore_new()
+
+    def __del__(self):
+        if getattr(self, "_s", None):
+            self._lib.vvch_colstore_free(self._s)
+            self._s = None
 
 
 class HostDecoder:
     """Stateful host-side parser; feed access units, get FrameSyntax."""
 
-    def __init__(self) -> None:
+    def __init__(self, colstore: ColStore | None = None) -> None:
         self._lib = _get_lib()
         self._h = self._lib.vvch_new()
+        self._colstore = colstore  # keep alive while attached
+        if colstore is not None:
+            self._lib.vvch_set_colstore(self._h, colstore._s)
 
     def __del__(self):
         if getattr(self, "_h", None):
             self._lib.vvch_free(self._h)
             self._h = None
 
-    def decode_au(self, data: bytes) -> FrameSyntax | None:
+    def decode_au(self, data: bytes, epoch: int = 0) -> FrameSyntax | None:
+        self._lib.vvch_set_epoch(self._h, epoch)
         ret = self._lib.vvch_decode_au(self._h, data, len(data))
         if ret != 0:
             raise RuntimeError(

@@ -57,11 +57,15 @@ _CAPS: dict = {}
 
 
 def _ratchet(geom_key, slot, needed, maxcap, floor=64):
+  # a violated analytic capacity bound must fail loudly: truncating
+  # would silently drop TUs/predict units and corrupt the frame
+  assert needed <= maxcap, (
+      f"capacity model violated: slot={slot} needed={needed} > {maxcap}")
   caps = _CAPS.setdefault(geom_key, {})
   cap = caps.get(slot, min(floor, maxcap))
   while cap < needed:
     cap *= 2
-  cap = min(cap, maxcap) if needed <= maxcap else maxcap
+  cap = min(cap, maxcap)
   caps[slot] = max(cap, caps.get(slot, 0))
   return caps[slot]
 
@@ -128,8 +132,10 @@ def _apply_lfnst(deq, b, w, h, bit_depth):
   parsed coefficients to the gather region)."""
   big = w >= 8 and h >= 8
   mats, in_y, in_x, oy, ox, ty, tx = _lfnst_consts(big)
-  rng = 15 if bit_depth <= 9 else bit_depth + 6
-  lim = 1 << rng
+  # Log2TransformRange is fixed 15 without extended precision
+  # (vvc_ps.c:81); the repo rejects the range-extension SPS bits
+  del bit_depth
+  lim = 1 << 15
   u = deq[:, in_y, in_x]                      # (cap, 16)
   sel = jnp.clip(b["lf_sel"], 0, 7)
   M = jnp.asarray(mats)[sel]                  # (cap, 16, N)
@@ -546,7 +552,8 @@ def _bucket_inputs(fs: FrameSyntax, c_idx: int, sizes, W, H):
       b["lf_sel"] = np.full(cap, -1, np.int32)
       b["lf_tr"] = np.zeros(cap, np.int32)
     idx = sel[np.where((ws == w) & (hs == h))[0]]
-    n = min(len(idx), cap)
+    assert len(idx) <= cap, f"bucket ({w}x{h}) overflow: {len(idx)} > {cap}"
+    n = len(idx)
     lw, lh = w.bit_length() - 1, h.bit_length() - 1
     if n:
       idxn = idx[:n]

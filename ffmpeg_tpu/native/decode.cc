@@ -428,9 +428,35 @@ struct ColData {
   int32_t ref_pocs[2][16] = {};
   int nb_refs[2] = {0, 0};
 };
-static std::mutex g_col_mu;
-static std::condition_variable g_col_cv;
-static std::map<int, std::shared_ptr<ColData>> g_col;
+// Collocated-motion store scoped per decode *session* (a pool of
+// Decoder handles parsing one stream).  Keyed by (idr_epoch, poc): POC
+// restarts near 0 after an IDR, so a bare-POC key would let a stale
+// prior-GOP entry satisfy the wait under parse-ahead.  Each Decoder
+// defaults to a private store; sessions share one via
+// vvch_set_colstore so frame-parallel workers can exchange fields.
+struct ColStore {
+  std::mutex mu;
+  std::condition_variable cv;
+  std::map<std::pair<int, int>, std::shared_ptr<ColData>> map;
+
+  void publish(int epoch, int poc, std::shared_ptr<ColData> d) {
+    std::lock_guard<std::mutex> lk(mu);
+    map[{epoch, poc}] = std::move(d);
+    cv.notify_all();
+  }
+  std::shared_ptr<ColData> wait(int epoch, int poc) {
+    std::unique_lock<std::mutex> lk(mu);
+    auto key = std::make_pair(epoch, poc);
+    if (!cv.wait_for(lk, std::chrono::seconds(30),
+                     [&] { return map.count(key) > 0; }))
+      return nullptr;
+    return map[key];
+  }
+  void reset() {
+    std::lock_guard<std::mutex> lk(mu);
+    map.clear();
+  }
+};
 
 class Decoder {
  public:
@@ -466,6 +492,13 @@ class Decoder {
 
   FrameOut out;
   bool frame_ready = false;
+  // session-shared collocated store + this AU's IDR epoch (set by the
+  // session layer before each decode_au; default: private store)
+  ColStore* colstore = nullptr;
+  ColStore own_colstore;
+  int epoch = 0;
+
+  ColStore& cols() { return colstore ? *colstore : own_colstore; }
 
  private:
   Sps sps_;
@@ -970,11 +1003,9 @@ class Decoder {
     if (sh_.ph.ph_temporal_mvp_enabled_flag && sh_.sh_slice_type != 2) {
       int lx = sh_.sh_collocated_from_l0_flag ? 0 : 1;
       int cpoc = out.ref_pocs[lx][sh_.sh_collocated_ref_idx];
-      std::unique_lock<std::mutex> lk(g_col_mu);
-      if (!g_col_cv.wait_for(lk, std::chrono::seconds(30),
-                             [&] { return g_col.count(cpoc) > 0; }))
+      col_ = cols().wait(epoch, cpoc);
+      if (!col_)
         throw std::runtime_error("tmvp: collocated picture unavailable");
-      col_ = g_col[cpoc];
     }
 
     int init_type = 2 - sh_.sh_slice_type;
@@ -1017,9 +1048,7 @@ class Decoder {
         std::memcpy(cdta->ref_pocs[lx], out.ref_pocs[lx],
                     sizeof(cdta->ref_pocs[lx]));
       }
-      std::lock_guard<std::mutex> lk(g_col_mu);
-      g_col[out.poc] = cdta;
-      g_col_cv.notify_all();
+      cols().publish(epoch, out.poc, std::move(cdta));
     }
     // export MvField planes (L0) for MC + deblock BS derivation
     size_t n = (size_t)pu_w_ * pu_h_;
@@ -1945,7 +1974,11 @@ class Decoder {
       y_coded = bin(TU_Y_CODED_FLAG + (cu.bdpcm_l ? 1 : 0));
     else
       y_coded = 1;
-    const int has_qp_delta = (is_large || y_coded || is_chroma_coded) &&
+    // qp_delta presence gates on is_128 (CbWidth/CbHeight > 64,
+    // vvc_ctu.c:323,356), NOT is_large (> max_tb_size) which only
+    // controls tu_y_coded_flag presence (vvc_ctu.c:283-284)
+    const bool is_128 = cu.w > 64 || cu.h > 64;
+    const int has_qp_delta = (is_128 || y_coded || is_chroma_coded) &&
                              pps_.pps_cu_qp_delta_enabled_flag &&
                              !is_cu_qp_delta_coded_;
     set_qp_y(cu, x0, y0, has_qp_delta);
@@ -2244,7 +2277,9 @@ class Decoder {
       plane = out.coeff[c_idx].data();
       plane_w = out.width >> sps_.hshift_c;
     }
-    const int range = sps_.bit_depth <= 9 ? 15 : sps_.bit_depth + 6;
+    // Log2TransformRange is fixed 15 without extended precision
+    // (vvc_ps.c:81; sps_.log2_transform_range), not bit_depth-derived
+    const int range = sps_.log2_transform_range;
     const int64_t hi = (1LL << range) - 1, lo = -(1LL << range);
     auto clip = [&](int64_t v) {
       return (int32_t)(v < lo ? lo : (v > hi ? hi : v));
@@ -2611,10 +2646,17 @@ const int32_t* vvch_cu_ctrl(void* h, int is_chroma, int ctb_log2,
   return buf.data();
 }
 
-void vvch_col_reset() {
-  std::lock_guard<std::mutex> lk(vvc::g_col_mu);
-  vvc::g_col.clear();
+// Session-scoped collocated stores: a VVCDecoder session creates one
+// store and attaches it to every pooled handle; epochs (IDR count at
+// the AU) disambiguate restarted POCs.
+void* vvch_colstore_new() { return new vvc::ColStore(); }
+void vvch_colstore_free(void* s) { delete (vvc::ColStore*)s; }
+void vvch_set_colstore(void* h, void* s) {
+  ((Decoder*)h)->colstore = (vvc::ColStore*)s;
 }
+void vvch_set_epoch(void* h, int epoch) { ((Decoder*)h)->epoch = epoch; }
+
+void vvch_col_reset() {}  // legacy no-op: stores are session-scoped now
 
 int vvch_cu_record_size() { return (int)(sizeof(CuRecord) / 4); }
 int vvch_tu_record_size() { return (int)(sizeof(TuRecord) / 4); }
