@@ -190,7 +190,10 @@ class FrameSyntaxEncoder:
         self.ctxs = ContextTable()
         self.ctxs.init_states(max(0, min(self.slice_qp_y, 63)), init_type)
         self.enc = CabacEncoder()
-        self.res = ResidualEncoder(self.enc, self.ctxs, sh.sh_slice_type == 2)
+        self.res = ResidualEncoder(
+            self.enc, self.ctxs, sh.sh_slice_type == 2,
+            dep_quant=sh.sh_dep_quant_used_flag,
+            sign_hiding=sh.sh_sign_data_hiding_used_flag)
 
         # neighbour availability for the current CTU
         self.ctb_left = False

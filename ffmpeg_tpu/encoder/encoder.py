@@ -54,6 +54,10 @@ class EncoderConfig:
     cu_qp_delta_subdiv: int = 2
     # joint chroma residual coding
     joint_cbcr: bool = False
+    # dependent quantization / sign data hiding (mutually exclusive in a
+    # slice: SDH flag is only written when dep-quant is off, 7.3.7)
+    dep_quant: bool = False
+    sign_hiding: bool = False
     # transform skip
     transform_skip: bool = False
     ts_max_size: int = 8
@@ -106,6 +110,8 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
         sps_lfnst_enabled_flag=1 if cfg.lfnst else 0,
         sps_explicit_mts_intra_enabled_flag=1 if cfg.mts else 0,
         sps_explicit_mts_inter_enabled_flag=1 if cfg.mts else 0,
+        sps_dep_quant_enabled_flag=1 if cfg.dep_quant else 0,
+        sps_sign_data_hiding_enabled_flag=1 if cfg.sign_hiding else 0,
     )
     pps = PPS(
         pps_pic_width_in_luma_samples=cfg.width,
@@ -389,6 +395,10 @@ def encode_stream(cfg: EncoderConfig):
         nal_type = NAL_TRAIL if is_p else NAL_IDR_N_LP
         sh = SliceHeader(nal_unit_type=nal_type)
         sh.ph.ph_pic_order_cnt_lsb = poc & 0xFFFF
+        if cfg.dep_quant:
+            sh.sh_dep_quant_used_flag = 1
+        elif cfg.sign_hiding:
+            sh.sh_sign_data_hiding_used_flag = 1
         if is_p:
             sh.sh_slice_type = 0 if cfg.b_slices else 1
             sh.ph.ph_gdr_or_irap_pic_flag = 0

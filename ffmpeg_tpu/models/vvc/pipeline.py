@@ -243,95 +243,146 @@ def _mc_block(refs, x0, y0, mvx, mvy, maxs, taps, before, frac_bits,
   return acc >> 6
 
 
-def _recon_plane(res_plane, ctrl, n_cus, refs, *, maxs, is_chroma,
-                 bit_depth, mv_shift):
+# keys consumed by the two batched passes
+INTER_KEYS = ("x0", "y0", "w", "h", "pf", "m0x", "m0y", "m1x", "m1y",
+              "r0slot", "r1slot")
+INTRA_KEYS = ("x0", "y0", "w", "h", "logw", "logh", "mode_class", "angle",
+              "inv_angle", "filter_flag", "smooth", "left_size", "top_size",
+              "unfilter_last_one", "do_pdpc", "nscale", "avail_l", "avail_t",
+              "cand_up_left", "proj_v", "proj_h")
+
+# units per batched group: the device executes groups sequentially and
+# the units inside a group as one vmapped batch (host guarantees units
+# within an intra chunk are mutually independent; see ctrl::derive)
+from .host import CHUNK_CAP  # noqa: E402  (single source of truth)
+INTER_CHUNK = 64
+
+
+def _scatter_blocks(plane, blks, x0, y0, w, h, valid, maxs):
+  """Write N disjoint (maxs, maxs) blocks into the plane; positions
+  outside each unit's (h, w) mask (and invalid units) are redirected to
+  the never-read padding corner."""
+  Hp, Wp = plane.shape
+  d = jnp.arange(maxs)
+  mask = ((d[None, :, None] < h[:, None, None])
+          & (d[None, None, :] < w[:, None, None])
+          & valid[:, None, None])
+  yy = jnp.where(mask, y0[:, None, None] + d[None, :, None], Hp - 1)
+  xx = jnp.where(mask, x0[:, None, None] + d[None, None, :], Wp - 1)
+  return plane.at[yy, xx].set(blks, unique_indices=False)
+
+
+def _inter_unit(res_plane, refs, c, *, maxs, taps, before, frac_bits,
+                bit_depth, maxv):
+  """Prediction + residual for one inter unit (vmapped over a chunk)."""
+  t0 = _mc_block(refs, c["x0"], c["y0"], c["m0x"], c["m0y"], maxs, taps,
+                 before, frac_bits, bit_depth, c["r0slot"])
+  t1 = _mc_block(refs, c["x0"], c["y0"], c["m1x"], c["m1y"], maxs, taps,
+                 before, frac_bits, bit_depth, c["r1slot"])
+  # uni: put_uni rounding on the used list; bi: avg
+  shift2 = 14 - bit_depth
+  off2 = 1 << (shift2 - 1)
+  uni = jnp.where(c["pf"] == 1, t0, t1)
+  uni = jnp.clip((uni + off2) >> shift2, 0, maxv)
+  sh_avg = max(3, 15 - bit_depth)
+  bi = jnp.clip((t0 + t1 + (1 << (sh_avg - 1))) >> sh_avg, 0, maxv)
+  pred = jnp.where(c["pf"] == 3, bi, uni)
+  res = jax.lax.dynamic_slice(res_plane, (c["y0"], c["x0"]), (maxs, maxs))
+  return jnp.clip(pred + res, 0, maxv)
+
+
+def _intra_unit(plane, res_plane, c, *, maxs, is_chroma, bit_depth, maxv,
+                mid, OFF):
+  """Prediction + residual for one intra unit (vmapped over a chunk);
+  reads reconstructed neighbour samples from the current plane."""
+  w, h = c["w"], c["h"]
+  left, top = I.edge_arrays(plane, c["x0"], c["y0"], maxs, c["avail_l"],
+                            c["avail_t"], c["cand_up_left"], mid)
+
+  def do_filter(args):
+    l, t = args
+    return I.ref_filter_121(l, t, OFF, c["left_size"], c["top_size"],
+                            c["unfilter_last_one"])
+
+  left, top = jax.lax.cond(c["smooth"] > 0, do_filter, lambda a: a,
+                           (left, top))
+  top = jax.lax.cond(
+      c["proj_v"] > 0,
+      lambda t: I.project_negative_angle(t, left, OFF, c["inv_angle"], h),
+      lambda t: t, top)
+  left = jax.lax.cond(
+      c["proj_h"] > 0,
+      lambda l: I.project_negative_angle(l, top, OFF, c["inv_angle"], w),
+      lambda l: l, left)
+
+  angle, inv = c["angle"], c["inv_angle"]
+  ff, pdpc, ns = c["filter_flag"], c["do_pdpc"], c["nscale"]
+  logw, logh = c["logw"], c["logh"]
+  branches = [
+      lambda: I.pred_planar(top, left, OFF, maxs, w, h, logw, logh),
+      lambda: I.pred_dc(top, left, OFF, maxs, w, h),
+      lambda: I.pred_v(top, OFF, maxs),
+      lambda: I.pred_h(left, OFF, maxs),
+      lambda: I.pred_angular_v(top, left, OFF, maxs, w, h, angle, inv, ff,
+                               pdpc, ns, is_chroma, maxv),
+      lambda: I.pred_angular_h(top, left, OFF, maxs, w, h, angle, inv, ff,
+                               pdpc, ns, is_chroma, maxv),
+  ]
+  mc = c["mode_class"]
+  pred = jax.lax.switch(mc, branches)
+  pred = jax.lax.cond(
+      (pdpc > 0) & (mc < I.MC_ANG_V),
+      lambda p: I.pdpc_hvdc(p, top, left, OFF, maxs, logw, logh, mc, maxv),
+      lambda p: p, pred)
+  res = jax.lax.dynamic_slice(res_plane, (c["y0"], c["x0"]), (maxs, maxs))
+  return jnp.clip(pred + res, 0, maxv)
+
+
+def _recon_plane(res_plane, inter, n_inter, intra, n_chunks, refs, *,
+                 maxs_inter, maxs_intra, is_chroma, bit_depth):
+  """Batched reconstruction of one plane.
+
+  Replaces the reference's per-CTU RECON/INTER task stages
+  (vvc_thread.c:432-463) with two bulk passes: all inter units run as
+  vmapped batches (no intra-frame sample deps), then intra units run
+  as a sequential loop over wavefront chunks — each chunk a vmapped
+  batch of mutually independent units (the TPU form of the CTU
+  wavefront, SURVEY §2.5 P2).
+  """
   Hp, Wp = res_plane.shape
   maxv = (1 << bit_depth) - 1
   mid = 1 << (bit_depth - 1)
-  _, OFF = I.edge_len(maxs)
+  _, OFF = I.edge_len(maxs_intra)
   plane0 = jnp.full((Hp, Wp), mid, dtype=jnp.int32)
   taps = 4 if is_chroma else 8
   before = 1 if is_chroma else 3
   frac_bits = 5 if is_chroma else 4
 
-  def body(i, plane):
-    x0 = ctrl["x0"][i]
-    y0 = ctrl["y0"][i]
-    w = ctrl["w"][i]
-    h = ctrl["h"][i]
-    left, top = I.edge_arrays(plane, x0, y0, maxs, ctrl["avail_l"][i],
-                              ctrl["avail_t"][i], ctrl["cand_up_left"][i],
-                              mid)
+  def inter_chunk(s, plane):
+    off = s * INTER_CHUNK
+    c = {k: jax.lax.dynamic_slice(inter[k], (off,), (INTER_CHUNK,))
+         for k in INTER_KEYS}
+    blks = jax.vmap(lambda cc: _inter_unit(
+        res_plane, refs, cc, maxs=maxs_inter, taps=taps, before=before,
+        frac_bits=frac_bits, bit_depth=bit_depth, maxv=maxv))(c)
+    valid = off + jnp.arange(INTER_CHUNK) < n_inter
+    return _scatter_blocks(plane, blks, c["x0"], c["y0"], c["w"], c["h"],
+                           valid, maxs_inter)
 
-    def do_filter(args):
-      l, t = args
-      return I.ref_filter_121(l, t, OFF, ctrl["left_size"][i],
-                              ctrl["top_size"][i],
-                              ctrl["unfilter_last_one"][i])
+  n_ichunks = (n_inter + INTER_CHUNK - 1) // INTER_CHUNK
+  plane = jax.lax.fori_loop(0, n_ichunks, inter_chunk, plane0)
 
-    left, top = jax.lax.cond(ctrl["smooth"][i] > 0, do_filter,
-                             lambda a: a, (left, top))
-    top = jax.lax.cond(
-        ctrl["proj_v"][i] > 0,
-        lambda t: I.project_negative_angle(t, left, OFF,
-                                           ctrl["inv_angle"][i], h),
-        lambda t: t, top)
-    left = jax.lax.cond(
-        ctrl["proj_h"][i] > 0,
-        lambda l: I.project_negative_angle(l, top, OFF,
-                                           ctrl["inv_angle"][i], w),
-        lambda l: l, left)
+  def intra_chunk(s, plane):
+    off = s * CHUNK_CAP
+    c = {k: jax.lax.dynamic_slice(intra[k], (off,), (CHUNK_CAP,))
+         for k in INTRA_KEYS}
+    blks = jax.vmap(lambda cc: _intra_unit(
+        plane, res_plane, cc, maxs=maxs_intra, is_chroma=is_chroma,
+        bit_depth=bit_depth, maxv=maxv, mid=mid, OFF=OFF))(c)
+    return _scatter_blocks(plane, blks, c["x0"], c["y0"], c["w"], c["h"],
+                           c["w"] > 0, maxs_intra)
 
-    angle = ctrl["angle"][i]
-    inv = ctrl["inv_angle"][i]
-    ff = ctrl["filter_flag"][i]
-    pdpc = ctrl["do_pdpc"][i]
-    ns = ctrl["nscale"][i]
-    logw = ctrl["logw"][i]
-    logh = ctrl["logh"][i]
-
-    def inter_pred():
-      pf = ctrl["pf"][i]
-      t0 = _mc_block(refs, x0, y0, ctrl["m0x"][i], ctrl["m0y"][i], maxs,
-                     taps, before, frac_bits, bit_depth, ctrl["r0slot"][i])
-      t1 = _mc_block(refs, x0, y0, ctrl["m1x"][i], ctrl["m1y"][i], maxs,
-                     taps, before, frac_bits, bit_depth, ctrl["r1slot"][i])
-      # uni: put_uni rounding on the used list; bi: avg
-      shift2 = 14 - bit_depth
-      off2 = 1 << (shift2 - 1)
-      uni = jnp.where(pf == 1, t0, t1)
-      uni = jnp.clip((uni + off2) >> shift2, 0, maxv)
-      sh_avg = max(3, 15 - bit_depth)
-      bi = jnp.clip((t0 + t1 + (1 << (sh_avg - 1))) >> sh_avg, 0, maxv)
-      return jnp.where(pf == 3, bi, uni)
-
-    branches = [
-        lambda: I.pred_planar(top, left, OFF, maxs, w, h, logw, logh),
-        lambda: I.pred_dc(top, left, OFF, maxs, w, h),
-        lambda: I.pred_v(top, OFF, maxs),
-        lambda: I.pred_h(left, OFF, maxs),
-        lambda: I.pred_angular_v(top, left, OFF, maxs, w, h, angle, inv, ff,
-                                 pdpc, ns, is_chroma, maxv),
-        lambda: I.pred_angular_h(top, left, OFF, maxs, w, h, angle, inv, ff,
-                                 pdpc, ns, is_chroma, maxv),
-        inter_pred,
-    ]
-    mc = ctrl["mode_class"][i]
-    pred = jax.lax.switch(mc, branches)
-    pred = jax.lax.cond(
-        (pdpc > 0) & (mc < I.MC_ANG_V),
-        lambda p: I.pdpc_hvdc(p, top, left, OFF, maxs, logw, logh, mc, maxv),
-        lambda p: p, pred)
-
-    res = jax.lax.dynamic_slice(res_plane, (y0, x0), (maxs, maxs))
-    old = jax.lax.dynamic_slice(plane, (y0, x0), (maxs, maxs))
-    new = jnp.clip(pred + res, 0, maxv)
-    yy = jnp.arange(maxs)[:, None]
-    xx = jnp.arange(maxs)[None, :]
-    blk = jnp.where((yy < h) & (xx < w), new, old).astype(jnp.int32)
-    return jax.lax.dynamic_update_slice(plane, blk, (y0, x0))
-
-  return jax.lax.fori_loop(0, n_cus, body, plane0)
+  return jax.lax.fori_loop(0, n_chunks, intra_chunk, plane)
 
 
 def _build_frame_program(shapes):
@@ -362,9 +413,10 @@ def _build_frame_program(shapes):
       # refs arrive padded (device-resident DPB planes); crop to pic size
       # [L0 slots..., L1 slots...] per plane, variable count per stream
       refs = jnp.stack([r[:H >> ss, :W >> ss] for r in refs_in[c_idx]])
-      plane = _recon_plane(res, p["ctrl"], p["n_units"], refs,
-                           maxs=maxs, is_chroma=c_idx > 0, bit_depth=bd,
-                           mv_shift=0)
+      plane = _recon_plane(res, p["inter"], p["n_inter"], p["intra"],
+                           p["n_chunks"], refs,
+                           maxs_inter=maxs, maxs_intra=min(32, maxs),
+                           is_chroma=c_idx > 0, bit_depth=bd)
       planes.append(plane)
 
     def loopfilters(planes, d):
@@ -505,10 +557,10 @@ def _scale_shift_tables_ts():
   return _SCALE_SHIFT_TABLES[key]
 
 
-def _scale_shift_tables(lw, lh, bit_depth):
+def _scale_shift_tables(lw, lh, bit_depth, dep_quant=False):
   """Vectorized dequant scale/shift lookup over qp (spec 8.7.3);
   index with qp + _QP_TAB_OFF."""
-  key = (lw, lh, bit_depth)
+  key = (lw, lh, bit_depth, dep_quant)
   if key not in _SCALE_SHIFT_TABLES:
     from .recon import dequant_scale_shift
     qps = range(-_QP_TAB_OFF, 96)
@@ -516,7 +568,8 @@ def _scale_shift_tables(lw, lh, bit_depth):
     sh = np.zeros(len(qps), np.int32)
     for i, qp in enumerate(qps):
       try:
-        sc[i], sh[i] = dequant_scale_shift(qp, lw, lh, bit_depth)
+        sc[i], sh[i] = dequant_scale_shift(qp, lw, lh, bit_depth,
+                                           dep_quant=dep_quant)
       except ValueError:  # qp//6 < 0: unreachable for parsed Qp' values
         sc[i], sh[i] = 0, 1
     _SCALE_SHIFT_TABLES[key] = (sc, sh)
@@ -559,7 +612,8 @@ def _bucket_inputs(fs: FrameSyntax, c_idx: int, sizes, W, H):
       idxn = idx[:n]
       b["x0"][:n] = fs.tus["x0"][idxn]
       b["y0"][:n] = fs.tus["y0"][idxn]
-      sc_tab, sh_tab = _scale_shift_tables(lw, lh, fs.bit_depth)
+      sc_tab, sh_tab = _scale_shift_tables(lw, lh, fs.bit_depth,
+                                           dep_quant=bool(fs.dep_quant))
       qp_field = "qp_deq" if "qp_deq" in fs.tus else "qp"
       qps = fs.tus[qp_field][idxn] + _QP_TAB_OFF
       b["scale"][:n] = sc_tab[qps]
@@ -682,26 +736,60 @@ def _zero_plane(shape):
   return _ZERO_PLANE_CACHE[shape]
 
 
+def _layout_ctrl(mat, geom_key, tag):
+  """Split one (kNumKeys, n_units) control matrix into the two batched
+  layouts the frame program consumes:
+
+    inter: dict of (icap,) arrays, the first n_inter columns real —
+      all inter units, any order (no intra-frame sample deps).
+    intra: dict of (ccap*CHUNK_CAP,) arrays where chunk k's units
+      occupy slots [k*CHUNK_CAP, (k+1)*CHUNK_CAP); underfull chunks
+      pad with w=0 (invalid) entries.  The host guarantees every
+      sample dependency of a unit lives in a strictly earlier chunk.
+  """
+  keys = {k: mat[j] for j, k in enumerate(CTRL_KEYS)}
+  chunk = keys["chunk"]
+  inter_idx = np.flatnonzero(chunk < 0)
+  intra_idx = np.flatnonzero(chunk >= 0)
+  # worst-case unit counts: every 4x4 a unit
+  W, H = geom_key
+  unit_cap = max(1, (W // 4) * (H // 4) + (W // 2) * (H // 2) // 16)
+
+  n_inter = len(inter_idx)
+  icap = _round_up(_ratchet(geom_key, (tag, "inter"), max(n_inter, 1),
+                            unit_cap, floor=INTER_CHUNK), INTER_CHUNK)
+  inter = {k: np.zeros(icap, np.int32) for k in INTER_KEYS}
+  for k in INTER_KEYS:
+    inter[k][:n_inter] = keys[k][inter_idx]
+
+  if len(intra_idx):
+    c = chunk[intra_idx]
+    n_chunks = int(c.max()) + 1
+    # within-chunk rank via stable sort (chunks stay in ascending order)
+    order = np.argsort(c, kind="stable")
+    cs = c[order]
+    starts = np.r_[0, np.flatnonzero(np.diff(cs)) + 1]
+    grp = np.repeat(np.arange(len(starts)),
+                    np.diff(np.r_[starts, len(cs)]))
+    rank_sorted = np.arange(len(cs)) - starts[grp]
+    slots = np.empty(len(cs), np.int64)
+    slots[order] = cs * CHUNK_CAP + rank_sorted
+  else:
+    n_chunks = 0
+    slots = np.zeros(0, np.int64)
+  ccap = _ratchet(geom_key, (tag, "chunks"), max(n_chunks, 1), unit_cap,
+                  floor=8)
+  intra = {k: np.zeros(ccap * CHUNK_CAP, np.int32) for k in INTRA_KEYS}
+  for k in INTRA_KEYS:
+    intra[k][slots] = keys[k][intra_idx]
+  return np.int32(n_inter), inter, np.int32(n_chunks), intra
+
+
 def build_frame_inputs(fs: FrameSyntax, refs_by_poc, ctb_log2=5):
   W, H = fs.width, fs.height
   inp = {"planes": []}
-  # ratcheted ctrl capacity: recompiles only when a frame exceeds all
-  # previous frames' unit count (pow2 growth bounds that to O(log n));
-  # a column per predict unit (intra TBs + inter CUs, decode order)
-  unit_cap = max(1, (W // 4) * (H // 4) + (W // 2) * (H // 2) // 16)
-
-  def pad_ctrl(mat):
-    """(26, n_units) control matrix -> (n_units scalar, dict of padded
-    rows — views into one padded matrix, in CTRL_KEYS order)."""
-    n_units = mat.shape[1]
-    cap = _ratchet((W, H), "units", n_units, unit_cap, floor=256)
-    padded = np.zeros((len(CTRL_KEYS), cap), np.int32)
-    padded[:, :n_units] = mat
-    return np.int32(n_units), {k: padded[j]
-                               for j, k in enumerate(CTRL_KEYS)}
-
-  n_y, ctrl_y = pad_ctrl(fs.ctrl_y)
-  n_c, ctrl_c = pad_ctrl(fs.ctrl_c)
+  n_inter_y, inter_y, n_ch_y, intra_y = _layout_ctrl(fs.ctrl_y, (W, H), "y")
+  n_inter_c, inter_c, n_ch_c, intra_c = _layout_ctrl(fs.ctrl_c, (W, H), "c")
 
   maxs_y = 1 << ctb_log2
   Hp_y = _round_up(H, 128) + maxs_y
@@ -725,18 +813,21 @@ def build_frame_inputs(fs: FrameSyntax, refs_by_poc, ctb_log2=5):
     return _zero_plane(shape)
 
   # L1 motion indexes slots after the L0 block
-  for c in (ctrl_y, ctrl_c):
+  for c in (inter_y, inter_c):
     c["r1slot"] = c["r1slot"] + np.int32(n_l0)
 
   refs = []
   for c_idx in range(3):
     coeff = (fs.coeff_y, fs.coeff_cb, fs.coeff_cr)[c_idx]
     sizes = LUMA_SIZES if c_idx == 0 else CHROMA_SIZES
+    luma = c_idx == 0
     inp["planes"].append({
         "coeff": coeff,
         "buckets": _bucket_inputs(fs, c_idx, sizes, W, H),
-        "ctrl": ctrl_y if c_idx == 0 else ctrl_c,
-        "n_units": n_y if c_idx == 0 else n_c,
+        "inter": inter_y if luma else inter_c,
+        "n_inter": n_inter_y if luma else n_inter_c,
+        "intra": intra_y if luma else intra_c,
+        "n_chunks": n_ch_y if luma else n_ch_c,
     })
     refs.append(tuple(ref_for(c_idx, 0, k) for k in range(n_l0))
                 + tuple(ref_for(c_idx, 1, k) for k in range(n_l1)))

@@ -104,6 +104,7 @@ struct FrameOut {
   int beta_offset[3] = {0, 0, 0};  // luma, cb, cr (x2 applied)
   int tc_offset[3] = {0, 0, 0};
   int slice_type = 2;  // 0=B 1=P 2=I
+  int dep_quant = 0;   // sh_dep_quant_used_flag (drives dequant addin)
   int nb_refs[2] = {0, 0};
   int32_t ref_pocs[2][16] = {};
   std::vector<int32_t> coeff[3];  // [h][w] raster planes (chroma at c-res)
@@ -126,16 +127,16 @@ struct FrameOut {
 // output straight to the frame program.
 namespace ctrl {
 
-constexpr int kNumKeys = 28;
+constexpr int kNumKeys = 29;
 // CTRL_KEYS order (recon.py): x0,y0,w,h,logw,logh,mode_class,angle,
 // inv_angle,filter_flag,smooth,left_size,top_size,unfilter_last_one,
 // do_pdpc,nscale,avail_l,avail_t,cand_up_left,proj_v,proj_h,
-// pf,m0x,m0y,m1x,m1y,r0slot,r1slot
+// pf,m0x,m0y,m1x,m1y,r0slot,r1slot,chunk
 enum Key {
   kX0, kY0, kW, kH, kLogW, kLogH, kModeClass, kAngle, kInvAngle,
   kFilterFlag, kSmooth, kLeftSize, kTopSize, kUnfilterLastOne,
   kDoPdpc, kNscale, kAvailL, kAvailT, kCandUpLeft, kProjV, kProjH,
-  kPf, kM0x, kM0y, kM1x, kM1y, kR0Idx, kR1Idx,
+  kPf, kM0x, kM0y, kM1x, kM1y, kR0Idx, kR1Idx, kChunk,
 };
 
 constexpr int kPlanar = 0, kDc = 1, kHorz = 18, kDiag = 34, kVert = 50;
@@ -245,10 +246,17 @@ inline std::vector<Unit> predict_units(const FrameOut& fr, bool is_chroma) {
   return units;
 }
 
-// derive all 26 control rows for one plane kind; out must hold
-// 26*predict_units(...).size() ints
+// derive all control rows for one plane kind; out must hold
+// kNumKeys*predict_units(...).size() ints.  chunk_cap sets the max
+// units per wavefront chunk (kChunk): units in the same chunk are
+// mutually independent, and every dependency (the reference samples
+// the unit actually reads, per its avail runs) lives in an earlier
+// chunk — the device executes chunks sequentially and units within a
+// chunk as one vmapped batch.  Inter units get chunk -1 (no intra-
+// frame sample deps; they run as one batched pass before chunk 0).
 inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
-                   const std::vector<Unit>& units, int32_t* out) {
+                   const std::vector<Unit>& units, int32_t* out,
+                   int chunk_cap) {
   const int ss = (is_chroma && fr.chroma_format_idc == 1) ? 1 : 0;
   const int n = (int)units.size();
   const int ctb = 1 << ctb_log2;
@@ -260,6 +268,12 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
   auto rec = [&](int by, int bx) -> uint8_t& {
     return recon[(size_t)by * bw + bx];
   };
+  // latest (unique) writer chunk per cell; -1 = inter unit or unwritten
+  std::vector<int32_t> cmap((size_t)bw * bh, -1);
+  auto cm = [&](int by, int bx) -> int32_t& {
+    return cmap[(size_t)by * bw + bx];
+  };
+  std::vector<int32_t> chunk_count;
   std::memset(out, 0, sizeof(int32_t) * kNumKeys * n);
   auto O = [&](Key k, int i) -> int32_t& { return out[(size_t)k * n + i]; };
 
@@ -277,6 +291,7 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
       O(kM1x, i) = cu.mv1_x; O(kM1y, i) = cu.mv1_y;
       O(kR0Idx, i) = cu.ref_idx < 0 ? 0 : cu.ref_idx;
       O(kR1Idx, i) = cu.ref_idx1 < 0 ? 0 : cu.ref_idx1;
+      O(kChunk, i) = -1;
       for (int by = y0 / g; by < (y0 + h) / g; by++)
         for (int bx = x0 / g; bx < (x0 + w) / g; bx++) rec(by, bx) = 1;
       continue;
@@ -367,8 +382,34 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
     const int cul = (x0b_l || y0b_l) ? (cand_left && cand_up ? 1 : 0)
                                      : (ctb_left && ctb_up ? 1 : 0);
 
+    // wavefront chunk: after every intra-frame sample dependency
+    // (the avail runs + corner are exactly what edge_arrays reads)
+    int dep = -1;
+    if (avail_t > 0) {
+      const int by = (y0 - 1) / g;
+      for (int bx = x0 / g; bx <= (x0 + avail_t - 1) / g; bx++)
+        dep = std::max(dep, cm(by, bx));
+    }
+    if (avail_l > 0) {
+      const int bx = (x0 - 1) / g;
+      for (int by = y0 / g; by <= (y0 + avail_l - 1) / g; by++)
+        dep = std::max(dep, cm(by, bx));
+    }
+    if (cul && x0 > 0 && y0 > 0)
+      dep = std::max(dep, cm((y0 - 1) / g, (x0 - 1) / g));
+    int chunk = dep + 1;
+    while ((int)chunk_count.size() <= chunk) chunk_count.push_back(0);
+    while (chunk_count[chunk] >= chunk_cap) {
+      chunk++;
+      if ((int)chunk_count.size() <= chunk) chunk_count.push_back(0);
+    }
+    chunk_count[chunk]++;
+
     for (int by = y0 / g; by < (y0 + h) / g; by++)
-      for (int bx = x0 / g; bx < (x0 + w) / g; bx++) rec(by, bx) = 1;
+      for (int bx = x0 / g; bx < (x0 + w) / g; bx++) {
+        rec(by, bx) = 1;
+        cm(by, bx) = chunk;
+      }
 
     O(kX0, i) = x0; O(kY0, i) = y0; O(kW, i) = w; O(kH, i) = h;
     O(kLogW, i) = bitlen(w) - 1; O(kLogH, i) = bitlen(h) - 1;
@@ -381,6 +422,7 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
     O(kCandUpLeft, i) = cul;
     O(kProjV, i) = (mc == MC_ANG_V && angle < 0) ? 1 : 0;
     O(kProjH, i) = (mc == MC_ANG_H && angle < 0) ? 1 : 0;
+    O(kChunk, i) = chunk;
   }
 }
 
@@ -916,8 +958,6 @@ class Decoder {
   void decode_slice(const Nal& nal, BitReader& r) {
     sh_ = parse_slice_header(r, nal.type, sps_, pps_);
     VVC_UNSUPPORTED(sps_.sps_qtbtt_dual_tree_intra_flag, "dual tree (todo)");
-    VVC_UNSUPPORTED(sh_.sh_dep_quant_used_flag, "dep quant (todo)");
-    VVC_UNSUPPORTED(sh_.sh_sign_data_hiding_used_flag, "sign hiding (todo)");
     VVC_UNSUPPORTED(sps_.sps_entropy_coding_sync_enabled_flag, "WPP (todo)");
     VVC_UNSUPPORTED(pps_.num_tile_columns * pps_.num_tile_rows != 1,
                     "tiles (todo)");
@@ -931,6 +971,7 @@ class Decoder {
     out.max_num_reorder = sps_.dpb_max_num_reorder_pics;
     out.poc = sh_.ph.ph_pic_order_cnt_lsb;
     out.slice_qp = sh_.slice_qp_y;
+    out.dep_quant = sh_.sh_dep_quant_used_flag;
     out.coeff[0].assign((size_t)pps_.width * pps_.height, 0);
     int cw = pps_.width >> sps_.hshift_c, ch = pps_.height >> sps_.vshift_c;
     if (sps_.sps_chroma_format_idc) {
@@ -2084,9 +2125,14 @@ class Decoder {
     const DiagScan* sb_scan;
     const DiagScan* scan;
     int plane_w;  // tb width (for local arrays)
+    int qstate = 0;  // dep-quant state machine (vvc_cabac.c:1962-1965)
     std::vector<int32_t> abs_level, abs_level_pass1, sig;
     std::vector<uint8_t> sb_coded;
   };
+
+  // qstate_translate_table (vvc_cabac.c:1962): next state by level parity
+  static constexpr uint8_t kQStateTrans[4][2] = {
+      {0, 2}, {2, 0}, {1, 3}, {3, 1}};
 
   static int local_sum(const std::vector<int32_t>& v, int w, int h, int xc,
                        int yc) {
@@ -2106,12 +2152,15 @@ class Decoder {
 
   int sig_ctx_inc(const RcCtx& rc, int tb_w, int tb_h, int xc, int yc,
                   int c_idx) {
+    // dep-quant biases the context by the quantizer state
+    // (vvc_cabac.c:1835-1837); qstate stays 0 when dep quant is off
     int d = xc + yc;
     int loc = local_sum(rc.abs_level_pass1, tb_w, tb_h, xc, yc);
     int m = (loc + 1) >> 1;
     if (m > 3) m = 3;
-    if (c_idx == 0) return m + (d < 2 ? 8 : (d < 5 ? 4 : 0));
-    return 36 + m + (d < 2 ? 4 : 0);
+    int qs = rc.qstate > 1 ? rc.qstate - 1 : 0;
+    if (c_idx == 0) return 12 * qs + m + (d < 2 ? 8 : (d < 5 ? 4 : 0));
+    return 36 + 8 * qs + m + (d < 2 ? 4 : 0);
   }
 
   int gtx_ctx_inc(const RcCtx& rc, int tb_w, int tb_h, int xc, int yc,
@@ -2476,6 +2525,8 @@ class Decoder {
     int first_pos_mode1 = first_pos_mode0;
     std::vector<int> gt2(rc.num_sb_coeff, 0);
     int first_sig = rc.num_sb_coeff, last_sig_sb = -1;
+    const int dq = sh_.sh_dep_quant_used_flag;
+    const int start_qstate_sb = rc.qstate;
 
     int n = first_pos_mode0;
     for (; n >= 0 && rc.rem_bins >= 4; n--) {
@@ -2509,6 +2560,7 @@ class Decoder {
         p1 = 1 + par + gt1 + (gt2[n] << 1);
       }
       rc.abs_level_pass1[off] = p1;
+      if (dq) rc.qstate = kQStateTrans[rc.qstate][p1 & 1];
       first_pos_mode1 = n - 1;
     }
     for (n = first_pos_mode0; n > first_pos_mode1; n--) {
@@ -2528,7 +2580,7 @@ class Decoder {
       size_t off = (size_t)yc * tb_w + xc;
       int c_rice = rice_param(rc, tb_w, tb_h, xc, yc, 0);
       int dec = abs_decode(c_rice);
-      int zero_pos = 1 << c_rice;  // qstate < 2 (dep quant off)
+      int zero_pos = (rc.qstate < 2 ? 1 : 2) << c_rice;
       int abs = 0;
       if (dec != zero_pos) {
         abs = dec;
@@ -2539,17 +2591,35 @@ class Decoder {
         if (last_sig_sb == -1) last_sig_sb = n;
         first_sig = n;
       }
+      if (dq) rc.qstate = kQStateTrans[rc.qstate][abs & 1];
     }
-    // sign pass (no sign hiding / dep quant)
+    // sign pass with sign-data-hiding + dep-quant level reconstruction
+    // (vvc_cabac.c:2277-2312)
+    const int sig_hidden = sh_.sh_sign_data_hiding_used_flag &&
+                           (last_sig_sb - first_sig > 3 ? 1 : 0);
+    if (dq) rc.qstate = start_qstate_sb;
+    int sum = 0;
     for (n = first_pos_mode0; n >= 0; n--) {
       int xc = (xs << rc.log2_sb_w) + rc.scan->x[n];
       int yc = (ys << rc.log2_sb_h) + rc.scan->y[n];
       size_t off = (size_t)yc * tb_w + xc;
       int abs = rc.abs_level[off];
       if (abs > 0) {
-        int sign = cd_->bypass();
-        plane[(size_t)(y0 + yc) * plane_w + (x0 + xc)] = sign ? -abs : abs;
+        int sign = 1;
+        if (!sig_hidden || n != first_sig) sign = 1 - 2 * (int)cd_->bypass();
+        int level;
+        if (dq) {
+          level = (2 * abs - (rc.qstate > 1)) * sign;
+        } else {
+          level = abs * sign;
+          if (sig_hidden) {
+            sum += abs;
+            if (n == first_sig && (sum % 2)) level = -level;
+          }
+        }
+        plane[(size_t)(y0 + yc) * plane_w + (x0 + xc)] = level;
       }
+      if (dq) rc.qstate = kQStateTrans[rc.qstate][abs & 1];
     }
   }
 };
@@ -2595,6 +2665,7 @@ void vvch_frame_info(void* h, int32_t* info) {
   }
   info[18] = o.ctb_log2;
   info[19] = o.max_num_reorder;
+  info[20] = o.dep_quant;
 }
 
 const int32_t* vvch_coeffs(void* h, int c_idx) {
@@ -2635,13 +2706,14 @@ void vvch_ref_info(void* h, int32_t* info) {
 // order); *n_out receives n_units.  Valid until the next call with the
 // same is_chroma on this thread.
 const int32_t* vvch_cu_ctrl(void* h, int is_chroma, int ctb_log2,
-                            int32_t* n_out) {
+                            int chunk_cap, int32_t* n_out) {
   auto* d = (Decoder*)h;
   static thread_local std::vector<int32_t> bufs[2];
   auto& buf = bufs[is_chroma ? 1 : 0];
   auto units = ctrl::predict_units(d->out, is_chroma != 0);
   buf.resize((size_t)ctrl::kNumKeys * units.size() + 1);
-  ctrl::derive(d->out, is_chroma != 0, ctb_log2, units, buf.data());
+  ctrl::derive(d->out, is_chroma != 0, ctb_log2, units, buf.data(),
+               chunk_cap > 0 ? chunk_cap : 1 << 30);
   *n_out = (int32_t)units.size();
   return buf.data();
 }

@@ -93,6 +93,17 @@ needs_ref = pytest.mark.skipif(not os.path.exists(REF_FFMPEG),
          tmvp=True, n_frames=4, deblock=True),
     dict(width=96, height=96, seed=1203, qp=30, inter=True, b_slices=True,
          ra=True, tmvp=True, n_frames=9, sao=True),
+    dict(width=96, height=96, seed=1301, qp=30, dep_quant=True),
+    dict(width=96, height=64, seed=1302, qp=28, dep_quant=True, inter=True,
+         b_slices=True, deblock=True, n_frames=3),
+    dict(width=128, height=64, seed=1303, qp=32, dep_quant=True, mts=True,
+         lfnst=True, cu_qp_delta=True, sao=True, ctu_log2=6, max_bt_size=64),
+    dict(width=96, height=96, seed=1304, qp=30, dep_quant=True,
+         transform_skip=True, joint_cbcr=True),
+    dict(width=96, height=96, seed=1311, qp=30, sign_hiding=True,
+         coeff_density=0.4),
+    dict(width=96, height=64, seed=1312, qp=28, sign_hiding=True, inter=True,
+         b_slices=True, deblock=True, n_frames=3, coeff_density=0.4),
 ], ids=["64x64", "128x64x2f", "96x96-dense", "deblock", "deblock-unaligned",
         "inter-p", "inter-p-deblock", "inter-b", "10bit-sao-full",
         "mts-explicit", "mts-implicit", "mts-inter-full",
@@ -103,7 +114,9 @@ needs_ref = pytest.mark.skipif(not os.path.exists(REF_FFMPEG),
         "bdpcm", "bdpcm-ts-inter", "bdpcm-10bit",
         "lfnst", "lfnst-full", "lfnst-ctu64",
         "ra-pyramid", "ra-full", "ra-tools",
-        "tmvp", "tmvp-ra"])
+        "tmvp", "tmvp-ra",
+        "dep-quant", "dep-quant-inter", "dep-quant-tools", "dep-quant-ts",
+        "sign-hiding", "sign-hiding-inter"])
 def test_frame_md5_parity(tmp_path, cfg_kw):
     from ffmpeg_tpu.encoder.encoder import EncoderConfig, encode_stream
 
