@@ -67,25 +67,15 @@ class Frame:
         return hashlib.md5(self.tobytes()).hexdigest()
 
 
-_stack_jit = None
-
-
 def _fetch_group(packed_list):
-    """One transfer for a group of equal-shape packed frame buffers."""
-    global _stack_jit
-    if _stack_jit is None:
-        import jax
-        import jax.numpy as jnp
-        _stack_jit = jax.jit(lambda xs: jnp.stack(xs))
-
-    if len(packed_list) == 1:
-        arr = packed_list[0]
-    else:
-        arr = _stack_jit(packed_list)
-    if hasattr(arr, "copy_to_host_async"):
-        arr.copy_to_host_async()
-    buf = np.asarray(arr)
-    return [buf] if len(packed_list) == 1 else list(buf)
+    """Materialize a group of packed frame buffers on the host.  Each
+    buffer's device->host copy was started at dispatch time
+    (copy_to_host_async), so these np.asarray calls mostly just wait
+    on transfers that already streamed behind the compute."""
+    for arr in packed_list:
+        if hasattr(arr, "copy_to_host_async"):
+            arr.copy_to_host_async()
+    return [np.asarray(arr) for arr in packed_list]
 
 
 _PARAM_NAL_TYPES = (12, 13, 14, 15, 16, 17, 18)  # OPI/DCI/VPS/SPS/PPS/APS
@@ -223,6 +213,11 @@ class VVCDecoder:
                 if missing:
                     raise RuntimeError(f"missing reference frames {missing}")
             packed, planes = decode_frame_device(fs, self._dpb)
+            if fetch and hasattr(packed, "copy_to_host_async"):
+                # start the device->host transfer now so it streams
+                # behind later frames' dispatch/compute (the transport
+                # is the throughput floor, not the device)
+                packed.copy_to_host_async()
             self._dpb[fs.poc] = planes
             while len(self._dpb) > DPB_KEEP:
                 del self._dpb[min(self._dpb)]

@@ -74,6 +74,9 @@ def _get_lib():
         lib.vvch_cu_ctrl.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                      ctypes.c_int, ctypes.c_int,
                                      ctypes.POINTER(ctypes.c_int32)]
+        lib.vvch_tu_slots.restype = None
+        lib.vvch_tu_slots.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                      ctypes.POINTER(ctypes.c_int32)]
         _lib = lib
     return _lib
 
@@ -106,6 +109,10 @@ class FrameSyntax:
     ctb_log2: int = 5
     max_num_reorder: int = 0
     dep_quant: int = 0        # sh_dep_quant_used_flag (dequant addin)
+    # per-TuRecord unit-slot maps (residual scatter targets for the
+    # decode-order recon kernel); -1 = no slot in that plane kind
+    slots_y: np.ndarray | None = None
+    slots_c: np.ndarray | None = None
 
 
 class ColStore:
@@ -182,7 +189,7 @@ class HostDecoder:
         sao = np.ctypeslib.as_array(self._lib.vvch_sao(self._h),
                                     shape=(cbh, cbw, 24)).copy()
         def cu_ctrl(is_chroma):
-            n_keys = 29  # ctrl::kNumKeys
+            n_keys = 30  # ctrl::kNumKeys
             if not n_cus:
                 return np.zeros((n_keys, 0), np.int32)
             n_units = ctypes.c_int32(0)
@@ -193,6 +200,16 @@ class HostDecoder:
             if not nu:
                 return np.zeros((n_keys, 0), np.int32)
             return np.ctypeslib.as_array(ptr, shape=(n_keys, nu)).copy()
+
+        def tu_slots(is_chroma):
+            n_tus = len(tus_raw)
+            if not n_tus:
+                return np.zeros(0, np.int32)
+            buf = np.zeros(n_tus, np.int32)
+            self._lib.vvch_tu_slots(
+                self._h, int(is_chroma),
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+            return buf
 
         pu_h, pu_w = h // 4, w // 4
         mvf = {name: np.ctypeslib.as_array(
@@ -222,4 +239,6 @@ class HostDecoder:
             ctb_log2=ctb_log2,
             max_num_reorder=max_num_reorder,
             dep_quant=dep_quant,
+            slots_y=tu_slots(False),
+            slots_c=tu_slots(True),
         )

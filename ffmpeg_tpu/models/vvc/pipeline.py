@@ -153,17 +153,14 @@ def _apply_lfnst(deq, b, w, h, bit_depth):
 # device-side pieces (traced inside the frame program)
 # ----------------------------------------------------------------------
 
-def _residual_from_buckets(coeff_plane, buckets, Hp, Wp, bit_depth, sizes):
-  res = jnp.zeros((Hp, Wp), jnp.int32)
-  for (w, h) in sizes:
-    b = buckets[(w, h)]
+def _bucket_residuals(b, w, h, bit_depth):
+    """Dequant + inverse transform for one (w, h) bucket -> (cap, h, w)
+    plus the validity mask.  Levels arrive host-gathered per bucket
+    (b["lv"]): shipping compact blocks instead of whole coeff planes
+    cuts the per-frame host->device transfer ~4x."""
     n = b["n"]  # traced scalar
     cap = b["x0"].shape[0]
-    lw, lh = w.bit_length() - 1, h.bit_length() - 1
-    # gather levels
-    yy = b["y0"][:, None, None] + jnp.arange(h)[None, :, None]
-    xx = b["x0"][:, None, None] + jnp.arange(w)[None, None, :]
-    levels = coeff_plane[yy, xx]
+    levels = b["lv"]
     scale16 = (b["scale"] * 16)[:, None, None]
     off = (jnp.int32(1) << b["shift"] >> 1)[:, None, None]
     sh = b["shift"][:, None, None]
@@ -209,16 +206,45 @@ def _residual_from_buckets(coeff_plane, buckets, Hp, Wp, bit_depth, sizes):
       out = jnp.where(jop == 0, out,
                       jnp.where(jop >= 3, sgn >> 1, sgn))
     mask = (jnp.arange(cap) < n)[:, None, None]
+    return out, mask
+
+
+def _residual_from_buckets(buckets, Hp, Wp, bit_depth, sizes):
+  res = jnp.zeros((Hp, Wp), jnp.int32)
+  for (w, h) in sizes:
+    b = buckets[(w, h)]
+    out, mask = _bucket_residuals(b, w, h, bit_depth)
+    yy = b["y0"][:, None, None] + jnp.arange(h)[None, :, None]
+    xx = b["x0"][:, None, None] + jnp.arange(w)[None, None, :]
     res = res.at[yy, xx].add(out * mask)
   return res
+
+
+def _residual_blocks_from_buckets(buckets, ncap, bit_depth, sizes, S=32):
+  """Residuals scattered into the per-predict-unit block layout
+  (ncap, S, S) consumed by the Pallas recon kernel: every coded TU is
+  exactly one unit tile (slot), at unit-local origin (0, 0)."""
+  res = jnp.zeros((ncap * S * S,), jnp.int32)
+  for (w, h) in sizes:
+    b = buckets[(w, h)]
+    out, mask = _bucket_residuals(b, w, h, bit_depth)
+    # invalid rows go out of bounds and are dropped, keeping the live
+    # indices unique (slots are 1:1 with coded TUs per plane)
+    valid = mask[:, 0, 0] & (b["slot"] >= 0)
+    slot = jnp.where(valid, b["slot"], ncap)
+    flat = (slot[:, None, None] * (S * S)
+            + jnp.arange(h)[None, :, None] * S
+            + jnp.arange(w)[None, None, :])
+    res = res.at[flat.reshape(-1)].add(out.reshape(-1),
+                                       mode="drop", unique_indices=True)
+  return res.reshape(ncap, S, S)
 
 
 def _mc_block(refs, x0, y0, mvx, mvy, maxs, taps, before, frac_bits,
               bit_depth, slot):
   """Generic separable MC window for one CU (maxs x maxs), 14-bit out.
   refs: (n_refs, H, W) stacked reference planes; slot selects one."""
-  ref = refs[slot]
-  H, W = ref.shape
+  H, W = refs.shape[1:]
   mask = (1 << frac_bits) - 1
   frac_x = mvx & mask
   frac_y = mvy & mask
@@ -231,7 +257,8 @@ def _mc_block(refs, x0, y0, mvx, mvy, maxs, taps, before, frac_bits,
   g = maxs + taps - 1
   xs = jnp.clip(ix + jnp.arange(g) - before, 0, W - 1)
   ys = jnp.clip(iy + jnp.arange(g) - before, 0, H - 1)
-  win = ref[ys[:, None], xs[None, :]]
+  # flat gather over the stacked ref planes (fast TPU gather path)
+  win = refs.reshape(-1)[slot * (H * W) + ys[:, None] * W + xs[None, :]]
   shift1 = bit_depth - 8
   acc = jnp.zeros((g, maxs), jnp.int32)
   for k in range(taps):
@@ -259,22 +286,34 @@ INTER_CHUNK = 64
 
 
 def _scatter_blocks(plane, blks, x0, y0, w, h, valid, maxs):
-  """Write N disjoint (maxs, maxs) blocks into the plane; positions
-  outside each unit's (h, w) mask (and invalid units) are redirected to
-  the never-read padding corner."""
+  """Write N disjoint (maxs, maxs) blocks into the plane.  Flat unique
+  drop-mode scatter: positions outside each unit's (h, w) mask (and
+  invalid units) get an out-of-bounds index and are dropped, so the
+  live indices are unique and XLA takes the fast scatter path."""
   Hp, Wp = plane.shape
   d = jnp.arange(maxs)
   mask = ((d[None, :, None] < h[:, None, None])
           & (d[None, None, :] < w[:, None, None])
           & valid[:, None, None])
-  yy = jnp.where(mask, y0[:, None, None] + d[None, :, None], Hp - 1)
-  xx = jnp.where(mask, x0[:, None, None] + d[None, None, :], Wp - 1)
-  return plane.at[yy, xx].set(blks, unique_indices=False)
+  flat = ((y0[:, None, None] + d[None, :, None]) * Wp
+          + x0[:, None, None] + d[None, None, :])
+  flat = jnp.where(mask, flat, Hp * Wp)
+  out = plane.reshape(-1).at[flat.reshape(-1)].set(
+      blks.reshape(-1), mode="drop", unique_indices=True)
+  return out.reshape(Hp, Wp)
 
 
-def _inter_unit(res_plane, refs, c, *, maxs, taps, before, frac_bits,
-                bit_depth, maxv):
-  """Prediction + residual for one inter unit (vmapped over a chunk)."""
+def _slice_block(plane, y0, x0, maxs):
+  """(maxs, maxs) block read at a traced offset via flat gather (the
+  vmapped-dynamic_slice form lowers to a slow gather on TPU)."""
+  Wp = plane.shape[1]
+  d = jnp.arange(maxs)
+  return plane.reshape(-1)[(y0 + d[:, None]) * Wp + x0 + d[None, :]]
+
+
+def _inter_pred_unit(refs, c, *, maxs, taps, before, frac_bits,
+                     bit_depth, maxv):
+  """Clipped inter prediction for one unit (vmapped over a batch)."""
   t0 = _mc_block(refs, c["x0"], c["y0"], c["m0x"], c["m0y"], maxs, taps,
                  before, frac_bits, bit_depth, c["r0slot"])
   t1 = _mc_block(refs, c["x0"], c["y0"], c["m1x"], c["m1y"], maxs, taps,
@@ -286,8 +325,16 @@ def _inter_unit(res_plane, refs, c, *, maxs, taps, before, frac_bits,
   uni = jnp.clip((uni + off2) >> shift2, 0, maxv)
   sh_avg = max(3, 15 - bit_depth)
   bi = jnp.clip((t0 + t1 + (1 << (sh_avg - 1))) >> sh_avg, 0, maxv)
-  pred = jnp.where(c["pf"] == 3, bi, uni)
-  res = jax.lax.dynamic_slice(res_plane, (c["y0"], c["x0"]), (maxs, maxs))
+  return jnp.where(c["pf"] == 3, bi, uni)
+
+
+def _inter_unit(res_plane, refs, c, *, maxs, taps, before, frac_bits,
+                bit_depth, maxv):
+  """Prediction + residual for one inter unit (vmapped over a chunk)."""
+  pred = _inter_pred_unit(refs, c, maxs=maxs, taps=taps, before=before,
+                          frac_bits=frac_bits, bit_depth=bit_depth,
+                          maxv=maxv)
+  res = _slice_block(res_plane, c["y0"], c["x0"], maxs)
   return jnp.clip(pred + res, 0, maxv)
 
 
@@ -334,7 +381,7 @@ def _intra_unit(plane, res_plane, c, *, maxs, is_chroma, bit_depth, maxv,
       (pdpc > 0) & (mc < I.MC_ANG_V),
       lambda p: I.pdpc_hvdc(p, top, left, OFF, maxs, logw, logh, mc, maxv),
       lambda p: p, pred)
-  res = jax.lax.dynamic_slice(res_plane, (c["y0"], c["x0"]), (maxs, maxs))
+  res = _slice_block(res_plane, c["y0"], c["x0"], maxs)
   return jnp.clip(pred + res, 0, maxv)
 
 
@@ -385,6 +432,19 @@ def _recon_plane(res_plane, inter, n_inter, intra, n_chunks, refs, *,
   return jax.lax.fori_loop(0, n_chunks, intra_chunk, plane)
 
 
+def _use_pallas() -> bool:
+  """The Pallas recon kernel runs on real TPU backends; the batched-XLA
+  fallback covers CPU (tests / virtual meshes).  FFMPEG_TPU_PALLAS=1
+  forces the Pallas path on CPU too (interpret mode, for hermetic
+  kernel tests); FFMPEG_TPU_NO_PALLAS=1 forces the fallback."""
+  import os
+  if os.environ.get("FFMPEG_TPU_NO_PALLAS"):
+    return False
+  if os.environ.get("FFMPEG_TPU_PALLAS"):
+    return True
+  return jax.default_backend() == "tpu"
+
+
 def _build_frame_program(shapes):
   """Returns the jitted frame program for a given stream geometry.
 
@@ -393,6 +453,7 @@ def _build_frame_program(shapes):
   W, H = shapes["W"], shapes["H"]
   bd = shapes["bit_depth"]
   ctb_log2 = shapes["ctb_log2"]
+  use_pallas = shapes["pallas"]
   maxs_y = 1 << ctb_log2
   maxs_c = maxs_y >> 1
   Hp_y = _round_up(H, 128) + maxs_y
@@ -400,24 +461,73 @@ def _build_frame_program(shapes):
   Hp_c = _round_up(H >> 1, 64) + maxs_c
   Wp_c = _round_up(W >> 1, 64) + maxs_c
 
-  def frame_program(inp, refs_in):
-    planes = []
-    for c_idx, (maxs, Hp, Wp, sizes) in enumerate((
-        (maxs_y, Hp_y, Wp_y, LUMA_SIZES),
-        (maxs_c, Hp_c, Wp_c, CHROMA_SIZES),
-        (maxs_c, Hp_c, Wp_c, CHROMA_SIZES))):
+  def _cropped_refs(refs_in, c_idx):
+    ss = 0 if c_idx == 0 else 1
+    # refs arrive padded (device-resident DPB planes); crop to pic size
+    # [L0 slots..., L1 slots...] per plane, variable count per stream
+    return jnp.stack([r[:H >> ss, :W >> ss] for r in refs_in[c_idx]])
+
+  def _recon_pallas(inp, refs_in):
+    """Whole-frame recon via the Pallas decode-order unit kernel."""
+    from ...ops.recon_pallas import recon_plane_pallas
+
+    S = 32
+    mid = 1 << (bd - 1)
+    res_blks, iblks = [], []
+    for c_idx in range(3):
       p = inp["planes"][c_idx]
-      res = _residual_from_buckets(p["coeff"], p["buckets"], Hp, Wp, bd,
-                                   sizes)
-      ss = 0 if c_idx == 0 else 1
-      # refs arrive padded (device-resident DPB planes); crop to pic size
-      # [L0 slots..., L1 slots...] per plane, variable count per stream
-      refs = jnp.stack([r[:H >> ss, :W >> ss] for r in refs_in[c_idx]])
-      plane = _recon_plane(res, p["inter"], p["n_inter"], p["intra"],
-                           p["n_chunks"], refs,
-                           maxs_inter=maxs, maxs_intra=min(32, maxs),
-                           is_chroma=c_idx > 0, bit_depth=bd)
-      planes.append(plane)
+      r = inp["recon"]["y" if c_idx == 0 else "c"]
+      ncap = r["ctrl"].shape[1]
+      sizes = LUMA_SIZES if c_idx == 0 else CHROMA_SIZES
+      res_blks.append(_residual_blocks_from_buckets(
+          p["buckets"], ncap, bd, sizes))
+      if "has_inter" in inp:
+        refs = _cropped_refs(refs_in, c_idx)
+        is_c = c_idx > 0
+        cc = {k: p["inter"][k] for k in INTER_KEYS}
+        iblks.append(jax.vmap(lambda c1, refs=refs, is_c=is_c:
+                              _inter_pred_unit(
+            refs, c1, maxs=S, taps=4 if is_c else 8,
+            before=1 if is_c else 3, frac_bits=5 if is_c else 4,
+            bit_depth=bd, maxv=(1 << bd) - 1))(cc))
+      else:
+        iblks.append(jnp.zeros((1, S, S), jnp.int32))
+    ry, rc = inp["recon"]["y"], inp["recon"]["c"]
+    ky = recon_plane_pallas(ry["ctrl"], ry["n"], ry["ipos"],
+                            res_blks[0], iblks[0],
+                            W=W, H=H, nch=1, bit_depth=bd, is_chroma=False)
+    kc = recon_plane_pallas(rc["ctrl"], rc["n"], rc["ipos"],
+                            jnp.stack(res_blks[1:], axis=1),
+                            jnp.stack(iblks[1:], axis=1),
+                            W=W >> 1, H=H >> 1, nch=2, bit_depth=bd,
+                            is_chroma=True)
+
+    def embed(kp, Hx, Wx, Hp, Wp):
+      return jnp.pad(kp[:Hx, :Wx], ((0, Hp - Hx), (0, Wp - Wx)),
+                     constant_values=mid)
+
+    return [embed(ky[0], H, W, Hp_y, Wp_y),
+            embed(kc[0], H >> 1, W >> 1, Hp_c, Wp_c),
+            embed(kc[1], H >> 1, W >> 1, Hp_c, Wp_c)]
+
+  def frame_program(inp, refs_in):
+    if use_pallas:
+      planes = _recon_pallas(inp, refs_in)
+    else:
+      planes = []
+      for c_idx, (maxs, Hp, Wp, sizes) in enumerate((
+          (maxs_y, Hp_y, Wp_y, LUMA_SIZES),
+          (maxs_c, Hp_c, Wp_c, CHROMA_SIZES),
+          (maxs_c, Hp_c, Wp_c, CHROMA_SIZES))):
+        p = inp["planes"][c_idx]
+        res = _residual_from_buckets(p["buckets"], Hp, Wp, bd, sizes)
+        refs = _cropped_refs(refs_in, c_idx)
+        plane = _recon_plane(res, p["inter"], p["n_inter"], p["intra"],
+                             p["n_chunks"], refs,
+                             maxs_inter=min(32, maxs),
+                             maxs_intra=min(32, maxs),
+                             is_chroma=c_idx > 0, bit_depth=bd)
+        planes.append(plane)
 
     def loopfilters(planes, d):
       out = list(planes)
@@ -465,6 +575,16 @@ def _build_frame_program(shapes):
   return frame_program
 
 
+def _pack_leaves(leaves, total):
+  """Flatten host leaves into one contiguous int32 buffer with a single
+  C-level copy pass (a per-leaf python assignment loop costs ~50ms per
+  frame at ~700 leaves)."""
+  buf = np.concatenate(
+      [np.asarray(l, np.int32).ravel() for l in leaves])
+  assert buf.size == total
+  return buf
+
+
 class PackedProgram:
   """Wraps the frame program so all host-built int32 inputs travel as
   ONE flat buffer per dispatch.
@@ -502,9 +622,7 @@ class PackedProgram:
       self._variants[sig] = var
     treedef_now, offs, total, jit_fn, _ = var
     assert treedef == treedef_now, "frame input structure changed"
-    buf = np.empty(total, np.int32)
-    for leaf, (o, s, _) in zip(leaves, offs):
-      buf[o:o + s] = np.asarray(leaf, np.int32).ravel()
+    buf = _pack_leaves(leaves, total)
     return jit_fn(buf, refs)
 
   def packed_example(self, inp, refs):
@@ -514,20 +632,18 @@ class PackedProgram:
     if sig not in self._variants:
       self(inp, refs)  # establish the variant
     _, offs, total, _, run = self._variants[sig]
-    buf = np.empty(total, np.int32)
-    for leaf, (o, s, _) in zip(leaves, offs):
-      buf[o:o + s] = np.asarray(leaf, np.int32).ravel()
-    return run, (buf, refs)
+    return run, (_pack_leaves(leaves, total), refs)
 
 
 _PROGRAM_CACHE: dict = {}
 
 
 def get_frame_program(W, H, ctb_log2, bit_depth):
-  key = (W, H, ctb_log2, bit_depth)
+  key = (W, H, ctb_log2, bit_depth, _use_pallas())
   if key not in _PROGRAM_CACHE:
     _PROGRAM_CACHE[key] = PackedProgram(_build_frame_program(
-        dict(W=W, H=H, ctb_log2=ctb_log2, bit_depth=bit_depth)))
+        dict(W=W, H=H, ctb_log2=ctb_log2, bit_depth=bit_depth,
+             pallas=_use_pallas())))
   return _PROGRAM_CACHE[key]
 
 
@@ -593,7 +709,9 @@ def _bucket_inputs(fs: FrameSyntax, c_idx: int, sizes, W, H):
     cap = _ratchet((W, H), ("bucket", c_idx, w, h), needed,
                    _bucket_capacity(W >> ss, H >> ss, w, h), floor=16)
     b = {"x0": np.zeros(cap, np.int32), "y0": np.zeros(cap, np.int32),
-         "scale": np.zeros(cap, np.int32), "shift": np.ones(cap, np.int32)}
+         "scale": np.zeros(cap, np.int32), "shift": np.ones(cap, np.int32),
+         "slot": np.full(cap, -1, np.int32),
+         "lv": np.zeros((cap, h, w), np.int32)}
     with_kinds = 4 <= w <= 32 or 4 <= h <= 32
     if with_kinds:
       b["trh"] = np.zeros(cap, np.int32)
@@ -610,8 +728,16 @@ def _bucket_inputs(fs: FrameSyntax, c_idx: int, sizes, W, H):
     lw, lh = w.bit_length() - 1, h.bit_length() - 1
     if n:
       idxn = idx[:n]
-      b["x0"][:n] = fs.tus["x0"][idxn]
-      b["y0"][:n] = fs.tus["y0"][idxn]
+      x0n = fs.tus["x0"][idxn]
+      y0n = fs.tus["y0"][idxn]
+      b["x0"][:n] = x0n
+      b["y0"][:n] = y0n
+      coeff = (fs.coeff_y, fs.coeff_cb, fs.coeff_cr)[c_idx]
+      b["lv"][:n] = coeff[y0n[:, None, None] + np.arange(h)[None, :, None],
+                          x0n[:, None, None] + np.arange(w)[None, None, :]]
+      slots = fs.slots_y if c_idx == 0 else fs.slots_c
+      if slots is not None and len(slots):
+        b["slot"][:n] = slots[idxn]
       sc_tab, sh_tab = _scale_shift_tables(lw, lh, fs.bit_depth,
                                            dep_quant=bool(fs.dep_quant))
       qp_field = "qp_deq" if "qp_deq" in fs.tus else "qp"
@@ -785,11 +911,33 @@ def _layout_ctrl(mat, geom_key, tag):
   return np.int32(n_inter), inter, np.int32(n_chunks), intra
 
 
+def _pallas_ctrl(mat, geom_key, tag):
+  """Decode-order control matrix padded to a ratcheted capacity, plus
+  the per-unit index into the compacted inter-MC batch (matching
+  _layout_ctrl's inter row order)."""
+  n = mat.shape[1]
+  W, H = geom_key
+  unit_cap = max(1, (W // 4) * (H // 4) + (W // 2) * (H // 2) // 16)
+  ncap = _round_up(_ratchet(geom_key, (tag, "pncap"), max(n, 1), unit_cap,
+                            floor=128), 128)
+  ctrl = np.zeros((mat.shape[0], ncap), np.int32)
+  ctrl[:, :n] = mat
+  ipos = np.zeros(ncap, np.int32)
+  inter_idx = np.flatnonzero(mat[CTRL_KEYS.index("chunk")] < 0)
+  ipos[inter_idx] = np.arange(len(inter_idx), dtype=np.int32)
+  return {"ctrl": ctrl, "ipos": ipos, "n": np.int32(n)}
+
+
 def build_frame_inputs(fs: FrameSyntax, refs_by_poc, ctb_log2=5):
   W, H = fs.width, fs.height
   inp = {"planes": []}
   n_inter_y, inter_y, n_ch_y, intra_y = _layout_ctrl(fs.ctrl_y, (W, H), "y")
   n_inter_c, inter_c, n_ch_c, intra_c = _layout_ctrl(fs.ctrl_c, (W, H), "c")
+  if _use_pallas():
+    inp["recon"] = {"y": _pallas_ctrl(fs.ctrl_y, (W, H), "y"),
+                    "c": _pallas_ctrl(fs.ctrl_c, (W, H), "c")}
+    if n_inter_y or n_inter_c:
+      inp["has_inter"] = np.int32(1)
 
   maxs_y = 1 << ctb_log2
   Hp_y = _round_up(H, 128) + maxs_y
@@ -817,18 +965,25 @@ def build_frame_inputs(fs: FrameSyntax, refs_by_poc, ctb_log2=5):
     c["r1slot"] = c["r1slot"] + np.int32(n_l0)
 
   refs = []
+  pallas = _use_pallas()
   for c_idx in range(3):
-    coeff = (fs.coeff_y, fs.coeff_cb, fs.coeff_cr)[c_idx]
     sizes = LUMA_SIZES if c_idx == 0 else CHROMA_SIZES
     luma = c_idx == 0
-    inp["planes"].append({
-        "coeff": coeff,
-        "buckets": _bucket_inputs(fs, c_idx, sizes, W, H),
-        "inter": inter_y if luma else inter_c,
-        "n_inter": n_inter_y if luma else n_inter_c,
-        "intra": intra_y if luma else intra_c,
-        "n_chunks": n_ch_y if luma else n_ch_c,
-    })
+    p = {"buckets": _bucket_inputs(fs, c_idx, sizes, W, H)}
+    if pallas:
+      # the Pallas recon path consumes only buckets + (when present)
+      # the compacted inter-MC batch; the chunked wavefront layouts
+      # would be dead weight on the host->device transfer
+      if "has_inter" in inp:
+        p["inter"] = inter_y if luma else inter_c
+    else:
+      p.update({
+          "inter": inter_y if luma else inter_c,
+          "n_inter": n_inter_y if luma else n_inter_c,
+          "intra": intra_y if luma else intra_c,
+          "n_chunks": n_ch_y if luma else n_ch_c,
+      })
+    inp["planes"].append(p)
     refs.append(tuple(ref_for(c_idx, 0, k) for k in range(n_l0))
                 + tuple(ref_for(c_idx, 1, k) for k in range(n_l1)))
   if not fs.deblock_disabled:

@@ -127,16 +127,21 @@ struct FrameOut {
 // output straight to the frame program.
 namespace ctrl {
 
-constexpr int kNumKeys = 29;
+constexpr int kNumKeys = 30;
 // CTRL_KEYS order (recon.py): x0,y0,w,h,logw,logh,mode_class,angle,
 // inv_angle,filter_flag,smooth,left_size,top_size,unfilter_last_one,
 // do_pdpc,nscale,avail_l,avail_t,cand_up_left,proj_v,proj_h,
-// pf,m0x,m0y,m1x,m1y,r0slot,r1slot,chunk
+// pf,m0x,m0y,m1x,m1y,r0slot,r1slot,chunk,corner_src
 enum Key {
   kX0, kY0, kW, kH, kLogW, kLogH, kModeClass, kAngle, kInvAngle,
   kFilterFlag, kSmooth, kLeftSize, kTopSize, kUnfilterLastOne,
   kDoPdpc, kNscale, kAvailL, kAvailT, kCandUpLeft, kProjV, kProjH,
   kPf, kM0x, kM0y, kM1x, kM1y, kR0Idx, kR1Idx, kChunk,
+  // kCornerSrc: where the above-left corner sample lives for the
+  // line-buffer kernel: 0 = the covering unit's bottom row is y0-1
+  // (read the B buffer), 1 = it extends below (read its right column
+  // from the R buffer).  Exactly one holds when the corner is decoded.
+  kCornerSrc,
 };
 
 constexpr int kPlanar = 0, kDc = 1, kHorz = 18, kDiag = 34, kVert = 50;
@@ -223,25 +228,44 @@ struct Unit {
   int lx0, ly0;        // luma origin (for CTU-relative availability)
 };
 
-inline std::vector<Unit> predict_units(const FrameOut& fr, bool is_chroma) {
+// Units are <=32x32 tiles in decode order.  Intra units are transform
+// blocks (1:1 with TuRecords of the plane kind); inter units follow the
+// transform-tree leaves, tiled to <=32 (bit-exact: MC interpolation is
+// per-pixel independent, so splitting a CU's prediction into tiles
+// reads identical reference windows).  `slots`, when non-null, receives
+// the per-TuRecord unit index (or -1) — the residual scatter target:
+// every coded TU is exactly one unit tile, and a Cr TB shares its Cb
+// sibling's slot (same geometry; residual planes differ by channel).
+inline std::vector<Unit> predict_units(const FrameOut& fr, bool is_chroma,
+                                       std::vector<int32_t>* slots = nullptr) {
   const int ss = (is_chroma && fr.chroma_format_idc == 1) ? 1 : 0;
   const int want_c = is_chroma ? 1 : 0;
   std::vector<Unit> units;
   units.reserve(fr.tus.size());
-  int last_inter_cu = -1;
-  for (const TuRecord& tu : fr.tus) {
-    const CuRecord& cu = fr.cus[tu.cu_index];
-    if (cu.pred_mode == 0) {  // MODE_INTER: one unit per CU
-      if (tu.cu_index != last_inter_cu) {
-        last_inter_cu = tu.cu_index;
-        units.push_back({tu.cu_index, cu.x0 >> ss, cu.y0 >> ss,
-                         cu.w >> ss, cu.h >> ss, cu.x0, cu.y0});
-      }
+  if (slots) slots->assign(fr.tus.size(), -1);
+  int cb_slot = -1, cb_x0 = -1, cb_y0 = -1;  // last Cb unit, for Cr
+  for (size_t j = 0; j < fr.tus.size(); j++) {
+    const TuRecord& tu = fr.tus[j];
+    if (tu.c_idx != want_c) {
+      if (slots && want_c == 1 && tu.c_idx == 2 && tu.x0 == cb_x0 &&
+          tu.y0 == cb_y0)
+        (*slots)[j] = cb_slot;
       continue;
     }
-    if (tu.c_idx != want_c) continue;
-    units.push_back({tu.cu_index, tu.x0, tu.y0, tu.w, tu.h,
-                     tu.x0 << ss, tu.y0 << ss});
+    const bool single = tu.w <= 32 && tu.h <= 32;
+    if (slots && single) (*slots)[j] = (int)units.size();
+    if (want_c == 1 && single) {
+      cb_slot = (int)units.size();
+      cb_x0 = tu.x0;
+      cb_y0 = tu.y0;
+    }
+    for (int ty = 0; ty < tu.h; ty += 32)
+      for (int tx = 0; tx < tu.w; tx += 32) {
+        const int tw = std::min(32, tu.w - tx);
+        const int th = std::min(32, tu.h - ty);
+        units.push_back({tu.cu_index, tu.x0 + tx, tu.y0 + ty, tw, th,
+                         (tu.x0 + tx) << ss, (tu.y0 + ty) << ss});
+      }
   }
   return units;
 }
@@ -273,6 +297,11 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
   auto cm = [&](int by, int bx) -> int32_t& {
     return cmap[(size_t)by * bw + bx];
   };
+  // writer unit's bottom edge (y0+h) per cell, for kCornerSrc
+  std::vector<int32_t> cellbot((size_t)bw * bh, 0);
+  auto cb = [&](int by, int bx) -> int32_t& {
+    return cellbot[(size_t)by * bw + bx];
+  };
   std::vector<int32_t> chunk_count;
   std::memset(out, 0, sizeof(int32_t) * kNumKeys * n);
   auto O = [&](Key k, int i) -> int32_t& { return out[(size_t)k * n + i]; };
@@ -293,7 +322,10 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
       O(kR1Idx, i) = cu.ref_idx1 < 0 ? 0 : cu.ref_idx1;
       O(kChunk, i) = -1;
       for (int by = y0 / g; by < (y0 + h) / g; by++)
-        for (int bx = x0 / g; bx < (x0 + w) / g; bx++) rec(by, bx) = 1;
+        for (int bx = x0 / g; bx < (x0 + w) / g; bx++) {
+          rec(by, bx) = 1;
+          cb(by, bx) = y0 + h;
+        }
       continue;
     }
     const int raw_mode = is_chroma ? cu.chroma_mode : cu.luma_mode;
@@ -405,10 +437,15 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
     }
     chunk_count[chunk]++;
 
+    // corner source for the line-buffer kernel (before marking self)
+    if (x0 > 0 && y0 > 0)
+      O(kCornerSrc, i) = cb((y0 - 1) / g, (x0 - 1) / g) == y0 ? 0 : 1;
+
     for (int by = y0 / g; by < (y0 + h) / g; by++)
       for (int bx = x0 / g; bx < (x0 + w) / g; bx++) {
         rec(by, bx) = 1;
         cm(by, bx) = chunk;
+        cb(by, bx) = y0 + h;
       }
 
     O(kX0, i) = x0; O(kY0, i) = y0; O(kW, i) = w; O(kH, i) = h;
@@ -2729,6 +2766,16 @@ void vvch_set_colstore(void* h, void* s) {
 void vvch_set_epoch(void* h, int epoch) { ((Decoder*)h)->epoch = epoch; }
 
 void vvch_col_reset() {}  // legacy no-op: stores are session-scoped now
+
+// Per-TuRecord unit-slot mapping for plane kind `is_chroma` (see
+// predict_units): out must hold n_tus int32; -1 = TU has no slot in
+// this kind (wrong component, or an uncoded multi-tile leaf).
+void vvch_tu_slots(void* h, int is_chroma, int32_t* out) {
+  auto* d = (Decoder*)h;
+  std::vector<int32_t> slots;
+  ctrl::predict_units(d->out, is_chroma != 0, &slots);
+  std::memcpy(out, slots.data(), sizeof(int32_t) * slots.size());
+}
 
 int vvch_cu_record_size() { return (int)(sizeof(CuRecord) / 4); }
 int vvch_tu_record_size() { return (int)(sizeof(TuRecord) / 4); }

@@ -1,0 +1,439 @@
+"""TPU Pallas reconstruction kernel: the decode-order unit loop.
+
+This is the TPU-native replacement for the reference's per-CTU
+INTER/RECON task stages (vvc_thread.c:432-463 + vvc_intra.c:498-527).
+The whole frame's prediction+reconstruction runs as ONE Pallas kernel:
+a sequential grid over predict units (<=32x32 tiles in decode order,
+ctrl::predict_units in native/decode.cc), with the output plane and a
+compact transposed column buffer resident in VMEM:
+
+  plane[y, x]          -- the reconstructed plane (top reference rows
+                          are read straight from it: dynamic-sublane
+                          single-row loads are cheap vector ops)
+  R[x >> g, y]         -- every 2^g-th column of everything decoded,
+                          stored transposed (g=2 luma, g=1 chroma).
+                          Left reference columns are rows of R.
+
+Intra prediction of a unit reads row y0-1 (from the plane) and column
+x0-1 (from R).  Units are 4-aligned in luma and 2-aligned in chroma,
+so column x0-1 is always a stored column; storing *every* such column
+(not just unit right edges) is what makes references into the interior
+of a larger already-decoded neighbour correct.  All sample addressing
+uses dynamic-sublane row loads + lane rolls (vector ops), and the
+data-dependent angular / PDPC reference indexing becomes one-hot f32
+matmuls on the MXU -- there are no gathers or scatters anywhere (XLA
+gather/scatter costs ~10ns/element on TPU, which is what made
+batched-XLA formulations of this loop ~100x too slow).
+
+Bit-exactness contract: identical results to ops/intra.py
+(edge_arrays / ref_filter_121 / project_negative_angle / pred_* /
+pdpc_*) for every legal control row; those functions are themselves
+MD5-parity-tested against the reference decoder.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .intra import INTRA_LUMA_FILTER
+
+S = 32            # unit tile (max predict-unit dimension)
+LE = 256          # edge-vector lanes (2x128); j = lane - OFF in [-64,192)
+OFF = 64          # edge origin
+JMAX = 103        # edge_arrays' index bound (176-long arrays, origin 72:
+                  # clip(idx, 0, 175) == clamp j at 103) for PDPC parity
+
+# ctrl row indices (recon.CTRL_KEYS order; decode.cc ctrl::Key)
+(KX0, KY0, KW, KH, KLOGW, KLOGH, KMC, KANGLE, KINV, KFF, KSMOOTH,
+ KLSZ, KTSZ, KUNF, KPDPC, KNS, KAVL, KAVT, KCUL, KPROJV, KPROJH,
+ KPF, KM0X, KM0Y, KM1X, KM1Y, KR0, KR1, KCHUNK, KCSRC) = range(30)
+
+MC_PLANAR, MC_DC, MC_VERT, MC_HORZ, MC_ANG_V, MC_ANG_H, MC_INTER = range(7)
+
+
+def _r128(v: int) -> int:
+  return (v + 127) // 128 * 128
+
+
+def plane_geom(W: int, H: int, gran: int = 4):
+  """Padded plane geometry for the kernel: (Hp, Wp, Wr, HL).
+  Wp/HL are lane dims (128-multiples, >= LE); Hp covers the 40-row
+  store spans; Wr is the R-buffer row count (one per gran columns)."""
+  Wp = max(_r128(W + 40), LE)
+  Hp = max((H + 36 + 7) // 8 * 8, 64)
+  HL = max(_r128(Hp), LE)     # R-buffer lane dim
+  Wr = (Wp // gran + 7) // 8 * 8
+  return Hp, Wp, Wr, HL
+
+
+def _dyn_extract(v, k):
+  """Dynamic lane extract -> (1, 1) value; k is a traced scalar."""
+  L = v.shape[1]
+  return pltpu.roll(v, (L - k) % L, axis=1)[:, :1] + 0
+
+
+def _st_extract(v, k: int):
+  """Static lane extract -> (1, 1) value."""
+  L = v.shape[1]
+  return pltpu.roll(v, (L - k) % L, axis=1)[:, :1] + 0
+
+
+def _toeplitz(vec):
+  """(1, LE) -> (S, LE) with T[s, l] = vec[(l + s) % LE]."""
+  return jnp.concatenate(
+      [pltpu.roll(vec, (LE - s) % LE, axis=1) for s in range(S)], axis=0)
+
+
+def _dot_t(a, b):
+  """Exact small-int a @ b.T on the MXU via f32 (contract last dims).
+  HIGHEST precision (f32x3) is required: the default single-pass bf16
+  truncates operands to 8 significant bits, which corrupts >8-bit
+  samples (e.g. 10-bit pixels) by +/-1."""
+  d = jax.lax.dot_general(a.astype(jnp.float32), b.astype(jnp.float32),
+                          (((1,), (1,)), ((), ())),
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)
+  return d.astype(jnp.int32)
+
+
+def _dot(a, b):
+  """Exact small-int a @ b on the MXU via f32 (see _dot_t re precision)."""
+  d = jax.lax.dot_general(a.astype(jnp.float32), b.astype(jnp.float32),
+                          (((1,), (0,)), ((), ())),
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)
+  return d.astype(jnp.int32)
+
+
+def _col(m, k: int):
+  """Static column k of (S, N) as (S, 1)."""
+  L = m.shape[1]
+  return pltpu.roll(m, (L - k) % L, axis=1)[:, :1] + 0
+
+
+def _row(m, k: int):
+  """Static row k of (R, N) as (1, N) via mask-reduce (offset-free)."""
+  sub = jax.lax.broadcasted_iota(jnp.int32, m.shape, 0)
+  return jnp.sum(jnp.where(sub == k, m, 0), axis=0, keepdims=True)
+
+
+def _scal(v):
+  """(1, 1) vector -> rank-0 scalar (sreg): Mosaic cannot broadcast a
+  vector in both sublanes and lanes, but scalars broadcast anywhere."""
+  return jnp.sum(v)
+
+
+def _build_kernel(Hp, Wp, Wr, HL, nch, bit_depth, is_chroma, gran):
+  maxv = (1 << bit_depth) - 1
+  mid = 1 << (bit_depth - 1)
+  lg = gran.bit_length() - 1      # log2(gran)
+  nr = S // gran                  # R rows written per unit
+
+  def kernel(ctrl_ref, meta_ref, ipos_ref, res_ref, iblk_ref, ftab_ref,
+             p_in, r_in, plane_ref, r_ref):
+    i = pl.program_id(0)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+
+    @pl.when(i == 0)
+    def _():
+      plane_ref[...] = p_in[...]
+      r_ref[...] = r_in[...]
+
+    @pl.when(i < meta_ref[0])
+    def _():
+      x0 = ctrl_ref[KX0, i]
+      y0 = ctrl_ref[KY0, i]
+      w = ctrl_ref[KW, i]
+      h = ctrl_ref[KH, i]
+      mc = ctrl_ref[KMC, i]
+      is_inter = mc == MC_INTER
+
+      for ch in range(nch):
+        res = res_ref[0, ch] if nch > 1 else res_ref[0]
+        iblk = iblk_ref[0, ch] if nch > 1 else iblk_ref[0]
+
+        # ---- edge vectors (left/top) ------------------------------
+        # top row straight from the plane; left column from R
+        trow = plane_ref[ch, pl.ds(jnp.maximum(y0 - 1, 0), 1), :]
+        trow = pltpu.roll(trow, (Wp - (x0 - 1)) % Wp, axis=1)
+        tloc = trow[:, :LE] + 0            # lane k = plane[y0-1, x0-1+k]
+        rrow = r_ref[ch, pl.ds(jnp.maximum((x0 - 1) >> lg, 0), 1), :]
+        lrow = pltpu.roll(rrow, (HL - (y0 - 1)) % HL, axis=1)
+        lloc = lrow[:, :LE] + 0            # lane k = plane[y0-1+k, x0-1]
+
+        avl = ctrl_ref[KAVL, i]
+        avt = ctrl_ref[KAVT, i]
+        cul = ctrl_ref[KCUL, i]
+
+        jl = jax.lax.broadcasted_iota(jnp.int32, (1, LE), 1) - OFF
+        t_run = pltpu.roll(tloc, OFF - 1, axis=1)   # lane j+OFF = x0+j
+        l_run = pltpu.roll(lloc, OFF - 1, axis=1)
+        t_last = jnp.broadcast_to(_dyn_extract(tloc, avt), (1, LE))
+        l_last = jnp.broadcast_to(_dyn_extract(lloc, avl), (1, LE))
+        top0 = _st_extract(tloc, 1)                 # plane[y0-1, x0]
+        left0 = _st_extract(lloc, 1)                # plane[y0, x0-1]
+        corner_px = tloc[:, :1] + 0                 # plane[y0-1, x0-1]
+        corner = jnp.where(
+            cul > 0, corner_px,
+            jnp.where(avl > 0, left0, jnp.where(avt > 0, top0, mid)))
+        corner_b = jnp.broadcast_to(corner, (1, LE))
+        top = jnp.where((jl >= 0) & (avt > 0),
+                        jnp.where(jl < avt, t_run, t_last), corner_b)
+        left = jnp.where((jl >= 0) & (avl > 0),
+                         jnp.where(jl < avl, l_run, l_last), corner_b)
+
+        # ---- [1 2 1] reference filter (ref_filter_121) ------------
+        if not is_chroma:
+          smooth = ctrl_ref[KSMOOTH, i]
+          lsz = ctrl_ref[KLSZ, i]
+          tsz = ctrl_ref[KTSZ, i]
+          unf = ctrl_ref[KUNF, i]
+          c_f = (_st_extract(left, OFF) + 2 * _st_extract(left, OFF - 1)
+                 + _st_extract(top, OFF) + 2) >> 2
+          c_fb = jnp.broadcast_to(c_f, (1, LE))
+
+          def filt(a):
+            return (pltpu.roll(a, 1, axis=1) + 2 * a
+                    + pltpu.roll(a, LE - 1, axis=1) + 2) >> 2
+
+          lf = jnp.where((jl >= 0) & (jl < lsz - unf), filt(left), left)
+          tf = jnp.where((jl >= 0) & (jl < tsz - unf), filt(top), top)
+          lf = jnp.where(jl == -1, c_fb, lf)
+          tf = jnp.where(jl == -1, c_fb, tf)
+          left = jnp.where(smooth > 0, lf, left)
+          top = jnp.where(smooth > 0, tf, top)
+
+        # ---- negative-angle projection (project_negative_angle) ---
+        inv = ctrl_ref[KINV, i]
+        projv = ctrl_ref[KPROJV, i]
+        projh = ctrl_ref[KPROJH, i]
+
+        def project(dst, src, limit):
+          # dst[j] <- src[OFF-1 + min(((j+1)*inv + 256) >> 9, limit)]
+          # for j in [-limit-1, -2]; evaluated at j = r-33, r in [0,32)
+          ll2 = jax.lax.broadcasted_iota(jnp.int32, (LE, 128), 0)
+          rr2 = jax.lax.broadcasted_iota(jnp.int32, (LE, 128), 1)
+          xx = rr2 - 32                    # j+1
+          sidx = OFF - 1 + jnp.minimum((xx * inv + 256) >> 9, limit)
+          mt = (ll2 == jnp.clip(sidx, 0, LE - 1)).astype(jnp.int32)
+          prow = _dot(src, mt)             # (1,128): col r = src[sidx(r)]
+          pvec = jnp.concatenate(
+              [prow, jnp.zeros((1, LE - 128), jnp.int32)], axis=1)
+          pvec = pltpu.roll(pvec, 31, axis=1)   # lane r+31 = j+OFF
+          sel = (jl >= -limit - 1) & (jl <= -2)
+          return jnp.where(sel, pvec, dst)
+
+        top = jnp.where(projv > 0, project(top, left, h), top)
+        left = jnp.where(projh > 0, project(left, top, w), left)
+
+        # ---- prediction branches ----------------------------------
+        t32 = pltpu.roll(top, LE - OFF, axis=1)[:, :S] + 0
+        l32 = pltpu.roll(left, LE - OFF, axis=1)[:, :S] + 0
+        t32b = jnp.broadcast_to(t32, (S, S))
+        lcol = jnp.broadcast_to(l32, (S, S)).T    # left[y] down columns
+
+        logw = ctrl_ref[KLOGW, i]
+        logh = ctrl_ref[KLOGH, i]
+
+        # planar (pred_planar); tr/bl are scalars top[OFF+w]/left[OFF+h]
+        tr_s = _dyn_extract(top, (OFF + w) % LE)
+        bl_s = _dyn_extract(left, (OFF + h) % LE)
+        pv = ((h - 1 - iy) * t32b + (iy + 1) * _scal(bl_s)) << logw
+        ph_ = ((w - 1 - ix) * lcol + (ix + 1) * _scal(tr_s)) << logh
+        planar = (pv + ph_ + w * h) >> (logw + logh + 1)
+
+        # dc (pred_dc)
+        lane_s = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+        sum_t = jnp.sum(jnp.where(lane_s < w, t32, 0))
+        sum_l = jnp.sum(jnp.where(lane_s < h, l32, 0))
+        s_ = jnp.where(w >= h, sum_t, 0) + jnp.where(w <= h, sum_l, 0)
+        offset = jnp.maximum(jnp.where(w == h, w << 1, jnp.maximum(w, h)), 1)
+        shift = (2 + (offset >= 8).astype(jnp.int32)
+                 + (offset >= 16) + (offset >= 32) + (offset >= 64))
+        dc = jnp.zeros((S, S), jnp.int32) + ((s_ + (offset >> 1)) >> shift)
+
+        # angular core: one-hot 4-tap weights x toeplitz window matmul
+        angle = ctrl_ref[KANGLE, i]
+        ff = ctrl_ref[KFF, i]
+        ns = ctrl_ref[KNS, i]
+        pdpc = ctrl_ref[KPDPC, i]
+
+        jj_le = jax.lax.broadcasted_iota(jnp.int32, (S, LE), 1)
+        rows1 = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+        pos = (rows1 + 1) * angle
+        aidx = pos >> 5                     # (S, 1)
+        fact = pos & 31
+
+        if is_chroma:
+          A = ((32 - fact) * (jj_le == OFF + aidx)
+               + fact * (jj_le == OFF + aidx + 1))
+        else:
+          pcol = jax.lax.broadcasted_iota(jnp.int32, (S, 64), 1)
+          oh = (pcol == fact + 32 * ff).astype(jnp.int32)
+          taps = _dot(oh, ftab_ref[...])    # (S, 128): lanes 0..3
+          A = (_col(taps, 0) * (jj_le == OFF + aidx - 1)
+               + _col(taps, 1) * (jj_le == OFF + aidx)
+               + _col(taps, 2) * (jj_le == OFF + aidx + 1)
+               + _col(taps, 3) * (jj_le == OFF + aidx + 2))
+
+        def ang_core(main):
+          acc = _dot_t(A, _toeplitz(main))  # [i, x] = sum_l A[i,l]m[l+x]
+          if is_chroma:
+            return (acc + 16) >> 5
+          return jnp.clip((acc + 32) >> 6, 0, maxv)
+
+        def pdpc_mat(other):
+          # [q, d] = other_clamped[OFF + min(g(q),104) + d] where
+          # g(q) = (256 + inv*(q+1)) >> 9; clamping g at 104 matches
+          # clip(idx, 0, 175) in ops/intra.py (values are constant
+          # beyond j=103)
+          oth_ext = jnp.where(
+              jl <= JMAX, other,
+              jnp.broadcast_to(_st_extract(other, OFF + JMAX), (1, LE)))
+          g = jnp.minimum((256 + inv * (rows1 + 1)) >> 9, JMAX + 1)
+          G = (jj_le == OFF + g).astype(jnp.int32)
+          return _dot_t(G, _toeplitz(oth_ext))
+
+        # V family: rows = y, taps over top; pdpc blends left along x
+        pv_pred = ang_core(top)
+        lmat = pdpc_mat(left).T             # [y, x] = left[OFF+g(x)+y]
+        wlv = 32 >> jnp.minimum((ix * 2) >> ns, 31)
+        pv_val = jnp.clip(pv_pred + (((lmat - pv_pred) * wlv + 32) >> 6),
+                          0, maxv)
+        pv_w = jnp.where(ix < jnp.minimum(w, 3 << ns), pv_val, pv_pred)
+        angv = jnp.where(pdpc > 0, pv_w, pv_pred)
+
+        # H family: rows = x, taps over left; transposed; pdpc blends
+        # top along y: t[y, x] = top[OFF + g(y) + x]
+        ph_pred = ang_core(left).T
+        tmat = pdpc_mat(top)                # [y, x] = top[OFF+g(y)+x]
+        wth = 32 >> jnp.minimum((iy * 2) >> ns, 31)
+        ph_val = jnp.clip(ph_pred + (((tmat - ph_pred) * wth + 32) >> 6),
+                          0, maxv)
+        ph_w = jnp.where(iy < jnp.minimum(h, 3 << ns), ph_val, ph_pred)
+        angh = jnp.where(pdpc > 0, ph_w, ph_pred)
+
+        pred = jnp.where(
+            mc == MC_PLANAR, planar,
+            jnp.where(mc == MC_DC, dc,
+                      jnp.where(mc == MC_VERT, t32b,
+                                jnp.where(mc == MC_HORZ, lcol,
+                                          jnp.where(mc == MC_ANG_V, angv,
+                                                    angh)))))
+
+        # pdpc for planar/dc/v/h (pdpc_hvdc)
+        scale = (logw + logh - 2) >> 2
+        c_l = _st_extract(left, OFF - 1)
+        c_t = _st_extract(top, OFF - 1)
+        is_vh = (mc == MC_VERT) | (mc == MC_HORZ)
+        lq = jnp.where(is_vh, lcol - _scal(c_l) + pred, lcol)
+        tq = jnp.where(is_vh, t32b - _scal(c_t) + pred, t32b)
+        wl = jnp.where(mc == MC_HORZ, 0,
+                       32 >> jnp.minimum((ix << 1) >> scale, 31))
+        wt = jnp.where(mc == MC_VERT, 0,
+                       32 >> jnp.minimum((iy << 1) >> scale, 31))
+        hv_pdpc = jnp.clip(
+            pred + ((wl * (lq - pred) + wt * (tq - pred) + 32) >> 6),
+            0, maxv)
+        pred = jnp.where((pdpc > 0) & (mc < MC_ANG_V), hv_pdpc, pred)
+
+        base = jnp.where(is_inter, iblk, pred)
+        out = jnp.clip(base + res, 0, maxv)
+
+        # ---- store: 40-row plane span -----------------------------
+        ya = pl.multiple_of((y0 >> 3) * 8, 8)
+        dy = y0 - ya                       # in {0,..,6}, gran-aligned
+        # shift while small: (40, S) with out at rows [dy, dy+32)
+        sh0 = jnp.concatenate([out, jnp.zeros((8, S), jnp.int32)], axis=0)
+        blk = sh0
+        for d in range(gran, 8, gran):
+          shd = jnp.concatenate([jnp.zeros((d, S), jnp.int32),
+                                 sh0[:40 - d] + 0], axis=0)
+          blk = jnp.where(dy == d, shd, blk)
+        blk40 = jnp.concatenate(
+            [blk, jnp.zeros((40, Wp - S), jnp.int32)], axis=1)
+        blk40 = pltpu.roll(blk40, x0, axis=1)
+        span = plane_ref[ch, pl.ds(ya, 40), :]
+        lanes40 = jax.lax.broadcasted_iota(jnp.int32, (40, Wp), 1)
+        sub40 = jax.lax.broadcasted_iota(jnp.int32, (40, Wp), 0)
+        m40 = ((lanes40 >= x0) & (lanes40 < x0 + w)
+               & (sub40 >= dy) & (sub40 < dy + h))
+        plane_ref[ch, pl.ds(ya, 40), :] = jnp.where(m40, blk40, span)
+
+        # ---- store: R columns (every gran-th column, transposed) --
+        # colsT[k, j] = out[j, gran*k + gran-1] via one-hot MXU matmul
+        kk = jax.lax.broadcasted_iota(jnp.int32, (nr, S), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (nr, S), 1)
+        colsT = _dot_t((cc == gran * kk + gran - 1).astype(jnp.int32), out)
+        b0 = x0 >> lg
+        lane_h = jax.lax.broadcasted_iota(jnp.int32, (1, HL), 1)
+        lmask = (lane_h >= y0) & (lane_h < y0 + h)
+        for k in range(nr):
+          rowk = jnp.concatenate(
+              [_row(colsT, k), jnp.zeros((1, HL - S), jnp.int32)], axis=1)
+          rowk = pltpu.roll(rowk, y0, axis=1)
+          bi = jnp.minimum(b0 + k, Wr - 1)
+          old = r_ref[ch, pl.ds(bi, 1), :]
+          r_ref[ch, pl.ds(bi, 1), :] = jnp.where(
+              lmask & (k < (w >> lg)), rowk, old)
+
+  return kernel
+
+
+# filter-tap lookup rows for the one-hot fact->taps matmul: row
+# (fact + 32*filter_flag), lanes 0..3 = the 4 taps
+_FTAB_ROWS = np.zeros((64, 128), np.int32)
+_FTAB_ROWS[:32, :4] = INTRA_LUMA_FILTER[0]
+_FTAB_ROWS[32:, :4] = INTRA_LUMA_FILTER[1]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "W", "H", "nch", "bit_depth", "is_chroma"))
+def recon_plane_pallas(ctrl, n_units, inter_pos, res_blocks, inter_blocks,
+                       *, W, H, nch, bit_depth, is_chroma):
+  """Run the recon kernel over one plane kind.
+
+  ctrl: (30, ncap) int32 decode-order control matrix.
+  n_units: () int32 count of live units.
+  inter_pos: (ncap,) int32 index into inter_blocks (0 for intra units).
+  res_blocks: (ncap, [nch,] S, S) int32 residual tiles per unit.
+  inter_blocks: (icap, [nch,] S, S) int32 inter prediction tiles.
+  Returns (nch, Hp, Wp) reconstructed planes (padded; crop to H, W).
+  """
+  gran = 2 if is_chroma else 4
+  Hp, Wp, Wr, HL = plane_geom(W, H, gran)
+  ncap = ctrl.shape[1]
+  kernel = _build_kernel(Hp, Wp, Wr, HL, nch, bit_depth, is_chroma, gran)
+  mid = 1 << (bit_depth - 1)
+  p0 = jnp.full((nch, Hp, Wp), mid, jnp.int32)
+  r0 = jnp.zeros((nch, Wr, HL), jnp.int32)
+  if nch > 1:
+    res_spec = pl.BlockSpec((1, nch, S, S), lambda i, c, m, p: (i, 0, 0, 0))
+    iblk_spec = pl.BlockSpec((1, nch, S, S),
+                             lambda i, c, m, p: (p[i], 0, 0, 0))
+  else:
+    res_spec = pl.BlockSpec((1, S, S), lambda i, c, m, p: (i, 0, 0))
+    iblk_spec = pl.BlockSpec((1, S, S), lambda i, c, m, p: (p[i], 0, 0))
+  vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+  grid_spec = pltpu.PrefetchScalarGridSpec(
+      num_scalar_prefetch=3, grid=(ncap,),
+      in_specs=[res_spec, iblk_spec, vm, vm, vm],
+      out_specs=[vm, vm])
+  fn = pl.pallas_call(
+      kernel,
+      out_shape=[jax.ShapeDtypeStruct((nch, Hp, Wp), jnp.int32),
+                 jax.ShapeDtypeStruct((nch, Wr, HL), jnp.int32)],
+      grid_spec=grid_spec,
+      input_output_aliases={6: 0, 7: 1},
+      # off-TPU (FFMPEG_TPU_PALLAS=1 tests) run the kernel interpreted
+      interpret=jax.default_backend() != "tpu")
+  meta = jnp.asarray([n_units], jnp.int32).reshape(1)
+  plane, _r = fn(ctrl, meta, inter_pos, res_blocks, inter_blocks,
+                 jnp.asarray(_FTAB_ROWS), p0, r0)
+  return plane
