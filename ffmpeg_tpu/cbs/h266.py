@@ -552,6 +552,60 @@ def tile_partition(exp_sizes_minus1, total: int) -> list[int]:
     return sizes
 
 
+APS_TYPE_ALF = 0
+APS_TYPE_LMCS = 1
+APS_TYPE_SCALING = 2
+
+
+@dataclass
+class APS:
+    """Adaptation parameter set (spec 7.3.2.5 aps / 7.3.2.18 lmcs_data;
+    reference: cbs_h266_syntax_template.c aps/lmcs_data)."""
+    aps_params_type: int = APS_TYPE_LMCS
+    aps_adaptation_parameter_set_id: int = 0
+    aps_chroma_present_flag: int = 1
+    # lmcs_data
+    lmcs_min_bin_idx: int = 0
+    lmcs_delta_max_bin_idx: int = 0
+    lmcs_delta_cw_prec_minus1: int = 0
+    lmcs_delta_abs_cw: tuple = ()        # [min_bin_idx .. 15-delta_max]
+    lmcs_delta_sign_cw_flag: tuple = ()
+    lmcs_delta_abs_crs: int = 0
+    lmcs_delta_sign_crs_flag: int = 0
+
+    def write(self, w: BitWriter) -> None:
+        w.u(3, self.aps_params_type)
+        w.u(5, self.aps_adaptation_parameter_set_id)
+        w.flag(self.aps_chroma_present_flag)
+        if self.aps_params_type == APS_TYPE_LMCS:
+            w.ue(self.lmcs_min_bin_idx)
+            w.ue(self.lmcs_delta_max_bin_idx)
+            w.ue(self.lmcs_delta_cw_prec_minus1)
+            lmcs_max_bin_idx = 15 - self.lmcs_delta_max_bin_idx
+            n = lmcs_max_bin_idx - self.lmcs_min_bin_idx + 1
+            assert len(self.lmcs_delta_abs_cw) == n
+            for i in range(n):
+                w.u(self.lmcs_delta_cw_prec_minus1 + 1,
+                    self.lmcs_delta_abs_cw[i])
+                if self.lmcs_delta_abs_cw[i] > 0:
+                    w.flag(self.lmcs_delta_sign_cw_flag[i])
+            if self.aps_chroma_present_flag:
+                w.u(3, self.lmcs_delta_abs_crs)
+                if self.lmcs_delta_abs_crs > 0:
+                    w.flag(self.lmcs_delta_sign_crs_flag)
+        else:
+            raise NotImplementedError("APS type not implemented yet")
+        w.flag(0)  # aps_extension_flag
+        w.rbsp_trailing_bits()
+
+    def to_nal(self) -> bytes:
+        from ..bitstream.bits import NAL_PREFIX_APS
+
+        w = BitWriter()
+        self.write(w)
+        return make_nal(NAL_PREFIX_APS, w.to_bytes())
+
+
 @dataclass
 class PictureHeader:
     ph_gdr_or_irap_pic_flag: int = 1

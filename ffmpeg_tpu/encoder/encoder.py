@@ -65,6 +65,8 @@ class EncoderConfig:
     bdpcm: bool = False
     # LFNST secondary transform
     lfnst: bool = False
+    # LMCS (luma mapping with chroma scaling): random APS model
+    lmcs: bool = False
     # random-access GOP-4 pyramid: multi-ref B slices + output reorder
     # (requires inter; n_frames should be 4k+1)
     ra: bool = False
@@ -112,6 +114,7 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
         sps_explicit_mts_inter_enabled_flag=1 if cfg.mts else 0,
         sps_dep_quant_enabled_flag=1 if cfg.dep_quant else 0,
         sps_sign_data_hiding_enabled_flag=1 if cfg.sign_hiding else 0,
+        sps_lmcs_enabled_flag=1 if cfg.lmcs else 0,
     )
     pps = PPS(
         pps_pic_width_in_luma_samples=cfg.width,
@@ -347,6 +350,45 @@ def tree_leaves(node: dict) -> list[CuIntent]:
     return out
 
 
+def _random_lmcs_aps(cfg, rng):
+    """Random conforming LMCS model (7.3.2.18 / 7.4.3.18 constraints).
+
+    lmcs_delta_max_bin_idx is kept equal to lmcs_min_bin_idx because
+    the reference derives its max_bin from min_bin (vvc_ps.c:620);
+    min_bin >= 1 avoids the reference's out-of-bounds inverse-LUT scan
+    for max_bin 15 (vvc_ps.c:656-660).
+    """
+    from ..cbs.h266 import APS, APS_TYPE_LMCS
+
+    bd = cfg.bit_depth
+    org = (1 << bd) // 16
+    lo, hi = org >> 3, (org << 3) - 1
+    min_bin = int(rng.integers(1, 4))
+    nbins = (15 - min_bin) - min_bin + 1
+    span = min(12, org - lo, hi - org)
+    while True:
+        deltas = rng.integers(-span, span // 2 + 1, nbins)
+        cw = org + deltas
+        if (cw >= lo).all() and (cw <= hi).all() and                 cw.sum() <= (1 << bd) - 1:
+            break
+    while True:
+        crs = int(rng.integers(-7, 8))
+        if cw.min() + crs >= lo and cw.max() + crs <= hi:
+            break
+    return APS(
+        aps_params_type=APS_TYPE_LMCS,
+        aps_adaptation_parameter_set_id=int(rng.integers(0, 4)),
+        aps_chroma_present_flag=1 if cfg.chroma_format_idc else 0,
+        lmcs_min_bin_idx=min_bin,
+        lmcs_delta_max_bin_idx=min_bin,
+        lmcs_delta_cw_prec_minus1=3,  # 4-bit abs values (<= span 12)
+        lmcs_delta_abs_cw=tuple(int(abs(d)) for d in deltas),
+        lmcs_delta_sign_cw_flag=tuple(1 if d < 0 else 0 for d in deltas),
+        lmcs_delta_abs_crs=abs(crs),
+        lmcs_delta_sign_crs_flag=1 if crs < 0 else 0,
+    )
+
+
 def encode_stream(cfg: EncoderConfig):
     """Returns (annexb_bytes, intent_dict)."""
     rng = np.random.default_rng(cfg.seed)
@@ -354,6 +396,15 @@ def encode_stream(cfg: EncoderConfig):
     out = bytearray()
     out += sps.to_nal()
     out += pps.to_nal(sps)
+    lmcs_aps = None
+    lmcs_crs_flag = 0
+    if cfg.lmcs:
+        lmcs_aps = _random_lmcs_aps(cfg, rng)
+        out += lmcs_aps.to_nal()
+        # fixed per stream: the flag selects a different compiled
+        # program variant, so per-frame flips would churn compiles
+        lmcs_crs_flag = int(rng.integers(0, 2)) if cfg.chroma_format_idc \
+            else 0
 
     intent = {
         "config": {k: getattr(cfg, k) for k in (
@@ -429,6 +480,10 @@ def encode_stream(cfg: EncoderConfig):
             sh.ph.ph_cu_qp_delta_subdiv_inter_slice = cfg.cu_qp_delta_subdiv
         if cfg.joint_cbcr:
             sh.ph.ph_joint_cbcr_sign_flag = int(rng.integers(0, 2))
+        if cfg.lmcs:
+            sh.ph.ph_lmcs_enabled_flag = 1
+            sh.ph.ph_lmcs_aps_id = lmcs_aps.aps_adaptation_parameter_set_id
+            sh.ph.ph_chroma_residual_scale_flag = lmcs_crs_flag
         trees = random_frame_intent(cfg, sps, pps, rng, is_inter_slice=is_p)
         if cfg.sao:
             ctb_w = (cfg.width + (1 << cfg.ctu_log2) - 1) >> cfg.ctu_log2

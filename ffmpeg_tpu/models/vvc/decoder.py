@@ -24,7 +24,7 @@ import hashlib
 import numpy as np
 
 from .host import HostDecoder
-from .pipeline import decode_frame_device
+from .pipeline import submit_frame
 
 # frames fetched per device->host transfer; also the dispatch-ahead depth
 FETCH_BATCH = 8
@@ -107,11 +107,19 @@ class VVCDecoder:
         self._dpb: dict[int, list] = {}  # poc -> [Y, Cb, Cr] device planes
 
     def _parse_au(self, au: bytes, epoch: int):
+        """Worker-thread frame stage: native CABAC parse (releases the
+        GIL) + host input build/pack (pipeline.prepare_frame).  Only
+        the reference resolution + dispatch stay on the main thread."""
+        from .pipeline import prepare_frame
+
         hd = self._hosts.get()
         try:
-            return hd.decode_au(au, epoch)
+            fs = hd.decode_au(au, epoch)
         finally:
             self._hosts.put(hd)
+        if fs is None:
+            return None
+        return fs, prepare_frame(fs)
 
     def _split_aus(self, data: bytes):
         """[(is_idr, epoch, au_bytes)] where each AU is self-contained:
@@ -197,10 +205,11 @@ class VVCDecoder:
         first = True
         while inflight:
             is_idr, fut = inflight.popleft()
-            fs = fut.result()
+            parsed = fut.result()
             top_up()
-            if fs is None:
+            if parsed is None:
                 continue
+            fs, prepared = parsed
             if is_idr:
                 if not first:
                     yield from bump(all_of_them=True)
@@ -212,7 +221,7 @@ class VVCDecoder:
                 missing = needed - set(self._dpb)
                 if missing:
                     raise RuntimeError(f"missing reference frames {missing}")
-            packed, planes = decode_frame_device(fs, self._dpb)
+            packed, planes = submit_frame(prepared, fs, self._dpb)
             if fetch and hasattr(packed, "copy_to_host_async"):
                 # start the device->host transfer now so it streams
                 # behind later frames' dispatch/compute (the transport

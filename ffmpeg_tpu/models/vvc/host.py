@@ -77,6 +77,23 @@ def _get_lib():
         lib.vvch_tu_slots.restype = None
         lib.vvch_tu_slots.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                       ctypes.POINTER(ctypes.c_int32)]
+        lib.vvch_lmcs.restype = None
+        lib.vvch_lmcs.argtypes = [ctypes.c_void_p,
+                                  ctypes.POINTER(ctypes.c_int32)]
+        lib.vvch_detach.restype = ctypes.c_void_p
+        lib.vvch_detach.argtypes = [ctypes.c_void_p]
+        lib.vvch_fo_free.restype = None
+        lib.vvch_fo_free.argtypes = [ctypes.c_void_p]
+        lib.vvch_fo_bucket_counts.restype = None
+        lib.vvch_fo_bucket_counts.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+        lib.vvch_fo_fill_buckets.restype = ctypes.c_int
+        lib.vvch_fo_fill_buckets.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p)]
         _lib = lib
     return _lib
 
@@ -113,6 +130,26 @@ class FrameSyntax:
     # decode-order recon kernel); -1 = no slot in that plane kind
     slots_y: np.ndarray | None = None
     slots_c: np.ndarray | None = None
+    # detached native FrameOut handle (vvch_detach): the C-side TU list
+    # + coefficient planes, consumed by the native bucket filler
+    fo: "NativeFrame | None" = None
+    # LMCS derived state (None = disabled): {"crs_flag", "min_bin",
+    # "max_bin", "pivot"(17,), "fwd_scale"(16,), "inv_scale"(16,),
+    # "chroma_scale"(16,)} int32 arrays (vvch_lmcs layout)
+    lmcs: dict | None = None
+
+
+class NativeFrame:
+    """Owns a detached native FrameOut (freed with the python object)."""
+
+    def __init__(self, lib, ptr) -> None:
+        self._lib = lib
+        self.ptr = ptr
+
+    def __del__(self):
+        if self.ptr:
+            self._lib.vvch_fo_free(self.ptr)
+            self.ptr = None
 
 
 class ColStore:
@@ -211,6 +248,18 @@ class HostDecoder:
                 buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
             return buf
 
+        lminfo = np.zeros(69, np.int32)
+        self._lib.vvch_lmcs(self._h,
+                            lminfo.ctypes.data_as(
+                                ctypes.POINTER(ctypes.c_int32)))
+        lmcs = None
+        if lminfo[0]:
+            lmcs = {"crs_flag": int(lminfo[1]), "min_bin": int(lminfo[2]),
+                    "max_bin": int(lminfo[3]), "pivot": lminfo[4:21].copy(),
+                    "fwd_scale": lminfo[21:37].copy(),
+                    "inv_scale": lminfo[37:53].copy(),
+                    "chroma_scale": lminfo[53:69].copy()}
+
         pu_h, pu_w = h // 4, w // 4
         mvf = {name: np.ctypeslib.as_array(
                    self._lib.vvch_mvf(self._h, i),
@@ -241,4 +290,7 @@ class HostDecoder:
             dep_quant=dep_quant,
             slots_y=tu_slots(False),
             slots_c=tu_slots(True),
+            lmcs=lmcs,
+            fo=NativeFrame(self._lib,
+                           self._lib.vvch_detach(self._h)),
         )

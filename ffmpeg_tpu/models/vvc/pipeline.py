@@ -21,12 +21,62 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-try:  # persistent XLA compile cache: frame programs are large
-  jax.config.update("jax_compilation_cache_dir", "/tmp/ffmpeg_tpu_jax_cache")
-  jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-  jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-except Exception:  # noqa: BLE001 - older jax without these knobs
-  pass
+_CACHE_CONFIGURED = False
+
+
+def _ensure_compile_cache():
+  """Enable the persistent XLA compile cache on TPU backends only:
+  this jaxlib's XLA:CPU AOT serialization is unreliable (serialize
+  segfaults / deserialize aborts on machine-feature mismatch), so CPU
+  runs (tests, virtual meshes) must compile fresh.  Lazy so importing
+  the library never initializes a backend."""
+  global _CACHE_CONFIGURED
+  if _CACHE_CONFIGURED:
+    return
+  _CACHE_CONFIGURED = True
+  try:
+    if jax.default_backend() != "tpu":
+      return
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/ffmpeg_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+  except Exception:  # noqa: BLE001 - older jax without these knobs
+    pass
+
+
+def _install_atomic_cache_writes():
+  """jax's file cache writes entries with a plain write_bytes: a second
+  process reading a half-written multi-MB entry aborts the process in
+  executable deserialization.  Make writes atomic (tmp + rename) so
+  readers only ever see absent or complete entries."""
+  try:
+    import os
+
+    from jax._src import lru_cache as _lru
+  except Exception:  # noqa: BLE001
+    return
+  if getattr(_lru.LRUCache, "_ffmpeg_tpu_atomic", False):
+    return
+  orig_put = _lru.LRUCache.put
+
+  def put(self, key, val):
+    if self.eviction_enabled:  # locking path: keep jax's behavior
+      return orig_put(self, key, val)
+    if not key:
+      raise ValueError("key cannot be empty")
+    cache_path = self.path / f"{key}{_lru._CACHE_SUFFIX}"
+    if cache_path.exists():
+      return
+    tmp = self.path / f"{key}.tmp.{os.getpid()}"
+    tmp.write_bytes(val)
+    os.replace(str(tmp), str(cache_path))
+
+  _lru.LRUCache.put = put
+  _lru.LRUCache._ffmpeg_tpu_atomic = True
+
+
+_install_atomic_cache_writes()
 
 from ...ops import intra as I
 from ...ops.deblock import deblock_vertical_chroma, deblock_vertical_luma
@@ -153,11 +203,93 @@ def _apply_lfnst(deq, b, w, h, bit_depth):
 # device-side pieces (traced inside the frame program)
 # ----------------------------------------------------------------------
 
-def _bucket_residuals(b, w, h, bit_depth):
+def _lmcs_fwd(x, lm, bit_depth):
+  """Forward LMCS luma mapping, evaluated piecewise (16 uniform input
+  segments) instead of a per-sample LUT gather (lmcs_derive_lut_sample,
+  vvc_ps.c:592-598 with pivot1=pivot, pivot2=input_pivot)."""
+  shift = bit_depth - 4                 # log2(org_cw)
+  idx = x >> shift
+  out = jnp.zeros_like(x)
+  for i in range(16):
+    seg = lm["pivot"][i] + (
+        (lm["fwd_scale"][i] * (x - (i << shift)) + (1 << 10)) >> 11)
+    out = jnp.where(idx == i, seg, out)
+  return jnp.clip(out, 0, (1 << bit_depth) - 1)
+
+
+def _lmcs_inv(x, lm, bit_depth):
+  """Inverse LMCS luma mapping (non-uniform pivots: the bin index is
+  the count of passed pivots, mirroring the reference's scan loop at
+  vvc_ps.c:656-660).  Requires lmcs_min_bin_idx >= 1 (enforced at
+  parse) so the scan index stays within the 16-entry tables."""
+  shift = bit_depth - 4
+  mb = lm["bins"][0]
+  xb = lm["bins"][1]
+  idx = jnp.full(x.shape, 0, jnp.int32) + mb
+  for j in range(16):
+    take = (j >= mb) & (j <= xb)
+    idx = idx + jnp.where(take & (x >= lm["pivot"][j + 1]), 1, 0)
+  out = jnp.zeros_like(x)
+  for i in range(16):
+    seg = (i << shift) + (
+        (lm["inv_scale"][i] * (x - lm["pivot"][i]) + (1 << 10)) >> 11)
+    out = jnp.where(idx == i, seg, out)
+  return jnp.clip(out, 0, (1 << bit_depth) - 1)
+
+
+def _lmcs_vpdu_scales(plane_y, lm, W, H, vsz, bit_depth):
+  """Per-VPDU chroma residual scale factors from the mapped luma recon
+  (lmcs_derive_chroma_scale, vvc_intra_template.c:390-428): average of
+  the VPDU's outside-left column and outside-top row (edge-replicated
+  to vsz samples within the picture), mapped through the pivot scan.
+  Returns a flat (nvy*nvx,) int32 scale array."""
+  nvx = -(-W // vsz)
+  nvy = -(-H // vsz)
+  vy = jnp.arange(nvy) * vsz
+  vx = jnp.arange(nvx) * vsz
+  i = jnp.arange(vsz)
+  # left neighbour column x-1, rows y..y+vsz-1 clamped to the picture
+  rows = jnp.minimum(vy[:, None] + i[None, :], H - 1)       # (nvy, vsz)
+  lcol = plane_y[rows[:, None, :], jnp.maximum(vx - 1, 0)[None, :, None]]
+  lsum = jnp.sum(lcol, axis=-1)                             # (nvy, nvx)
+  cols = jnp.minimum(vx[:, None] + i[None, :], W - 1)       # (nvx, vsz)
+  trow = plane_y[jnp.maximum(vy - 1, 0)[:, None, None], cols[None, :, :]]
+  tsum = jnp.sum(trow, axis=-1)
+  avail_l = (vx > 0)[None, :]
+  avail_t = (vy > 0)[:, None]
+  total = lsum * avail_l + tsum * avail_t
+  cnt_log2 = (vsz.bit_length() - 1) + (avail_l & avail_t)
+  cnt = (avail_l.astype(jnp.int32) + avail_t) * vsz
+  luma = jnp.where(cnt > 0, (total + (cnt >> 1)) >> cnt_log2,
+                   1 << (bit_depth - 1))
+  mb = lm["bins"][0]
+  xb = lm["bins"][1]
+  idx = jnp.zeros(luma.shape, jnp.int32) + mb
+  for j in range(16):
+    take = (j >= mb) & (j <= xb)
+    idx = idx + jnp.where(take & (luma >= lm["pivot"][j + 1]), 1, 0)
+  idx = jnp.minimum(idx, 15)
+  return lm["chroma_scale"][idx.reshape(-1)]
+
+
+def _bucket_view(b):
+    """Named rows of the packed per-bucket scalar matrix (BUCKET_ROWS
+    order, filled by vvch_fo_fill_buckets) — free slicing under jit."""
+    d = {k: b["mat"][i] for i, k in enumerate(BUCKET_ROWS)}
+    d["lv"] = b["lv"]
+    d["n"] = b["n"]
+    return d
+
+
+def _bucket_residuals(bm, w, h, bit_depth, is_chroma, chroma_scale=None):
     """Dequant + inverse transform for one (w, h) bucket -> (cap, h, w)
     plus the validity mask.  Levels arrive host-gathered per bucket
     (b["lv"]): shipping compact blocks instead of whole coeff planes
-    cuts the per-frame host->device transfer ~4x."""
+    cuts the per-frame host->device transfer ~4x.  chroma_scale, when
+    given, is the flat per-VPDU LMCS scale array applied to chroma
+    residuals of TBs with more than 4 samples (itransform,
+    vvc_intra.c:449-475)."""
+    b = _bucket_view(bm)
     n = b["n"]  # traced scalar
     cap = b["x0"].shape[0]
     levels = b["lv"]
@@ -166,7 +298,7 @@ def _bucket_residuals(b, w, h, bit_depth):
     sh = b["shift"][:, None, None]
     deq = (levels * scale16 + off) >> sh
     deq = jnp.where(levels == 0, 0, jnp.clip(deq, -(1 << 15), (1 << 15) - 1))
-    if "lf_sel" in b:
+    if not is_chroma and w >= 4 and h >= 4:
       deq = _apply_lfnst(deq, b, w, h, bit_depth)
     # per-TU transform kind (0=DCT2 1=DST7 2=DCT8, spec 8.7.4 / MTS);
     # DST7/DCT8 exist for 4..32 only — other sizes are always DCT2
@@ -195,39 +327,51 @@ def _bucket_residuals(b, w, h, bit_depth):
                        preferred_element_type=jnp.int32)
     shift2 = 5 + 15 - bit_depth
     out = (out + (1 << (shift2 - 1))) >> shift2
-    if "ts" in b:
-      # transform skip: the dequantized levels ARE the residual
-      out = jnp.where(b["ts"][:, None, None] > 0, deq, out)
-    if "jop" in b:
+    # transform skip: the dequantized levels ARE the residual
+    out = jnp.where(b["ts"][:, None, None] > 0, deq, out)
+    if is_chroma:
       # joint-CbCr derived residual: (r * c_sign) >> shift applied to
       # the post-ITX samples (add_residual_joint, vvcdsp_template.c:48)
       jop = b["jop"][:, None, None]
       sgn = jnp.where((jop == 2) | (jop == 4), -out, out)
       out = jnp.where(jop == 0, out,
                       jnp.where(jop >= 3, sgn >> 1, sgn))
+    if is_chroma and chroma_scale is not None and w * h > 4:
+      # LMCS chroma residual scaling (lmcs_scale_chroma,
+      # vvc_intra_template.c:431-454): after the joint-CbCr sign/shift,
+      # matching the reference order for derived components
+      # (add_residual_for_joint_coding_chroma, vvc_intra.c:179-182)
+      sc = chroma_scale[b["vpdu"]][:, None, None]
+      c = jnp.clip(out, -(1 << bit_depth), (1 << bit_depth) - 1)
+      mag = (jnp.abs(c) * sc + (1 << 10)) >> 11
+      out = jnp.where(c < 0, -mag, mag)
     mask = (jnp.arange(cap) < n)[:, None, None]
     return out, mask
 
 
-def _residual_from_buckets(buckets, Hp, Wp, bit_depth, sizes):
+def _residual_from_buckets(buckets, Hp, Wp, bit_depth, sizes, is_chroma,
+                           chroma_scale=None):
   res = jnp.zeros((Hp, Wp), jnp.int32)
   for (w, h) in sizes:
-    b = buckets[(w, h)]
-    out, mask = _bucket_residuals(b, w, h, bit_depth)
+    b = _bucket_view(buckets[(w, h)])
+    out, mask = _bucket_residuals(buckets[(w, h)], w, h, bit_depth,
+                                  is_chroma, chroma_scale)
     yy = b["y0"][:, None, None] + jnp.arange(h)[None, :, None]
     xx = b["x0"][:, None, None] + jnp.arange(w)[None, None, :]
     res = res.at[yy, xx].add(out * mask)
   return res
 
 
-def _residual_blocks_from_buckets(buckets, ncap, bit_depth, sizes, S=32):
+def _residual_blocks_from_buckets(buckets, ncap, bit_depth, sizes,
+                                  is_chroma, chroma_scale=None, S=32):
   """Residuals scattered into the per-predict-unit block layout
   (ncap, S, S) consumed by the Pallas recon kernel: every coded TU is
   exactly one unit tile (slot), at unit-local origin (0, 0)."""
   res = jnp.zeros((ncap * S * S,), jnp.int32)
   for (w, h) in sizes:
-    b = buckets[(w, h)]
-    out, mask = _bucket_residuals(b, w, h, bit_depth)
+    b = _bucket_view(buckets[(w, h)])
+    out, mask = _bucket_residuals(buckets[(w, h)], w, h, bit_depth,
+                                  is_chroma, chroma_scale)
     # invalid rows go out of bounds and are dropped, keeping the live
     # indices unique (slots are 1:1 with coded TUs per plane)
     valid = mask[:, 0, 0] & (b["slot"] >= 0)
@@ -312,8 +456,10 @@ def _slice_block(plane, y0, x0, maxs):
 
 
 def _inter_pred_unit(refs, c, *, maxs, taps, before, frac_bits,
-                     bit_depth, maxv):
-  """Clipped inter prediction for one unit (vmapped over a batch)."""
+                     bit_depth, maxv, lmcs=None):
+  """Clipped inter prediction for one unit (vmapped over a batch).
+  With lmcs, the clipped luma prediction is forward-mapped into the
+  LMCS domain (vvc_inter.c:888-891)."""
   t0 = _mc_block(refs, c["x0"], c["y0"], c["m0x"], c["m0y"], maxs, taps,
                  before, frac_bits, bit_depth, c["r0slot"])
   t1 = _mc_block(refs, c["x0"], c["y0"], c["m1x"], c["m1y"], maxs, taps,
@@ -325,15 +471,18 @@ def _inter_pred_unit(refs, c, *, maxs, taps, before, frac_bits,
   uni = jnp.clip((uni + off2) >> shift2, 0, maxv)
   sh_avg = max(3, 15 - bit_depth)
   bi = jnp.clip((t0 + t1 + (1 << (sh_avg - 1))) >> sh_avg, 0, maxv)
-  return jnp.where(c["pf"] == 3, bi, uni)
+  pred = jnp.where(c["pf"] == 3, bi, uni)
+  if lmcs is not None:
+    pred = _lmcs_fwd(pred, lmcs, bit_depth)
+  return pred
 
 
 def _inter_unit(res_plane, refs, c, *, maxs, taps, before, frac_bits,
-                bit_depth, maxv):
+                bit_depth, maxv, lmcs=None):
   """Prediction + residual for one inter unit (vmapped over a chunk)."""
   pred = _inter_pred_unit(refs, c, maxs=maxs, taps=taps, before=before,
                           frac_bits=frac_bits, bit_depth=bit_depth,
-                          maxv=maxv)
+                          maxv=maxv, lmcs=lmcs)
   res = _slice_block(res_plane, c["y0"], c["x0"], maxs)
   return jnp.clip(pred + res, 0, maxv)
 
@@ -386,7 +535,7 @@ def _intra_unit(plane, res_plane, c, *, maxs, is_chroma, bit_depth, maxv,
 
 
 def _recon_plane(res_plane, inter, n_inter, intra, n_chunks, refs, *,
-                 maxs_inter, maxs_intra, is_chroma, bit_depth):
+                 maxs_inter, maxs_intra, is_chroma, bit_depth, lmcs=None):
   """Batched reconstruction of one plane.
 
   Replaces the reference's per-CTU RECON/INTER task stages
@@ -411,7 +560,8 @@ def _recon_plane(res_plane, inter, n_inter, intra, n_chunks, refs, *,
          for k in INTER_KEYS}
     blks = jax.vmap(lambda cc: _inter_unit(
         res_plane, refs, cc, maxs=maxs_inter, taps=taps, before=before,
-        frac_bits=frac_bits, bit_depth=bit_depth, maxv=maxv))(c)
+        frac_bits=frac_bits, bit_depth=bit_depth, maxv=maxv,
+        lmcs=lmcs))(c)
     valid = off + jnp.arange(INTER_CHUNK) < n_inter
     return _scatter_blocks(plane, blks, c["x0"], c["y0"], c["w"], c["h"],
                            valid, maxs_inter)
@@ -467,67 +617,89 @@ def _build_frame_program(shapes):
     # [L0 slots..., L1 slots...] per plane, variable count per stream
     return jnp.stack([r[:H >> ss, :W >> ss] for r in refs_in[c_idx]])
 
-  def _recon_pallas(inp, refs_in):
-    """Whole-frame recon via the Pallas decode-order unit kernel."""
+  vsz = min(1 << ctb_log2, 64)   # LMCS chroma-scale VPDU size
+
+  def _pred_blocks(inp, refs_in, c_idx, lm):
+    """Compacted inter-MC prediction tiles for the Pallas path."""
+    S = 32
+    if "has_inter" not in inp:
+      return jnp.zeros((1, S, S), jnp.int32)
+    p = inp["planes"][c_idx]
+    refs = _cropped_refs(refs_in, c_idx)
+    is_c = c_idx > 0
+    cc = {k: p["inter"][k] for k in INTER_KEYS}
+    return jax.vmap(lambda c1: _inter_pred_unit(
+        refs, c1, maxs=S, taps=4 if is_c else 8,
+        before=1 if is_c else 3, frac_bits=5 if is_c else 4,
+        bit_depth=bd, maxv=(1 << bd) - 1,
+        lmcs=lm if c_idx == 0 else None))(cc)
+
+  def _recon_pallas(inp, refs_in, lm, crs):
+    """Whole-frame recon via the Pallas decode-order unit kernel:
+    luma first (in the LMCS-mapped domain when enabled), then the
+    chroma kernel with LMCS residual scaling from the mapped luma."""
     from ...ops.recon_pallas import recon_plane_pallas
 
-    S = 32
     mid = 1 << (bd - 1)
-    res_blks, iblks = [], []
-    for c_idx in range(3):
-      p = inp["planes"][c_idx]
-      r = inp["recon"]["y" if c_idx == 0 else "c"]
-      ncap = r["ctrl"].shape[1]
-      sizes = LUMA_SIZES if c_idx == 0 else CHROMA_SIZES
-      res_blks.append(_residual_blocks_from_buckets(
-          p["buckets"], ncap, bd, sizes))
-      if "has_inter" in inp:
-        refs = _cropped_refs(refs_in, c_idx)
-        is_c = c_idx > 0
-        cc = {k: p["inter"][k] for k in INTER_KEYS}
-        iblks.append(jax.vmap(lambda c1, refs=refs, is_c=is_c:
-                              _inter_pred_unit(
-            refs, c1, maxs=S, taps=4 if is_c else 8,
-            before=1 if is_c else 3, frac_bits=5 if is_c else 4,
-            bit_depth=bd, maxv=(1 << bd) - 1))(cc))
-      else:
-        iblks.append(jnp.zeros((1, S, S), jnp.int32))
     ry, rc = inp["recon"]["y"], inp["recon"]["c"]
-    ky = recon_plane_pallas(ry["ctrl"], ry["n"], ry["ipos"],
-                            res_blks[0], iblks[0],
+    res_y = _residual_blocks_from_buckets(
+        inp["planes"][0]["buckets"], ry["ctrl"].shape[1], bd,
+        LUMA_SIZES, False)
+    ky = recon_plane_pallas(ry["ctrl"], ry["n"], ry["ipos"], res_y,
+                            _pred_blocks(inp, refs_in, 0, lm),
                             W=W, H=H, nch=1, bit_depth=bd, is_chroma=False)
+    scale = (_lmcs_vpdu_scales(ky[0][:H, :W], lm, W, H, vsz, bd)
+             if crs else None)
+    ncap_c = rc["ctrl"].shape[1]
+    res_c = [_residual_blocks_from_buckets(
+        inp["planes"][c]["buckets"], ncap_c, bd, CHROMA_SIZES, True,
+        scale) for c in (1, 2)]
     kc = recon_plane_pallas(rc["ctrl"], rc["n"], rc["ipos"],
-                            jnp.stack(res_blks[1:], axis=1),
-                            jnp.stack(iblks[1:], axis=1),
+                            jnp.stack(res_c, axis=1),
+                            jnp.stack([_pred_blocks(inp, refs_in, c, lm)
+                                       for c in (1, 2)], axis=1),
                             W=W >> 1, H=H >> 1, nch=2, bit_depth=bd,
                             is_chroma=True)
+    luma = _lmcs_inv(ky[0], lm, bd) if lm is not None else ky[0]
 
     def embed(kp, Hx, Wx, Hp, Wp):
       return jnp.pad(kp[:Hx, :Wx], ((0, Hp - Hx), (0, Wp - Wx)),
                      constant_values=mid)
 
-    return [embed(ky[0], H, W, Hp_y, Wp_y),
+    return [embed(luma, H, W, Hp_y, Wp_y),
             embed(kc[0], H >> 1, W >> 1, Hp_c, Wp_c),
             embed(kc[1], H >> 1, W >> 1, Hp_c, Wp_c)]
 
   def frame_program(inp, refs_in):
+    lm = inp.get("lmcs")
+    crs = lm is not None and "chroma_scale" in lm
     if use_pallas:
-      planes = _recon_pallas(inp, refs_in)
+      planes = _recon_pallas(inp, refs_in, lm, crs)
     else:
       planes = []
+      scale = None
       for c_idx, (maxs, Hp, Wp, sizes) in enumerate((
           (maxs_y, Hp_y, Wp_y, LUMA_SIZES),
           (maxs_c, Hp_c, Wp_c, CHROMA_SIZES),
           (maxs_c, Hp_c, Wp_c, CHROMA_SIZES))):
         p = inp["planes"][c_idx]
-        res = _residual_from_buckets(p["buckets"], Hp, Wp, bd, sizes)
+        res = _residual_from_buckets(p["buckets"], Hp, Wp, bd, sizes,
+                                     c_idx > 0,
+                                     scale if c_idx > 0 else None)
         refs = _cropped_refs(refs_in, c_idx)
         plane = _recon_plane(res, p["inter"], p["n_inter"], p["intra"],
                              p["n_chunks"], refs,
                              maxs_inter=min(32, maxs),
                              maxs_intra=min(32, maxs),
-                             is_chroma=c_idx > 0, bit_depth=bd)
+                             is_chroma=c_idx > 0, bit_depth=bd,
+                             lmcs=lm if c_idx == 0 else None)
         planes.append(plane)
+        if c_idx == 0 and crs:
+          scale = _lmcs_vpdu_scales(plane[:H, :W], lm, W, H, vsz, bd)
+      if lm is not None:
+        # inverse mapping of the whole luma plane before the loop
+        # filters (ff_vvc_lmcs_filter, vvc_filter.c:1322-1331)
+        planes[0] = _lmcs_inv(planes[0], lm, bd)
 
     def loopfilters(planes, d):
       out = list(planes)
@@ -600,50 +772,69 @@ class PackedProgram:
   """
 
   def __init__(self, body):
+    import threading
     self._body = body
+    self._lock = threading.Lock()  # pack() runs on parse worker threads
     self._variants: dict = {}  # leaf-shape signature -> (treedef, offs, total, jit)
 
-  def __call__(self, inp, refs):
-    leaves, treedef = jax.tree_util.tree_flatten(inp)
+  def _variant(self, leaves, treedef):
     sig = tuple(np.shape(leaf) for leaf in leaves)
-    var = self._variants.get(sig)
-    if var is None:
-      offs, off = [], 0
-      for leaf in leaves:
-        a = np.asarray(leaf)
-        offs.append((off, a.size, a.shape))
-        off += a.size
+    with self._lock:
+      var = self._variants.get(sig)
+      if var is None:
+        offs, off = [], 0
+        for leaf in leaves:
+          a = np.asarray(leaf)
+          offs.append((off, a.size, a.shape))
+          off += a.size
 
-      def run(buf, refs, offs=offs, treedef=treedef):
-        ls = [buf[o:o + s].reshape(shape) for o, s, shape in offs]
-        return self._body(jax.tree_util.tree_unflatten(treedef, ls), refs)
+        def run(buf, refs, offs=offs, treedef=treedef):
+          ls = [buf[o:o + s].reshape(shape) for o, s, shape in offs]
+          return self._body(jax.tree_util.tree_unflatten(treedef, ls), refs)
 
-      var = (treedef, offs, off, jax.jit(run), run)
-      self._variants[sig] = var
-    treedef_now, offs, total, jit_fn, _ = var
-    assert treedef == treedef_now, "frame input structure changed"
-    buf = _pack_leaves(leaves, total)
+        var = (treedef, offs, off, jax.jit(run), run)
+        self._variants[sig] = var
+    assert treedef == var[0], "frame input structure changed"
+    return var
+
+  def pack(self, inp):
+    """Heavy host half, safe on a worker thread: flatten + pack into
+    one contiguous buffer and start its host->device transfer (the
+    jit argument-upload path is ~2x slower than device_put and would
+    serialize with execution at dispatch time).  Returns an opaque
+    ticket for dispatch()."""
+    leaves, treedef = jax.tree_util.tree_flatten(inp)
+    var = self._variant(leaves, treedef)
+    return var, jax.device_put(_pack_leaves(leaves, var[2]))
+
+  def dispatch(self, ticket, refs):
+    """Light dispatch half (main thread): hand the packed buffer and
+    the just-resolved reference planes to the jitted program."""
+    (_, _, _, jit_fn, _), buf = ticket
     return jit_fn(buf, refs)
+
+  def __call__(self, inp, refs):
+    return self.dispatch(self.pack(inp), refs)
 
   def packed_example(self, inp, refs):
     """(unjitted_fn, (packed_buf, refs)) for external jit/shard harnesses."""
-    leaves, _ = jax.tree_util.tree_flatten(inp)
-    sig = tuple(np.shape(leaf) for leaf in leaves)
-    if sig not in self._variants:
-      self(inp, refs)  # establish the variant
-    _, offs, total, _, run = self._variants[sig]
+    leaves, treedef = jax.tree_util.tree_flatten(inp)
+    _, offs, total, _, run = self._variant(leaves, treedef)
     return run, (_pack_leaves(leaves, total), refs)
 
 
 _PROGRAM_CACHE: dict = {}
 
 
-def get_frame_program(W, H, ctb_log2, bit_depth):
-  key = (W, H, ctb_log2, bit_depth, _use_pallas())
+def get_frame_program(W, H, ctb_log2, bit_depth, pallas=None):
+  _ensure_compile_cache()
+  if pallas is None:
+    pallas = _use_pallas()
+  key = (W, H, ctb_log2, bit_depth, pallas)
   if key not in _PROGRAM_CACHE:
     _PROGRAM_CACHE[key] = PackedProgram(_build_frame_program(
         dict(W=W, H=H, ctb_log2=ctb_log2, bit_depth=bit_depth,
-             pallas=_use_pallas())))
+             pallas=pallas)))
   return _PROGRAM_CACHE[key]
 
 
@@ -692,77 +883,69 @@ def _scale_shift_tables(lw, lh, bit_depth, dep_quant=False):
   return _SCALE_SHIFT_TABLES[key]
 
 
-def _bucket_inputs(fs: FrameSyntax, c_idx: int, sizes, W, H):
-  from .recon import dequant_scale_shift
+# row order of the per-bucket scalar matrix (decode.cc BucketRow)
+BUCKET_ROWS = ("x0", "y0", "scale", "shift", "slot", "trh", "trv", "jop",
+               "ts", "lf_sel", "lf_tr", "vpdu")
 
+_SCSH_CACHE: dict = {}
+
+
+def _scsh_blob(sizes, bit_depth, dep_quant):
+  """(n_sizes, 4, 128) dequant table blob for the native bucket filler:
+  [sc, sh, sc_ts, sh_ts] per size class, indexed by qp_deq + 32."""
+  key = (tuple(sizes), bit_depth, dep_quant)
+  if key not in _SCSH_CACHE:
+    blob = np.empty((len(sizes), 4, 128), np.int32)
+    sc_ts, sh_ts = _scale_shift_tables_ts()
+    for k, (w, h) in enumerate(sizes):
+      sc, sh = _scale_shift_tables(w.bit_length() - 1, h.bit_length() - 1,
+                                   bit_depth, dep_quant=dep_quant)
+      blob[k, 0], blob[k, 1], blob[k, 2], blob[k, 3] = sc, sh, sc_ts, sh_ts
+    _SCSH_CACHE[key] = np.ascontiguousarray(blob)
+  return _SCSH_CACHE[key]
+
+
+def _bucket_inputs(fs: FrameSyntax, c_idx: int, sizes, W, H):
+  """Size-bucketed residual batches, filled by the native parser
+  (vvch_fo_fill_buckets): one (11, cap) scalar matrix + one (cap, h, w)
+  level-block array per size class.  Replaces ~20ms/frame of GIL-bound
+  numpy gathers with a single C pass over the TU list."""
+  import ctypes
+
+  from .host import _get_lib
+
+  lib = _get_lib()
   ss = 0 if c_idx == 0 else 1
-  has_res = fs.tus.get("res", fs.tus["coded"])
-  sel = np.where((fs.tus["c_idx"] == c_idx) & (has_res == 1))[0]
-  ws = fs.tus["w"][sel]
-  hs = fs.tus["h"][sel]
-  covered = {(int(a), int(b)) for a, b in zip(ws, hs)}
-  missing = covered - set(sizes)
-  assert not missing, f"coded TU sizes outside bucket list: {missing}"
-  out = {}
-  for (w, h) in sizes:
-    needed = int(((ws == w) & (hs == h)).sum())
-    cap = _ratchet((W, H), ("bucket", c_idx, w, h), needed,
-                   _bucket_capacity(W >> ss, H >> ss, w, h), floor=16)
-    b = {"x0": np.zeros(cap, np.int32), "y0": np.zeros(cap, np.int32),
-         "scale": np.zeros(cap, np.int32), "shift": np.ones(cap, np.int32),
-         "slot": np.full(cap, -1, np.int32),
-         "lv": np.zeros((cap, h, w), np.int32)}
-    with_kinds = 4 <= w <= 32 or 4 <= h <= 32
-    if with_kinds:
-      b["trh"] = np.zeros(cap, np.int32)
-      b["trv"] = np.zeros(cap, np.int32)
-    if c_idx:
-      b["jop"] = np.zeros(cap, np.int32)
-    lf_able = (c_idx == 0 and w >= 4 and h >= 4 and "lf_sel" in fs.tus)
-    if lf_able:
-      b["lf_sel"] = np.full(cap, -1, np.int32)
-      b["lf_tr"] = np.zeros(cap, np.int32)
-    idx = sel[np.where((ws == w) & (hs == h))[0]]
-    assert len(idx) <= cap, f"bucket ({w}x{h}) overflow: {len(idx)} > {cap}"
-    n = len(idx)
-    lw, lh = w.bit_length() - 1, h.bit_length() - 1
-    if n:
-      idxn = idx[:n]
-      x0n = fs.tus["x0"][idxn]
-      y0n = fs.tus["y0"][idxn]
-      b["x0"][:n] = x0n
-      b["y0"][:n] = y0n
-      coeff = (fs.coeff_y, fs.coeff_cb, fs.coeff_cr)[c_idx]
-      b["lv"][:n] = coeff[y0n[:, None, None] + np.arange(h)[None, :, None],
-                          x0n[:, None, None] + np.arange(w)[None, None, :]]
-      slots = fs.slots_y if c_idx == 0 else fs.slots_c
-      if slots is not None and len(slots):
-        b["slot"][:n] = slots[idxn]
-      sc_tab, sh_tab = _scale_shift_tables(lw, lh, fs.bit_depth,
-                                           dep_quant=bool(fs.dep_quant))
-      qp_field = "qp_deq" if "qp_deq" in fs.tus else "qp"
-      qps = fs.tus[qp_field][idxn] + _QP_TAB_OFF
-      b["scale"][:n] = sc_tab[qps]
-      b["shift"][:n] = sh_tab[qps]
-      if "ts" in fs.tus:
-        ts = fs.tus["ts"][idxn].astype(bool)
-        if ts.any():
-          sc_ts, sh_ts = _scale_shift_tables_ts()
-          b["scale"][:n] = np.where(ts, sc_ts[qps], b["scale"][:n])
-          b["shift"][:n] = np.where(ts, sh_ts[qps], b["shift"][:n])
-          b["ts"] = np.zeros(cap, np.int32)
-          b["ts"][:n] = ts.astype(np.int32)
-      if with_kinds:
-        b["trh"][:n] = fs.tus["trh"][idxn]
-        b["trv"][:n] = fs.tus["trv"][idxn]
-      if c_idx:
-        b["jop"][:n] = fs.tus["jop"][idxn]
-      if lf_able:
-        b["lf_sel"][:n] = fs.tus["lf_sel"][idxn]
-        b["lf_tr"][:n] = fs.tus["lf_tr"][idxn]
-    b["n"] = np.int32(n)
-    out[(w, h)] = b
-  return out
+  n_sizes = len(sizes)
+  sizes_arr = np.ascontiguousarray(np.array(sizes, np.int32))
+  counts = np.zeros(n_sizes, np.int32)
+  i32p = ctypes.POINTER(ctypes.c_int32)
+  fo = fs.fo.ptr
+  lib.vvch_fo_bucket_counts(fo, c_idx, n_sizes,
+                            sizes_arr.ctypes.data_as(i32p),
+                            counts.ctypes.data_as(i32p))
+  caps = np.array(
+      [_ratchet((W, H), ("bucket", c_idx, w, h), int(counts[k]),
+                _bucket_capacity(W >> ss, H >> ss, w, h), floor=16)
+       for k, (w, h) in enumerate(sizes)], np.int32)
+  scsh = _scsh_blob(sizes, fs.bit_depth, bool(fs.dep_quant))
+  mats = [np.empty((len(BUCKET_ROWS), cap), np.int32) for cap in caps]
+  lvs = [np.empty((cap, h, w), np.int32)
+         for cap, (w, h) in zip(caps, sizes)]
+  slots = fs.slots_y if c_idx == 0 else fs.slots_c
+  has_slots = slots is not None and len(slots)
+  rc = lib.vvch_fo_fill_buckets(
+      fo, c_idx, n_sizes,
+      sizes_arr.ctypes.data_as(i32p), caps.ctypes.data_as(i32p),
+      scsh.ctypes.data_as(i32p),
+      slots.ctypes.data_as(i32p) if has_slots else None,
+      (ctypes.c_void_p * n_sizes)(*[m.ctypes.data for m in mats]),
+      (ctypes.c_void_p * n_sizes)(*[l.ctypes.data for l in lvs]))
+  assert rc == 0, (
+      f"bucket fill failed (plane {c_idx}): capacity model violated or "
+      f"coded TU size outside the bucket list {sizes}")
+  return {(w, h): {"mat": mats[k], "lv": lvs[k], "n": counts[k:k + 1]}
+          for k, (w, h) in enumerate(sizes)}
 
 
 def _deblock_grids(fs: FrameSyntax, Hp_y, Wp_y, Hp_c, Wp_c, ctb_log2):
@@ -928,44 +1111,79 @@ def _pallas_ctrl(mat, geom_key, tag):
   return {"ctrl": ctrl, "ipos": ipos, "n": np.int32(n)}
 
 
-def build_frame_inputs(fs: FrameSyntax, refs_by_poc, ctb_log2=5):
-  W, H = fs.width, fs.height
-  inp = {"planes": []}
-  n_inter_y, inter_y, n_ch_y, intra_y = _layout_ctrl(fs.ctrl_y, (W, H), "y")
-  n_inter_c, inter_c, n_ch_c, intra_c = _layout_ctrl(fs.ctrl_c, (W, H), "c")
-  if _use_pallas():
-    inp["recon"] = {"y": _pallas_ctrl(fs.ctrl_y, (W, H), "y"),
-                    "c": _pallas_ctrl(fs.ctrl_c, (W, H), "c")}
-    if n_inter_y or n_inter_c:
-      inp["has_inter"] = np.int32(1)
-
+def _padded_plane_shapes(W, H, ctb_log2):
   maxs_y = 1 << ctb_log2
   Hp_y = _round_up(H, 128) + maxs_y
   Wp_y = _round_up(W, 128) + maxs_y
   Hp_c = _round_up(H >> 1, 64) + (maxs_y >> 1)
   Wp_c = _round_up(W >> 1, 64) + (maxs_y >> 1)
+  return (Hp_y, Wp_y), (Hp_c, Wp_c)
 
-  # reference slots: [L0 entries..., L1 entries...] (>=1 each so the
-  # MC gather always has a plane to index)
-  n_l0 = max(1, len(fs.ref_pocs[0]))
-  n_l1 = max(1, len(fs.ref_pocs[1]))
+
+def resolve_refs(fs: FrameSyntax, refs_by_poc, ctb_log2=5, ref_slots=None):
+  """Reference-plane tuple for the frame program: the light, dispatch-
+  time half of input assembly (must run after every referenced frame
+  has been *dispatched*, so its device plane handles exist).
+  ref_slots overrides the (n_l0, n_l1) slot counts (GOP-batch mode
+  needs a uniform reference layout across frames)."""
+  shape_y, shape_c = _padded_plane_shapes(fs.width, fs.height, ctb_log2)
+  n_l0, n_l1 = ref_slots or (max(1, len(fs.ref_pocs[0])),
+                             max(1, len(fs.ref_pocs[1])))
 
   def ref_for(c_idx, lx, k):
     """Padded reference plane: a device-resident DPB plane when
     available (no host round-trip), else cached zeros."""
-    shape = (Hp_y, Wp_y) if c_idx == 0 else (Hp_c, Wp_c)
+    shape = shape_y if c_idx == 0 else shape_c
     if k < len(fs.ref_pocs[lx]):
       poc = fs.ref_pocs[lx][k]
       if refs_by_poc and poc in refs_by_poc:
         return refs_by_poc[poc][c_idx]
     return _zero_plane(shape)
 
-  # L1 motion indexes slots after the L0 block
+  return [tuple(ref_for(c_idx, 0, k) for k in range(n_l0))
+          + tuple(ref_for(c_idx, 1, k) for k in range(n_l1))
+          for c_idx in range(3)]
+
+
+def build_host_inputs(fs: FrameSyntax, ctb_log2=5, ref_slots=None,
+                      pallas=None, force_sao=False):
+  """Heavy host half of input assembly (no device handles touched):
+  safe to run ahead of time on a parse worker thread.  ref_slots /
+  pallas / force_sao pin the input signature for GOP-batch mode, where
+  every frame of a wave must share one program variant."""
+  if pallas is None:
+    pallas = _use_pallas()
+  W, H = fs.width, fs.height
+  inp = {"planes": []}
+  if fs.lmcs is not None:
+    # LMCS piecewise-segment tables (device evaluates the mapping
+    # arithmetically); chroma_scale is present only when the PH enables
+    # chroma residual scaling, so the program structure stays static
+    lm = {"pivot": fs.lmcs["pivot"],
+          "fwd_scale": fs.lmcs["fwd_scale"],
+          "inv_scale": fs.lmcs["inv_scale"],
+          "bins": np.array([fs.lmcs["min_bin"], fs.lmcs["max_bin"]],
+                           np.int32)}
+    if fs.lmcs["crs_flag"]:
+      lm["chroma_scale"] = fs.lmcs["chroma_scale"]
+    inp["lmcs"] = lm
+  n_inter_y, inter_y, n_ch_y, intra_y = _layout_ctrl(fs.ctrl_y, (W, H), "y")
+  n_inter_c, inter_c, n_ch_c, intra_c = _layout_ctrl(fs.ctrl_c, (W, H), "c")
+  if pallas:
+    inp["recon"] = {"y": _pallas_ctrl(fs.ctrl_y, (W, H), "y"),
+                    "c": _pallas_ctrl(fs.ctrl_c, (W, H), "c")}
+    if n_inter_y or n_inter_c:
+      inp["has_inter"] = np.int32(1)
+
+  (Hp_y, Wp_y), (Hp_c, Wp_c) = _padded_plane_shapes(W, H, ctb_log2)
+
+  # reference slots: [L0 entries..., L1 entries...] (>=1 each so the
+  # MC gather always has a plane to index); L1 motion indexes slots
+  # after the L0 block
+  n_l0 = (ref_slots or (max(1, len(fs.ref_pocs[0])),))[0]
   for c in (inter_y, inter_c):
     c["r1slot"] = c["r1slot"] + np.int32(n_l0)
 
-  refs = []
-  pallas = _use_pallas()
   for c_idx in range(3):
     sizes = LUMA_SIZES if c_idx == 0 else CHROMA_SIZES
     luma = c_idx == 0
@@ -984,12 +1202,10 @@ def build_frame_inputs(fs: FrameSyntax, refs_by_poc, ctb_log2=5):
           "n_chunks": n_ch_y if luma else n_ch_c,
       })
     inp["planes"].append(p)
-    refs.append(tuple(ref_for(c_idx, 0, k) for k in range(n_l0))
-                + tuple(ref_for(c_idx, 1, k) for k in range(n_l1)))
   if not fs.deblock_disabled:
     inp["deblock"] = _deblock_grids(fs, Hp_y, Wp_y, Hp_c, Wp_c, ctb_log2)
 
-  if fs.sao is not None and np.any(fs.sao[..., 0:3]):
+  if fs.sao is not None and (force_sao or np.any(fs.sao[..., 0:3])):
     sao = fs.sao
     inp["sao"] = {
         "type": sao[..., 0:3],
@@ -997,23 +1213,40 @@ def build_frame_inputs(fs: FrameSyntax, refs_by_poc, ctb_log2=5):
         "eo": sao[..., 6:9],
         "offv": sao[..., 9:24].reshape(sao.shape[0], sao.shape[1], 3, 5),
     }
-  return inp, refs
+  return inp
 
 
-def decode_frame_device(fs: FrameSyntax, refs_by_poc=None):
-  """Single-dispatch frame decode, fully asynchronous.
+def build_frame_inputs(fs: FrameSyntax, refs_by_poc, ctb_log2=5):
+  return build_host_inputs(fs, ctb_log2), resolve_refs(fs, refs_by_poc,
+                                                       ctb_log2)
+
+
+def prepare_frame(fs: FrameSyntax):
+  """Worker-thread half of a frame dispatch: build + pack the host
+  inputs.  Returns a ticket for submit_frame()."""
+  assert fs.chroma_format_idc == 1, "4:2:0 only for now"
+  prog = get_frame_program(fs.width, fs.height, fs.ctb_log2, fs.bit_depth)
+  return prog, prog.pack(build_host_inputs(fs, fs.ctb_log2))
+
+
+def submit_frame(prepared, fs: FrameSyntax, refs_by_poc=None):
+  """Main-thread half: resolve reference planes and dispatch.
 
   Returns (packed, planes): `packed` is the flat planar-YCbCr output
   buffer (uint8/uint16, one device->host fetch materializes the whole
   frame), `planes` are the padded int32 device planes to keep in the
   DPB and feed back as references without any host round-trip.
   """
-  assert fs.chroma_format_idc == 1, "4:2:0 only for now"
-  ctb_log2 = fs.ctb_log2
-  prog = get_frame_program(fs.width, fs.height, ctb_log2, fs.bit_depth)
-  inp, refs = build_frame_inputs(fs, refs_by_poc, ctb_log2)
-  out = prog(inp, refs)
+  prog, ticket = prepared
+  refs = resolve_refs(fs, refs_by_poc, fs.ctb_log2)
+  out = prog.dispatch(ticket, refs)
   return out["packed"], out["planes"]
+
+
+def decode_frame_device(fs: FrameSyntax, refs_by_poc=None):
+  """Single-dispatch frame decode, fully asynchronous (see
+  prepare_frame/submit_frame for the pipelined two-step form)."""
+  return submit_frame(prepare_frame(fs), fs, refs_by_poc)
 
 
 def decode_frame(fs: FrameSyntax, refs_by_poc=None):

@@ -94,6 +94,20 @@ struct TuRecord {
 };
 #pragma pack(pop)
 
+// LMCS derived state (parity: lmcs_derive_lut, vvc_ps.c:601-671) —
+// exported as piecewise-linear segment tables, NOT sample LUTs: the
+// device evaluates fwd/inv mapping arithmetically (16 segments), which
+// avoids per-pixel LUT gathers that are slow on TPU.
+struct LmcsOut {
+  int enabled = 0;            // sh_lmcs_used (inferred from PH here)
+  int crs_flag = 0;           // ph_chroma_residual_scale_flag
+  int min_bin = 0, max_bin = 15;
+  int32_t pivot[17] = {};
+  int32_t fwd_scale[16] = {};
+  int32_t inv_scale[16] = {};
+  int32_t chroma_scale[16] = {};
+};
+
 struct FrameOut {
   int width = 0, height = 0, bit_depth = 8, chroma_format_idc = 1;
   int ctb_log2 = 5;
@@ -117,6 +131,7 @@ struct FrameOut {
   // per-CTB SAO params, 24 ints each:
   // type[3], band_position[3], eo_class[3], offset_val[3][5]
   std::vector<int32_t> sao;
+  LmcsOut lmcs;
 };
 
 // ---------------- per-CU reconstruction controls ----------------
@@ -554,6 +569,13 @@ class Decoder {
             pps_ = parse_pps(r, sps_);
             has_pps_ = true;
             break;
+          case NAL_PREFIX_APS:
+          case NAL_SUFFIX_APS: {
+            Aps aps = parse_aps(r);
+            if (aps.aps_params_type == 1)  // LMCS
+              aps_lmcs_[aps.id & 3] = aps;
+            break;
+          }
           default:
             if (nal_is_slice(nal.type)) {
               VVC_UNSUPPORTED(!has_sps_ || !has_pps_, "slice before SPS/PPS");
@@ -582,6 +604,7 @@ class Decoder {
  private:
   Sps sps_;
   Pps pps_;
+  Aps aps_lmcs_[4];
   bool has_sps_ = false, has_pps_ = false;
 
   // parse-time state
@@ -992,6 +1015,52 @@ class Decoder {
     return v;
   }
 
+  // LMCS table derivation (parity: lmcs_derive_lut, vvc_ps.c:601-671,
+  // including the reference's max_bin_idx derivation from
+  // lmcs_min_bin_idx at vvc_ps.c:620 — the stream generator keeps
+  // lmcs_delta_max_bin_idx == lmcs_min_bin_idx so spec and reference
+  // agree).  sh_lmcs_used_flag is inferred from ph_lmcs_enabled_flag
+  // (PH carried in SH).
+  void derive_lmcs() {
+    LmcsOut& lm = out.lmcs;
+    lm = LmcsOut();
+    if (!sh_.ph.ph_lmcs_enabled_flag) return;
+    const Aps& aps = aps_lmcs_[sh_.ph.ph_lmcs_aps_id & 3];
+    VVC_UNSUPPORTED(aps.aps_params_type != 1, "LMCS APS missing");
+    VVC_UNSUPPORTED(sps_.bit_depth > 12, "LMCS >12-bit");
+    // min_bin 0 makes the reference's inverse-LUT pivot scan read one
+    // past its 16-entry tables for top samples (vvc_ps.c:656-660 with
+    // max_bin 15) — undefined behaviour there, so no golden exists
+    VVC_UNSUPPORTED(aps.lmcs_min_bin_idx < 1, "lmcs_min_bin_idx 0");
+    lm.enabled = 1;
+    lm.crs_flag = sh_.ph.ph_chroma_residual_scale_flag;
+    const int max = 1 << sps_.bit_depth;
+    const int org_cw = max / 16;
+    int shift = 0;
+    while ((1 << (shift + 1)) <= org_cw) shift++;
+    const int off = 1 << (shift - 1);
+    lm.min_bin = aps.lmcs_min_bin_idx;
+    lm.max_bin = 15 - aps.lmcs_min_bin_idx;  // reference quirk, see above
+    int cw[16] = {};
+    for (int i = lm.min_bin; i <= lm.max_bin; i++)
+      cw[i] = org_cw + aps.lmcs_delta_cw[i];
+    lm.pivot[0] = 0;
+    for (int i = 0; i < 16; i++) {
+      lm.pivot[i + 1] = lm.pivot[i] + cw[i];
+      lm.fwd_scale[i] = (cw[i] * (1 << 11) + off) >> shift;
+      if (cw[i] == 0) {
+        lm.inv_scale[i] = 0;
+        lm.chroma_scale[i] = 1 << 11;
+      } else {
+        lm.inv_scale[i] = org_cw * (1 << 11) / cw[i];
+        // denominator > 0 for conforming streams (7.4.3.18); clamp so
+        // a non-conforming one cannot fault the process
+        lm.chroma_scale[i] = org_cw * (1 << 11) /
+                             std::max(1, cw[i] + aps.lmcs_delta_crs);
+      }
+    }
+  }
+
   void decode_slice(const Nal& nal, BitReader& r) {
     sh_ = parse_slice_header(r, nal.type, sps_, pps_);
     VVC_UNSUPPORTED(sps_.sps_qtbtt_dual_tree_intra_flag, "dual tree (todo)");
@@ -1009,6 +1078,7 @@ class Decoder {
     out.poc = sh_.ph.ph_pic_order_cnt_lsb;
     out.slice_qp = sh_.slice_qp_y;
     out.dep_quant = sh_.sh_dep_quant_used_flag;
+    derive_lmcs();
     out.coeff[0].assign((size_t)pps_.width * pps_.height, 0);
     int cw = pps_.width >> sps_.hshift_c, ch = pps_.height >> sps_.vshift_c;
     if (sps_.sps_chroma_format_idc) {
@@ -2728,6 +2798,20 @@ const int32_t* vvch_mvf(void* h, int which) {
     default: return o.mvf_ref1.data();
   }
 }
+// LMCS derived state: [enabled, crs_flag, min_bin, max_bin,
+// pivot[17], fwd_scale[16], inv_scale[16], chroma_scale[16]] (69 ints)
+void vvch_lmcs(void* h, int32_t* info) {
+  const LmcsOut& lm = ((Decoder*)h)->out.lmcs;
+  info[0] = lm.enabled;
+  info[1] = lm.crs_flag;
+  info[2] = lm.min_bin;
+  info[3] = lm.max_bin;
+  std::memcpy(info + 4, lm.pivot, sizeof(lm.pivot));
+  std::memcpy(info + 21, lm.fwd_scale, sizeof(lm.fwd_scale));
+  std::memcpy(info + 37, lm.inv_scale, sizeof(lm.inv_scale));
+  std::memcpy(info + 53, lm.chroma_scale, sizeof(lm.chroma_scale));
+}
+
 // [slice_type, nb_refs0, nb_refs1, ref_pocs0[16], ref_pocs1[16]]
 void vvch_ref_info(void* h, int32_t* info) {
   FrameOut& o = ((Decoder*)h)->out;
@@ -2779,6 +2863,132 @@ void vvch_tu_slots(void* h, int is_chroma, int32_t* out) {
 
 int vvch_cu_record_size() { return (int)(sizeof(CuRecord) / 4); }
 int vvch_tu_record_size() { return (int)(sizeof(TuRecord) / 4); }
+
+// ---------------- residual bucket fill (device input assembly) -------
+// The frame program consumes residuals as size-bucketed batches (one
+// (cap, h, w) level block array + one (11, cap) per-TU scalar matrix
+// per (w, h) size class, pipeline.py:_bucket_inputs).  Assembling
+// those in numpy costs ~20 GIL-bound ms/frame at 720p; this fills the
+// python-allocated buffers in one C pass over the TU list instead.
+//
+// vvch_detach moves the parsed FrameOut onto the heap so the fill can
+// run on a worker thread after the pooled Decoder handle is reused.
+
+void* vvch_detach(void* h) {
+  return new FrameOut(std::move(((Decoder*)h)->out));
+}
+void vvch_fo_free(void* fo) { delete (FrameOut*)fo; }
+
+namespace {
+// row order of the per-bucket scalar matrix (pipeline.py BUCKET_ROWS)
+enum BucketRow {
+  kBX0, kBY0, kBScale, kBShift, kBSlot, kBTrh, kBTrv, kBJop, kBTs,
+  kBLfSel, kBLfTr,
+  // kBVpdu: linear index of the owning CU's LMCS chroma-scale VPDU
+  // (min(ctb,64)-sized luma grid; lmcs_derive_chroma_scale,
+  // vvc_intra_template.c:390-428)
+  kBVpdu,
+  kBucketRows
+};
+
+inline int size_key(int w, int h) {
+  int lw = 31 - __builtin_clz((unsigned)w);
+  int lh = 31 - __builtin_clz((unsigned)h);
+  return lw * 8 + lh;
+}
+}  // namespace
+
+// counts[k] = number of coded TUs of plane c_idx with size sizes[k]
+void vvch_fo_bucket_counts(void* fo_, int c_idx, int n_sizes,
+                           const int32_t* sizes, int32_t* counts) {
+  FrameOut& fo = *(FrameOut*)fo_;
+  int lut[64];
+  std::memset(lut, -1, sizeof(lut));
+  for (int k = 0; k < n_sizes; k++)
+    lut[size_key(sizes[2 * k], sizes[2 * k + 1])] = k;
+  std::memset(counts, 0, sizeof(int32_t) * n_sizes);
+  for (const TuRecord& tu : fo.tus) {
+    if (tu.c_idx != c_idx || !tu.res) continue;
+    int k = lut[size_key(tu.w, tu.h)];
+    if (k >= 0) counts[k]++;
+  }
+}
+
+// Fill the per-bucket buffers for plane c_idx.
+//   sizes:  (n_sizes, 2) int32 [w, h]
+//   caps:   (n_sizes,)  bucket capacities
+//   scsh:   (n_sizes, 4, 128) dequant tables [sc, sh, sc_ts, sh_ts]
+//           indexed by qp_deq + 32 (clamped)
+//   slots:  per-TuRecord predict-unit slot for this plane kind
+//           (vvch_tu_slots output; may be null -> slot stays -1)
+//   mats:   n_sizes pointers to (11, cap) int32 (fully initialized here)
+//   lvs:    n_sizes pointers to (cap, h, w) int32 (fully initialized)
+// Returns 0, or -1 if any bucket overflows its capacity (caller must
+// treat this as fatal: silent truncation would corrupt frames).
+int vvch_fo_fill_buckets(void* fo_, int c_idx, int n_sizes,
+                         const int32_t* sizes, const int32_t* caps,
+                         const int32_t* scsh, const int32_t* slots,
+                         void** mats, void** lvs) {
+  FrameOut& fo = *(FrameOut*)fo_;
+  int lut[64];
+  std::memset(lut, -1, sizeof(lut));
+  for (int k = 0; k < n_sizes; k++)
+    lut[size_key(sizes[2 * k], sizes[2 * k + 1])] = k;
+
+  // defaults for unused rows (shift=1 keeps `1 << shift` benign;
+  // slot/lf_sel = -1 mean "none")
+  for (int k = 0; k < n_sizes; k++) {
+    int32_t* m = (int32_t*)mats[k];
+    const int cap = caps[k];
+    std::memset(m, 0, sizeof(int32_t) * kBucketRows * cap);
+    std::fill(m + (size_t)kBShift * cap, m + (size_t)(kBShift + 1) * cap, 1);
+    std::fill(m + (size_t)kBSlot * cap, m + (size_t)(kBSlot + 1) * cap, -1);
+    std::fill(m + (size_t)kBLfSel * cap, m + (size_t)(kBLfSel + 1) * cap,
+              -1);
+    std::memset(lvs[k], 0,
+                sizeof(int32_t) * (size_t)cap * sizes[2 * k] *
+                    sizes[2 * k + 1]);
+  }
+
+  int32_t counts[64] = {};
+  const int ss = (c_idx && fo.chroma_format_idc == 1) ? 1 : 0;
+  const int pw = c_idx ? (fo.width >> ss) : fo.width;
+  const int32_t* plane = fo.coeff[c_idx].data();
+  const int vsz = std::min(1 << fo.ctb_log2, 64);  // LMCS VPDU size
+  const int nvx = (fo.width + vsz - 1) / vsz;
+  for (size_t j = 0; j < fo.tus.size(); j++) {
+    const TuRecord& tu = fo.tus[j];
+    if (tu.c_idx != c_idx || !tu.res) continue;
+    const int k = lut[size_key(tu.w, tu.h)];
+    if (k < 0) return -1;  // size outside the bucket list
+    const int n = counts[k]++;
+    if (n >= caps[k]) return -1;  // overflow: capacity model violated
+    const int cap = caps[k];
+    int32_t* m = (int32_t*)mats[k];
+    int qp = tu.qp_deq + 32;
+    qp = qp < 0 ? 0 : (qp > 127 ? 127 : qp);
+    const int32_t* tab = scsh + (size_t)k * 4 * 128;
+    m[(size_t)kBX0 * cap + n] = tu.x0;
+    m[(size_t)kBY0 * cap + n] = tu.y0;
+    m[(size_t)kBScale * cap + n] = tab[(tu.ts ? 2 : 0) * 128 + qp];
+    m[(size_t)kBShift * cap + n] = tab[(tu.ts ? 3 : 1) * 128 + qp];
+    if (slots) m[(size_t)kBSlot * cap + n] = slots[j];
+    m[(size_t)kBTrh * cap + n] = tu.trh;
+    m[(size_t)kBTrv * cap + n] = tu.trv;
+    m[(size_t)kBJop * cap + n] = tu.jop;
+    m[(size_t)kBTs * cap + n] = tu.ts;
+    m[(size_t)kBLfSel * cap + n] = tu.lf_sel;
+    m[(size_t)kBLfTr * cap + n] = tu.lf_tr;
+    const CuRecord& cu = fo.cus[tu.cu_index];
+    m[(size_t)kBVpdu * cap + n] = (cu.y0 / vsz) * nvx + (cu.x0 / vsz);
+    int32_t* lv = (int32_t*)lvs[k] + (size_t)n * tu.w * tu.h;
+    for (int yy = 0; yy < tu.h; yy++)
+      std::memcpy(lv + (size_t)yy * tu.w,
+                  plane + (size_t)(tu.y0 + yy) * pw + tu.x0,
+                  sizeof(int32_t) * tu.w);
+  }
+  return 0;
+}
 
 }  // extern "C"
 

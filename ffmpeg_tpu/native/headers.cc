@@ -411,8 +411,14 @@ static PictureHeader parse_picture_header(BitReader& r, const Sps& sps,
   if (ph.ph_gdr_pic_flag) ph.ph_recovery_poc_cnt = r.ue();
   VVC_UNSUPPORTED(sps.sps_alf_enabled_flag && pps.pps_alf_info_in_ph_flag,
                   "alf info in ph");
-  if (sps.sps_lmcs_enabled_flag)
-    VVC_UNSUPPORTED(r.flag(), "lmcs (parse todo)");
+  if (sps.sps_lmcs_enabled_flag) {
+    ph.ph_lmcs_enabled_flag = r.flag();
+    if (ph.ph_lmcs_enabled_flag) {
+      ph.ph_lmcs_aps_id = r.u(2);
+      if (sps.sps_chroma_format_idc)
+        ph.ph_chroma_residual_scale_flag = r.flag();
+    }
+  }
   VVC_UNSUPPORTED(pps.pps_rpl_info_in_ph_flag, "rpl in ph");
   if (sps.sps_partition_constraints_override_enabled_flag)
     VVC_UNSUPPORTED(r.flag(), "partition constraints override");
@@ -436,6 +442,39 @@ static PictureHeader parse_picture_header(BitReader& r, const Sps& sps,
     VVC_UNSUPPORTED(r.flag(), "deblock params in ph");
   ph.ph_deblocking_filter_disabled_flag = pps.pps_deblocking_filter_disabled_flag;
   return ph;
+}
+
+// spec 7.3.2.5 aps_data + 7.3.2.18 lmcs_data (reference:
+// cbs_h266_syntax_template.c aps()/lmcs_data())
+Aps parse_aps(BitReader& r) {
+  Aps aps;
+  aps.aps_params_type = r.u(3);
+  aps.id = r.u(5);
+  aps.chroma_present = r.flag();
+  if (aps.aps_params_type == 1) {  // LMCS
+    aps.lmcs_min_bin_idx = (int)r.ue();
+    aps.lmcs_delta_max_bin_idx = (int)r.ue();
+    int prec = (int)r.ue() + 1;
+    VVC_UNSUPPORTED(prec > 15, "lmcs_delta_cw_prec out of range");
+    const int max_bin = 15 - aps.lmcs_delta_max_bin_idx;
+    VVC_UNSUPPORTED(max_bin < aps.lmcs_min_bin_idx, "lmcs bin range");
+    for (int i = aps.lmcs_min_bin_idx; i <= max_bin; i++) {
+      int abs_cw = r.u(prec);
+      int sign = abs_cw > 0 ? (int)r.flag() : 0;
+      aps.lmcs_delta_cw[i] = (1 - 2 * sign) * abs_cw;
+    }
+    if (aps.chroma_present) {
+      int abs_crs = r.u(3);
+      int sign = abs_crs > 0 ? (int)r.flag() : 0;
+      aps.lmcs_delta_crs = (1 - 2 * sign) * abs_crs;
+    }
+  } else if (aps.aps_params_type == 0) {
+    VVC_UNSUPPORTED(true, "ALF APS (todo)");
+  } else {
+    VVC_UNSUPPORTED(true, "scaling-list APS");
+  }
+  VVC_UNSUPPORTED(r.flag(), "aps extension");
+  return aps;
 }
 
 SliceHeader parse_slice_header(BitReader& r, int nal_type, const Sps& sps,

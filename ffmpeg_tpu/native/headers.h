@@ -149,6 +149,21 @@ struct RefPicListStruct {
   std::vector<int> sign;
 };
 
+// Adaptation parameter set (spec 7.3.2.5; reference cbs template aps()
+// + lmcs_data()).  Only the LMCS payload is stored for now; ALF comes
+// with the ALF stage.
+struct Aps {
+  int aps_params_type = -1;  // 0 ALF, 1 LMCS, 2 SCALING
+  int id = 0;
+  int chroma_present = 0;
+  // lmcs_data: signed per-bin codeword deltas (lmcsCW[i] = OrgCw +
+  // delta_cw[i] for coded bins), chroma residual scale delta
+  int lmcs_min_bin_idx = 0;
+  int lmcs_delta_max_bin_idx = 0;
+  int lmcs_delta_cw[16] = {};
+  int lmcs_delta_crs = 0;
+};
+
 struct PictureHeader {
   int ph_gdr_or_irap_pic_flag = 0;
   int ph_non_ref_pic_flag = 0;
@@ -165,6 +180,9 @@ struct PictureHeader {
   int ph_mvd_l1_zero_flag = 1;
   int ph_qp_delta = 0;
   int ph_joint_cbcr_sign_flag = 0;
+  int ph_lmcs_enabled_flag = 0;
+  int ph_lmcs_aps_id = 0;
+  int ph_chroma_residual_scale_flag = 0;
   int ph_sao_luma_enabled_flag = 0;
   int ph_sao_chroma_enabled_flag = 0;
   int ph_deblocking_filter_disabled_flag = 0;
@@ -198,6 +216,7 @@ struct SliceHeader {
 
 Sps parse_sps(BitReader& r);
 Pps parse_pps(BitReader& r, const Sps& sps);
+Aps parse_aps(BitReader& r);
 SliceHeader parse_slice_header(BitReader& r, int nal_type, const Sps& sps,
                                const Pps& pps);
 

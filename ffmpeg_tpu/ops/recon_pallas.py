@@ -67,7 +67,8 @@ def plane_geom(W: int, H: int, gran: int = 4):
   Wp = max(_r128(W + 40), LE)
   Hp = max((H + 36 + 7) // 8 * 8, 64)
   HL = max(_r128(Hp), LE)     # R-buffer lane dim
-  Wr = (Wp // gran + 7) // 8 * 8
+  # + S//gran headroom: the R store writes nr rows at a dynamic start
+  Wr = (Wp // gran + S // gran + 7) // 8 * 8
   return Hp, Wp, Wr, HL
 
 
@@ -154,6 +155,90 @@ def _build_kernel(Hp, Wp, Wr, HL, nch, bit_depth, is_chroma, gran):
       mc = ctrl_ref[KMC, i]
       is_inter = mc == MC_INTER
 
+      # ---- channel-invariant control-derived pieces (hoisted out of
+      # the per-channel loop: for the chroma kernel nch=2 they would
+      # otherwise be computed twice) --------------------------------
+      avl = ctrl_ref[KAVL, i]
+      avt = ctrl_ref[KAVT, i]
+      cul = ctrl_ref[KCUL, i]
+      logw = ctrl_ref[KLOGW, i]
+      logh = ctrl_ref[KLOGH, i]
+      inv = ctrl_ref[KINV, i]
+      projv = ctrl_ref[KPROJV, i]
+      projh = ctrl_ref[KPROJH, i]
+      angle = ctrl_ref[KANGLE, i]
+      ff = ctrl_ref[KFF, i]
+      ns = ctrl_ref[KNS, i]
+      pdpc = ctrl_ref[KPDPC, i]
+
+      jl = jax.lax.broadcasted_iota(jnp.int32, (1, LE), 1) - OFF
+      jj_le = jax.lax.broadcasted_iota(jnp.int32, (S, LE), 1)
+      rows1 = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+
+      # angular one-hot 4-tap weight matrix A (shared by channels)
+      pos = (rows1 + 1) * angle
+      aidx = pos >> 5                     # (S, 1)
+      fact = pos & 31
+      if is_chroma:
+        A = ((32 - fact) * (jj_le == OFF + aidx)
+             + fact * (jj_le == OFF + aidx + 1))
+      else:
+        pcol = jax.lax.broadcasted_iota(jnp.int32, (S, 64), 1)
+        oh = (pcol == fact + 32 * ff).astype(jnp.int32)
+        taps = _dot(oh, ftab_ref[...])    # (S, 128): lanes 0..3
+        A = (_col(taps, 0) * (jj_le == OFF + aidx - 1)
+             + _col(taps, 1) * (jj_le == OFF + aidx)
+             + _col(taps, 2) * (jj_le == OFF + aidx + 1)
+             + _col(taps, 3) * (jj_le == OFF + aidx + 2))
+
+      # negative-angle projection one-hot selectors (per limit)
+      def project_mt(limit):
+        # mt[l, r]: src lane l contributing to projected lane r
+        ll2 = jax.lax.broadcasted_iota(jnp.int32, (LE, 128), 0)
+        rr2 = jax.lax.broadcasted_iota(jnp.int32, (LE, 128), 1)
+        xx = rr2 - 32                    # j+1
+        sidx = OFF - 1 + jnp.minimum((xx * inv + 256) >> 9, limit)
+        return (ll2 == jnp.clip(sidx, 0, LE - 1)).astype(jnp.int32)
+
+      mt_v = project_mt(h)               # for projecting top (limit=h)
+      mt_h = project_mt(w)               # for projecting left (limit=w)
+
+      # pdpc one-hot row selector G (shared): g(q) = (256+inv*(q+1))>>9
+      g = jnp.minimum((256 + inv * (rows1 + 1)) >> 9, JMAX + 1)
+      G = (jj_le == OFF + g).astype(jnp.int32)
+
+      # pdpc blend weights (shared)
+      wlv = 32 >> jnp.minimum((ix * 2) >> ns, 31)
+      wth = 32 >> jnp.minimum((iy * 2) >> ns, 31)
+      scale_hv = (logw + logh - 2) >> 2
+      is_vh = (mc == MC_VERT) | (mc == MC_HORZ)
+      wl_hv = jnp.where(mc == MC_HORZ, 0,
+                        32 >> jnp.minimum((ix << 1) >> scale_hv, 31))
+      wt_hv = jnp.where(mc == MC_VERT, 0,
+                        32 >> jnp.minimum((iy << 1) >> scale_hv, 31))
+
+      # dc normalization (shared)
+      offset_dc = jnp.maximum(
+          jnp.where(w == h, w << 1, jnp.maximum(w, h)), 1)
+      shift_dc = (2 + (offset_dc >= 8).astype(jnp.int32)
+                  + (offset_dc >= 16) + (offset_dc >= 32)
+                  + (offset_dc >= 64))
+      lane_s = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+
+      # store masks / selectors (shared)
+      ya = pl.multiple_of((y0 >> 3) * 8, 8)
+      dy = y0 - ya                       # in {0,..,6}, gran-aligned
+      lanes40 = jax.lax.broadcasted_iota(jnp.int32, (40, Wp), 1)
+      sub40 = jax.lax.broadcasted_iota(jnp.int32, (40, Wp), 0)
+      m40 = ((lanes40 >= x0) & (lanes40 < x0 + w)
+             & (sub40 >= dy) & (sub40 < dy + h))
+      kk = jax.lax.broadcasted_iota(jnp.int32, (nr, S), 0)
+      cc = jax.lax.broadcasted_iota(jnp.int32, (nr, S), 1)
+      col_oh = (cc == gran * kk + gran - 1).astype(jnp.int32)
+      b0 = x0 >> lg
+      lane_h1 = jax.lax.broadcasted_iota(jnp.int32, (1, HL), 1)
+      lmask = (lane_h1 >= y0) & (lane_h1 < y0 + h)
+
       for ch in range(nch):
         res = res_ref[0, ch] if nch > 1 else res_ref[0]
         iblk = iblk_ref[0, ch] if nch > 1 else iblk_ref[0]
@@ -167,11 +252,6 @@ def _build_kernel(Hp, Wp, Wr, HL, nch, bit_depth, is_chroma, gran):
         lrow = pltpu.roll(rrow, (HL - (y0 - 1)) % HL, axis=1)
         lloc = lrow[:, :LE] + 0            # lane k = plane[y0-1+k, x0-1]
 
-        avl = ctrl_ref[KAVL, i]
-        avt = ctrl_ref[KAVT, i]
-        cul = ctrl_ref[KCUL, i]
-
-        jl = jax.lax.broadcasted_iota(jnp.int32, (1, LE), 1) - OFF
         t_run = pltpu.roll(tloc, OFF - 1, axis=1)   # lane j+OFF = x0+j
         l_run = pltpu.roll(lloc, OFF - 1, axis=1)
         t_last = jnp.broadcast_to(_dyn_extract(tloc, avt), (1, LE))
@@ -210,18 +290,9 @@ def _build_kernel(Hp, Wp, Wr, HL, nch, bit_depth, is_chroma, gran):
           top = jnp.where(smooth > 0, tf, top)
 
         # ---- negative-angle projection (project_negative_angle) ---
-        inv = ctrl_ref[KINV, i]
-        projv = ctrl_ref[KPROJV, i]
-        projh = ctrl_ref[KPROJH, i]
-
-        def project(dst, src, limit):
+        def project(dst, src, mt, limit):
           # dst[j] <- src[OFF-1 + min(((j+1)*inv + 256) >> 9, limit)]
           # for j in [-limit-1, -2]; evaluated at j = r-33, r in [0,32)
-          ll2 = jax.lax.broadcasted_iota(jnp.int32, (LE, 128), 0)
-          rr2 = jax.lax.broadcasted_iota(jnp.int32, (LE, 128), 1)
-          xx = rr2 - 32                    # j+1
-          sidx = OFF - 1 + jnp.minimum((xx * inv + 256) >> 9, limit)
-          mt = (ll2 == jnp.clip(sidx, 0, LE - 1)).astype(jnp.int32)
           prow = _dot(src, mt)             # (1,128): col r = src[sidx(r)]
           pvec = jnp.concatenate(
               [prow, jnp.zeros((1, LE - 128), jnp.int32)], axis=1)
@@ -229,17 +300,14 @@ def _build_kernel(Hp, Wp, Wr, HL, nch, bit_depth, is_chroma, gran):
           sel = (jl >= -limit - 1) & (jl <= -2)
           return jnp.where(sel, pvec, dst)
 
-        top = jnp.where(projv > 0, project(top, left, h), top)
-        left = jnp.where(projh > 0, project(left, top, w), left)
+        top = jnp.where(projv > 0, project(top, left, mt_v, h), top)
+        left = jnp.where(projh > 0, project(left, top, mt_h, w), left)
 
         # ---- prediction branches ----------------------------------
         t32 = pltpu.roll(top, LE - OFF, axis=1)[:, :S] + 0
         l32 = pltpu.roll(left, LE - OFF, axis=1)[:, :S] + 0
         t32b = jnp.broadcast_to(t32, (S, S))
         lcol = jnp.broadcast_to(l32, (S, S)).T    # left[y] down columns
-
-        logw = ctrl_ref[KLOGW, i]
-        logh = ctrl_ref[KLOGH, i]
 
         # planar (pred_planar); tr/bl are scalars top[OFF+w]/left[OFF+h]
         tr_s = _dyn_extract(top, (OFF + w) % LE)
@@ -249,39 +317,13 @@ def _build_kernel(Hp, Wp, Wr, HL, nch, bit_depth, is_chroma, gran):
         planar = (pv + ph_ + w * h) >> (logw + logh + 1)
 
         # dc (pred_dc)
-        lane_s = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
         sum_t = jnp.sum(jnp.where(lane_s < w, t32, 0))
         sum_l = jnp.sum(jnp.where(lane_s < h, l32, 0))
         s_ = jnp.where(w >= h, sum_t, 0) + jnp.where(w <= h, sum_l, 0)
-        offset = jnp.maximum(jnp.where(w == h, w << 1, jnp.maximum(w, h)), 1)
-        shift = (2 + (offset >= 8).astype(jnp.int32)
-                 + (offset >= 16) + (offset >= 32) + (offset >= 64))
-        dc = jnp.zeros((S, S), jnp.int32) + ((s_ + (offset >> 1)) >> shift)
+        dc = jnp.zeros((S, S), jnp.int32) + (
+            (s_ + (offset_dc >> 1)) >> shift_dc)
 
         # angular core: one-hot 4-tap weights x toeplitz window matmul
-        angle = ctrl_ref[KANGLE, i]
-        ff = ctrl_ref[KFF, i]
-        ns = ctrl_ref[KNS, i]
-        pdpc = ctrl_ref[KPDPC, i]
-
-        jj_le = jax.lax.broadcasted_iota(jnp.int32, (S, LE), 1)
-        rows1 = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
-        pos = (rows1 + 1) * angle
-        aidx = pos >> 5                     # (S, 1)
-        fact = pos & 31
-
-        if is_chroma:
-          A = ((32 - fact) * (jj_le == OFF + aidx)
-               + fact * (jj_le == OFF + aidx + 1))
-        else:
-          pcol = jax.lax.broadcasted_iota(jnp.int32, (S, 64), 1)
-          oh = (pcol == fact + 32 * ff).astype(jnp.int32)
-          taps = _dot(oh, ftab_ref[...])    # (S, 128): lanes 0..3
-          A = (_col(taps, 0) * (jj_le == OFF + aidx - 1)
-               + _col(taps, 1) * (jj_le == OFF + aidx)
-               + _col(taps, 2) * (jj_le == OFF + aidx + 1)
-               + _col(taps, 3) * (jj_le == OFF + aidx + 2))
-
         def ang_core(main):
           acc = _dot_t(A, _toeplitz(main))  # [i, x] = sum_l A[i,l]m[l+x]
           if is_chroma:
@@ -289,21 +331,17 @@ def _build_kernel(Hp, Wp, Wr, HL, nch, bit_depth, is_chroma, gran):
           return jnp.clip((acc + 32) >> 6, 0, maxv)
 
         def pdpc_mat(other):
-          # [q, d] = other_clamped[OFF + min(g(q),104) + d] where
-          # g(q) = (256 + inv*(q+1)) >> 9; clamping g at 104 matches
-          # clip(idx, 0, 175) in ops/intra.py (values are constant
-          # beyond j=103)
+          # [q, d] = other_clamped[OFF + min(g(q),104) + d]; clamping g
+          # at 104 matches clip(idx, 0, 175) in ops/intra.py (values
+          # are constant beyond j=103)
           oth_ext = jnp.where(
               jl <= JMAX, other,
               jnp.broadcast_to(_st_extract(other, OFF + JMAX), (1, LE)))
-          g = jnp.minimum((256 + inv * (rows1 + 1)) >> 9, JMAX + 1)
-          G = (jj_le == OFF + g).astype(jnp.int32)
           return _dot_t(G, _toeplitz(oth_ext))
 
         # V family: rows = y, taps over top; pdpc blends left along x
         pv_pred = ang_core(top)
         lmat = pdpc_mat(left).T             # [y, x] = left[OFF+g(x)+y]
-        wlv = 32 >> jnp.minimum((ix * 2) >> ns, 31)
         pv_val = jnp.clip(pv_pred + (((lmat - pv_pred) * wlv + 32) >> 6),
                           0, maxv)
         pv_w = jnp.where(ix < jnp.minimum(w, 3 << ns), pv_val, pv_pred)
@@ -313,7 +351,6 @@ def _build_kernel(Hp, Wp, Wr, HL, nch, bit_depth, is_chroma, gran):
         # top along y: t[y, x] = top[OFF + g(y) + x]
         ph_pred = ang_core(left).T
         tmat = pdpc_mat(top)                # [y, x] = top[OFF+g(y)+x]
-        wth = 32 >> jnp.minimum((iy * 2) >> ns, 31)
         ph_val = jnp.clip(ph_pred + (((tmat - ph_pred) * wth + 32) >> 6),
                           0, maxv)
         ph_w = jnp.where(iy < jnp.minimum(h, 3 << ns), ph_val, ph_pred)
@@ -328,18 +365,12 @@ def _build_kernel(Hp, Wp, Wr, HL, nch, bit_depth, is_chroma, gran):
                                                     angh)))))
 
         # pdpc for planar/dc/v/h (pdpc_hvdc)
-        scale = (logw + logh - 2) >> 2
         c_l = _st_extract(left, OFF - 1)
         c_t = _st_extract(top, OFF - 1)
-        is_vh = (mc == MC_VERT) | (mc == MC_HORZ)
         lq = jnp.where(is_vh, lcol - _scal(c_l) + pred, lcol)
         tq = jnp.where(is_vh, t32b - _scal(c_t) + pred, t32b)
-        wl = jnp.where(mc == MC_HORZ, 0,
-                       32 >> jnp.minimum((ix << 1) >> scale, 31))
-        wt = jnp.where(mc == MC_VERT, 0,
-                       32 >> jnp.minimum((iy << 1) >> scale, 31))
         hv_pdpc = jnp.clip(
-            pred + ((wl * (lq - pred) + wt * (tq - pred) + 32) >> 6),
+            pred + ((wl_hv * (lq - pred) + wt_hv * (tq - pred) + 32) >> 6),
             0, maxv)
         pred = jnp.where((pdpc > 0) & (mc < MC_ANG_V), hv_pdpc, pred)
 
@@ -347,8 +378,6 @@ def _build_kernel(Hp, Wp, Wr, HL, nch, bit_depth, is_chroma, gran):
         out = jnp.clip(base + res, 0, maxv)
 
         # ---- store: 40-row plane span -----------------------------
-        ya = pl.multiple_of((y0 >> 3) * 8, 8)
-        dy = y0 - ya                       # in {0,..,6}, gran-aligned
         # shift while small: (40, S) with out at rows [dy, dy+32)
         sh0 = jnp.concatenate([out, jnp.zeros((8, S), jnp.int32)], axis=0)
         blk = sh0
@@ -360,28 +389,21 @@ def _build_kernel(Hp, Wp, Wr, HL, nch, bit_depth, is_chroma, gran):
             [blk, jnp.zeros((40, Wp - S), jnp.int32)], axis=1)
         blk40 = pltpu.roll(blk40, x0, axis=1)
         span = plane_ref[ch, pl.ds(ya, 40), :]
-        lanes40 = jax.lax.broadcasted_iota(jnp.int32, (40, Wp), 1)
-        sub40 = jax.lax.broadcasted_iota(jnp.int32, (40, Wp), 0)
-        m40 = ((lanes40 >= x0) & (lanes40 < x0 + w)
-               & (sub40 >= dy) & (sub40 < dy + h))
         plane_ref[ch, pl.ds(ya, 40), :] = jnp.where(m40, blk40, span)
 
         # ---- store: R columns (every gran-th column, transposed) --
         # colsT[k, j] = out[j, gran*k + gran-1] via one-hot MXU matmul
-        kk = jax.lax.broadcasted_iota(jnp.int32, (nr, S), 0)
-        cc = jax.lax.broadcasted_iota(jnp.int32, (nr, S), 1)
-        colsT = _dot_t((cc == gran * kk + gran - 1).astype(jnp.int32), out)
-        b0 = x0 >> lg
-        lane_h = jax.lax.broadcasted_iota(jnp.int32, (1, HL), 1)
-        lmask = (lane_h >= y0) & (lane_h < y0 + h)
+        # (multi-row dynamic-start slices hang the Mosaic compiler, so
+        # the nr rows are read-modify-written one at a time)
+        colsT = _dot_t(col_oh, out)
+        rblk = jnp.concatenate(
+            [colsT, jnp.zeros((nr, HL - S), jnp.int32)], axis=1)
+        rblk = pltpu.roll(rblk, y0, axis=1)
         for k in range(nr):
-          rowk = jnp.concatenate(
-              [_row(colsT, k), jnp.zeros((1, HL - S), jnp.int32)], axis=1)
-          rowk = pltpu.roll(rowk, y0, axis=1)
           bi = jnp.minimum(b0 + k, Wr - 1)
           old = r_ref[ch, pl.ds(bi, 1), :]
           r_ref[ch, pl.ds(bi, 1), :] = jnp.where(
-              lmask & (k < (w >> lg)), rowk, old)
+              lmask & (k < (w >> lg)), _row(rblk, k), old)
 
   return kernel
 

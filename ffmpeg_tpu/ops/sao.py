@@ -31,19 +31,24 @@ _EO_DIRS = np.array([
 _EDGE_MAP = np.array([1, 2, 0, 3, 4], dtype=np.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("ctb", "bit_depth"))
-def sao_plane(plane, sao_type, band_pos, offv, eo_class, pic_w, pic_h, *,
-              ctb: int, bit_depth: int):
-  """plane: (Hp, Wp) int32 (padded; only pic area filtered).
-  sao_type/band_pos/eo_class: (CBH, CBW) int32 per-CTB grids.
-  offv: (CBH, CBW, 5) int32 offsets.
-  Returns filtered plane.
-  """
-  Hp, Wp = plane.shape
+def sao_rows(plane_ext, sao_type, band_pos, offv, eo_class, pic_w, pic_h,
+             *, ctb: int, bit_depth: int, y0=0, halo: int = 0):
+  """Row-band SAO core: filters rows [halo, Hs+halo) of plane_ext,
+  whose first/last `halo` rows carry neighbour rows from the adjacent
+  band (or anything, at picture borders — in_pic masks them).  `y0` is
+  the global picture row of the band's first real row; sao_type /
+  band_pos / eo_class / offv are the band's OWN CTB rows (the band must
+  be CTB-row aligned).  Returns the filtered (Hs, Wp) real rows.
+  This is the unit the 'tile'-sharded filter stage runs per shard
+  (parallel/spatial.py); sao_plane is the halo=0 whole-plane wrapper."""
+  He, Wp = plane_ext.shape
+  Hs = He - 2 * halo
   maxv = (1 << bit_depth) - 1
-  y = jnp.arange(Hp)[:, None]
+  y = jnp.arange(Hs)[:, None] + y0            # global picture row
+  ye = jnp.arange(Hs)[:, None] + halo         # row in plane_ext
   x = jnp.arange(Wp)[None, :]
-  cby = jnp.clip(y // ctb, 0, sao_type.shape[0] - 1)
+  plane = plane_ext[halo:He - halo if halo else He, :]
+  cby = jnp.clip((y - y0) // ctb, 0, sao_type.shape[0] - 1)
   cbx = jnp.clip(x // ctb, 0, sao_type.shape[1] - 1)
   t = sao_type[cby, cbx]          # (Hp, Wp)
   bpos = band_pos[cby, cbx]
@@ -59,16 +64,16 @@ def sao_plane(plane, sao_type, band_pos, offv, eo_class, pic_w, pic_h, *,
                            axis=-1)[..., 0],
                        0)
 
-  # edge offset
+  # edge offset (neighbour rows may come from the halo)
   dirs = jnp.asarray(_EO_DIRS)
-  da = dirs[eo, 0]  # (Hp, Wp, 2)
+  da = dirs[eo, 0]  # (Hs, Wp, 2)
   db = dirs[eo, 1]
   ax = jnp.clip(x + da[..., 0], 0, Wp - 1)
-  ay = jnp.clip(y + da[..., 1], 0, Hp - 1)
+  ay = jnp.clip(ye + da[..., 1], 0, He - 1)
   bx = jnp.clip(x + db[..., 0], 0, Wp - 1)
-  by = jnp.clip(y + db[..., 1], 0, Hp - 1)
-  a = plane[ay, ax]
-  b = plane[by, bx]
+  by = jnp.clip(ye + db[..., 1], 0, He - 1)
+  a = plane_ext[ay, ax]
+  b = plane_ext[by, bx]
   idx = 2 + jnp.sign(plane - a) + jnp.sign(plane - b)
   slot = jnp.asarray(_EDGE_MAP)[idx]
   edge_off = jnp.take_along_axis(offs, slot[..., None], axis=-1)[..., 0]
@@ -82,3 +87,15 @@ def sao_plane(plane, sao_type, band_pos, offv, eo_class, pic_w, pic_h, *,
   off = jnp.where(t == 1, band_off, jnp.where(t == 2, edge_off, 0))
   out = jnp.clip(plane + off, 0, maxv)
   return jnp.where((y < pic_h) & (x < pic_w), out, plane)
+
+
+@functools.partial(jax.jit, static_argnames=("ctb", "bit_depth"))
+def sao_plane(plane, sao_type, band_pos, offv, eo_class, pic_w, pic_h, *,
+              ctb: int, bit_depth: int):
+  """plane: (Hp, Wp) int32 (padded; only pic area filtered).
+  sao_type/band_pos/eo_class: (CBH, CBW) int32 per-CTB grids.
+  offv: (CBH, CBW, 5) int32 offsets.
+  Returns filtered plane.
+  """
+  return sao_rows(plane, sao_type, band_pos, offv, eo_class, pic_w, pic_h,
+                  ctb=ctb, bit_depth=bit_depth, y0=0, halo=0)

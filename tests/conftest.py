@@ -15,11 +15,28 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
-# persistent XLA compilation cache: recon programs are shape-specialized
-# and dominate test wall time otherwise
-
-jax.config.update("jax_compilation_cache_dir", "/tmp/ffmpeg_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+# NOTE: no persistent compile cache here — this jaxlib's XLA:CPU AOT
+# serialization is unreliable (serialize segfaults, deserialize aborts),
+# so CPU test runs compile fresh (pipeline._ensure_compile_cache only
+# enables the cache on TPU backends).
 
 REFBUILD = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".refbuild")
 REF_FFMPEG = os.path.join(REFBUILD, "ffmpeg")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _fresh_frame_programs():
+    """Reset the capacity ratchet and compiled-program cache per test.
+
+    Programs whose capacities were ratcheted up by earlier tests grow
+    large enough to crash this jaxlib's XLA:CPU compiler (segfault in
+    backend_compile on the 96x96 RA program with inherited caps); each
+    test compiling its own tightly-sized programs is also what a fresh
+    decoder session would do."""
+    from ffmpeg_tpu.models.vvc import pipeline
+
+    pipeline._CAPS.clear()
+    pipeline._PROGRAM_CACHE.clear()
+    yield

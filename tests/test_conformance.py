@@ -104,6 +104,17 @@ needs_ref = pytest.mark.skipif(not os.path.exists(REF_FFMPEG),
          coeff_density=0.4),
     dict(width=96, height=64, seed=1312, qp=28, sign_hiding=True, inter=True,
          b_slices=True, deblock=True, n_frames=3, coeff_density=0.4),
+    dict(width=96, height=96, seed=1501, qp=30, lmcs=True),
+    dict(width=96, height=96, seed=1504, qp=30, lmcs=True),
+    dict(width=96, height=64, seed=1502, qp=28, lmcs=True, inter=True,
+         b_slices=True, deblock=True, sao=True, n_frames=4),
+    dict(width=96, height=64, seed=1505, qp=30, lmcs=True, inter=True,
+         b_slices=True, ra=True, n_frames=9, deblock=True),
+    dict(width=96, height=64, seed=1506, qp=32, lmcs=True, bit_depth=10,
+         joint_cbcr=True, sao=True),
+    dict(width=128, height=64, seed=1507, qp=30, lmcs=True, mts=True,
+         lfnst=True, dep_quant=True, cu_qp_delta=True, ctu_log2=6,
+         max_bt_size=64),
 ], ids=["64x64", "128x64x2f", "96x96-dense", "deblock", "deblock-unaligned",
         "inter-p", "inter-p-deblock", "inter-b", "10bit-sao-full",
         "mts-explicit", "mts-implicit", "mts-inter-full",
@@ -116,7 +127,9 @@ needs_ref = pytest.mark.skipif(not os.path.exists(REF_FFMPEG),
         "ra-pyramid", "ra-full", "ra-tools",
         "tmvp", "tmvp-ra",
         "dep-quant", "dep-quant-inter", "dep-quant-tools", "dep-quant-ts",
-        "sign-hiding", "sign-hiding-inter"])
+        "sign-hiding", "sign-hiding-inter",
+        "lmcs", "lmcs-b", "lmcs-inter", "lmcs-ra", "lmcs-10bit-jcbcr",
+        "lmcs-tools"])
 def test_frame_md5_parity(tmp_path, cfg_kw):
     from ffmpeg_tpu.encoder.encoder import EncoderConfig, encode_stream
 
