@@ -564,6 +564,28 @@ class APS:
     aps_params_type: int = APS_TYPE_LMCS
     aps_adaptation_parameter_set_id: int = 0
     aps_chroma_present_flag: int = 1
+    # alf_data (APS_TYPE_ALF)
+    alf_luma_filter_signal_flag: int = 0
+    alf_chroma_filter_signal_flag: int = 0
+    alf_cc_cb_filter_signal_flag: int = 0
+    alf_cc_cr_filter_signal_flag: int = 0
+    alf_luma_clip_flag: int = 0
+    alf_luma_num_filters_signalled_minus1: int = 0
+    alf_luma_coeff_delta_idx: tuple = (0,) * 25
+    alf_luma_coeff_abs: tuple = ()      # (n_filters, 12)
+    alf_luma_coeff_sign: tuple = ()
+    alf_luma_clip_idx: tuple = ()       # (n_filters, 12)
+    alf_chroma_clip_flag: int = 0
+    alf_chroma_num_alt_filters_minus1: int = 0
+    alf_chroma_coeff_abs: tuple = ()    # (n_alts, 6)
+    alf_chroma_coeff_sign: tuple = ()
+    alf_chroma_clip_idx: tuple = ()
+    alf_cc_cb_filters_signalled_minus1: int = 0
+    alf_cc_cb_mapped_coeff_abs: tuple = ()  # (n, 7)
+    alf_cc_cb_coeff_sign: tuple = ()
+    alf_cc_cr_filters_signalled_minus1: int = 0
+    alf_cc_cr_mapped_coeff_abs: tuple = ()
+    alf_cc_cr_coeff_sign: tuple = ()
     # lmcs_data
     lmcs_min_bin_idx: int = 0
     lmcs_delta_max_bin_idx: int = 0
@@ -577,7 +599,59 @@ class APS:
         w.u(3, self.aps_params_type)
         w.u(5, self.aps_adaptation_parameter_set_id)
         w.flag(self.aps_chroma_present_flag)
-        if self.aps_params_type == APS_TYPE_LMCS:
+        if self.aps_params_type == APS_TYPE_ALF:
+            w.flag(self.alf_luma_filter_signal_flag)
+            if self.aps_chroma_present_flag:
+                w.flag(self.alf_chroma_filter_signal_flag)
+                w.flag(self.alf_cc_cb_filter_signal_flag)
+                w.flag(self.alf_cc_cr_filter_signal_flag)
+            nf = self.alf_luma_num_filters_signalled_minus1 + 1
+            if self.alf_luma_filter_signal_flag:
+                w.flag(self.alf_luma_clip_flag)
+                w.ue(self.alf_luma_num_filters_signalled_minus1)
+                if nf > 1:
+                    bits = (nf - 1).bit_length()
+                    for f in range(25):
+                        w.u(bits, self.alf_luma_coeff_delta_idx[f])
+                for sf in range(nf):
+                    for j in range(12):
+                        w.ue(self.alf_luma_coeff_abs[sf][j])
+                        if self.alf_luma_coeff_abs[sf][j]:
+                            w.flag(self.alf_luma_coeff_sign[sf][j])
+            for sf in range(nf):
+                for j in range(12):
+                    if self.alf_luma_clip_flag:
+                        w.u(2, self.alf_luma_clip_idx[sf][j])
+            if self.alf_chroma_filter_signal_flag:
+                w.flag(self.alf_chroma_clip_flag)
+                w.ue(self.alf_chroma_num_alt_filters_minus1)
+            for alt in range(self.alf_chroma_num_alt_filters_minus1 + 1):
+                for j in range(6):
+                    if self.alf_chroma_filter_signal_flag:
+                        w.ue(self.alf_chroma_coeff_abs[alt][j])
+                        if self.alf_chroma_coeff_abs[alt][j]:
+                            w.flag(self.alf_chroma_coeff_sign[alt][j])
+                for j in range(6):
+                    if self.alf_chroma_clip_flag:
+                        w.u(2, self.alf_chroma_clip_idx[alt][j])
+            for cc, (sig, nmin, cabs, csgn) in enumerate((
+                    (self.alf_cc_cb_filter_signal_flag,
+                     self.alf_cc_cb_filters_signalled_minus1,
+                     self.alf_cc_cb_mapped_coeff_abs,
+                     self.alf_cc_cb_coeff_sign),
+                    (self.alf_cc_cr_filter_signal_flag,
+                     self.alf_cc_cr_filters_signalled_minus1,
+                     self.alf_cc_cr_mapped_coeff_abs,
+                     self.alf_cc_cr_coeff_sign))):
+                if sig:
+                    w.ue(nmin)
+                for k in range(nmin + 1):
+                    for j in range(7):
+                        if sig:
+                            w.u(3, cabs[k][j])
+                            if cabs[k][j]:
+                                w.flag(csgn[k][j])
+        elif self.aps_params_type == APS_TYPE_LMCS:
             w.ue(self.lmcs_min_bin_idx)
             w.ue(self.lmcs_delta_max_bin_idx)
             w.ue(self.lmcs_delta_cw_prec_minus1)
@@ -710,6 +784,15 @@ class SliceHeader:
     sh_slice_type: int = 2  # I
     sh_no_output_of_prior_pics_flag: int = 0
     sh_alf_enabled_flag: int = 0
+    sh_num_alf_aps_ids_luma: int = 0
+    sh_alf_aps_id_luma: tuple = (0,) * 8
+    sh_alf_cb_enabled_flag: int = 0
+    sh_alf_cr_enabled_flag: int = 0
+    sh_alf_aps_id_chroma: int = 0
+    sh_alf_cc_cb_enabled_flag: int = 0
+    sh_alf_cc_cb_aps_id: int = 0
+    sh_alf_cc_cr_enabled_flag: int = 0
+    sh_alf_cc_cr_aps_id: int = 0
     sh_lmcs_used_flag: int = 0
     sh_num_ref_idx_active_override_flag: int = 0
     sh_num_ref_idx_active_minus1: tuple = (0, 0)
@@ -756,7 +839,22 @@ class SliceHeader:
             w.flag(self.sh_no_output_of_prior_pics_flag)
         if sps.sps_alf_enabled_flag and not pps.pps_alf_info_in_ph_flag:
             w.flag(self.sh_alf_enabled_flag)
-            assert not self.sh_alf_enabled_flag, "slice alf not implemented"
+            if self.sh_alf_enabled_flag:
+                w.u(3, self.sh_num_alf_aps_ids_luma)
+                for i in range(self.sh_num_alf_aps_ids_luma):
+                    w.u(3, self.sh_alf_aps_id_luma[i])
+                if sps.sps_chroma_format_idc:
+                    w.flag(self.sh_alf_cb_enabled_flag)
+                    w.flag(self.sh_alf_cr_enabled_flag)
+                if self.sh_alf_cb_enabled_flag or self.sh_alf_cr_enabled_flag:
+                    w.u(3, self.sh_alf_aps_id_chroma)
+                if sps.sps_ccalf_enabled_flag:
+                    w.flag(self.sh_alf_cc_cb_enabled_flag)
+                    if self.sh_alf_cc_cb_enabled_flag:
+                        w.u(3, self.sh_alf_cc_cb_aps_id)
+                    w.flag(self.sh_alf_cc_cr_enabled_flag)
+                    if self.sh_alf_cc_cr_enabled_flag:
+                        w.u(3, self.sh_alf_cc_cr_aps_id)
         if not self.sh_picture_header_in_slice_header_flag:
             if ph.ph_lmcs_enabled_flag:
                 w.flag(self.sh_lmcs_used_flag)

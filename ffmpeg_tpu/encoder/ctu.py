@@ -160,6 +160,9 @@ class FrameSyntaxEncoder:
         self.tab_cqt = np.zeros((mh, mw), dtype=np.int32)
         self.tab_skip = np.zeros((mh, mw), dtype=np.int32)
         self.tab_sao: dict = {}  # (rx, ry) -> resolved sao params
+        self.tab_alf: dict = {}  # (rx, ry) -> [fy, set, fcb, acb, fcr, acr, cc0, cc1]
+        self.alf_num_chroma_alts = 1
+        self.alf_num_cc_filters = (1, 1)
 
         # inter state (P slices): list0 POCs + motion context
         self.is_inter_slice = sh.sh_slice_type != 2
@@ -812,6 +815,73 @@ class FrameSyntaxEncoder:
                              depth_offset + doff, idx, split,
                              child_qg, sd)
 
+    # -- ALF per-CTB decisions (alf_params, vvc_ctu.c; CABAC mirrors
+    # ff_vvc_alf_* in vvc_cabac.c:1022-1082) ---------------------------
+    def _encode_alf(self, rx: int, ry: int, alf: dict) -> None:
+        sh = self.sh
+        p = [0] * 8
+        left = self.tab_alf.get((rx - 1, ry)) if self.ctb_left else None
+        up = self.tab_alf.get((rx, ry - 1)) if self.ctb_up else None
+        if sh.sh_alf_enabled_flag:
+            fy = int(alf["flag_y"])
+            inc = (1 if left and left[0] else 0) + (1 if up and up[0] else 0)
+            self._bin("ALF_CTB_FLAG", inc, fy)
+            p[0] = fy
+            if fy:
+                si = int(alf["set_idx"])
+                n_ids = sh.sh_num_alf_aps_ids_luma
+                use_aps = si >= 16
+                if n_ids > 0:
+                    self._bin("ALF_USE_APS_FLAG", 0, int(use_aps))
+                else:
+                    assert not use_aps
+                if use_aps:
+                    assert si - 16 < n_ids
+                    if n_ids > 1:
+                        self._truncated_binary(si - 16, n_ids - 1)
+                else:
+                    self._truncated_binary(si, 15)
+                p[1] = si
+            for c, (en, fkey, akey) in ((1, (sh.sh_alf_cb_enabled_flag,
+                                             "flag_cb", "alt_cb")),
+                                        (2, (sh.sh_alf_cr_enabled_flag,
+                                             "flag_cr", "alt_cr"))):
+                if not en:
+                    continue
+                fi = 2 * c
+                f = int(alf[fkey])
+                inc = (c * 3 + (1 if left and left[fi] else 0)
+                       + (1 if up and up[fi] else 0))
+                self._bin("ALF_CTB_FLAG", inc, f)
+                p[fi] = f
+                alt = int(alf[akey])
+                if f and self.alf_num_chroma_alts > 1:
+                    for _ in range(alt):
+                        self._bin("ALF_CTB_FILTER_ALT_IDX", c - 1, 1)
+                    if alt < self.alf_num_chroma_alts - 1:
+                        self._bin("ALF_CTB_FILTER_ALT_IDX", c - 1, 0)
+                    p[fi + 1] = alt
+                else:
+                    assert alt == 0
+        if self.sps.sps_ccalf_enabled_flag:
+            for i, en in enumerate((sh.sh_alf_cc_cb_enabled_flag,
+                                    sh.sh_alf_cc_cr_enabled_flag)):
+                idc = int(alf["cc_idc"][i])
+                if not en:
+                    assert idc == 0
+                    continue
+                name = "ALF_CTB_CC_CB_IDC" if i == 0 else "ALF_CTB_CC_CR_IDC"
+                inc = ((1 if left and left[6 + i] else 0)
+                       + (1 if up and up[6 + i] else 0))
+                self._bin(name, inc, int(idc != 0))
+                if idc:
+                    for _ in range(idc - 1):
+                        self.enc.bypass(1)
+                    if idc < self.alf_num_cc_filters[i]:
+                        self.enc.bypass(0)
+                p[6 + i] = idc
+        self.tab_alf[(rx, ry)] = p
+
     # -- SAO (hls_sao, vvc_ctu.c:2147-2213) ----------------------------
     def _encode_sao(self, rx: int, ry: int, sao: dict) -> None:
         """sao intent: {'merge': 'left'|'up'|None,
@@ -881,7 +951,10 @@ class FrameSyntaxEncoder:
             self.motion.hmvp.clear()
         if self.sh.sh_sao_luma_used_flag or self.sh.sh_sao_chroma_used_flag:
             self._encode_sao(rx, ry, tree.setdefault("sao", _sao_off()))
-        assert not self.sh.sh_alf_enabled_flag
+        if self.sh.sh_alf_enabled_flag or self.sps.sps_ccalf_enabled_flag:
+            self._encode_alf(rx, ry, tree.get("alf") or {
+                "flag_y": 0, "set_idx": 0, "flag_cb": 0, "alt_cb": 0,
+                "flag_cr": 0, "alt_cr": 0, "cc_idc": [0, 0]})
         x0 = rx << self.ctb_log2
         y0 = ry << self.ctb_log2
         self.encode_tree(tree, x0, y0, self.ctb_size, self.ctb_size,

@@ -67,6 +67,9 @@ class EncoderConfig:
     lfnst: bool = False
     # LMCS (luma mapping with chroma scaling): random APS model
     lmcs: bool = False
+    # ALF / CC-ALF: random APS filters + per-CTB flags
+    alf: bool = False
+    ccalf: bool = False
     # random-access GOP-4 pyramid: multi-ref B slices + output reorder
     # (requires inter; n_frames should be 4k+1)
     ra: bool = False
@@ -115,6 +118,8 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
         sps_dep_quant_enabled_flag=1 if cfg.dep_quant else 0,
         sps_sign_data_hiding_enabled_flag=1 if cfg.sign_hiding else 0,
         sps_lmcs_enabled_flag=1 if cfg.lmcs else 0,
+        sps_alf_enabled_flag=1 if (cfg.alf or cfg.ccalf) else 0,
+        sps_ccalf_enabled_flag=1 if cfg.ccalf else 0,
     )
     pps = PPS(
         pps_pic_width_in_luma_samples=cfg.width,
@@ -389,6 +394,64 @@ def _random_lmcs_aps(cfg, rng):
     )
 
 
+def _random_alf_aps(cfg, rng, aps_id):
+    """Random conforming ALF APS: luma (25-class delta-indexed filter
+    set), chroma alternatives, and CC-ALF filters (7.3.2.19; coeff
+    ranges per 7.4.3.19)."""
+    from ..cbs.h266 import APS, APS_TYPE_ALF
+
+    nf = int(rng.integers(1, 6))
+    coeffs = rng.integers(0, 17, (nf, 12))
+    signs = rng.integers(0, 2, (nf, 12))
+    clip_flag = int(rng.integers(0, 2))
+    clips = rng.integers(0, 4, (nf, 12)) if clip_flag else         np.zeros((nf, 12), np.int64)
+    nalt = int(rng.integers(1, 4))
+    cabs = rng.integers(0, 17, (nalt, 6))
+    csgn = rng.integers(0, 2, (nalt, 6))
+    cclip_flag = int(rng.integers(0, 2))
+    cclips = rng.integers(0, 4, (nalt, 6)) if cclip_flag else         np.zeros((nalt, 6), np.int64)
+    ncc = [int(rng.integers(1, 5)), int(rng.integers(1, 5))]
+    ccabs = [rng.integers(0, 8, (ncc[i], 7)) for i in range(2)]
+    ccsgn = [rng.integers(0, 2, (ncc[i], 7)) for i in range(2)]
+    return APS(
+        aps_params_type=APS_TYPE_ALF,
+        aps_adaptation_parameter_set_id=aps_id,
+        aps_chroma_present_flag=1 if cfg.chroma_format_idc else 0,
+        alf_luma_filter_signal_flag=1,
+        alf_chroma_filter_signal_flag=1 if cfg.chroma_format_idc else 0,
+        alf_cc_cb_filter_signal_flag=1 if cfg.ccalf else 0,
+        alf_cc_cr_filter_signal_flag=1 if cfg.ccalf else 0,
+        alf_luma_clip_flag=clip_flag,
+        alf_luma_num_filters_signalled_minus1=nf - 1,
+        alf_luma_coeff_delta_idx=tuple(
+            int(v) for v in rng.integers(0, nf, 25)),
+        alf_luma_coeff_abs=tuple(tuple(int(v) for v in row)
+                                 for row in coeffs),
+        alf_luma_coeff_sign=tuple(tuple(int(v) for v in row)
+                                  for row in signs),
+        alf_luma_clip_idx=tuple(tuple(int(v) for v in row)
+                                for row in clips),
+        alf_chroma_clip_flag=cclip_flag,
+        alf_chroma_num_alt_filters_minus1=nalt - 1,
+        alf_chroma_coeff_abs=tuple(tuple(int(v) for v in row)
+                                   for row in cabs),
+        alf_chroma_coeff_sign=tuple(tuple(int(v) for v in row)
+                                    for row in csgn),
+        alf_chroma_clip_idx=tuple(tuple(int(v) for v in row)
+                                  for row in cclips),
+        alf_cc_cb_filters_signalled_minus1=ncc[0] - 1,
+        alf_cc_cb_mapped_coeff_abs=tuple(tuple(int(v) for v in row)
+                                         for row in ccabs[0]),
+        alf_cc_cb_coeff_sign=tuple(tuple(int(v) for v in row)
+                                   for row in ccsgn[0]),
+        alf_cc_cr_filters_signalled_minus1=ncc[1] - 1,
+        alf_cc_cr_mapped_coeff_abs=tuple(tuple(int(v) for v in row)
+                                         for row in ccabs[1]),
+        alf_cc_cr_coeff_sign=tuple(tuple(int(v) for v in row)
+                                   for row in ccsgn[1]),
+    )
+
+
 def encode_stream(cfg: EncoderConfig):
     """Returns (annexb_bytes, intent_dict)."""
     rng = np.random.default_rng(cfg.seed)
@@ -396,6 +459,12 @@ def encode_stream(cfg: EncoderConfig):
     out = bytearray()
     out += sps.to_nal()
     out += pps.to_nal(sps)
+    alf_apss = []
+    if cfg.alf or cfg.ccalf:
+        n_aps = int(rng.integers(1, 4))
+        for k in range(n_aps):
+            alf_apss.append(_random_alf_aps(cfg, rng, k))
+            out += alf_apss[-1].to_nal()
     lmcs_aps = None
     lmcs_crs_flag = 0
     if cfg.lmcs:
@@ -480,6 +549,26 @@ def encode_stream(cfg: EncoderConfig):
             sh.ph.ph_cu_qp_delta_subdiv_inter_slice = cfg.cu_qp_delta_subdiv
         if cfg.joint_cbcr:
             sh.ph.ph_joint_cbcr_sign_flag = int(rng.integers(0, 2))
+        if cfg.alf or cfg.ccalf:
+            sh.sh_alf_enabled_flag = 1
+            n_ids = int(rng.integers(1, len(alf_apss) + 1))
+            sh.sh_num_alf_aps_ids_luma = n_ids
+            ids = list(rng.choice(len(alf_apss), size=n_ids,
+                                  replace=False))
+            sh.sh_alf_aps_id_luma = tuple(
+                int(v) for v in ids) + (0,) * (8 - n_ids)
+            sh.sh_alf_cb_enabled_flag = int(rng.integers(0, 2)) \
+                if cfg.alf else 0
+            sh.sh_alf_cr_enabled_flag = int(rng.integers(0, 2)) \
+                if cfg.alf else 0
+            if sh.sh_alf_cb_enabled_flag or sh.sh_alf_cr_enabled_flag:
+                sh.sh_alf_aps_id_chroma = int(
+                    rng.integers(0, len(alf_apss)))
+            if cfg.ccalf:
+                sh.sh_alf_cc_cb_enabled_flag = int(rng.integers(0, 2))
+                sh.sh_alf_cc_cb_aps_id = int(rng.integers(0, len(alf_apss)))
+                sh.sh_alf_cc_cr_enabled_flag = int(rng.integers(0, 2))
+                sh.sh_alf_cc_cr_aps_id = int(rng.integers(0, len(alf_apss)))
         if cfg.lmcs:
             sh.ph.ph_lmcs_enabled_flag = 1
             sh.ph.ph_lmcs_aps_id = lmcs_aps.aps_adaptation_parameter_set_id
@@ -490,7 +579,53 @@ def encode_stream(cfg: EncoderConfig):
             for i, t in enumerate(trees):
                 t["sao"] = _random_sao(cfg, rng, i % ctb_w > 0,
                                        i // ctb_w > 0)
+        if cfg.alf or cfg.ccalf:
+            n_ids = sh.sh_num_alf_aps_ids_luma
+            for t in trees:
+                fy = int(rng.random() < 0.7)
+                if fy and rng.random() < 0.6 and n_ids > 0:
+                    set_idx = 16 + int(rng.integers(0, n_ids))
+                else:
+                    set_idx = int(rng.integers(0, 16))
+                alt_aps = alf_apss[sh.sh_alf_aps_id_chroma] \
+                    if alf_apss else None
+                nalt = (alt_aps.alf_chroma_num_alt_filters_minus1 + 1) \
+                    if alt_aps else 1
+                fcb = int(sh.sh_alf_cb_enabled_flag
+                          and rng.random() < 0.7)
+                fcr = int(sh.sh_alf_cr_enabled_flag
+                          and rng.random() < 0.7)
+                cc = [0, 0]
+                for i2, (en, aid) in enumerate((
+                        (sh.sh_alf_cc_cb_enabled_flag,
+                         sh.sh_alf_cc_cb_aps_id),
+                        (sh.sh_alf_cc_cr_enabled_flag,
+                         sh.sh_alf_cc_cr_aps_id))):
+                    if en:
+                        nf_cc = alf_apss[aid].alf_cc_cb_filters_signalled_minus1 + 1 \
+                            if i2 == 0 else \
+                            alf_apss[aid].alf_cc_cr_filters_signalled_minus1 + 1
+                        cc[i2] = int(rng.integers(0, nf_cc + 1))
+                t["alf"] = {
+                    "flag_y": fy if fy else 0,
+                    "set_idx": set_idx if fy else 0,
+                    "flag_cb": fcb,
+                    "alt_cb": int(rng.integers(0, nalt)) if fcb else 0,
+                    "flag_cr": fcr,
+                    "alt_cr": int(rng.integers(0, nalt)) if fcr else 0,
+                    "cc_idc": cc,
+                }
         fse = FrameSyntaxEncoder(sps, pps, sh, col_store=col_store)
+        if cfg.alf or cfg.ccalf:
+            ch_aps = alf_apss[sh.sh_alf_aps_id_chroma] if alf_apss else None
+            fse.alf_num_chroma_alts = (
+                ch_aps.alf_chroma_num_alt_filters_minus1 + 1
+                if ch_aps else 1)
+            fse.alf_num_cc_filters = (
+                alf_apss[sh.sh_alf_cc_cb_aps_id]
+                .alf_cc_cb_filters_signalled_minus1 + 1,
+                alf_apss[sh.sh_alf_cc_cr_aps_id]
+                .alf_cc_cr_filters_signalled_minus1 + 1)
         fse.qp_delta_rng = rng
         fse.tool_rng = rng
         n_ctus = len(trees)

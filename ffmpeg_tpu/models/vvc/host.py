@@ -77,6 +77,17 @@ def _get_lib():
         lib.vvch_tu_slots.restype = None
         lib.vvch_tu_slots.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                       ctypes.POINTER(ctypes.c_int32)]
+        lib.vvch_alf_info.restype = None
+        lib.vvch_alf_info.argtypes = [ctypes.c_void_p,
+                                      ctypes.POINTER(ctypes.c_int32)]
+        lib.vvch_alf_small.restype = None
+        lib.vvch_alf_small.argtypes = [ctypes.c_void_p,
+                                       ctypes.POINTER(ctypes.c_int32)]
+        for name in ("vvch_alf_luma_coeff", "vvch_alf_luma_clipidx",
+                     "vvch_alf_ctb"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.POINTER(ctypes.c_int32)
+            fn.argtypes = [ctypes.c_void_p]
         lib.vvch_lmcs.restype = None
         lib.vvch_lmcs.argtypes = [ctypes.c_void_p,
                                   ctypes.POINTER(ctypes.c_int32)]
@@ -137,6 +148,11 @@ class FrameSyntax:
     # "max_bin", "pivot"(17,), "fwd_scale"(16,), "inv_scale"(16,),
     # "chroma_scale"(16,)} int32 arrays (vvch_lmcs layout)
     lmcs: dict | None = None
+    # ALF derived state (None = disabled): {"cc_enabled"(2,),
+    # "luma_coeff"/"luma_clipidx"(n_aps,25,12), "chroma_coeff"/
+    # "chroma_clipidx"(8,6), "num_chroma_alts", "cc_coeff"(2,4,7),
+    # "ctb"(cbh,cbw,8)} (vvch_alf_* layout)
+    alf: dict | None = None
 
 
 class NativeFrame:
@@ -248,6 +264,37 @@ class HostDecoder:
                 buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
             return buf
 
+        ainfo = np.zeros(5, np.int32)
+        self._lib.vvch_alf_info(self._h,
+                                ainfo.ctypes.data_as(
+                                    ctypes.POINTER(ctypes.c_int32)))
+        alf = None
+        if ainfo[0] or ainfo[1] or ainfo[2]:
+            small = np.zeros(152, np.int32)
+            self._lib.vvch_alf_small(self._h,
+                                     small.ctypes.data_as(
+                                         ctypes.POINTER(ctypes.c_int32)))
+            n_aps = int(ainfo[3])
+            if n_aps:
+                lc = np.ctypeslib.as_array(
+                    self._lib.vvch_alf_luma_coeff(self._h),
+                    shape=(n_aps, 25, 12)).copy()
+                lci = np.ctypeslib.as_array(
+                    self._lib.vvch_alf_luma_clipidx(self._h),
+                    shape=(n_aps, 25, 12)).copy()
+            else:
+                lc = np.zeros((0, 25, 12), np.int32)
+                lci = np.zeros((0, 25, 12), np.int32)
+            alf = {"cc_enabled": (int(ainfo[1]), int(ainfo[2])),
+                   "num_chroma_alts": int(ainfo[4]),
+                   "luma_coeff": lc, "luma_clipidx": lci,
+                   "chroma_coeff": small[:48].reshape(8, 6),
+                   "chroma_clipidx": small[48:96].reshape(8, 6),
+                   "cc_coeff": small[96:152].reshape(2, 4, 7),
+                   "ctb": np.ctypeslib.as_array(
+                       self._lib.vvch_alf_ctb(self._h),
+                       shape=(cbh, cbw, 8)).copy()}
+
         lminfo = np.zeros(69, np.int32)
         self._lib.vvch_lmcs(self._h,
                             lminfo.ctypes.data_as(
@@ -291,6 +338,7 @@ class HostDecoder:
             slots_y=tu_slots(False),
             slots_c=tu_slots(True),
             lmcs=lmcs,
+            alf=alf,
             fo=NativeFrame(self._lib,
                            self._lib.vvch_detach(self._h)),
         )

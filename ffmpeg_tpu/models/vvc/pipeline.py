@@ -670,6 +670,52 @@ def _build_frame_program(shapes):
             embed(kc[0], H >> 1, W >> 1, Hp_c, Wp_c),
             embed(kc[1], H >> 1, W >> 1, Hp_c, Wp_c)]
 
+  def _alf_pass(planes, a):
+    """deblock -> SAO -> ALF: the last in-loop stage
+    (ff_vvc_alf_filter, vvc_filter.c:1254-1320)."""
+    from ...ops.alf import (TRANSPOSE_IDX, alf_classify, alf_filter_cc,
+                            alf_filter_chroma, alf_filter_luma)
+
+    ctb_sz = 1 << ctb_log2
+    ly0 = planes[0][:H, :W]
+    cls, tr = alf_classify(ly0, ctb_sz, bd)
+    nby, nbx = H // 4, W // 4
+    cb_by = (jnp.arange(nby) * 4) >> ctb_log2
+    cb_bx = (jnp.arange(nbx) * 4) >> ctb_log2
+    ctb_blk = a["ctb"][cb_by[:, None], cb_bx[None, :]]      # (nby,nbx,8)
+    bank = ctb_blk[..., 1]
+    coeff12 = a["banks_coeff"][bank, cls]                   # (nby,nbx,12)
+    clip12 = a["banks_clipv"][bank, cls]
+    perm = jnp.asarray(TRANSPOSE_IDX)[tr]
+    coeff12 = jnp.take_along_axis(coeff12, perm, axis=-1)
+    clip12 = jnp.take_along_axis(clip12, perm, axis=-1)
+    ly1 = alf_filter_luma(ly0, coeff12, clip12, ctb_sz,
+                          ctb_blk[..., 0] > 0, bd)
+    out = [planes[0].at[:H, :W].set(ly1)]
+    Hc, Wc = H >> 1, W >> 1
+    yc = jnp.arange(Hc) >> (ctb_log2 - 1)
+    xc = jnp.arange(Wc) >> (ctb_log2 - 1)
+    for c in (1, 2):
+      pc = planes[c][:Hc, :Wc]
+      flag = a["ctb"][..., 2 * c][yc[:, None], xc[None, :]]
+      alt = a["ctb"][..., 2 * c + 1][yc[:, None], xc[None, :]]
+      coeff6 = jnp.zeros((Hc, Wc, 6), jnp.int32)
+      clip6 = jnp.zeros((Hc, Wc, 6), jnp.int32)
+      for al in range(8):
+        sel = (alt == al)[..., None]
+        coeff6 = jnp.where(sel, a["chroma_coeff"][al], coeff6)
+        clip6 = jnp.where(sel, a["chroma_clipv"][al], clip6)
+      pc = alf_filter_chroma(pc, coeff6, clip6, ctb_sz >> 1,
+                             flag > 0, bd)
+      idc = a["ctb"][..., 5 + c][yc[:, None], xc[None, :]]
+      cc7 = jnp.zeros((Hc, Wc, 7), jnp.int32)
+      for k in range(5):
+        cc7 = jnp.where((idc == k)[..., None], a["cc_coeff"][c - 1, k],
+                        cc7)
+      pc = alf_filter_cc(pc, ly0, cc7, ctb_sz, idc > 0, bd)
+      out.append(planes[c].at[:Hc, :Wc].set(pc))
+    return out
+
   def frame_program(inp, refs_in):
     lm = inp.get("lmcs")
     crs = lm is not None and "chroma_scale" in lm
@@ -734,6 +780,9 @@ def _build_frame_program(shapes):
             s["offv"][..., c_idx, :], s["eo"][..., c_idx],
             W >> ss, H >> ss, ctb=(1 << ctb_log2) >> ss, bit_depth=bd))
       planes = out
+    if "alf" in inp:
+      planes = _alf_pass(planes, inp["alf"])
+
     # Pack the cropped output planes into one flat buffer in planar
     # YCbCr order — the exact byte layout of the rawvideo frame — so
     # the host needs a single device->host fetch per frame.
@@ -1204,6 +1253,39 @@ def build_host_inputs(fs: FrameSyntax, ctb_log2=5, ref_slots=None,
     inp["planes"].append(p)
   if not fs.deblock_disabled:
     inp["deblock"] = _deblock_grids(fs, Hp_y, Wp_y, Hp_c, Wp_c, ctb_log2)
+
+  if fs.alf is not None:
+    a = fs.alf
+    # filter banks: 16 fixed sets (vvc_data.c ff_vvc_alf_fix_filt_coeff
+    # expanded through class_to_filt_map) + the slice's APS banks;
+    # clip indices are converted to clip VALUES here (host knows the
+    # bit depth): clip_set[idx] = 1 << (bd - {0,3,5,7}[idx])
+    from ...ops.intra import _TABLES
+
+    fixed = _TABLES["alf_fixed"].astype(np.int32)          # (64, 12)
+    c2f = _TABLES["alf_class_to_filt"].astype(np.int32)    # (16, 25)
+    fixed_banks = fixed[c2f]                               # (16, 25, 12)
+    banks_coeff = np.concatenate(
+        [fixed_banks, a["luma_coeff"]], axis=0).astype(np.int32)
+    clip_off = np.array([0, 3, 5, 7], np.int32)
+    bd_ = fs.bit_depth
+
+    def clipv(idx):
+      return (1 << (bd_ - clip_off[idx])).astype(np.int32)
+
+    banks_clipv = np.concatenate(
+        [np.full((16, 25, 12), 1 << bd_, np.int32),
+         clipv(a["luma_clipidx"])], axis=0)
+    cc_ext = np.concatenate(
+        [np.zeros((2, 1, 7), np.int32), a["cc_coeff"]], axis=1)
+    inp["alf"] = {
+        "ctb": a["ctb"].astype(np.int32),
+        "banks_coeff": banks_coeff,
+        "banks_clipv": banks_clipv,
+        "chroma_coeff": a["chroma_coeff"].astype(np.int32),
+        "chroma_clipv": clipv(a["chroma_clipidx"]),
+        "cc_coeff": cc_ext,
+    }
 
   if fs.sao is not None and (force_sao or np.any(fs.sao[..., 0:3])):
     sao = fs.sao

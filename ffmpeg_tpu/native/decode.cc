@@ -108,6 +108,24 @@ struct LmcsOut {
   int32_t chroma_scale[16] = {};
 };
 
+// ALF derived per-frame state: the slice's filter banks (flattened
+// from the referenced APSs) + per-CTB CABAC decisions.  Parity:
+// alf_params (vvc_ctu.c) + VVCALF (vvc_ps.c:803-886).
+struct AlfOut {
+  int enabled = 0;        // sh_alf_enabled_flag
+  int cc_enabled[2] = {0, 0};
+  int n_aps_luma = 0;     // luma APS banks (bank_idx 16+k selects k)
+  std::vector<int32_t> luma_coeff;    // (n_aps_luma, 25, 12)
+  std::vector<int32_t> luma_clipidx;  // (n_aps_luma, 25, 12)
+  int num_chroma_alts = 1;
+  int32_t chroma_coeff[8][6] = {};
+  int32_t chroma_clipidx[8][6] = {};
+  int32_t cc_coeff[2][4][7] = {};
+  // per-CTB, 8 ints: flag_y, filt_set_idx_y, flag_cb, alt_cb,
+  // flag_cr, alt_cr, cc_idc_cb, cc_idc_cr
+  std::vector<int32_t> ctb;
+};
+
 struct FrameOut {
   int width = 0, height = 0, bit_depth = 8, chroma_format_idc = 1;
   int ctb_log2 = 5;
@@ -132,6 +150,7 @@ struct FrameOut {
   // type[3], band_position[3], eo_class[3], offset_val[3][5]
   std::vector<int32_t> sao;
   LmcsOut lmcs;
+  AlfOut alf;
 };
 
 // ---------------- per-CU reconstruction controls ----------------
@@ -574,6 +593,8 @@ class Decoder {
             Aps aps = parse_aps(r);
             if (aps.aps_params_type == 1)  // LMCS
               aps_lmcs_[aps.id & 3] = aps;
+            else if (aps.aps_params_type == 0)  // ALF
+              aps_alf_[aps.id & 7] = aps;
             break;
           }
           default:
@@ -605,6 +626,7 @@ class Decoder {
   Sps sps_;
   Pps pps_;
   Aps aps_lmcs_[4];
+  Aps aps_alf_[8];
   bool has_sps_ = false, has_pps_ = false;
 
   // parse-time state
@@ -1061,6 +1083,110 @@ class Decoder {
     }
   }
 
+  // Flatten the slice's ALF filter banks out of the referenced APSs
+  // (alf_derive, vvc_ps.c:873-886) and size the per-CTB decision table.
+  void derive_alf() {
+    AlfOut& a = out.alf;
+    a = AlfOut();
+    const int cbw = sps_.ctb_width(pps_.width);
+    const int cbh = sps_.ctb_width(pps_.height);
+    a.ctb.assign((size_t)cbw * cbh * 8, 0);
+    a.enabled = sh_.sh_alf_enabled_flag;
+    a.cc_enabled[0] = sh_.sh_alf_cc_cb_enabled_flag;
+    a.cc_enabled[1] = sh_.sh_alf_cc_cr_enabled_flag;
+    if (!a.enabled && !a.cc_enabled[0] && !a.cc_enabled[1]) return;
+    a.n_aps_luma = sh_.sh_num_alf_aps_ids_luma;
+    a.luma_coeff.assign((size_t)a.n_aps_luma * 25 * 12, 0);
+    a.luma_clipidx.assign((size_t)a.n_aps_luma * 25 * 12, 0);
+    for (int k = 0; k < a.n_aps_luma; k++) {
+      const Aps& aps = aps_alf_[sh_.sh_alf_aps_id_luma[k] & 7];
+      VVC_UNSUPPORTED(aps.aps_params_type != 0, "ALF APS missing");
+      for (int cls = 0; cls < 25; cls++)
+        for (int j = 0; j < 12; j++) {
+          a.luma_coeff[((size_t)k * 25 + cls) * 12 + j] =
+              aps.alf_luma_coeff[cls][j];
+          a.luma_clipidx[((size_t)k * 25 + cls) * 12 + j] =
+              aps.alf_luma_clipidx[cls][j];
+        }
+    }
+    if (sh_.sh_alf_cb_enabled_flag || sh_.sh_alf_cr_enabled_flag) {
+      const Aps& aps = aps_alf_[sh_.sh_alf_aps_id_chroma & 7];
+      VVC_UNSUPPORTED(aps.aps_params_type != 0, "chroma ALF APS missing");
+      a.num_chroma_alts = aps.num_chroma_alts;
+      for (int alt = 0; alt < 8; alt++)
+        for (int j = 0; j < 6; j++) {
+          a.chroma_coeff[alt][j] = aps.alf_chroma_coeff[alt][j];
+          a.chroma_clipidx[alt][j] = aps.alf_chroma_clipidx[alt][j];
+        }
+    }
+    const int cc_ids[2] = {sh_.sh_alf_cc_cb_aps_id, sh_.sh_alf_cc_cr_aps_id};
+    for (int i = 0; i < 2; i++) {
+      if (!a.cc_enabled[i]) continue;
+      const Aps& aps = aps_alf_[cc_ids[i] & 7];
+      VVC_UNSUPPORTED(aps.aps_params_type != 0, "CC-ALF APS missing");
+      for (int k = 0; k < 4; k++)
+        for (int j = 0; j < 7; j++)
+          a.cc_coeff[i][k][j] = aps.alf_cc_coeff[i][k][j];
+    }
+  }
+
+  // alf_params CABAC mirror (vvc_ctu.c alf_params + vvc_cabac.c
+  // ff_vvc_alf_* decoders)
+  void decode_alf(int rx, int ry) {
+    AlfOut& a = out.alf;
+    const int cbw = sps_.ctb_width(pps_.width);
+    int32_t* p = &a.ctb[(size_t)(ry * cbw + rx) * 8];
+    const int32_t* left = rx > 0 ? p - 8 : nullptr;
+    const int32_t* up = ry > 0 ? p - (size_t)cbw * 8 : nullptr;
+    if (sh_.sh_alf_enabled_flag) {
+      int inc = (ctb_left_ && left[0] ? 1 : 0) + (ctb_up_ && up[0] ? 1 : 0);
+      p[0] = bin(ALF_CTB_FLAG + inc);
+      if (p[0]) {
+        int use_aps = 0;
+        if (sh_.sh_num_alf_aps_ids_luma > 0) use_aps = bin(ALF_USE_APS_FLAG);
+        if (use_aps) {
+          p[1] = 16;
+          if (sh_.sh_num_alf_aps_ids_luma > 1)
+            p[1] += truncated_binary(sh_.sh_num_alf_aps_ids_luma - 1);
+        } else {
+          p[1] = truncated_binary(15);
+        }
+      }
+      const int cb_cr_en[2] = {sh_.sh_alf_cb_enabled_flag,
+                               sh_.sh_alf_cr_enabled_flag};
+      for (int c = 1; c <= 2; c++) {
+        if (!cb_cr_en[c - 1]) continue;
+        const int fi = 2 * c;  // flag at p[2]/p[4], alt at p[3]/p[5]
+        int inc_c = c * 3 + (ctb_left_ && left[fi] ? 1 : 0) +
+                    (ctb_up_ && up[fi] ? 1 : 0);
+        p[fi] = bin(ALF_CTB_FLAG + inc_c);
+        if (p[fi] && a.num_chroma_alts > 1) {
+          int i = 0;
+          while (i < a.num_chroma_alts - 1 &&
+                 bin(ALF_CTB_FILTER_ALT_IDX + c - 1))
+            i++;
+          p[fi + 1] = i;
+        }
+      }
+    }
+    if (sps_.sps_ccalf_enabled_flag) {
+      const Aps* ccaps[2] = {&aps_alf_[sh_.sh_alf_cc_cb_aps_id & 7],
+                             &aps_alf_[sh_.sh_alf_cc_cr_aps_id & 7]};
+      for (int i = 0; i < 2; i++) {
+        if (!a.cc_enabled[i]) continue;
+        int base = i ? ALF_CTB_CC_CR_IDC : ALF_CTB_CC_CB_IDC;
+        int inc = base + (ctb_left_ && left[6 + i] ? 1 : 0) +
+                  (ctb_up_ && up[6 + i] ? 1 : 0);
+        int v = 0;
+        if (bin(inc)) {
+          v = 1;
+          while (v < ccaps[i]->num_cc_filters[i] && cd_->bypass()) v++;
+        }
+        p[6 + i] = v;
+      }
+    }
+  }
+
   void decode_slice(const Nal& nal, BitReader& r) {
     sh_ = parse_slice_header(r, nal.type, sps_, pps_);
     VVC_UNSUPPORTED(sps_.sps_qtbtt_dual_tree_intra_flag, "dual tree (todo)");
@@ -1079,6 +1205,7 @@ class Decoder {
     out.slice_qp = sh_.slice_qp_y;
     out.dep_quant = sh_.sh_dep_quant_used_flag;
     derive_lmcs();
+    derive_alf();
     out.coeff[0].assign((size_t)pps_.width * pps_.height, 0);
     int cw = pps_.width >> sps_.hshift_c, ch = pps_.height >> sps_.vshift_c;
     if (sps_.sps_chroma_format_idc) {
@@ -1299,6 +1426,8 @@ class Decoder {
     }
     if (sh_.sh_sao_luma_used_flag || sh_.sh_sao_chroma_used_flag)
       decode_sao(rx, ry);
+    if (sh_.sh_alf_enabled_flag || sps_.sps_ccalf_enabled_flag)
+      decode_alf(rx, ry);
     int x0 = rx << sps_.ctb_log2_size_y;
     int y0 = ry << sps_.ctb_log2_size_y;
     coding_tree(x0, y0, sps_.ctb_size_y, sps_.ctb_size_y, 0, 0, 0, 0,
@@ -2798,6 +2927,33 @@ const int32_t* vvch_mvf(void* h, int which) {
     default: return o.mvf_ref1.data();
   }
 }
+// ALF derived state.  vvch_alf_info: [enabled, cc_cb_en, cc_cr_en,
+// n_aps_luma, num_chroma_alts].  vvch_alf_small packs the fixed-size
+// tables: chroma_coeff (8*6), chroma_clipidx (8*6), cc_coeff (2*4*7).
+void vvch_alf_info(void* h, int32_t* info) {
+  const AlfOut& a = ((Decoder*)h)->out.alf;
+  info[0] = a.enabled;
+  info[1] = a.cc_enabled[0];
+  info[2] = a.cc_enabled[1];
+  info[3] = a.n_aps_luma;
+  info[4] = a.num_chroma_alts;
+}
+void vvch_alf_small(void* h, int32_t* o) {
+  const AlfOut& a = ((Decoder*)h)->out.alf;
+  std::memcpy(o, a.chroma_coeff, sizeof(a.chroma_coeff));
+  std::memcpy(o + 48, a.chroma_clipidx, sizeof(a.chroma_clipidx));
+  std::memcpy(o + 96, a.cc_coeff, sizeof(a.cc_coeff));
+}
+const int32_t* vvch_alf_luma_coeff(void* h) {
+  return ((Decoder*)h)->out.alf.luma_coeff.data();
+}
+const int32_t* vvch_alf_luma_clipidx(void* h) {
+  return ((Decoder*)h)->out.alf.luma_clipidx.data();
+}
+const int32_t* vvch_alf_ctb(void* h) {
+  return ((Decoder*)h)->out.alf.ctb.data();
+}
+
 // LMCS derived state: [enabled, crs_flag, min_bin, max_bin,
 // pivot[17], fwd_scale[16], inv_scale[16], chroma_scale[16]] (69 ints)
 void vvch_lmcs(void* h, int32_t* info) {

@@ -468,8 +468,78 @@ Aps parse_aps(BitReader& r) {
       int sign = abs_crs > 0 ? (int)r.flag() : 0;
       aps.lmcs_delta_crs = (1 - 2 * sign) * abs_crs;
     }
-  } else if (aps.aps_params_type == 0) {
-    VVC_UNSUPPORTED(true, "ALF APS (todo)");
+  } else if (aps.aps_params_type == 0) {  // ALF (spec 7.3.2.19)
+    aps.alf_luma_signal = r.flag();
+    if (aps.chroma_present) {
+      aps.alf_chroma_signal = r.flag();
+      aps.alf_cc_signal[0] = r.flag();
+      aps.alf_cc_signal[1] = r.flag();
+    }
+    int luma_clip = 0, num_luma = 1;
+    int delta_idx[25] = {};
+    int16_t coeff[25][12] = {};
+    uint8_t clipidx[25][12] = {};
+    if (aps.alf_luma_signal) {
+      luma_clip = r.flag();
+      num_luma = (int)r.ue() + 1;
+      VVC_UNSUPPORTED(num_luma > 25, "alf num luma filters");
+      if (num_luma > 1) {
+        int bits = 1;
+        while ((1 << bits) < num_luma) bits++;
+        for (int f = 0; f < 25; f++) delta_idx[f] = r.u(bits);
+      }
+      for (int sf = 0; sf < num_luma; sf++)
+        for (int j = 0; j < 12; j++) {
+          int a = (int)r.ue();
+          VVC_UNSUPPORTED(a > 128, "alf luma coeff abs");
+          int sgn = a ? (int)r.flag() : 0;
+          coeff[sf][j] = (int16_t)((1 - 2 * sgn) * a);
+        }
+    }
+    for (int sf = 0; sf < num_luma; sf++)
+      for (int j = 0; j < 12; j++)
+        clipidx[sf][j] = luma_clip ? (uint8_t)r.u(2) : 0;
+    // expand per-class (alf_luma, vvc_ps.c:821-836)
+    for (int cls = 0; cls < 25; cls++) {
+      int ref = delta_idx[cls];
+      VVC_UNSUPPORTED(ref >= num_luma, "alf delta idx");
+      std::memcpy(aps.alf_luma_coeff[cls], coeff[ref], sizeof(coeff[ref]));
+      std::memcpy(aps.alf_luma_clipidx[cls], clipidx[ref],
+                  sizeof(clipidx[ref]));
+    }
+    int chroma_clip = 0;
+    if (aps.alf_chroma_signal) {
+      chroma_clip = r.flag();
+      aps.num_chroma_alts = (int)r.ue() + 1;
+      VVC_UNSUPPORTED(aps.num_chroma_alts > 8, "alf chroma alts");
+    }
+    for (int alt = 0; alt < aps.num_chroma_alts; alt++) {
+      for (int j = 0; j < 6; j++) {
+        int a = aps.alf_chroma_signal ? (int)r.ue() : 0;
+        VVC_UNSUPPORTED(a > 128, "alf chroma coeff abs");
+        int sgn = a ? (int)r.flag() : 0;
+        aps.alf_chroma_coeff[alt][j] = (int16_t)((1 - 2 * sgn) * a);
+      }
+      for (int j = 0; j < 6; j++)
+        aps.alf_chroma_clipidx[alt][j] =
+            chroma_clip ? (uint8_t)r.u(2) : 0;
+    }
+    for (int cc = 0; cc < 2; cc++) {
+      if (aps.alf_cc_signal[cc])
+        aps.num_cc_filters[cc] = (int)r.ue() + 1;
+      VVC_UNSUPPORTED(aps.num_cc_filters[cc] > 4, "alf cc filters");
+      for (int k = 0; k < aps.num_cc_filters[cc] && aps.alf_cc_signal[cc];
+           k++)
+        for (int j = 0; j < 7; j++) {
+          int m = r.u(3);  // mapped abs: 0 or 1 << (m-1)
+          int c = 0;
+          if (m) {
+            int sgn = (int)r.flag();
+            c = (1 - 2 * sgn) * (1 << (m - 1));
+          }
+          aps.alf_cc_coeff[cc][k][j] = (int16_t)c;
+        }
+    }
   } else {
     VVC_UNSUPPORTED(true, "scaling-list APS");
   }
@@ -502,7 +572,28 @@ SliceHeader parse_slice_header(BitReader& r, int nal_type, const Sps& sps,
   if (nal_is_irap(nal_type) || nal_type == NAL_GDR)
     sh.sh_no_output_of_prior_pics_flag = r.flag();
   if (sps.sps_alf_enabled_flag && !pps.pps_alf_info_in_ph_flag)
-    VVC_UNSUPPORTED(r.flag(), "slice alf (todo)");
+  {
+    sh.sh_alf_enabled_flag = r.flag();
+    if (sh.sh_alf_enabled_flag) {
+      sh.sh_num_alf_aps_ids_luma = r.u(3);
+      for (int i = 0; i < sh.sh_num_alf_aps_ids_luma; i++)
+        sh.sh_alf_aps_id_luma[i] = r.u(3);
+      if (sps.sps_chroma_format_idc) {
+        sh.sh_alf_cb_enabled_flag = r.flag();
+        sh.sh_alf_cr_enabled_flag = r.flag();
+      }
+      if (sh.sh_alf_cb_enabled_flag || sh.sh_alf_cr_enabled_flag)
+        sh.sh_alf_aps_id_chroma = r.u(3);
+      if (sps.sps_ccalf_enabled_flag) {
+        sh.sh_alf_cc_cb_enabled_flag = r.flag();
+        if (sh.sh_alf_cc_cb_enabled_flag)
+          sh.sh_alf_cc_cb_aps_id = r.u(3);
+        sh.sh_alf_cc_cr_enabled_flag = r.flag();
+        if (sh.sh_alf_cc_cr_enabled_flag)
+          sh.sh_alf_cc_cr_aps_id = r.u(3);
+      }
+    }
+  }
 
   bool is_idr = nal_is_idr(nal_type);
   bool has_rpl = !pps.pps_rpl_info_in_ph_flag &&

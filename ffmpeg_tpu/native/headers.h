@@ -162,6 +162,19 @@ struct Aps {
   int lmcs_delta_max_bin_idx = 0;
   int lmcs_delta_cw[16] = {};
   int lmcs_delta_crs = 0;
+  // alf_data, already derived to signed coefficients / clip indices
+  // (alf_derive, vvc_ps.c:873-878): luma per class (delta_idx applied),
+  // chroma per alternative, cc per component+filter
+  int alf_luma_signal = 0;
+  int alf_chroma_signal = 0;
+  int alf_cc_signal[2] = {0, 0};
+  int16_t alf_luma_coeff[25][12] = {};
+  uint8_t alf_luma_clipidx[25][12] = {};
+  int num_chroma_alts = 1;
+  int16_t alf_chroma_coeff[8][6] = {};
+  uint8_t alf_chroma_clipidx[8][6] = {};
+  int num_cc_filters[2] = {1, 1};
+  int16_t alf_cc_coeff[2][4][7] = {};
 };
 
 struct PictureHeader {
@@ -203,6 +216,16 @@ struct SliceHeader {
   int sh_collocated_ref_idx = 0;
   int slice_qp_y = 26;
   int sh_cb_qp_offset = 0, sh_cr_qp_offset = 0, sh_joint_cbcr_qp_offset = 0;
+  int sh_alf_enabled_flag = 0;
+  int sh_num_alf_aps_ids_luma = 0;
+  int sh_alf_aps_id_luma[8] = {};
+  int sh_alf_cb_enabled_flag = 0;
+  int sh_alf_cr_enabled_flag = 0;
+  int sh_alf_aps_id_chroma = 0;
+  int sh_alf_cc_cb_enabled_flag = 0;
+  int sh_alf_cc_cb_aps_id = 0;
+  int sh_alf_cc_cr_enabled_flag = 0;
+  int sh_alf_cc_cr_aps_id = 0;
   int sh_sao_luma_used_flag = 0;
   int sh_sao_chroma_used_flag = 0;
   int sh_deblocking_filter_disabled_flag = 0;

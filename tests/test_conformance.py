@@ -115,6 +115,15 @@ needs_ref = pytest.mark.skipif(not os.path.exists(REF_FFMPEG),
     dict(width=128, height=64, seed=1507, qp=30, lmcs=True, mts=True,
          lfnst=True, dep_quant=True, cu_qp_delta=True, ctu_log2=6,
          max_bt_size=64),
+    dict(width=96, height=96, seed=1601, qp=30, alf=True),
+    dict(width=96, height=96, seed=1604, qp=30, alf=True, ccalf=True),
+    dict(width=96, height=64, seed=1605, qp=28, alf=True, ccalf=True,
+         inter=True, b_slices=True, deblock=True, sao=True, n_frames=4),
+    dict(width=128, height=128, seed=1606, qp=30, alf=True, ccalf=True,
+         ctu_log2=6, max_bt_size=64, bit_depth=10),
+    dict(width=96, height=64, seed=1607, qp=30, alf=True, ccalf=True,
+         lmcs=True, inter=True, b_slices=True, ra=True, n_frames=9,
+         deblock=True, sao=True),
 ], ids=["64x64", "128x64x2f", "96x96-dense", "deblock", "deblock-unaligned",
         "inter-p", "inter-p-deblock", "inter-b", "10bit-sao-full",
         "mts-explicit", "mts-implicit", "mts-inter-full",
@@ -129,7 +138,9 @@ needs_ref = pytest.mark.skipif(not os.path.exists(REF_FFMPEG),
         "dep-quant", "dep-quant-inter", "dep-quant-tools", "dep-quant-ts",
         "sign-hiding", "sign-hiding-inter",
         "lmcs", "lmcs-b", "lmcs-inter", "lmcs-ra", "lmcs-10bit-jcbcr",
-        "lmcs-tools"])
+        "lmcs-tools",
+        "alf", "alf-ccalf", "alf-inter", "alf-ctu64-10bit",
+        "alf-lmcs-ra"])
 def test_frame_md5_parity(tmp_path, cfg_kw):
     from ffmpeg_tpu.encoder.encoder import EncoderConfig, encode_stream
 
