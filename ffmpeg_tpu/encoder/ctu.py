@@ -89,6 +89,9 @@ class CuIntent:
     mvd: tuple = (0, 0)      # quarter-pel units (pre amvr shift)
     mvp_flag1: int = 0
     mvd1: tuple = (0, 0)
+    amvr_shift: int = 2      # 2 (off) / 3 / 4 / 6
+    bcw_idx: int = 0         # BI only, w*h >= 256
+    mmvd: tuple | None = None  # (cand_flag, distance_idx, direction)
     # filled during encoding: derived final MVs (1/16 pel) + refs
     pred_flag: int = 0       # PF_* of the final motion
     mv: tuple | None = None
@@ -163,6 +166,9 @@ class FrameSyntaxEncoder:
         self.tab_alf: dict = {}  # (rx, ry) -> [fy, set, fcb, acb, fcr, acr, cc0, cc1]
         self.alf_num_chroma_alts = 1
         self.alf_num_cc_filters = (1, 1)
+        # NoBackwardPredFlag (vvc_mvs.c:121-135): every active reference
+        # precedes the current picture; drives the BCW unary c_max
+        self.no_backward_pred = True
 
         # inter state (P slices): list0 POCs + motion context
         self.is_inter_slice = sh.sh_slice_type != 2
@@ -507,17 +513,45 @@ class FrameSyntaxEncoder:
         if not cu.skip:
             self._bin("GENERAL_MERGE_FLAG", 0, int(general_merge))
         if general_merge:
-            # regular merge inferred 1 (ciip/gpm/mmvd/subblock all off)
+            # merge_data_regular (ciip/gpm/subblock still off)
             c_max = self.sps_max_merge_cand() - 1
-            self._bin("MERGE_IDX", 0, int(cu.merge_idx > 0))
-            if cu.merge_idx > 0:
-                for i in range(1, cu.merge_idx):
+            if self.sps.sps_mmvd_enabled_flag:
+                self._bin("MMVD_MERGE_FLAG", 0, int(cu.mmvd is not None))
+            merge_idx = cu.merge_idx
+            if cu.mmvd is not None:
+                cand, dist_idx, direction = cu.mmvd
+                if self.sps_max_merge_cand() > 1:
+                    self._bin("MMVD_CAND_FLAG", 0, cand)
+                self._bin("MMVD_DISTANCE_IDX", 0, int(dist_idx > 0))
+                for i in range(1, dist_idx):
                     self.enc.bypass(1)
-                if cu.merge_idx < c_max:
+                if 0 < dist_idx < 7:
                     self.enc.bypass(0)
-            mvf = m.merge_candidate(cu.x0, cu.y0, cu.w, cu.h, cu.merge_idx,
+                self.enc.bypass(direction >> 1)
+                self.enc.bypass(direction & 1)
+                merge_idx = cand
+            else:
+                self._bin("MERGE_IDX", 0, int(merge_idx > 0))
+                if merge_idx > 0:
+                    for i in range(1, merge_idx):
+                        self.enc.bypass(1)
+                    if merge_idx < c_max:
+                        self.enc.bypass(0)
+            mvf = m.merge_candidate(cu.x0, cu.y0, cu.w, cu.h, merge_idx,
                                     self.sps_max_merge_cand(), is_b,
                                     self.num_ref_idx_active)
+            if cu.mmvd is not None:
+                # motion-field bookkeeping only: the decoder derives the
+                # exact per-list scaled offsets (decode.cc derive_mmvd);
+                # no later syntax depends on these values
+                _, dist_idx, direction = cu.mmvd
+                shift = 4 if self.sh.ph.ph_mmvd_fullpel_only_flag else 2
+                d = 1 << (dist_idx + shift)
+                off = ((d, 0), (-d, 0), (0, d), (0, -d))[direction]
+                for lx in (0, 1):
+                    if mvf.pred_flag & (lx + 1):
+                        mvf.mv[lx] = [mvf.mv[lx][0] + off[0],
+                                      mvf.mv[lx][1] + off[1]]
             # mv_merge_refine_pred_flag (vvc_mvs.c: bi + w+h==12 -> L0)
             if mvf.pred_flag == PF_BI and cu.w + cu.h == 12:
                 mvf.pred_flag = PF_L0
@@ -551,7 +585,33 @@ class FrameSyntaxEncoder:
                 mvds[1] = cu.mvd1
                 self._encode_mvd(cu.mvd1)
                 self._bin("MVP_LX_FLAG", 0, cu.mvp_flag1)
-            amvr_shift = 2
+            amvr_shift = cu.amvr_shift
+            has_no_zero_mvd = any(
+                mvds[lx] is not None and any(mvds[lx])
+                for lx in (0, 1)
+                if not (lx == 1 and self.sh.ph.ph_mvd_l1_zero_flag
+                        and pf == PF_BI))
+            if self.sps.sps_amvr_enabled_flag and has_no_zero_mvd:
+                self._bin("AMVR_FLAG", 0, int(amvr_shift != 2))
+                if amvr_shift != 2:
+                    idx = {3: 0, 4: 1, 6: 2}[amvr_shift]
+                    self._bin("AMVR_PRECISION_IDX", 0, int(idx > 0))
+                    if idx > 0:
+                        self._bin("AMVR_PRECISION_IDX", 1, int(idx == 2))
+            else:
+                assert amvr_shift == 2
+            if self.sps.sps_bcw_enabled_flag and pf == PF_BI \
+                    and cu.w * cu.h >= 256:
+                c_max = 4 if self.no_backward_pred else 2
+                assert cu.bcw_idx <= c_max
+                self._bin("BCW_IDX", 0, int(cu.bcw_idx > 0))
+                if cu.bcw_idx:
+                    for _ in range(1, cu.bcw_idx):
+                        self.enc.bypass(1)
+                    if cu.bcw_idx < c_max:
+                        self.enc.bypass(0)
+            else:
+                assert cu.bcw_idx == 0
             mvf = MvField()
             mvf.pred_flag = pf
             for lx in (0, 1):

@@ -70,6 +70,11 @@ class EncoderConfig:
     # ALF / CC-ALF: random APS filters + per-CTB flags
     alf: bool = False
     ccalf: bool = False
+    # inter toolset wave 1
+    amvr: bool = False
+    bcw: bool = False
+    mmvd: bool = False
+    mmvd_fullpel: bool = False
     # random-access GOP-4 pyramid: multi-ref B slices + output reorder
     # (requires inter; n_frames should be 4k+1)
     ra: bool = False
@@ -120,6 +125,10 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
         sps_lmcs_enabled_flag=1 if cfg.lmcs else 0,
         sps_alf_enabled_flag=1 if (cfg.alf or cfg.ccalf) else 0,
         sps_ccalf_enabled_flag=1 if cfg.ccalf else 0,
+        sps_amvr_enabled_flag=1 if cfg.amvr else 0,
+        sps_bcw_enabled_flag=1 if cfg.bcw else 0,
+        sps_mmvd_enabled_flag=1 if cfg.mmvd else 0,
+        sps_mmvd_fullpel_only_enabled_flag=1 if cfg.mmvd_fullpel else 0,
     )
     pps = PPS(
         pps_pic_width_in_luma_samples=cfg.width,
@@ -162,9 +171,17 @@ def _random_cu(cfg, rng, x0, y0, w, h, is_inter_slice=False):
             cu.merge = True
             cu.merge_idx = int(rng.integers(0, 6))
             cu.coeff_y = cu.coeff_cb = cu.coeff_cr = None
+            if cfg.mmvd and rng.random() < 0.5:
+                cu.mmvd = (int(rng.integers(0, 2)),
+                           int(rng.integers(0, 8)),
+                           int(rng.integers(0, 4)))
         elif rng.random() < cfg.merge_prob:
             cu.merge = True
             cu.merge_idx = int(rng.integers(0, 6))
+            if cfg.mmvd and rng.random() < 0.5:
+                cu.mmvd = (int(rng.integers(0, 2)),
+                           int(rng.integers(0, 8)),
+                           int(rng.integers(0, 4)))
         else:
             if cfg.b_slices:
                 choices = ["L0", "L1", "BI"] if w + h > 12 else ["L0", "L1"]
@@ -175,6 +192,16 @@ def _random_cu(cfg, rng, x0, y0, w, h, is_inter_slice=False):
             cu.mvp_flag1 = int(rng.integers(0, 2))
             cu.mvd1 = (int(rng.integers(-cfg.max_mv, cfg.max_mv + 1)),
                        int(rng.integers(-cfg.max_mv, cfg.max_mv + 1)))
+            mvds_used = [cu.mvd] if cu.pred_list == "L0" else (
+                [cu.mvd1] if cu.pred_list == "L1" else [cu.mvd, cu.mvd1])
+            if cfg.amvr and any(any(d) for d in mvds_used) \
+                    and rng.random() < 0.6:
+                cu.amvr_shift = int(rng.choice([3, 4, 6]))
+            if cfg.bcw and cu.pred_list == "BI" and w * h >= 256 \
+                    and rng.random() < 0.7:
+                cu.bcw_idx = int(rng.integers(0, 3))
+        if cu.mmvd is not None and cfg.skip_prob and cu.skip:
+            pass
         if cu.merge and not cu.skip:
             # merge non-skip parses residual; luma cbf inferred 1 when
             # chroma uncoded -> guarantee coefficients exist
@@ -616,6 +643,13 @@ def encode_stream(cfg: EncoderConfig):
                     "cc_idc": cc,
                 }
         fse = FrameSyntaxEncoder(sps, pps, sh, col_store=col_store)
+        if is_p:
+            refs_all = (l0_refs or [poc - 1]) + (l1_refs or
+                                                 ([poc - 1]
+                                                  if cfg.b_slices else []))
+            fse.no_backward_pred = all(r < poc for r in refs_all)
+        if cfg.mmvd_fullpel:
+            sh.ph.ph_mmvd_fullpel_only_flag = int(rng.integers(0, 2))
         if cfg.alf or cfg.ccalf:
             ch_aps = alf_apss[sh.sh_alf_aps_id_chroma] if alf_apss else None
             fse.alf_num_chroma_alts = (

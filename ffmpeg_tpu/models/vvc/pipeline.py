@@ -385,7 +385,7 @@ def _residual_blocks_from_buckets(buckets, ncap, bit_depth, sizes,
 
 
 def _mc_block(refs, x0, y0, mvx, mvy, maxs, taps, before, frac_bits,
-              bit_depth, slot):
+              bit_depth, slot, hpel=0):
   """Generic separable MC window for one CU (maxs x maxs), 14-bit out.
   refs: (n_refs, H, W) stacked reference planes; slot selects one."""
   H, W = refs.shape[1:]
@@ -394,10 +394,16 @@ def _mc_block(refs, x0, y0, mvx, mvy, maxs, taps, before, frac_bits,
   frac_y = mvy & mask
   ix = x0 + (mvx >> frac_bits)
   iy = y0 + (mvy >> frac_bits)
-  ftab = jnp.asarray((INTERP_CHROMA if taps == 4 else INTERP_LUMA)[0]
-                     .astype(np.int32))
-  hf = ftab[frac_x]
-  vf = ftab[frac_y]
+  if taps == 4:
+    ftab = jnp.asarray(INTERP_CHROMA[0].astype(np.int32))
+    hf = ftab[frac_x]
+    vf = ftab[frac_y]
+  else:
+    # bank 1 is the AMVR half-pel alternative filter (hpel_if_idx,
+    # ff_vvc_inter_luma_filters, vvc_data.c:1735)
+    ftab = jnp.asarray(INTERP_LUMA[:2].astype(np.int32))
+    hf = ftab[hpel, frac_x]
+    vf = ftab[hpel, frac_y]
   g = maxs + taps - 1
   xs = jnp.clip(ix + jnp.arange(g) - before, 0, W - 1)
   ys = jnp.clip(iy + jnp.arange(g) - before, 0, H - 1)
@@ -416,7 +422,8 @@ def _mc_block(refs, x0, y0, mvx, mvy, maxs, taps, before, frac_bits,
 
 # keys consumed by the two batched passes
 INTER_KEYS = ("x0", "y0", "w", "h", "pf", "m0x", "m0y", "m1x", "m1y",
-              "r0slot", "r1slot")
+              "r0slot", "r1slot", "wden", "w0", "w1", "wo0", "wo1",
+              "hpel")
 INTRA_KEYS = ("x0", "y0", "w", "h", "logw", "logh", "mode_class", "angle",
               "inv_angle", "filter_flag", "smooth", "left_size", "top_size",
               "unfilter_last_one", "do_pdpc", "nscale", "avail_l", "avail_t",
@@ -460,10 +467,11 @@ def _inter_pred_unit(refs, c, *, maxs, taps, before, frac_bits,
   """Clipped inter prediction for one unit (vmapped over a batch).
   With lmcs, the clipped luma prediction is forward-mapped into the
   LMCS domain (vvc_inter.c:888-891)."""
+  hp = c.get("hpel", 0) if taps == 8 else 0
   t0 = _mc_block(refs, c["x0"], c["y0"], c["m0x"], c["m0y"], maxs, taps,
-                 before, frac_bits, bit_depth, c["r0slot"])
+                 before, frac_bits, bit_depth, c["r0slot"], hp)
   t1 = _mc_block(refs, c["x0"], c["y0"], c["m1x"], c["m1y"], maxs, taps,
-                 before, frac_bits, bit_depth, c["r1slot"])
+                 before, frac_bits, bit_depth, c["r1slot"], hp)
   # uni: put_uni rounding on the used list; bi: avg
   shift2 = 14 - bit_depth
   off2 = 1 << (shift2 - 1)
@@ -471,6 +479,16 @@ def _inter_pred_unit(refs, c, *, maxs, taps, before, frac_bits,
   uni = jnp.clip((uni + off2) >> shift2, 0, maxv)
   sh_avg = max(3, 15 - bit_depth)
   bi = jnp.clip((t0 + t1 + (1 << (sh_avg - 1))) >> sh_avg, 0, maxv)
+  if "wden" in c:
+    # weighted bi prediction (w_avg, vvc_inter_template.c:42-58):
+    # covers BCW and explicit weighted bipred
+    wden = c["wden"]
+    # clamp: wden is -1 for default-average units (result unused there,
+    # but a negative shift amount must never be formed)
+    shw = jnp.maximum(wden, 0) + max(3, 15 - bit_depth)
+    offw = (((c["wo0"] + c["wo1"]) << (bit_depth - 8)) + 1) << (shw - 1)
+    bi_w = jnp.clip((t0 * c["w0"] + t1 * c["w1"] + offw) >> shw, 0, maxv)
+    bi = jnp.where(wden >= 0, bi_w, bi)
   pred = jnp.where(c["pf"] == 3, bi, uni)
   if lmcs is not None:
     pred = _lmcs_fwd(pred, lmcs, bit_depth)

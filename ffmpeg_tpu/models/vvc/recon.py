@@ -32,7 +32,9 @@ CTRL_KEYS = (
     "filter_flag", "smooth", "left_size", "top_size", "unfilter_last_one",
     "do_pdpc", "nscale", "avail_l", "avail_t", "cand_up_left",
     "proj_v", "proj_h", "pf", "m0x", "m0y", "m1x", "m1y",
-    "r0slot", "r1slot", "chunk", "corner_src")
+    "r0slot", "r1slot", "chunk",
+    "wden", "w0", "w1", "wo0", "wo1", "hpel",
+    "corner_src")
 
 
 MC_INTER = 6  # extra mode class: prediction comes from the MC plane

@@ -75,6 +75,8 @@ struct CuRecord {
   int32_t pf;                  // PF_* of final motion
   int32_t mv1_x, mv1_y, ref_idx1;  // L1 motion
   int32_t bdpcm_l, bdpcm_c;    // BDPCM per component pair
+  int32_t bcw;                 // bcw_idx (0 = default equal weights)
+  int32_t hpel;                // hpel_if_idx (AMVR half-pel alt filter)
 };
 struct TuRecord {
   int32_t x0, y0, w, h;  // component coords
@@ -161,7 +163,7 @@ struct FrameOut {
 // output straight to the frame program.
 namespace ctrl {
 
-constexpr int kNumKeys = 30;
+constexpr int kNumKeys = 36;
 // CTRL_KEYS order (recon.py): x0,y0,w,h,logw,logh,mode_class,angle,
 // inv_angle,filter_flag,smooth,left_size,top_size,unfilter_last_one,
 // do_pdpc,nscale,avail_l,avail_t,cand_up_left,proj_v,proj_h,
@@ -171,6 +173,11 @@ enum Key {
   kFilterFlag, kSmooth, kLeftSize, kTopSize, kUnfilterLastOne,
   kDoPdpc, kNscale, kAvailL, kAvailT, kCandUpLeft, kProjV, kProjH,
   kPf, kM0x, kM0y, kM1x, kM1y, kR0Idx, kR1Idx, kChunk,
+  // weighted-sample-prediction controls (derive_weight,
+  // vvc_inter.c:149-178): kWden < 0 means default averaging
+  kWden, kW0, kW1, kO0, kO1,
+  // kHpel: luma interpolation filter bank (hpel_if_idx; AMVR shift 3)
+  kHpel,
   // kCornerSrc: where the above-left corner sample lives for the
   // line-buffer kernel: 0 = the covering unit's bottom row is y0-1
   // (read the B buffer), 1 = it extends below (read its right column
@@ -355,6 +362,19 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
       O(kR0Idx, i) = cu.ref_idx < 0 ? 0 : cu.ref_idx;
       O(kR1Idx, i) = cu.ref_idx1 < 0 ? 0 : cu.ref_idx1;
       O(kChunk, i) = -1;
+      // weighted bi-prediction controls (derive_weight,
+      // vvc_inter.c:149-178): BCW lookup {4,5,3,10,-2}; kWden < 0
+      // selects the default average
+      O(kWden, i) = -1;
+      if (cu.bcw && cu.pf == 3 /* PF_BI */) {
+        static const int bcw_w_lut[5] = {4, 5, 3, 10, -2};
+        O(kWden, i) = 2;
+        O(kW1, i) = bcw_w_lut[cu.bcw];
+        O(kW0, i) = 8 - bcw_w_lut[cu.bcw];
+        O(kO0, i) = 0;
+        O(kO1, i) = 0;
+      }
+      O(kHpel, i) = cu.hpel;
       for (int by = y0 / g; by < (y0 + h) / g; by++)
         for (int bx = x0 / g; bx < (x0 + w) / g; bx++) {
           rec(by, bx) = 1;
@@ -516,6 +536,8 @@ struct MvF {
   int32_t mv[2][2] = {{0, 0}, {0, 0}};  // [list][x/y], 1/16 pel
   int32_t ref_idx[2] = {-1, -1};
   int32_t pred_flag = PF_INTRA;
+  int32_t bcw = 0;   // bcw_idx (propagates through spatial/HMVP merge)
+  int32_t hpel = 0;  // hpel_if_idx
   bool operator==(const MvF& o) const {
     if (pred_flag != o.pred_flag) return false;
     for (int i = 0; i < 2; i++) {
@@ -892,6 +914,10 @@ class Decoder {
         }
       }
       if (c.pred_flag) {
+        // pairwise: bcw 0; hpel kept only when both sources agree
+        // (mv_merge_pairwise_candidate, vvc_mvs.c:742-744)
+        c.bcw = 0;
+        c.hpel = p0.hpel == p1.hpel ? p0.hpel : 0;
         cands.push_back(c);
         if (merge_idx == (int)cands.size() - 1) return cands.back();
       }
@@ -1807,9 +1833,29 @@ class Decoder {
     cu.merge = general_merge;
     MvF f;
     if (general_merge) {
-      // regular merge inferred (ciip/gpm/mmvd/sbt-merge all disabled)
+      // merge_data_regular (vvc_ctu.c): mmvd, else regular merge idx
+      // (ciip/gpm/sbt-merge still gated off at SPS)
       int merge_idx = 0;
-      if (sps_.max_num_merge_cand > 1) {
+      int mmvd = 0;
+      int32_t mmvd_off[2] = {0, 0};
+      if (sps_.sps_mmvd_enabled_flag) mmvd = bin(MMVD_MERGE_FLAG);
+      if (mmvd) {
+        int cand = 0;
+        if (sps_.max_num_merge_cand > 1) cand = bin(MMVD_CAND_FLAG);
+        // mmvd_offset_coding (vvc_cabac.c:1395-1417)
+        int dist_idx = 0;
+        if (bin(MMVD_DISTANCE_IDX)) {
+          dist_idx = 1;
+          while (dist_idx < 7 && cd_->bypass()) dist_idx++;
+        }
+        int shift = sh_.ph.ph_mmvd_fullpel_only_flag ? 4 : 2;
+        int dist = 1 << (dist_idx + shift);
+        int dir = ((int)cd_->bypass() << 1) | (int)cd_->bypass();
+        const int signs[4][2] = {{1, 0}, {-1, 0}, {0, 1}, {0, -1}};
+        mmvd_off[0] = dist * signs[dir][0];
+        mmvd_off[1] = dist * signs[dir][1];
+        merge_idx = cand;
+      } else if (sps_.max_num_merge_cand > 1) {
         if (bin(MERGE_IDX)) {
           merge_idx = 1;
           while (merge_idx < sps_.max_num_merge_cand - 1 && cd_->bypass())
@@ -1819,8 +1865,40 @@ class Decoder {
       cu.idx = merge_idx;
       f = merge_candidate(x0, y0, w, h, merge_idx, sps_.max_num_merge_cand,
                           is_b);
+      if (mmvd) {
+        // derive_mmvd (vvc_ctu.c): scale the offset to each list by
+        // POC distance when bi-predicted
+        if (f.pred_flag == PF_BI) {
+          int diff0 = out.poc - out.ref_pocs[0][f.ref_idx[0]];
+          int diff1 = out.poc - out.ref_pocs[1][f.ref_idx[1]];
+          int32_t m0[2], m1[2];
+          if (diff0 == diff1) {
+            m0[0] = m1[0] = mmvd_off[0];
+            m0[1] = m1[1] = mmvd_off[1];
+          } else if (std::abs(diff0) < std::abs(diff1)) {
+            m1[0] = mmvd_off[0];
+            m1[1] = mmvd_off[1];
+            mv_scale(m0, mmvd_off, diff1, diff0);
+          } else {
+            m0[0] = mmvd_off[0];
+            m0[1] = mmvd_off[1];
+            mv_scale(m1, mmvd_off, diff0, diff1);
+          }
+          f.mv[0][0] += m0[0];
+          f.mv[0][1] += m0[1];
+          f.mv[1][0] += m1[0];
+          f.mv[1][1] += m1[1];
+        } else {
+          int idx = f.pred_flag - PF_L0;
+          f.mv[idx][0] += mmvd_off[0];
+          f.mv[idx][1] += mmvd_off[1];
+        }
+      }
       // mv_merge_refine_pred_flag: bi & w+h==12 -> L0
-      if (f.pred_flag == PF_BI && w + h == 12) f.pred_flag = PF_L0;
+      if (f.pred_flag == PF_BI && w + h == 12) {
+        f.pred_flag = PF_L0;
+        f.bcw = 0;
+      }
     } else {
       // AMVP (ff_vvc_pred_flag, vvc_cabac.c:1480); amvr off -> shift 2
       int pf = PF_L0;
@@ -1842,6 +1920,7 @@ class Decoder {
       int32_t mvds[2][2] = {{0, 0}, {0, 0}};
       int mvp_flags[2] = {0, 0};
       int ref_idxs[2] = {-1, -1};
+      int has_no_zero_mvd = 0;
       for (int lx = 0; lx < 2; lx++) {
         int skip_flag_pf = lx == 0 ? PF_L1 : PF_L0;
         if (pf != skip_flag_pf) {
@@ -1851,12 +1930,42 @@ class Decoder {
             mvds[1][0] = mvds[1][1] = 0;
           } else {
             decode_mvd(mvds[lx]);
+            has_no_zero_mvd |= (mvds[lx][0] || mvds[lx][1]);
           }
           mvp_flags[lx] = bin(MVP_LX_FLAG);
         }
       }
       cu.idx = mvp_flags[0];
+      // AMVR (ff_vvc_amvr_shift, vvc_cabac.c:1551-1583): translational
       int amvr_shift = 2;
+      if (sps_.sps_amvr_enabled_flag && has_no_zero_mvd) {
+        if (bin(AMVR_FLAG)) {
+          static const int shifts[3] = {3, 4, 6};
+          int idx = 0;
+          if (bin(AMVR_PRECISION_IDX)) {
+            idx = 1;
+            if (bin(AMVR_PRECISION_IDX + 1)) idx = 2;
+          }
+          amvr_shift = shifts[idx];
+        }
+      }
+      f.hpel = amvr_shift == 3;
+      // BCW (bcw_idx_decode, vvc_ctu.c:1490-1509; no explicit WP yet)
+      if (sps_.sps_bcw_enabled_flag && pf == PF_BI && w * h >= 256) {
+        int no_backward = 1;
+        for (int lx = 0; lx < 2 && no_backward; lx++)
+          for (int k = 0; k < out.nb_refs[lx]; k++)
+            if (out.ref_pocs[lx][k] > out.poc) {
+              no_backward = 0;
+              break;
+            }
+        int c_max = no_backward ? 4 : 2;
+        if (bin(BCW_IDX)) {
+          int i = 1;
+          while (i < c_max && cd_->bypass()) i++;
+          f.bcw = i;
+        }
+      }
       f.pred_flag = pf;
       for (int lx = 0; lx < 2; lx++) {
         if (pf & (lx + 1)) {
@@ -1879,6 +1988,8 @@ class Decoder {
     cu.mv1_x = f.mv[1][0];
     cu.mv1_y = f.mv[1][1];
     cu.ref_idx1 = f.ref_idx[1];
+    cu.bcw = f.bcw;
+    cu.hpel = f.hpel;
 
     // cu_coded_flag (vvc_ctu.c:1794-1798)
     int coded;

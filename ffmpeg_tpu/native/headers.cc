@@ -210,7 +210,8 @@ Sps parse_sps(BitReader& r) {
   if (sps.sps_dmvr_enabled_flag)
     VVC_UNSUPPORTED(r.flag(), "dmvr control in ph");
   sps.sps_mmvd_enabled_flag = r.flag();
-  if (sps.sps_mmvd_enabled_flag) r.flag();  // mmvd_fullpel_only
+  if (sps.sps_mmvd_enabled_flag)
+    sps.sps_mmvd_fullpel_only_flag = r.flag();
   sps.max_num_merge_cand = 6 - r.ue();
   sps.sps_sbt_enabled_flag = r.flag();
   sps.sps_affine_enabled_flag = r.flag();
@@ -430,6 +431,8 @@ static PictureHeader parse_picture_header(BitReader& r, const Sps& sps,
     if (sps.sps_temporal_mvp_enabled_flag) {
       ph.ph_temporal_mvp_enabled_flag = r.flag();
     }
+    if (sps.sps_mmvd_fullpel_only_flag)
+      ph.ph_mmvd_fullpel_only_flag = r.flag();
     ph.ph_mvd_l1_zero_flag = r.flag();
   }
   if (pps.pps_qp_delta_info_in_ph_flag) ph.ph_qp_delta = r.se();

@@ -78,6 +78,7 @@ struct Sps {
   int sps_smvd_enabled_flag = 0;
   int sps_dmvr_enabled_flag = 0;
   int sps_mmvd_enabled_flag = 0;
+  int sps_mmvd_fullpel_only_flag = 0;
   int max_num_merge_cand = 6;
   int sps_sbt_enabled_flag = 0;
   int sps_affine_enabled_flag = 0;
@@ -190,6 +191,7 @@ struct PictureHeader {
   int ph_temporal_mvp_enabled_flag = 0;
   int ph_cu_qp_delta_subdiv_intra_slice = 0;
   int ph_cu_qp_delta_subdiv_inter_slice = 0;
+  int ph_mmvd_fullpel_only_flag = 0;
   int ph_mvd_l1_zero_flag = 1;
   int ph_qp_delta = 0;
   int ph_joint_cbcr_sign_flag = 0;

@@ -51,7 +51,8 @@ JMAX = 103        # edge_arrays' index bound (176-long arrays, origin 72:
 # ctrl row indices (recon.CTRL_KEYS order; decode.cc ctrl::Key)
 (KX0, KY0, KW, KH, KLOGW, KLOGH, KMC, KANGLE, KINV, KFF, KSMOOTH,
  KLSZ, KTSZ, KUNF, KPDPC, KNS, KAVL, KAVT, KCUL, KPROJV, KPROJH,
- KPF, KM0X, KM0Y, KM1X, KM1Y, KR0, KR1, KCHUNK, KCSRC) = range(30)
+ KPF, KM0X, KM0Y, KM1X, KM1Y, KR0, KR1, KCHUNK,
+ KWDEN, KW0, KW1, KO0, KO1, KHPEL, KCSRC) = range(36)
 
 MC_PLANAR, MC_DC, MC_VERT, MC_HORZ, MC_ANG_V, MC_ANG_H, MC_INTER = range(7)
 

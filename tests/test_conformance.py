@@ -124,6 +124,20 @@ needs_ref = pytest.mark.skipif(not os.path.exists(REF_FFMPEG),
     dict(width=96, height=64, seed=1607, qp=30, alf=True, ccalf=True,
          lmcs=True, inter=True, b_slices=True, ra=True, n_frames=9,
          deblock=True, sao=True),
+    dict(width=96, height=64, seed=1701, qp=28, inter=True, n_frames=3,
+         mmvd=True),
+    dict(width=96, height=64, seed=1702, qp=28, inter=True, b_slices=True,
+         n_frames=3, mmvd=True, mmvd_fullpel=True),
+    dict(width=96, height=64, seed=1703, qp=28, inter=True, b_slices=True,
+         n_frames=3, amvr=True, max_mv=120),
+    dict(width=96, height=96, seed=1704, qp=28, inter=True, b_slices=True,
+         n_frames=3, bcw=True, min_qt_size=16),
+    dict(width=96, height=64, seed=1705, qp=28, inter=True, b_slices=True,
+         ra=True, n_frames=9, mmvd=True, amvr=True, bcw=True, deblock=True,
+         sao=True),
+    dict(width=96, height=64, seed=1706, qp=30, inter=True, b_slices=True,
+         ra=True, tmvp=True, n_frames=9, mmvd=True, amvr=True, bcw=True,
+         lmcs=True, alf=True, deblock=True, sao=True),
 ], ids=["64x64", "128x64x2f", "96x96-dense", "deblock", "deblock-unaligned",
         "inter-p", "inter-p-deblock", "inter-b", "10bit-sao-full",
         "mts-explicit", "mts-implicit", "mts-inter-full",
@@ -140,7 +154,9 @@ needs_ref = pytest.mark.skipif(not os.path.exists(REF_FFMPEG),
         "lmcs", "lmcs-b", "lmcs-inter", "lmcs-ra", "lmcs-10bit-jcbcr",
         "lmcs-tools",
         "alf", "alf-ccalf", "alf-inter", "alf-ctu64-10bit",
-        "alf-lmcs-ra"])
+        "alf-lmcs-ra",
+        "mmvd", "mmvd-fullpel", "amvr", "bcw", "inter-wave1-ra",
+        "inter-wave1-all"])
 def test_frame_md5_parity(tmp_path, cfg_kw):
     from ffmpeg_tpu.encoder.encoder import EncoderConfig, encode_stream
 
