@@ -92,6 +92,7 @@ class CuIntent:
     amvr_shift: int = 2      # 2 (off) / 3 / 4 / 6
     bcw_idx: int = 0         # BI only, w*h >= 256
     mmvd: tuple | None = None  # (cand_flag, distance_idx, direction)
+    ciip: bool = False       # combined inter/intra (merge, w*h >= 64)
     # filled during encoding: derived final MVs (1/16 pel) + refs
     pred_flag: int = 0       # PF_* of the final motion
     mv: tuple | None = None
@@ -513,49 +514,74 @@ class FrameSyntaxEncoder:
         if not cu.skip:
             self._bin("GENERAL_MERGE_FLAG", 0, int(general_merge))
         if general_merge:
-            # merge_data_regular (ciip/gpm/subblock still off)
-            c_max = self.sps_max_merge_cand() - 1
-            if self.sps.sps_mmvd_enabled_flag:
-                self._bin("MMVD_MERGE_FLAG", 0, int(cu.mmvd is not None))
-            merge_idx = cu.merge_idx
-            if cu.mmvd is not None:
-                cand, dist_idx, direction = cu.mmvd
-                if self.sps_max_merge_cand() > 1:
-                    self._bin("MMVD_CAND_FLAG", 0, cand)
-                self._bin("MMVD_DISTANCE_IDX", 0, int(dist_idx > 0))
-                for i in range(1, dist_idx):
-                    self.enc.bypass(1)
-                if 0 < dist_idx < 7:
-                    self.enc.bypass(0)
-                self.enc.bypass(direction >> 1)
-                self.enc.bypass(direction & 1)
-                merge_idx = cand
+            # merge_data_block gating (GPM still off)
+            ciip_avail = (self.sps.sps_ciip_enabled_flag and not cu.skip
+                          and cu.w * cu.h >= 64)
+            if ciip_avail:
+                self._bin("REGULAR_MERGE_FLAG", int(not cu.skip),
+                          int(not cu.ciip))
             else:
-                self._bin("MERGE_IDX", 0, int(merge_idx > 0))
-                if merge_idx > 0:
-                    for i in range(1, merge_idx):
+                assert not cu.ciip
+            # ciip_flag only coded when gpm is also available (it is
+            # not, with sps_gpm off): inferred from availability
+            c_max = self.sps_max_merge_cand() - 1
+            if cu.ciip:
+                # merge_data_ciip: plain merge idx, no mmvd
+                self._bin("MERGE_IDX", 0, int(cu.merge_idx > 0))
+                if cu.merge_idx > 0:
+                    for i in range(1, cu.merge_idx):
                         self.enc.bypass(1)
-                    if merge_idx < c_max:
+                    if cu.merge_idx < c_max:
                         self.enc.bypass(0)
-            mvf = m.merge_candidate(cu.x0, cu.y0, cu.w, cu.h, merge_idx,
-                                    self.sps_max_merge_cand(), is_b,
-                                    self.num_ref_idx_active)
-            if cu.mmvd is not None:
-                # motion-field bookkeeping only: the decoder derives the
-                # exact per-list scaled offsets (decode.cc derive_mmvd);
-                # no later syntax depends on these values
-                _, dist_idx, direction = cu.mmvd
-                shift = 4 if self.sh.ph.ph_mmvd_fullpel_only_flag else 2
-                d = 1 << (dist_idx + shift)
-                off = ((d, 0), (-d, 0), (0, d), (0, -d))[direction]
-                for lx in (0, 1):
-                    if mvf.pred_flag & (lx + 1):
-                        mvf.mv[lx] = [mvf.mv[lx][0] + off[0],
-                                      mvf.mv[lx][1] + off[1]]
-            # mv_merge_refine_pred_flag (vvc_mvs.c: bi + w+h==12 -> L0)
-            if mvf.pred_flag == PF_BI and cu.w + cu.h == 12:
-                mvf.pred_flag = PF_L0
-            m.set_mvf(cu.x0, cu.y0, cu.w, cu.h, mvf)
+                mvf = m.merge_candidate(cu.x0, cu.y0, cu.w, cu.h,
+                                        cu.merge_idx,
+                                        self.sps_max_merge_cand(), is_b,
+                                        self.num_ref_idx_active)
+                if mvf.pred_flag == PF_BI and cu.w + cu.h == 12:
+                    mvf.pred_flag = PF_L0
+                m.set_mvf(cu.x0, cu.y0, cu.w, cu.h, mvf)
+            elif True:
+              if self.sps.sps_mmvd_enabled_flag:
+                self._bin("MMVD_MERGE_FLAG", 0, int(cu.mmvd is not None))
+              merge_idx = cu.merge_idx
+              if cu.mmvd is not None:
+                  cand, dist_idx, direction = cu.mmvd
+                  if self.sps_max_merge_cand() > 1:
+                      self._bin("MMVD_CAND_FLAG", 0, cand)
+                  self._bin("MMVD_DISTANCE_IDX", 0, int(dist_idx > 0))
+                  for i in range(1, dist_idx):
+                      self.enc.bypass(1)
+                  if 0 < dist_idx < 7:
+                      self.enc.bypass(0)
+                  self.enc.bypass(direction >> 1)
+                  self.enc.bypass(direction & 1)
+                  merge_idx = cand
+              else:
+                  self._bin("MERGE_IDX", 0, int(merge_idx > 0))
+                  if merge_idx > 0:
+                      for i in range(1, merge_idx):
+                          self.enc.bypass(1)
+                      if merge_idx < c_max:
+                          self.enc.bypass(0)
+              mvf = m.merge_candidate(cu.x0, cu.y0, cu.w, cu.h, merge_idx,
+                                      self.sps_max_merge_cand(), is_b,
+                                      self.num_ref_idx_active)
+              if cu.mmvd is not None:
+                  # motion-field bookkeeping only: the decoder derives
+                  # the exact per-list scaled offsets (derive_mmvd);
+                  # no later syntax depends on these values
+                  _, dist_idx, direction = cu.mmvd
+                  shift = 4 if self.sh.ph.ph_mmvd_fullpel_only_flag else 2
+                  d = 1 << (dist_idx + shift)
+                  off = ((d, 0), (-d, 0), (0, d), (0, -d))[direction]
+                  for lx in (0, 1):
+                      if mvf.pred_flag & (lx + 1):
+                          mvf.mv[lx] = [mvf.mv[lx][0] + off[0],
+                                        mvf.mv[lx][1] + off[1]]
+              # mv_merge_refine_pred_flag (bi + w+h==12 -> L0)
+              if mvf.pred_flag == PF_BI and cu.w + cu.h == 12:
+                  mvf.pred_flag = PF_L0
+              m.set_mvf(cu.x0, cu.y0, cu.w, cu.h, mvf)
         else:
             # AMVP; amvr off -> shift 2
             pf = {"L0": PF_L0, "L1": PF_L1, "BI": PF_BI}[cu.pred_list]

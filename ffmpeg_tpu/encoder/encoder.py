@@ -75,6 +75,7 @@ class EncoderConfig:
     bcw: bool = False
     mmvd: bool = False
     mmvd_fullpel: bool = False
+    ciip: bool = False
     # random-access GOP-4 pyramid: multi-ref B slices + output reorder
     # (requires inter; n_frames should be 4k+1)
     ra: bool = False
@@ -129,6 +130,7 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
         sps_bcw_enabled_flag=1 if cfg.bcw else 0,
         sps_mmvd_enabled_flag=1 if cfg.mmvd else 0,
         sps_mmvd_fullpel_only_enabled_flag=1 if cfg.mmvd_fullpel else 0,
+        sps_ciip_enabled_flag=1 if cfg.ciip else 0,
     )
     pps = PPS(
         pps_pic_width_in_luma_samples=cfg.width,
@@ -178,7 +180,10 @@ def _random_cu(cfg, rng, x0, y0, w, h, is_inter_slice=False):
         elif rng.random() < cfg.merge_prob:
             cu.merge = True
             cu.merge_idx = int(rng.integers(0, 6))
-            if cfg.mmvd and rng.random() < 0.5:
+            if (cfg.ciip and w * h >= 64 and w <= 32 and h <= 32
+                    and rng.random() < 0.5):
+                cu.ciip = True  # excludes mmvd (regular_merge_flag 0)
+            elif cfg.mmvd and rng.random() < 0.5:
                 cu.mmvd = (int(rng.integers(0, 2)),
                            int(rng.integers(0, 8)),
                            int(rng.integers(0, 4)))

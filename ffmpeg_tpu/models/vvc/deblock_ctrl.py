@@ -177,7 +177,13 @@ def deblock_frame(fs: FrameSyntax, planes, ctb_log2: int, beta_off, tc_off):
     return out.astype(np.int32)
 
   motion = {
-      "pf": mvf["pf"].astype(np.int32),
+      # CIIP cells count as intra for boundary strength (the bs-2 rule
+      # is "P or Q intra or ciip", vvc_filter.c:537); merge/TMVP readers
+      # see the real pred_flag via fs.mvf directly
+      # CIIP cells count as intra for boundary strength (the bs-2 rule
+      # is "P or Q intra or ciip", vvc_filter.c:537)
+      "pf": np.where(np.asarray(mvf.get("ciip", 0)) > 0, 0,
+                     mvf["pf"]).astype(np.int32),
       "m0x": mvf["mv_x"].astype(np.int32),
       "m0y": mvf["mv_y"].astype(np.int32),
       "p0": refpoc(mvf["ref"], 0),

@@ -427,7 +427,10 @@ INTER_KEYS = ("x0", "y0", "w", "h", "pf", "m0x", "m0y", "m1x", "m1y",
 INTRA_KEYS = ("x0", "y0", "w", "h", "logw", "logh", "mode_class", "angle",
               "inv_angle", "filter_flag", "smooth", "left_size", "top_size",
               "unfilter_last_one", "do_pdpc", "nscale", "avail_l", "avail_t",
-              "cand_up_left", "proj_v", "proj_h")
+              "cand_up_left", "proj_v", "proj_h",
+              # CIIP inter-hypothesis motion + blend weight
+              "pf", "m0x", "m0y", "m1x", "m1y", "r0slot", "r1slot",
+              "wden", "w0", "w1", "wo0", "wo1", "hpel", "ciipw")
 
 # units per batched group: the device executes groups sequentially and
 # the units inside a group as one vmapped batch (host guarantees units
@@ -506,7 +509,7 @@ def _inter_unit(res_plane, refs, c, *, maxs, taps, before, frac_bits,
 
 
 def _intra_unit(plane, res_plane, c, *, maxs, is_chroma, bit_depth, maxv,
-                mid, OFF):
+                mid, OFF, refs=None, lmcs=None):
   """Prediction + residual for one intra unit (vmapped over a chunk);
   reads reconstructed neighbour samples from the current plane."""
   w, h = c["w"], c["h"]
@@ -548,6 +551,17 @@ def _intra_unit(plane, res_plane, c, *, maxs, is_chroma, bit_depth, maxv,
       (pdpc > 0) & (mc < I.MC_ANG_V),
       lambda p: I.pdpc_hvdc(p, top, left, OFF, maxs, logw, logh, mc, maxv),
       lambda p: p, pred)
+  if refs is not None:
+    # CIIP blend (put_ciip, vvc_inter_template.c:60-76): the inter
+    # hypothesis comes from the unit's own motion controls
+    mcb = _inter_pred_unit(refs, c, maxs=maxs,
+                           taps=4 if is_chroma else 8,
+                           before=1 if is_chroma else 3,
+                           frac_bits=5 if is_chroma else 4,
+                           bit_depth=bit_depth, maxv=maxv,
+                           lmcs=lmcs if not is_chroma else None)
+    cw = c["ciipw"]
+    pred = jnp.where(cw > 0, (pred * cw + mcb * (4 - cw) + 2) >> 2, pred)
   res = _slice_block(res_plane, c["y0"], c["x0"], maxs)
   return jnp.clip(pred + res, 0, maxv)
 
@@ -593,7 +607,8 @@ def _recon_plane(res_plane, inter, n_inter, intra, n_chunks, refs, *,
          for k in INTRA_KEYS}
     blks = jax.vmap(lambda cc: _intra_unit(
         plane, res_plane, cc, maxs=maxs_intra, is_chroma=is_chroma,
-        bit_depth=bit_depth, maxv=maxv, mid=mid, OFF=OFF))(c)
+        bit_depth=bit_depth, maxv=maxv, mid=mid, OFF=OFF,
+        refs=refs, lmcs=lmcs))(c)
     return _scatter_blocks(plane, blks, c["x0"], c["y0"], c["w"], c["h"],
                            c["w"] > 0, maxs_intra)
 
@@ -1029,7 +1044,11 @@ def _deblock_grids(fs: FrameSyntax, Hp_y, Wp_y, Hp_c, Wp_c, ctb_log2):
     return outp.astype(np.int32)
 
   motion = {
-      "pf": mvf["pf"].astype(np.int32),
+      # CIIP cells count as intra for boundary strength (the bs-2 rule
+      # is "P or Q intra or ciip", vvc_filter.c:537); merge/TMVP
+      # readers see the real pred_flag via fs.mvf directly
+      "pf": np.where(np.asarray(mvf.get("ciip", 0)) > 0, 0,
+                     mvf["pf"]).astype(np.int32),
       "m0x": mvf["mv_x"].astype(np.int32),
       "m0y": mvf["mv_y"].astype(np.int32),
       "p0": refpoc(mvf["ref"], 0),
@@ -1125,18 +1144,24 @@ def _layout_ctrl(mat, geom_key, tag):
   """
   keys = {k: mat[j] for j, k in enumerate(CTRL_KEYS)}
   chunk = keys["chunk"]
-  inter_idx = np.flatnonzero(chunk < 0)
+  # the MC batch: pure inter units first (the fallback's inter scatter
+  # pass covers exactly those), then CIIP units (chunked in the intra
+  # pass but needing a prefetched MC block in the Pallas path)
+  pure_idx = np.flatnonzero((chunk < 0))
+  ciip_idx = np.flatnonzero(keys["ciipw"] > 0)
+  inter_idx = np.concatenate([pure_idx, ciip_idx])
   intra_idx = np.flatnonzero(chunk >= 0)
   # worst-case unit counts: every 4x4 a unit
   W, H = geom_key
   unit_cap = max(1, (W // 4) * (H // 4) + (W // 2) * (H // 2) // 16)
 
-  n_inter = len(inter_idx)
-  icap = _round_up(_ratchet(geom_key, (tag, "inter"), max(n_inter, 1),
+  n_inter = len(pure_idx)
+  n_mc = len(inter_idx)
+  icap = _round_up(_ratchet(geom_key, (tag, "inter"), max(n_mc, 1),
                             unit_cap, floor=INTER_CHUNK), INTER_CHUNK)
   inter = {k: np.zeros(icap, np.int32) for k in INTER_KEYS}
   for k in INTER_KEYS:
-    inter[k][:n_inter] = keys[k][inter_idx]
+    inter[k][:n_mc] = keys[k][inter_idx]
 
   if len(intra_idx):
     c = chunk[intra_idx]
@@ -1173,8 +1198,10 @@ def _pallas_ctrl(mat, geom_key, tag):
   ctrl = np.zeros((mat.shape[0], ncap), np.int32)
   ctrl[:, :n] = mat
   ipos = np.zeros(ncap, np.int32)
-  inter_idx = np.flatnonzero(mat[CTRL_KEYS.index("chunk")] < 0)
-  ipos[inter_idx] = np.arange(len(inter_idx), dtype=np.int32)
+  pure_idx = np.flatnonzero(mat[CTRL_KEYS.index("chunk")] < 0)
+  ciip_idx = np.flatnonzero(mat[CTRL_KEYS.index("ciipw")] > 0)
+  mc_idx = np.concatenate([pure_idx, ciip_idx])
+  ipos[mc_idx] = np.arange(len(mc_idx), dtype=np.int32)
   return {"ctrl": ctrl, "ipos": ipos, "n": np.int32(n)}
 
 
@@ -1239,7 +1266,9 @@ def build_host_inputs(fs: FrameSyntax, ctb_log2=5, ref_slots=None,
   if pallas:
     inp["recon"] = {"y": _pallas_ctrl(fs.ctrl_y, (W, H), "y"),
                     "c": _pallas_ctrl(fs.ctrl_c, (W, H), "c")}
-    if n_inter_y or n_inter_c:
+    has_ciip = (fs.ctrl_y is not None and fs.ctrl_y.size and
+                fs.ctrl_y[CTRL_KEYS.index("ciipw")].any())
+    if n_inter_y or n_inter_c or has_ciip:
       inp["has_inter"] = np.int32(1)
 
   (Hp_y, Wp_y), (Hp_c, Wp_c) = _padded_plane_shapes(W, H, ctb_log2)
@@ -1248,7 +1277,7 @@ def build_host_inputs(fs: FrameSyntax, ctb_log2=5, ref_slots=None,
   # MC gather always has a plane to index); L1 motion indexes slots
   # after the L0 block
   n_l0 = (ref_slots or (max(1, len(fs.ref_pocs[0])),))[0]
-  for c in (inter_y, inter_c):
+  for c in (inter_y, inter_c, intra_y, intra_c):
     c["r1slot"] = c["r1slot"] + np.int32(n_l0)
 
   for c_idx in range(3):

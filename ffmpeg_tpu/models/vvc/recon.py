@@ -33,7 +33,7 @@ CTRL_KEYS = (
     "do_pdpc", "nscale", "avail_l", "avail_t", "cand_up_left",
     "proj_v", "proj_h", "pf", "m0x", "m0y", "m1x", "m1y",
     "r0slot", "r1slot", "chunk",
-    "wden", "w0", "w1", "wo0", "wo1", "hpel",
+    "wden", "w0", "w1", "wo0", "wo1", "hpel", "ciipw",
     "corner_src")
 
 

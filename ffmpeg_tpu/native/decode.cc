@@ -77,6 +77,8 @@ struct CuRecord {
   int32_t bdpcm_l, bdpcm_c;    // BDPCM per component pair
   int32_t bcw;                 // bcw_idx (0 = default equal weights)
   int32_t hpel;                // hpel_if_idx (AMVR half-pel alt filter)
+  int32_t ciip;                // combined inter/intra prediction
+  int32_t ciip_w;              // CIIP intra blend weight (1..3)
 };
 struct TuRecord {
   int32_t x0, y0, w, h;  // component coords
@@ -148,6 +150,7 @@ struct FrameOut {
   // MvField planes at 4x4 granularity (MIN_PU_LOG2 == 2)
   std::vector<int32_t> mvf_pf, mvf_x, mvf_y, mvf_ref;       // L0
   std::vector<int32_t> mvf_x1, mvf_y1, mvf_ref1;            // L1
+  std::vector<int32_t> mvf_ciip;  // per-4x4 ciip flag (deblock bs)
   // per-CTB SAO params, 24 ints each:
   // type[3], band_position[3], eo_class[3], offset_val[3][5]
   std::vector<int32_t> sao;
@@ -163,7 +166,7 @@ struct FrameOut {
 // output straight to the frame program.
 namespace ctrl {
 
-constexpr int kNumKeys = 36;
+constexpr int kNumKeys = 37;
 // CTRL_KEYS order (recon.py): x0,y0,w,h,logw,logh,mode_class,angle,
 // inv_angle,filter_flag,smooth,left_size,top_size,unfilter_last_one,
 // do_pdpc,nscale,avail_l,avail_t,cand_up_left,proj_v,proj_h,
@@ -178,6 +181,9 @@ enum Key {
   kWden, kW0, kW1, kO0, kO1,
   // kHpel: luma interpolation filter bank (hpel_if_idx; AMVR shift 3)
   kHpel,
+  // kCiipW: CIIP intra blend weight 1..3 (0 = not a CIIP unit;
+  // ciip_derive_intra_weight, vvc_inter.c:523-543)
+  kCiipW,
   // kCornerSrc: where the above-left corner sample lives for the
   // line-buffer kernel: 0 = the covering unit's bottom row is y0-1
   // (read the B buffer), 1 = it extends below (read its right column
@@ -353,7 +359,11 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
     const int lx0 = u.lx0, ly0 = u.ly0;
     const int x0 = u.x0, y0 = u.y0;
     const int w = u.w, h = u.h;
-    if (cu.pred_mode == 0) {  // MODE_INTER
+    // CIIP units follow the intra (chunked) path with a blend weight;
+    // EXCEPT chroma blocks of width <= 2, which stay pure MC
+    // (pred_regular_chroma do_ciip, vvc_inter.c:590)
+    const bool unit_ciip = cu.ciip && !(is_chroma && w <= 2);
+    if (cu.pred_mode == 0 && !unit_ciip) {  // MODE_INTER
       O(kX0, i) = x0; O(kY0, i) = y0; O(kW, i) = w; O(kH, i) = h;
       O(kModeClass, i) = MC_INTER;
       O(kPf, i) = cu.pf;
@@ -382,7 +392,19 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
         }
       continue;
     }
-    const int raw_mode = is_chroma ? cu.chroma_mode : cu.luma_mode;
+    const int raw_mode = unit_ciip ? 0
+                         : (is_chroma ? cu.chroma_mode : cu.luma_mode);
+    if (unit_ciip) {
+      // motion + blend controls for the CIIP inter hypothesis
+      O(kPf, i) = cu.pf;
+      O(kM0x, i) = cu.mv_x; O(kM0y, i) = cu.mv_y;
+      O(kM1x, i) = cu.mv1_x; O(kM1y, i) = cu.mv1_y;
+      O(kR0Idx, i) = cu.ref_idx < 0 ? 0 : cu.ref_idx;
+      O(kR1Idx, i) = cu.ref_idx1 < 0 ? 0 : cu.ref_idx1;
+      O(kWden, i) = -1;  // derive_weight: no bcw/wp for ciip
+      O(kHpel, i) = cu.hpel;
+      O(kCiipW, i) = cu.ciip_w;
+    }
     const int bdpcm = is_chroma ? cu.bdpcm_c : cu.bdpcm_l;
     const int mode = wide_angle_map(raw_mode, w, h);
     const int mc = classify_mode(mode);
@@ -538,6 +560,7 @@ struct MvF {
   int32_t pred_flag = PF_INTRA;
   int32_t bcw = 0;   // bcw_idx (propagates through spatial/HMVP merge)
   int32_t hpel = 0;  // hpel_if_idx
+  int32_t ciip = 0;  // not inheritable (vvc_mvs.c:813); set at store
   bool operator==(const MvF& o) const {
     if (pred_flag != o.pred_flag) return false;
     for (int i = 0; i < 2; i++) {
@@ -1360,6 +1383,7 @@ class Decoder {
     out.mvf_x1.resize(n);
     out.mvf_y1.resize(n);
     out.mvf_ref1.resize(n);
+    out.mvf_ciip.resize(n);
     for (size_t i = 0; i < n; i++) {
       out.mvf_pf[i] = mvf_.empty() ? PF_INTRA : mvf_[i].pred_flag;
       out.mvf_x[i] = mvf_.empty() ? 0 : mvf_[i].mv[0][0];
@@ -1368,6 +1392,7 @@ class Decoder {
       out.mvf_x1[i] = mvf_.empty() ? 0 : mvf_[i].mv[1][0];
       out.mvf_y1[i] = mvf_.empty() ? 0 : mvf_[i].mv[1][1];
       out.mvf_ref1[i] = mvf_.empty() ? -1 : mvf_[i].ref_idx[1];
+      out.mvf_ciip[i] = mvf_.empty() ? 0 : mvf_[i].ciip;
     }
     frame_ready = true;
   }
@@ -1832,7 +1857,58 @@ class Decoder {
     if (!cu.skip) general_merge = bin(GENERAL_MERGE_FLAG);
     cu.merge = general_merge;
     MvF f;
+    int is_ciip = 0;
     if (general_merge) {
+      // merge_data_block gating (vvc_ctu.c:1338-1360): GPM still off
+      const int is_128 = w == 128 || h == 128;
+      const int ciip_avail = sps_.sps_ciip_enabled_flag && !cu.skip &&
+                             w * h >= 64;
+      const int gpm_avail = sps_.sps_gpm_enabled_flag && is_b && w >= 8 &&
+                            h >= 8 && w < 8 * h && h < 8 * w;
+      int regular = 1;
+      if (!is_128 && (ciip_avail || gpm_avail))
+        regular = bin(REGULAR_MERGE_FLAG + !cu.skip);
+      if (!regular) {
+        if (ciip_avail && gpm_avail)
+          is_ciip = bin(CIIP_FLAG);
+        else
+          is_ciip = ciip_avail && !cu.skip && !is_128 && w * h >= 64;
+        VVC_UNSUPPORTED(!is_ciip, "GPM (todo)");
+        VVC_UNSUPPORTED(w > 32 || h > 32, "CIIP above 32x32 (todo)");
+      }
+    }
+    if (is_ciip) {
+      // merge_data_ciip (vvc_ctu.c:1321-1339): plain merge idx, planar
+      // intra over the CU blended with the MC at recon
+      int merge_idx = 0;
+      if (sps_.max_num_merge_cand > 1) {
+        if (bin(MERGE_IDX)) {
+          merge_idx = 1;
+          while (merge_idx < sps_.max_num_merge_cand - 1 && cd_->bypass())
+            merge_idx++;
+        }
+      }
+      cu.idx = merge_idx;
+      f = merge_candidate(x0, y0, w, h, merge_idx, sps_.max_num_merge_cand,
+                          is_b);
+      if (f.pred_flag == PF_BI && w + h == 12) {
+        f.pred_flag = PF_L0;
+        f.bcw = 0;
+      }
+      f.bcw = 0;  // derive_weight skips bcw for ciip (vvc_inter.c:158)
+      cu.ciip = 1;
+      // intra blend weight from neighbour intra-ness at the CU's
+      // above-right and below-left cells (vvc_inter.c:523-543)
+      cu.ciip_w = 1;
+      if (y0 > 0 &&
+          mvf_[(size_t)((y0 - 1) >> 2) * pu_w_ + ((x0 - 1 + w) >> 2)]
+                  .pred_flag == PF_INTRA)
+        cu.ciip_w++;
+      if (x0 > 0 &&
+          mvf_[(size_t)((y0 - 1 + h) >> 2) * pu_w_ + ((x0 - 1) >> 2)]
+                  .pred_flag == PF_INTRA)
+        cu.ciip_w++;
+    } else if (general_merge) {
       // merge_data_regular (vvc_ctu.c): mmvd, else regular merge idx
       // (ciip/gpm/sbt-merge still gated off at SPS)
       int merge_idx = 0;
@@ -1979,6 +2055,7 @@ class Decoder {
         }
       }
     }
+    f.ciip = is_ciip;
     set_mvf(x0, y0, w, h, f);
     update_hmvp(mvf_at(x0, y0));
     cu.pf = f.pred_flag;
@@ -3035,7 +3112,8 @@ const int32_t* vvch_mvf(void* h, int which) {
     case 3: return o.mvf_ref.data();
     case 4: return o.mvf_x1.data();
     case 5: return o.mvf_y1.data();
-    default: return o.mvf_ref1.data();
+    case 6: return o.mvf_ref1.data();
+    default: return o.mvf_ciip.data();
   }
 }
 // ALF derived state.  vvch_alf_info: [enabled, cc_cb_en, cc_cr_en,

@@ -52,7 +52,7 @@ JMAX = 103        # edge_arrays' index bound (176-long arrays, origin 72:
 (KX0, KY0, KW, KH, KLOGW, KLOGH, KMC, KANGLE, KINV, KFF, KSMOOTH,
  KLSZ, KTSZ, KUNF, KPDPC, KNS, KAVL, KAVT, KCUL, KPROJV, KPROJH,
  KPF, KM0X, KM0Y, KM1X, KM1Y, KR0, KR1, KCHUNK,
- KWDEN, KW0, KW1, KO0, KO1, KHPEL, KCSRC) = range(36)
+ KWDEN, KW0, KW1, KO0, KO1, KHPEL, KCIIPW, KCSRC) = range(37)
 
 MC_PLANAR, MC_DC, MC_VERT, MC_HORZ, MC_ANG_V, MC_ANG_H, MC_INTER = range(7)
 
@@ -374,6 +374,13 @@ def _build_kernel(Hp, Wp, Wr, HL, nch, bit_depth, is_chroma, gran):
             pred + ((wl_hv * (lq - pred) + wt_hv * (tq - pred) + 32) >> 6),
             0, maxv)
         pred = jnp.where((pdpc > 0) & (mc < MC_ANG_V), hv_pdpc, pred)
+
+        # CIIP: blend the (planar+PDPC) intra prediction with the
+        # prefetched MC block (put_ciip, vvc_inter_template.c:60-76)
+        ciipw = ctrl_ref[KCIIPW, i]
+        pred = jnp.where(ciipw > 0,
+                         (pred * ciipw + iblk * (4 - ciipw) + 2) >> 2,
+                         pred)
 
         base = jnp.where(is_inter, iblk, pred)
         out = jnp.clip(base + res, 0, maxv)

@@ -138,6 +138,13 @@ needs_ref = pytest.mark.skipif(not os.path.exists(REF_FFMPEG),
     dict(width=96, height=64, seed=1706, qp=30, inter=True, b_slices=True,
          ra=True, tmvp=True, n_frames=9, mmvd=True, amvr=True, bcw=True,
          lmcs=True, alf=True, deblock=True, sao=True),
+    dict(width=96, height=64, seed=1801, qp=28, inter=True, n_frames=3,
+         ciip=True),
+    dict(width=96, height=96, seed=1802, qp=28, inter=True, b_slices=True,
+         n_frames=3, ciip=True, deblock=True, sao=True),
+    dict(width=96, height=64, seed=1803, qp=28, inter=True, b_slices=True,
+         ra=True, n_frames=9, ciip=True, mmvd=True, amvr=True, bcw=True,
+         lmcs=True, deblock=True),
 ], ids=["64x64", "128x64x2f", "96x96-dense", "deblock", "deblock-unaligned",
         "inter-p", "inter-p-deblock", "inter-b", "10bit-sao-full",
         "mts-explicit", "mts-implicit", "mts-inter-full",
@@ -156,7 +163,8 @@ needs_ref = pytest.mark.skipif(not os.path.exists(REF_FFMPEG),
         "alf", "alf-ccalf", "alf-inter", "alf-ctu64-10bit",
         "alf-lmcs-ra",
         "mmvd", "mmvd-fullpel", "amvr", "bcw", "inter-wave1-ra",
-        "inter-wave1-all"])
+        "inter-wave1-all",
+        "ciip", "ciip-deblock", "ciip-tools-ra"])
 def test_frame_md5_parity(tmp_path, cfg_kw):
     from ffmpeg_tpu.encoder.encoder import EncoderConfig, encode_stream
 
