@@ -93,6 +93,7 @@ class CuIntent:
     bcw_idx: int = 0         # BI only, w*h >= 256
     mmvd: tuple | None = None  # (cand_flag, distance_idx, direction)
     ciip: bool = False       # combined inter/intra (merge, w*h >= 64)
+    gpm: tuple | None = None  # (partition_idx, merge_idx0, merge_idx1)
     # filled during encoding: derived final MVs (1/16 pel) + refs
     pred_flag: int = 0       # PF_* of the final motion
     mv: tuple | None = None
@@ -517,15 +518,41 @@ class FrameSyntaxEncoder:
             # merge_data_block gating (GPM still off)
             ciip_avail = (self.sps.sps_ciip_enabled_flag and not cu.skip
                           and cu.w * cu.h >= 64)
-            if ciip_avail:
+            gpm_avail = (self.sps.sps_gpm_enabled_flag and is_b
+                         and cu.w >= 8 and cu.h >= 8
+                         and cu.w < 8 * cu.h and cu.h < 8 * cu.w)
+            if ciip_avail or gpm_avail:
                 self._bin("REGULAR_MERGE_FLAG", int(not cu.skip),
-                          int(not cu.ciip))
+                          int(not (cu.ciip or cu.gpm is not None)))
             else:
-                assert not cu.ciip
-            # ciip_flag only coded when gpm is also available (it is
-            # not, with sps_gpm off): inferred from availability
+                assert not cu.ciip and cu.gpm is None
+            if (cu.ciip or cu.gpm is not None) and ciip_avail and gpm_avail:
+                self._bin("CIIP_FLAG", 0, int(cu.ciip))
             c_max = self.sps_max_merge_cand() - 1
-            if cu.ciip:
+            if cu.gpm is not None:
+                part, g0, g1 = cu.gpm
+                for j in range(5, -1, -1):
+                    self.enc.bypass((part >> j) & 1)
+                n_gpm = self.sps_max_gpm_cand()
+                for k, g in enumerate((g0, g1)[:2 if n_gpm > 2 else 1]):
+                    cm = n_gpm - k - 1
+                    assert g <= cm
+                    if cm > 0:
+                        self._bin("MERGE_IDX", 0, int(g > 0))
+                        if g > 0:
+                            for _ in range(1, g):
+                                self.enc.bypass(1)
+                            if g < cm:
+                                self.enc.bypass(0)
+                # motion-field bookkeeping: whole-CU hyp0 approximation
+                # (the decoder derives the exact per-4x4 geometric
+                # storage; no later syntax depends on these values)
+                idx0 = g0
+                mvf = m.merge_candidate(cu.x0, cu.y0, cu.w, cu.h, idx0,
+                                        self.sps_max_merge_cand(), is_b,
+                                        self.num_ref_idx_active)
+                m.set_mvf(cu.x0, cu.y0, cu.w, cu.h, mvf)
+            elif cu.ciip:
                 # merge_data_ciip: plain merge idx, no mmvd
                 self._bin("MERGE_IDX", 0, int(cu.merge_idx > 0))
                 if cu.merge_idx > 0:
@@ -671,6 +698,12 @@ class FrameSyntaxEncoder:
                 "be 0 but then luma cbf would be inferred 1)"
         self._encode_transform_unit(cu)
         self._encode_mts_idx(cu)
+
+    def sps_max_gpm_cand(self) -> int:
+        if self.sps_max_merge_cand() < 3:
+            return 2
+        return (self.sps_max_merge_cand()
+                - self.sps.sps_max_num_merge_cand_minus_max_num_gpm_cand)
 
     def sps_max_merge_cand(self) -> int:
         return 6 - self.sps.sps_six_minus_max_num_merge_cand

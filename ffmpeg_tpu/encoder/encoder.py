@@ -76,6 +76,7 @@ class EncoderConfig:
     mmvd: bool = False
     mmvd_fullpel: bool = False
     ciip: bool = False
+    gpm: bool = False
     # random-access GOP-4 pyramid: multi-ref B slices + output reorder
     # (requires inter; n_frames should be 4k+1)
     ra: bool = False
@@ -131,6 +132,7 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
         sps_mmvd_enabled_flag=1 if cfg.mmvd else 0,
         sps_mmvd_fullpel_only_enabled_flag=1 if cfg.mmvd_fullpel else 0,
         sps_ciip_enabled_flag=1 if cfg.ciip else 0,
+        sps_gpm_enabled_flag=1 if cfg.gpm else 0,
     )
     pps = PPS(
         pps_pic_width_in_luma_samples=cfg.width,
@@ -183,6 +185,11 @@ def _random_cu(cfg, rng, x0, y0, w, h, is_inter_slice=False):
             if (cfg.ciip and w * h >= 64 and w <= 32 and h <= 32
                     and rng.random() < 0.5):
                 cu.ciip = True  # excludes mmvd (regular_merge_flag 0)
+            elif (cfg.gpm and cfg.b_slices and w >= 8 and h >= 8
+                  and w < 8 * h and h < 8 * w and rng.random() < 0.5):
+                cu.gpm = (int(rng.integers(0, 64)),
+                          int(rng.integers(0, 6)),
+                          int(rng.integers(0, 5)))
             elif cfg.mmvd and rng.random() < 0.5:
                 cu.mmvd = (int(rng.integers(0, 2)),
                            int(rng.integers(0, 8)),

@@ -94,6 +94,61 @@ CHROMA_SIZES = [(w, h) for w in (2, 4, 8, 16, 32) for h in (2, 4, 8, 16, 32)]
 MC_CTRL_KEYS = ("pf", "m0x", "m0y", "m1x", "m1y")
 
 
+_GPM_W_CACHE: dict = {}
+
+
+def _gpm_weight_plane(part: int, W: int, H: int):
+  """Per-CU GPM luma blend weights, sliced from the reference's
+  normative tables (pred_gpm_blk, vvc_inter.c:466-496; tables
+  vvc_data.c:1998-3486)."""
+  key = (part, W, H)
+  if key not in _GPM_W_CACHE:
+    from ...ops.mc import _TABLES as _T
+
+    aidx = int(_T["gpm_angle_idx"][part])
+    wi = int(_T["gpm_angle_to_weights_idx"][aidx])
+    mt = int(_T["gpm_angle_to_mirror"][aidx])
+    hh, ww = H.bit_length() - 4, W.bit_length() - 4
+    ox = int(_T["gpm_weights_offset_x"][part][hh][ww])
+    oy = int(_T["gpm_weights_offset_y"][part][hh][ww])
+    GW = 112
+    wt = _T["gpm_weights"].reshape(6, GW, GW).astype(np.int32)
+    y = np.arange(H)[:, None]
+    x = np.arange(W)[None, :]
+    if mt == 0:
+      w = wt[wi][oy + y, ox + x]
+    elif mt == 1:
+      w = wt[wi][oy + y, GW - 1 - ox - x]
+    else:
+      w = wt[wi][GW - 1 - oy - y, ox + x]
+    _GPM_W_CACHE[key] = np.ascontiguousarray(w)
+  return _GPM_W_CACHE[key]
+
+
+def _gpm_weight_blocks(inter, icap, ss, geom_key, tag, S=32):
+  """(gcap, S, S) per-GPM-unit weight tiles + the per-MC-row index."""
+  part = inter["gpm_part"]
+  sel = np.flatnonzero(part > 0)
+  gcap = _ratchet(geom_key, (tag, "gwt"), max(len(sel), 1),
+                  max(icap, 1), floor=8)
+  gwt = np.zeros((gcap, S, S), np.int32)
+  gslot = np.zeros(len(part), np.int32)
+  for j, r in enumerate(sel):
+    p = int(part[r]) - 1
+    W = 1 << int(inter["gpm_lw"][r])
+    H = 1 << int(inter["gpm_lh"][r])
+    wfull = _gpm_weight_plane(p, W, H)
+    tx = int(inter["gpm_tx"][r]) << ss   # luma coords
+    ty = int(inter["gpm_ty"][r]) << ss
+    h_u = min(S, int(inter["h"][r]))
+    w_u = min(S, int(inter["w"][r]))
+    ys = ty + (np.arange(h_u) << ss)
+    xs = tx + (np.arange(w_u) << ss)
+    gwt[j, :h_u, :w_u] = wfull[ys[:, None], xs[None, :]]
+    gslot[r] = j
+  return gwt, gslot
+
+
 def _bucket_capacity(W, H, w, h):
   return max(1, (W // w) * (H // h))
 
@@ -423,14 +478,16 @@ def _mc_block(refs, x0, y0, mvx, mvy, maxs, taps, before, frac_bits,
 # keys consumed by the two batched passes
 INTER_KEYS = ("x0", "y0", "w", "h", "pf", "m0x", "m0y", "m1x", "m1y",
               "r0slot", "r1slot", "wden", "w0", "w1", "wo0", "wo1",
-              "hpel")
+              "hpel", "hyp0lx", "hyp1lx",
+              "gpm_part", "gpm_tx", "gpm_ty", "gpm_lw", "gpm_lh")
 INTRA_KEYS = ("x0", "y0", "w", "h", "logw", "logh", "mode_class", "angle",
               "inv_angle", "filter_flag", "smooth", "left_size", "top_size",
               "unfilter_last_one", "do_pdpc", "nscale", "avail_l", "avail_t",
               "cand_up_left", "proj_v", "proj_h",
               # CIIP inter-hypothesis motion + blend weight
               "pf", "m0x", "m0y", "m1x", "m1y", "r0slot", "r1slot",
-              "wden", "w0", "w1", "wo0", "wo1", "hpel", "ciipw")
+              "wden", "w0", "w1", "wo0", "wo1", "hpel", "ciipw",
+              "hyp0lx", "hyp1lx")
 
 # units per batched group: the device executes groups sequentially and
 # the units inside a group as one vmapped batch (host guarantees units
@@ -466,10 +523,11 @@ def _slice_block(plane, y0, x0, maxs):
 
 
 def _inter_pred_unit(refs, c, *, maxs, taps, before, frac_bits,
-                     bit_depth, maxv, lmcs=None):
+                     bit_depth, maxv, lmcs=None, wb=None):
   """Clipped inter prediction for one unit (vmapped over a batch).
   With lmcs, the clipped luma prediction is forward-mapped into the
-  LMCS domain (vvc_inter.c:888-891)."""
+  LMCS domain (vvc_inter.c:888-891).  wb, when given, is the unit's
+  GPM blend-weight tile (put_gpm, vvc_inter_template.c:78-98)."""
   hp = c.get("hpel", 0) if taps == 8 else 0
   t0 = _mc_block(refs, c["x0"], c["y0"], c["m0x"], c["m0y"], maxs, taps,
                  before, frac_bits, bit_depth, c["r0slot"], hp)
@@ -493,17 +551,23 @@ def _inter_pred_unit(refs, c, *, maxs, taps, before, frac_bits,
     bi_w = jnp.clip((t0 * c["w0"] + t1 * c["w1"] + offw) >> shw, 0, maxv)
     bi = jnp.where(wden >= 0, bi_w, bi)
   pred = jnp.where(c["pf"] == 3, bi, uni)
+  if wb is not None:
+    sh_g = max(5, 17 - bit_depth)
+    wbm = wb[:maxs, :maxs]
+    gp = jnp.clip((t0 * wbm + t1 * (8 - wbm) + (1 << (sh_g - 1))) >> sh_g,
+                  0, maxv)
+    pred = jnp.where(c["gpm_part"] > 0, gp, pred)
   if lmcs is not None:
     pred = _lmcs_fwd(pred, lmcs, bit_depth)
   return pred
 
 
 def _inter_unit(res_plane, refs, c, *, maxs, taps, before, frac_bits,
-                bit_depth, maxv, lmcs=None):
+                bit_depth, maxv, lmcs=None, wb=None):
   """Prediction + residual for one inter unit (vmapped over a chunk)."""
   pred = _inter_pred_unit(refs, c, maxs=maxs, taps=taps, before=before,
                           frac_bits=frac_bits, bit_depth=bit_depth,
-                          maxv=maxv, lmcs=lmcs)
+                          maxv=maxv, lmcs=lmcs, wb=wb)
   res = _slice_block(res_plane, c["y0"], c["x0"], maxs)
   return jnp.clip(pred + res, 0, maxv)
 
@@ -590,10 +654,12 @@ def _recon_plane(res_plane, inter, n_inter, intra, n_chunks, refs, *,
     off = s * INTER_CHUNK
     c = {k: jax.lax.dynamic_slice(inter[k], (off,), (INTER_CHUNK,))
          for k in INTER_KEYS}
-    blks = jax.vmap(lambda cc: _inter_unit(
+    gsl = jax.lax.dynamic_slice(inter["gslot"], (off,), (INTER_CHUNK,))
+    wbs = inter["gwt"][gsl]
+    blks = jax.vmap(lambda cc, wb1: _inter_unit(
         res_plane, refs, cc, maxs=maxs_inter, taps=taps, before=before,
         frac_bits=frac_bits, bit_depth=bit_depth, maxv=maxv,
-        lmcs=lmcs))(c)
+        lmcs=lmcs, wb=wb1))(c, wbs)
     valid = off + jnp.arange(INTER_CHUNK) < n_inter
     return _scatter_blocks(plane, blks, c["x0"], c["y0"], c["w"], c["h"],
                            valid, maxs_inter)
@@ -661,11 +727,12 @@ def _build_frame_program(shapes):
     refs = _cropped_refs(refs_in, c_idx)
     is_c = c_idx > 0
     cc = {k: p["inter"][k] for k in INTER_KEYS}
-    return jax.vmap(lambda c1: _inter_pred_unit(
+    wb_all = p["inter"]["gwt"][p["inter"]["gslot"]]
+    return jax.vmap(lambda c1, wb1: _inter_pred_unit(
         refs, c1, maxs=S, taps=4 if is_c else 8,
         before=1 if is_c else 3, frac_bits=5 if is_c else 4,
         bit_depth=bd, maxv=(1 << bd) - 1,
-        lmcs=lm if c_idx == 0 else None))(cc)
+        lmcs=lm if c_idx == 0 else None, wb=wb1))(cc, wb_all)
 
   def _recon_pallas(inp, refs_in, lm, crs):
     """Whole-frame recon via the Pallas decode-order unit kernel:
@@ -1162,6 +1229,13 @@ def _layout_ctrl(mat, geom_key, tag):
   inter = {k: np.zeros(icap, np.int32) for k in INTER_KEYS}
   for k in INTER_KEYS:
     inter[k][:n_mc] = keys[k][inter_idx]
+  # GPM blend-weight tiles + per-row index into them
+  ss = 0 if tag == "y" else 1
+  gwt, gslot = _gpm_weight_blocks(inter, icap, ss, geom_key, tag)
+  inter["gwt"] = gwt
+  gs = np.zeros(icap, np.int32)
+  gs[:len(gslot)] = gslot
+  inter["gslot"] = gs
 
   if len(intra_idx):
     c = chunk[intra_idx]
@@ -1278,7 +1352,9 @@ def build_host_inputs(fs: FrameSyntax, ctb_log2=5, ref_slots=None,
   # after the L0 block
   n_l0 = (ref_slots or (max(1, len(fs.ref_pocs[0])),))[0]
   for c in (inter_y, inter_c, intra_y, intra_c):
-    c["r1slot"] = c["r1slot"] + np.int32(n_l0)
+    # slot = ref_idx + n_l0 * list (GPM hypotheses can sit on either)
+    c["r0slot"] = c["r0slot"] + np.int32(n_l0) * c.get("hyp0lx", 0)
+    c["r1slot"] = c["r1slot"] + np.int32(n_l0) * c["hyp1lx"]
 
   for c_idx in range(3):
     sizes = LUMA_SIZES if c_idx == 0 else CHROMA_SIZES

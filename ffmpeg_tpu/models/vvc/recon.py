@@ -34,6 +34,8 @@ CTRL_KEYS = (
     "proj_v", "proj_h", "pf", "m0x", "m0y", "m1x", "m1y",
     "r0slot", "r1slot", "chunk",
     "wden", "w0", "w1", "wo0", "wo1", "hpel", "ciipw",
+    "gpm_part", "gpm_tx", "gpm_ty", "gpm_lw", "gpm_lh",
+    "hyp0lx", "hyp1lx",
     "corner_src")
 
 

@@ -79,6 +79,8 @@ struct CuRecord {
   int32_t hpel;                // hpel_if_idx (AMVR half-pel alt filter)
   int32_t ciip;                // combined inter/intra prediction
   int32_t ciip_w;              // CIIP intra blend weight (1..3)
+  int32_t gpm_part;            // GPM partition idx (-1 = not GPM)
+  int32_t gpm_lx0, gpm_lx1;    // per-hypothesis reference list
 };
 struct TuRecord {
   int32_t x0, y0, w, h;  // component coords
@@ -166,7 +168,7 @@ struct FrameOut {
 // output straight to the frame program.
 namespace ctrl {
 
-constexpr int kNumKeys = 37;
+constexpr int kNumKeys = 44;
 // CTRL_KEYS order (recon.py): x0,y0,w,h,logw,logh,mode_class,angle,
 // inv_angle,filter_flag,smooth,left_size,top_size,unfilter_last_one,
 // do_pdpc,nscale,avail_l,avail_t,cand_up_left,proj_v,proj_h,
@@ -184,6 +186,11 @@ enum Key {
   // kCiipW: CIIP intra blend weight 1..3 (0 = not a CIIP unit;
   // ciip_derive_intra_weight, vvc_inter.c:523-543)
   kCiipW,
+  // GPM (pred_gpm_blk, vvc_inter.c:466-522): partition index (-1 =
+  // not GPM), the unit tile's offset inside the CU and the CU's log2
+  // dims (the host slices the blend-weight table with these), and the
+  // two hypotheses' reference lists (slot mapping)
+  kGpmPart, kGpmTx, kGpmTy, kGpmLw, kGpmLh, kHyp0Lx, kHyp1Lx,
   // kCornerSrc: where the above-left corner sample lives for the
   // line-buffer kernel: 0 = the covering unit's bottom row is y0-1
   // (read the B buffer), 1 = it extends below (read its right column
@@ -385,6 +392,20 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
         O(kO1, i) = 0;
       }
       O(kHpel, i) = cu.hpel;
+      O(kHyp1Lx, i) = 1;  // normal bi: hypotheses on L0/L1
+      if (cu.gpm_part >= 0) {
+        O(kGpmPart, i) = cu.gpm_part + 1;  // 0 = not GPM
+        O(kGpmTx, i) = x0 - (cu.x0 >> ss);
+        O(kGpmTy, i) = y0 - (cu.y0 >> ss);
+        int lw = 0, lh = 0, t;
+        t = cu.w; while (t >>= 1) lw++;
+        t = cu.h; while (t >>= 1) lh++;
+        O(kGpmLw, i) = lw;
+        O(kGpmLh, i) = lh;
+        O(kHyp0Lx, i) = cu.gpm_lx0;
+        O(kHyp1Lx, i) = cu.gpm_lx1;
+        O(kWden, i) = -1;
+      }
       for (int by = y0 / g; by < (y0 + h) / g; by++)
         for (int bx = x0 / g; bx < (x0 + w) / g; bx++) {
           rec(by, bx) = 1;
@@ -403,6 +424,7 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
       O(kR1Idx, i) = cu.ref_idx1 < 0 ? 0 : cu.ref_idx1;
       O(kWden, i) = -1;  // derive_weight: no bcw/wp for ciip
       O(kHpel, i) = cu.hpel;
+      O(kHyp1Lx, i) = 1;
       O(kCiipW, i) = cu.ciip_w;
     }
     const int bdpcm = is_chroma ? cu.bdpcm_c : cu.bdpcm_l;
@@ -554,6 +576,12 @@ static const uint8_t kLfnstTrSet[95] = {
 
 // motion field entry (mirror of ffmpeg_tpu/encoder/mvs.py MvField)
 constexpr int PF_INTRA = 0, PF_L0 = 1, PF_L1 = 2, PF_BI = 3;
+// normative GPM geometry tables (spec tables 36/123; extracted values
+// cross-check tools/extract_transform_matrices.py / vvc_data.c:1998)
+constexpr int kGpmAngleIdx[64] = {0, 0, 2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 8, 8, 11, 11, 11, 11, 12, 12, 12, 12, 13, 13, 13, 13, 14, 14, 14, 14, 16, 16, 18, 18, 18, 19, 19, 19, 20, 20, 20, 21, 21, 21, 24, 24, 27, 27, 27, 28, 28, 28, 29, 29, 29, 30, 30, 30};
+constexpr int kGpmDistanceIdx[64] = {1, 3, 0, 1, 2, 3, 0, 1, 2, 3, 0, 1, 2, 3, 0, 1, 2, 3, 1, 3, 0, 1, 2, 3, 0, 1, 2, 3, 0, 1, 2, 3, 0, 1, 2, 3, 1, 3, 1, 2, 3, 1, 2, 3, 1, 2, 3, 1, 2, 3, 1, 3, 1, 2, 3, 1, 2, 3, 1, 2, 3, 1, 2, 3};
+constexpr int kGpmDistanceLut[32] = {8, 8, 8, 8, 4, 4, 2, 1, 0, -1, -2, -4, -4, -8, -8, -8, -8, -8, -8, -8, -4, -4, -2, -1, 0, 1, 2, 4, 4, 8, 8, 8};
+
 struct MvF {
   int32_t mv[2][2] = {{0, 0}, {0, 0}};  // [list][x/y], 1/16 pel
   int32_t ref_idx[2] = {-1, -1};
@@ -1858,6 +1886,8 @@ class Decoder {
     cu.merge = general_merge;
     MvF f;
     int is_ciip = 0;
+    int is_gpm = 0;
+    cu.gpm_part = -1;
     if (general_merge) {
       // merge_data_block gating (vvc_ctu.c:1338-1360): GPM still off
       const int is_128 = w == 128 || h == 128;
@@ -1873,11 +1903,89 @@ class Decoder {
           is_ciip = bin(CIIP_FLAG);
         else
           is_ciip = ciip_avail && !cu.skip && !is_128 && w * h >= 64;
-        VVC_UNSUPPORTED(!is_ciip, "GPM (todo)");
-        VVC_UNSUPPORTED(w > 32 || h > 32, "CIIP above 32x32 (todo)");
+        if (is_ciip)
+          VVC_UNSUPPORTED(w > 32 || h > 32, "CIIP above 32x32 (todo)");
+        else
+          is_gpm = 1;
       }
     }
-    if (is_ciip) {
+    if (is_gpm) {
+      // merge_data_gpm (vvc_ctu.c:1341-1358) + ff_vvc_luma_mv_merge_gpm
+      // (vvc_mvs.c:805-829) + ff_vvc_store_gpm_mvf (vvc_mvs.c:440-486)
+      int part = 0;
+      for (int j = 0; j < 6; j++) part = (part << 1) | (int)cd_->bypass();
+      int gidx[2] = {0, 0};
+      const int n_gpm = sps_.max_num_gpm_merge_cand;
+      for (int k = 0; k < (n_gpm > 2 ? 2 : 1); k++) {
+        int c_max = n_gpm - k - 1;
+        if (c_max > 0 && bin(MERGE_IDX)) {
+          gidx[k] = 1;
+          while (gidx[k] < c_max && cd_->bypass()) gidx[k]++;
+        }
+      }
+      int idx[2] = {gidx[0], gidx[1] + (gidx[1] >= gidx[0] ? 1 : 0)};
+      MvF hyp[2];
+      for (int k = 0; k < 2; k++) {
+        MvF cand = merge_candidate(x0, y0, w, h, idx[k],
+                                   sps_.max_num_merge_cand, is_b);
+        int lx = idx[k] & 1;
+        if (!(cand.pred_flag & (lx + 1))) lx = !lx;
+        hyp[k] = MvF();
+        hyp[k].pred_flag = lx + 1;
+        hyp[k].ref_idx[lx] = cand.ref_idx[lx];
+        hyp[k].mv[lx][0] = cand.mv[lx][0];
+        hyp[k].mv[lx][1] = cand.mv[lx][1];
+      }
+      cu.gpm_part = part;
+      int lx0 = hyp[0].pred_flag - 1, lx1 = hyp[1].pred_flag - 1;
+      cu.gpm_lx0 = lx0;
+      cu.gpm_lx1 = lx1;
+      cu.pf = 3;
+      cu.mv_x = hyp[0].mv[lx0][0];
+      cu.mv_y = hyp[0].mv[lx0][1];
+      cu.ref_idx = hyp[0].ref_idx[lx0];
+      cu.mv1_x = hyp[1].mv[lx1][0];
+      cu.mv1_y = hyp[1].mv[lx1][1];
+      cu.ref_idx1 = hyp[1].ref_idx[lx1];
+      cu.bcw = 0;
+      cu.hpel = 0;
+      // per-4x4 motion storage by geometric side (store_gpm_mvf)
+      {
+        const int a = kGpmAngleIdx[part];
+        const int d = kGpmDistanceIdx[part];
+        const int disp_x = kGpmDistanceLut[a];
+        const int disp_y = kGpmDistanceLut[(a + 8) % 32];
+        const int is_flip = a >= 13 && a <= 27;
+        const int sh_hor = (a % 16 == 8 || (a % 16 && h >= w)) ? 0 : 1;
+        const int sign = a < 16 ? 1 : -1;
+        int off_x = (-w) >> 1, off_y = (-h) >> 1;
+        if (!sh_hor)
+          off_y += sign * ((d * h) >> 3);
+        else
+          off_x += sign * ((d * w) >> 3);
+        for (int yy = 0; yy < h; yy += 4)
+          for (int xx = 0; xx < w; xx += 4) {
+            const int midx = (((xx + off_x) * 2) + 5) * disp_x +
+                             (((yy + off_y) * 2) + 5) * disp_y;
+            const int s_type = std::abs(midx) < 32
+                                   ? 2
+                                   : (midx <= 0 ? (1 - is_flip) : is_flip);
+            const int pfb = hyp[0].pred_flag | hyp[1].pred_flag;
+            if (s_type == 0) {
+              set_mvf(x0 + xx, y0 + yy, 4, 4, hyp[0]);
+            } else if (s_type == 1 || (s_type == 2 && pfb != 3)) {
+              set_mvf(x0 + xx, y0 + yy, 4, 4, hyp[1]);
+            } else {
+              MvF m2 = hyp[0];
+              m2.pred_flag = 3;
+              m2.ref_idx[lx1] = hyp[1].ref_idx[lx1];
+              m2.mv[lx1][0] = hyp[1].mv[lx1][0];
+              m2.mv[lx1][1] = hyp[1].mv[lx1][1];
+              set_mvf(x0 + xx, y0 + yy, 4, 4, m2);
+            }
+          }
+      }
+    } else if (is_ciip) {
       // merge_data_ciip (vvc_ctu.c:1321-1339): plain merge idx, planar
       // intra over the CU blended with the MC at recon
       int merge_idx = 0;
@@ -2055,18 +2163,20 @@ class Decoder {
         }
       }
     }
-    f.ciip = is_ciip;
-    set_mvf(x0, y0, w, h, f);
-    update_hmvp(mvf_at(x0, y0));
-    cu.pf = f.pred_flag;
-    cu.mv_x = f.mv[0][0];
-    cu.mv_y = f.mv[0][1];
-    cu.ref_idx = f.ref_idx[0];
-    cu.mv1_x = f.mv[1][0];
-    cu.mv1_y = f.mv[1][1];
-    cu.ref_idx1 = f.ref_idx[1];
-    cu.bcw = f.bcw;
-    cu.hpel = f.hpel;
+    if (!is_gpm) {
+      f.ciip = is_ciip;
+      set_mvf(x0, y0, w, h, f);
+      update_hmvp(mvf_at(x0, y0));  // gpm skips hmvp (vvc_ctu.c:1723)
+      cu.pf = f.pred_flag;
+      cu.mv_x = f.mv[0][0];
+      cu.mv_y = f.mv[0][1];
+      cu.ref_idx = f.ref_idx[0];
+      cu.mv1_x = f.mv[1][0];
+      cu.mv1_y = f.mv[1][1];
+      cu.ref_idx1 = f.ref_idx[1];
+      cu.bcw = f.bcw;
+      cu.hpel = f.hpel;
+    }
 
     // cu_coded_flag (vvc_ctu.c:1794-1798)
     int coded;

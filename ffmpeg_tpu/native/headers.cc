@@ -220,8 +220,10 @@ Sps parse_sps(BitReader& r) {
   sps.sps_ciip_enabled_flag = r.flag();
   if (sps.max_num_merge_cand >= 2) {
     sps.sps_gpm_enabled_flag = r.flag();
+    sps.max_num_gpm_merge_cand = 2;
     if (sps.sps_gpm_enabled_flag && sps.max_num_merge_cand >= 3)
-      r.ue();  // max_num_merge_cand_minus_max_num_gpm_cand
+      sps.max_num_gpm_merge_cand =
+          sps.max_num_merge_cand - (int)r.ue();
   }
   sps.log2_parallel_merge_level = r.ue() + 2;
   sps.sps_isp_enabled_flag = r.flag();

@@ -85,6 +85,7 @@ struct Sps {
   int sps_bcw_enabled_flag = 0;
   int sps_ciip_enabled_flag = 0;
   int sps_gpm_enabled_flag = 0;
+  int max_num_gpm_merge_cand = 0;
   int log2_parallel_merge_level = 2;
   int sps_isp_enabled_flag = 0;
   int sps_mrl_enabled_flag = 0;

@@ -52,7 +52,9 @@ JMAX = 103        # edge_arrays' index bound (176-long arrays, origin 72:
 (KX0, KY0, KW, KH, KLOGW, KLOGH, KMC, KANGLE, KINV, KFF, KSMOOTH,
  KLSZ, KTSZ, KUNF, KPDPC, KNS, KAVL, KAVT, KCUL, KPROJV, KPROJH,
  KPF, KM0X, KM0Y, KM1X, KM1Y, KR0, KR1, KCHUNK,
- KWDEN, KW0, KW1, KO0, KO1, KHPEL, KCIIPW, KCSRC) = range(37)
+ KWDEN, KW0, KW1, KO0, KO1, KHPEL, KCIIPW,
+ KGPMPART, KGPMTX, KGPMTY, KGPMLW, KGPMLH, KHYP0LX, KHYP1LX,
+ KCSRC) = range(44)
 
 MC_PLANAR, MC_DC, MC_VERT, MC_HORZ, MC_ANG_V, MC_ANG_H, MC_INTER = range(7)
 

@@ -145,6 +145,13 @@ needs_ref = pytest.mark.skipif(not os.path.exists(REF_FFMPEG),
     dict(width=96, height=64, seed=1803, qp=28, inter=True, b_slices=True,
          ra=True, n_frames=9, ciip=True, mmvd=True, amvr=True, bcw=True,
          lmcs=True, deblock=True),
+    dict(width=96, height=64, seed=1901, qp=28, inter=True, b_slices=True,
+         n_frames=3, gpm=True),
+    dict(width=96, height=96, seed=1902, qp=28, inter=True, b_slices=True,
+         n_frames=3, gpm=True, deblock=True, sao=True),
+    dict(width=96, height=64, seed=1903, qp=28, inter=True, b_slices=True,
+         ra=True, n_frames=9, gpm=True, ciip=True, mmvd=True, bcw=True,
+         amvr=True, lmcs=True, deblock=True),
 ], ids=["64x64", "128x64x2f", "96x96-dense", "deblock", "deblock-unaligned",
         "inter-p", "inter-p-deblock", "inter-b", "10bit-sao-full",
         "mts-explicit", "mts-implicit", "mts-inter-full",
@@ -164,7 +171,8 @@ needs_ref = pytest.mark.skipif(not os.path.exists(REF_FFMPEG),
         "alf-lmcs-ra",
         "mmvd", "mmvd-fullpel", "amvr", "bcw", "inter-wave1-ra",
         "inter-wave1-all",
-        "ciip", "ciip-deblock", "ciip-tools-ra"])
+        "ciip", "ciip-deblock", "ciip-tools-ra",
+        "gpm", "gpm-filters", "gpm-tools-ra"])
 def test_frame_md5_parity(tmp_path, cfg_kw):
     from ffmpeg_tpu.encoder.encoder import EncoderConfig, encode_stream
 

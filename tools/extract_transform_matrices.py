@@ -132,10 +132,16 @@ def main() -> None:
         # GPM geometry
         out["gpm_angle_idx"] = sym_array(lib, "ff_vvc_gpm_angle_idx", (64,), np.uint8)
         out["gpm_distance_idx"] = sym_array(lib, "ff_vvc_gpm_distance_idx", (64,), np.uint8)
-        out["gpm_distance_lut"] = sym_array(lib, "ff_vvc_gpm_distance_lut", (24,), np.int8)
+        out["gpm_distance_lut"] = sym_array(lib, "ff_vvc_gpm_distance_lut", (32,), np.int8)
         out["gpm_angle_to_mirror"] = sym_array(lib, "ff_vvc_gpm_angle_to_mirror", (32,), np.uint8)
         out["gpm_angle_to_weights_idx"] = sym_array(
             lib, "ff_vvc_gpm_angle_to_weights_idx", (32,), np.uint8)
+        out["gpm_weights"] = sym_array(
+            lib, "ff_vvc_gpm_weights", (6, 112 * 112), np.uint8)
+        out["gpm_weights_offset_x"] = sym_array(
+            lib, "ff_vvc_gpm_weights_offset_x", (64, 4, 4), np.uint8)
+        out["gpm_weights_offset_y"] = sym_array(
+            lib, "ff_vvc_gpm_weights_offset_y", (64, 4, 4), np.uint8)
 
         # scaling list bases
         out["scaling_pred_8"] = sym_array(lib, "ff_vvc_scaling_pred_8", (64,), np.uint8)
