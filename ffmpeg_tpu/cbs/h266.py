@@ -794,6 +794,7 @@ class SliceHeader:
     sh_alf_cc_cr_enabled_flag: int = 0
     sh_alf_cc_cr_aps_id: int = 0
     sh_lmcs_used_flag: int = 0
+    sh_pred_weight_table: dict | None = None
     sh_num_ref_idx_active_override_flag: int = 0
     sh_num_ref_idx_active_minus1: tuple = (0, 0)
     sh_ref_pic_lists: tuple = None  # (RefPicListStruct, RefPicListStruct)
@@ -890,7 +891,38 @@ class SliceHeader:
                 idx = 0 if self.sh_collocated_from_l0_flag else 1
                 if na[idx] > 1:
                     w.ue(self.sh_collocated_ref_idx)
-            assert not pps.pps_weighted_pred_flag and not pps.pps_weighted_bipred_flag
+            na = self.num_ref_idx_active(pps, rpl)
+            if (pps.pps_weighted_pred_flag and self.sh_slice_type == 1) or \
+                    (pps.pps_weighted_bipred_flag and self.sh_slice_type == 0):
+                # pred_weight_table (7.3.8); chroma flags for both
+                # components share one flag per ref
+                pwt = self.sh_pred_weight_table
+                w.ue(pwt["luma_log2_weight_denom"])
+                if sps.sps_chroma_format_idc:
+                    w.se(pwt["delta_chroma_log2_weight_denom"])
+                for lx in range(2):
+                    if lx == 0:
+                        n = na[0]
+                    elif pps.pps_weighted_bipred_flag and \
+                            num_ref_entries[1] > 0:
+                        n = na[1]
+                    else:
+                        n = 0
+                    lwf = pwt["luma_weight_flags"][lx]
+                    cwf = pwt["chroma_weight_flags"][lx]
+                    for i in range(n):
+                        w.flag(lwf[i])
+                    if sps.sps_chroma_format_idc:
+                        for i in range(n):
+                            w.flag(cwf[i])
+                    for i in range(n):
+                        if lwf[i]:
+                            w.se(pwt["delta_luma_weights"][lx][i])
+                            w.se(pwt["luma_offsets"][lx][i])
+                        if cwf[i]:
+                            for j in range(2):
+                                w.se(pwt["delta_chroma_weights"][lx][i][j])
+                                w.se(pwt["delta_chroma_offsets"][lx][i][j])
         if not pps.pps_qp_delta_info_in_ph_flag:
             w.se(self.sh_qp_delta)
         if pps.pps_slice_chroma_qp_offsets_present_flag:

@@ -77,6 +77,9 @@ class EncoderConfig:
     mmvd_fullpel: bool = False
     ciip: bool = False
     gpm: bool = False
+    # explicit weighted prediction (disjoint from bcw in generated
+    # streams: bcw coding is gated on unweighted refs)
+    weighted_pred: bool = False
     # random-access GOP-4 pyramid: multi-ref B slices + output reorder
     # (requires inter; n_frames should be 4k+1)
     ra: bool = False
@@ -133,6 +136,9 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
         sps_mmvd_fullpel_only_enabled_flag=1 if cfg.mmvd_fullpel else 0,
         sps_ciip_enabled_flag=1 if cfg.ciip else 0,
         sps_gpm_enabled_flag=1 if cfg.gpm else 0,
+        sps_weighted_pred_flag=1 if cfg.weighted_pred else 0,
+        sps_weighted_bipred_flag=1 if (cfg.weighted_pred and
+                                       cfg.b_slices) else 0,
     )
     pps = PPS(
         pps_pic_width_in_luma_samples=cfg.width,
@@ -143,6 +149,9 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
         pps_deblocking_filter_control_present_flag=0 if cfg.deblock else 1,
         pps_deblocking_filter_disabled_flag=0 if cfg.deblock else 1,
         pps_cu_qp_delta_enabled_flag=1 if cfg.cu_qp_delta else 0,
+        pps_weighted_pred_flag=1 if cfg.weighted_pred else 0,
+        pps_weighted_bipred_flag=1 if (cfg.weighted_pred and
+                                       cfg.b_slices) else 0,
     )
     return sps, pps
 
@@ -491,8 +500,40 @@ def _random_alf_aps(cfg, rng, aps_id):
     )
 
 
+def _random_pwt(cfg, rng):
+    denom = int(rng.integers(0, 4))
+    cd = int(rng.integers(-denom, 8 - denom))
+
+    def side():
+        lwf, cwf, dlw, lo, dcw, dco = [], [], [], [], [], []
+        for _ in range(16):
+            lf = int(rng.random() < 0.6)
+            cf = int(rng.random() < 0.6)
+            lwf.append(lf)
+            cwf.append(cf)
+            dlw.append(int(rng.integers(-8, 9)) if lf else 0)
+            lo.append(int(rng.integers(-32, 33)) if lf else 0)
+            dcw.append((int(rng.integers(-8, 9)),
+                        int(rng.integers(-8, 9))) if cf else (0, 0))
+            dco.append((int(rng.integers(-64, 65)),
+                        int(rng.integers(-64, 65))) if cf else (0, 0))
+        return lwf, cwf, dlw, lo, dcw, dco
+
+    s0, s1 = side(), side()
+    return {"luma_log2_weight_denom": denom,
+            "delta_chroma_log2_weight_denom": cd,
+            "luma_weight_flags": (s0[0], s1[0]),
+            "chroma_weight_flags": (s0[1], s1[1]),
+            "delta_luma_weights": (s0[2], s1[2]),
+            "luma_offsets": (s0[3], s1[3]),
+            "delta_chroma_weights": (s0[4], s1[4]),
+            "delta_chroma_offsets": (s0[5], s1[5])}
+
+
 def encode_stream(cfg: EncoderConfig):
     """Returns (annexb_bytes, intent_dict)."""
+    assert not (cfg.weighted_pred and cfg.bcw), \
+        "generator keeps wp and bcw streams disjoint"
     rng = np.random.default_rng(cfg.seed)
     sps, pps = build_sps_pps(cfg)
     out = bytearray()
@@ -662,6 +703,8 @@ def encode_stream(cfg: EncoderConfig):
             fse.no_backward_pred = all(r < poc for r in refs_all)
         if cfg.mmvd_fullpel:
             sh.ph.ph_mmvd_fullpel_only_flag = int(rng.integers(0, 2))
+        if cfg.weighted_pred and is_p:
+            sh.sh_pred_weight_table = _random_pwt(cfg, rng)
         if cfg.alf or cfg.ccalf:
             ch_aps = alf_apss[sh.sh_alf_aps_id_chroma] if alf_apss else None
             fse.alf_num_chroma_alts = (

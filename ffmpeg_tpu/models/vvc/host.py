@@ -244,7 +244,7 @@ class HostDecoder:
         sao = np.ctypeslib.as_array(self._lib.vvch_sao(self._h),
                                     shape=(cbh, cbw, 24)).copy()
         def cu_ctrl(is_chroma):
-            n_keys = 44  # ctrl::kNumKeys
+            n_keys = 48  # ctrl::kNumKeys
             if not n_cus:
                 return np.zeros((n_keys, 0), np.int32)
             n_units = ctypes.c_int32(0)

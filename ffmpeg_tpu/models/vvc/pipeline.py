@@ -479,7 +479,8 @@ def _mc_block(refs, x0, y0, mvx, mvy, maxs, taps, before, frac_bits,
 INTER_KEYS = ("x0", "y0", "w", "h", "pf", "m0x", "m0y", "m1x", "m1y",
               "r0slot", "r1slot", "wden", "w0", "w1", "wo0", "wo1",
               "hpel", "hyp0lx", "hyp1lx",
-              "gpm_part", "gpm_tx", "gpm_ty", "gpm_lw", "gpm_lh")
+              "gpm_part", "gpm_tx", "gpm_ty", "gpm_lw", "gpm_lh",
+              "w0b", "w1b", "wo0b", "wo1b")
 INTRA_KEYS = ("x0", "y0", "w", "h", "logw", "logh", "mode_class", "angle",
               "inv_angle", "filter_flag", "smooth", "left_size", "top_size",
               "unfilter_last_one", "do_pdpc", "nscale", "avail_l", "avail_t",
@@ -540,6 +541,15 @@ def _inter_pred_unit(refs, c, *, maxs, taps, before, frac_bits,
   uni = jnp.clip((uni + off2) >> shift2, 0, maxv)
   sh_avg = max(3, 15 - bit_depth)
   bi = jnp.clip((t0 + t1 + (1 << (sh_avg - 1))) >> sh_avg, 0, maxv)
+  if "wden" in c:
+    # explicit uni weighting (put_uni_w, h2656_inter_template.c:60-85)
+    wden = c["wden"]
+    wd = jnp.maximum(wden, 0)
+    shu = wd + 14 - bit_depth
+    t_act = jnp.where(c["pf"] == 1, t0, t1)
+    uni_w = jnp.clip(((t_act * c["w0"] + (jnp.int32(1) << shu >> 1))
+                      >> shu) + (c["wo0"] << (bit_depth - 8)), 0, maxv)
+    uni = jnp.where(wden >= 0, uni_w, uni)
   if "wden" in c:
     # weighted bi prediction (w_avg, vvc_inter_template.c:42-58):
     # covers BCW and explicit weighted bipred
@@ -631,7 +641,8 @@ def _intra_unit(plane, res_plane, c, *, maxs, is_chroma, bit_depth, maxv,
 
 
 def _recon_plane(res_plane, inter, n_inter, intra, n_chunks, refs, *,
-                 maxs_inter, maxs_intra, is_chroma, bit_depth, lmcs=None):
+                 maxs_inter, maxs_intra, is_chroma, bit_depth, lmcs=None,
+                 cr_weights=False):
   """Batched reconstruction of one plane.
 
   Replaces the reference's per-CTU RECON/INTER task stages
@@ -654,6 +665,10 @@ def _recon_plane(res_plane, inter, n_inter, intra, n_chunks, refs, *,
     off = s * INTER_CHUNK
     c = {k: jax.lax.dynamic_slice(inter[k], (off,), (INTER_CHUNK,))
          for k in INTER_KEYS}
+    if cr_weights:
+      for a, b in (("w0", "w0b"), ("w1", "w1b"),
+                   ("wo0", "wo0b"), ("wo1", "wo1b")):
+        c[a] = jax.lax.dynamic_slice(inter[b], (off,), (INTER_CHUNK,))
     gsl = jax.lax.dynamic_slice(inter["gslot"], (off,), (INTER_CHUNK,))
     wbs = inter["gwt"][gsl]
     blks = jax.vmap(lambda cc, wb1: _inter_unit(
@@ -727,6 +742,11 @@ def _build_frame_program(shapes):
     refs = _cropped_refs(refs_in, c_idx)
     is_c = c_idx > 0
     cc = {k: p["inter"][k] for k in INTER_KEYS}
+    if c_idx == 2:
+      # Cr uses the second weight set of the shared chroma controls
+      for a, b in (("w0", "w0b"), ("w1", "w1b"),
+                   ("wo0", "wo0b"), ("wo1", "wo1b")):
+        cc[a] = p["inter"][b]
     wb_all = p["inter"]["gwt"][p["inter"]["gslot"]]
     return jax.vmap(lambda c1, wb1: _inter_pred_unit(
         refs, c1, maxs=S, taps=4 if is_c else 8,
@@ -838,7 +858,8 @@ def _build_frame_program(shapes):
                              maxs_inter=min(32, maxs),
                              maxs_intra=min(32, maxs),
                              is_chroma=c_idx > 0, bit_depth=bd,
-                             lmcs=lm if c_idx == 0 else None)
+                             lmcs=lm if c_idx == 0 else None,
+                             cr_weights=c_idx == 2)
         planes.append(plane)
         if c_idx == 0 and crs:
           scale = _lmcs_vpdu_scales(plane[:H, :W], lm, W, H, vsz, bd)

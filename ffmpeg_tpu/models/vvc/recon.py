@@ -36,6 +36,7 @@ CTRL_KEYS = (
     "wden", "w0", "w1", "wo0", "wo1", "hpel", "ciipw",
     "gpm_part", "gpm_tx", "gpm_ty", "gpm_lw", "gpm_lh",
     "hyp0lx", "hyp1lx",
+    "w0b", "w1b", "wo0b", "wo1b",
     "corner_src")
 
 

@@ -158,6 +158,9 @@ struct FrameOut {
   std::vector<int32_t> sao;
   LmcsOut lmcs;
   AlfOut alf;
+  // explicit weighted prediction (derive_weight, vvc_inter.c:149-178)
+  int wp_active = 0;
+  PredWeight pwt;
 };
 
 // ---------------- per-CU reconstruction controls ----------------
@@ -168,7 +171,7 @@ struct FrameOut {
 // output straight to the frame program.
 namespace ctrl {
 
-constexpr int kNumKeys = 44;
+constexpr int kNumKeys = 48;
 // CTRL_KEYS order (recon.py): x0,y0,w,h,logw,logh,mode_class,angle,
 // inv_angle,filter_flag,smooth,left_size,top_size,unfilter_last_one,
 // do_pdpc,nscale,avail_l,avail_t,cand_up_left,proj_v,proj_h,
@@ -191,6 +194,8 @@ enum Key {
   // dims (the host slices the blend-weight table with these), and the
   // two hypotheses' reference lists (slot mapping)
   kGpmPart, kGpmTx, kGpmTy, kGpmLw, kGpmLh, kHyp0Lx, kHyp1Lx,
+  // second weight set (Cr) for the shared chroma control matrix
+  kW0b, kW1b, kO0b, kO1b,
   // kCornerSrc: where the above-left corner sample lives for the
   // line-buffer kernel: 0 = the covering unit's bottom row is y0-1
   // (read the B buffer), 1 = it extends below (read its right column
@@ -390,6 +395,35 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
         O(kW0, i) = 8 - bcw_w_lut[cu.bcw];
         O(kO0, i) = 0;
         O(kO1, i) = 0;
+      } else if (fr.wp_active && cu.gpm_part < 0) {
+        // explicit weights; for the shared chroma ctrl, the main set
+        // carries Cb and the b-set Cr (derive_weight/derive_weight_uni)
+        const PredWeight& w = fr.pwt;
+        const int c0 = is_chroma ? 1 : 0;
+        const int r0 = cu.ref_idx < 0 ? 0 : cu.ref_idx;
+        const int r1 = cu.ref_idx1 < 0 ? 0 : cu.ref_idx1;
+        O(kWden, i) = w.log2_denom[is_chroma ? 1 : 0];
+        if (cu.pf == 3) {
+          O(kW0, i) = w.weight[0][c0][r0];
+          O(kO0, i) = w.offset[0][c0][r0];
+          O(kW1, i) = w.weight[1][c0][r1];
+          O(kO1, i) = w.offset[1][c0][r1];
+          if (is_chroma) {
+            O(kW0b, i) = w.weight[0][2][r0];
+            O(kO0b, i) = w.offset[0][2][r0];
+            O(kW1b, i) = w.weight[1][2][r1];
+            O(kO1b, i) = w.offset[1][2][r1];
+          }
+        } else {
+          const int lx = cu.pf - 1;
+          const int rr = lx ? r1 : r0;
+          O(kW0, i) = w.weight[lx][c0][rr];
+          O(kO0, i) = w.offset[lx][c0][rr];
+          if (is_chroma) {
+            O(kW0b, i) = w.weight[lx][2][rr];
+            O(kO0b, i) = w.offset[lx][2][rr];
+          }
+        }
       }
       O(kHpel, i) = cu.hpel;
       O(kHyp1Lx, i) = 1;  // normal bi: hypotheses on L0/L1
@@ -1281,6 +1315,10 @@ class Decoder {
     out.poc = sh_.ph.ph_pic_order_cnt_lsb;
     out.slice_qp = sh_.slice_qp_y;
     out.dep_quant = sh_.sh_dep_quant_used_flag;
+    out.wp_active =
+        (pps_.pps_weighted_pred_flag && sh_.sh_slice_type == 1) ||
+        (pps_.pps_weighted_bipred_flag && sh_.sh_slice_type == 0);
+    out.pwt = sh_.pwt;
     derive_lmcs();
     derive_alf();
     out.coeff[0].assign((size_t)pps_.width * pps_.height, 0);
@@ -2135,7 +2173,14 @@ class Decoder {
       }
       f.hpel = amvr_shift == 3;
       // BCW (bcw_idx_decode, vvc_ctu.c:1490-1509; no explicit WP yet)
-      if (sps_.sps_bcw_enabled_flag && pf == PF_BI && w * h >= 256) {
+      const PredWeight& pw = sh_.pwt;
+      const int wpr0 = ref_idxs[0] < 0 ? 0 : ref_idxs[0];
+      const int wpr1 = ref_idxs[1] < 0 ? 0 : ref_idxs[1];
+      const bool refs_weighted =
+          pw.weight_flag[0][0][wpr0] || pw.weight_flag[1][0][wpr1] ||
+          pw.weight_flag[0][1][wpr0] || pw.weight_flag[1][1][wpr1];
+      if (sps_.sps_bcw_enabled_flag && pf == PF_BI && !refs_weighted &&
+          w * h >= 256) {
         int no_backward = 1;
         for (int lx = 0; lx < 2 && no_backward; lx++)
           for (int k = 0; k < out.nb_refs[lx]; k++)

@@ -354,8 +354,6 @@ Pps parse_pps(BitReader& r, const Sps& sps) {
   pps.pps_rpl1_idx_present_flag = r.flag();
   pps.pps_weighted_pred_flag = r.flag();
   pps.pps_weighted_bipred_flag = r.flag();
-  VVC_UNSUPPORTED(pps.pps_weighted_pred_flag || pps.pps_weighted_bipred_flag,
-                  "weighted prediction (parse todo)");
   VVC_UNSUPPORTED(r.flag(), "pps ref wraparound");
   pps.pps_init_qp = 26 + r.se();
   pps.pps_cu_qp_delta_enabled_flag = r.flag();
@@ -640,6 +638,51 @@ SliceHeader parse_slice_header(BitReader& r, int nal_type, const Sps& sps,
       if (sh.sh_slice_type == 0) sh.sh_collocated_from_l0_flag = r.flag();
       int idx = sh.sh_collocated_from_l0_flag ? 0 : 1;
       if (sh.num_ref_idx_active[idx] > 1) sh.sh_collocated_ref_idx = r.ue();
+    }
+    // explicit weighted prediction (7.3.8 pred_weight_table +
+    // derivation vvc_ps.c:540-561)
+    if ((pps.pps_weighted_pred_flag && sh.sh_slice_type == 1) ||
+        (pps.pps_weighted_bipred_flag && sh.sh_slice_type == 0)) {
+      PredWeight& w = sh.pwt;
+      w.log2_denom[0] = (int)r.ue();
+      w.log2_denom[1] = w.log2_denom[0];
+      if (sps.sps_chroma_format_idc) w.log2_denom[1] += r.se();
+      const int denom[2] = {1 << w.log2_denom[0], 1 << w.log2_denom[1]};
+      for (int lx = 0; lx < 2; lx++) {
+        int n = 0;
+        if (lx == 0)
+          n = sh.num_ref_idx_active[0];
+        else if (pps.pps_weighted_bipred_flag &&
+                 sh.rpl[1].num_ref_entries > 0)
+          n = sh.num_ref_idx_active[1];
+        w.nb_weights[lx] = n;
+        for (int i = 0; i < n; i++) w.weight_flag[lx][0][i] = r.flag();
+        if (sps.sps_chroma_format_idc)
+          for (int i = 0; i < n; i++) {
+            w.weight_flag[lx][1][i] = r.flag();
+            w.weight_flag[lx][2][i] = w.weight_flag[lx][1][i];
+          }
+        for (int i = 0; i < n; i++) {
+          w.weight[lx][0][i] = denom[0];
+          w.offset[lx][0][i] = 0;
+          if (w.weight_flag[lx][0][i]) {
+            w.weight[lx][0][i] += r.se();
+            w.offset[lx][0][i] = r.se();
+          }
+          for (int j = 1; j <= 2; j++) {
+            w.weight[lx][j][i] = denom[1];
+            w.offset[lx][j][i] = 0;
+          }
+          if (w.weight_flag[lx][1][i]) {
+            for (int j = 1; j <= 2; j++) {
+              w.weight[lx][j][i] = denom[1] + r.se();
+              int off = 128 + r.se();
+              off -= (128 * w.weight[lx][j][i]) >> w.log2_denom[1];
+              w.offset[lx][j][i] = clip(off, -128, 127);
+            }
+          }
+        }
+      }
     }
   }
   int qp_delta = pps.pps_qp_delta_info_in_ph_flag ? ph.ph_qp_delta : r.se();

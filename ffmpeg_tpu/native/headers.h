@@ -204,6 +204,16 @@ struct PictureHeader {
   int ph_deblocking_filter_disabled_flag = 0;
 };
 
+// explicit weighted prediction table, derived (pred_weight_table,
+// vvc_ps.c:540-561): weight/offset per [list][luma/cb/cr][ref]
+struct PredWeight {
+  int log2_denom[2] = {0, 0};  // luma, chroma
+  int nb_weights[2] = {0, 0};
+  int weight_flag[2][3][16] = {};
+  int weight[2][3][16] = {};
+  int offset[2][3][16] = {};
+};
+
 struct SliceHeader {
   int nal_type = NAL_IDR_N_LP;
   int sh_picture_header_in_slice_header_flag = 1;
@@ -232,6 +242,7 @@ struct SliceHeader {
   int sh_sao_luma_used_flag = 0;
   int sh_sao_chroma_used_flag = 0;
   int sh_deblocking_filter_disabled_flag = 0;
+  PredWeight pwt;
   int sh_dep_quant_used_flag = 0;
   int sh_sign_data_hiding_used_flag = 0;
   int sh_ts_residual_coding_disabled_flag = 0;

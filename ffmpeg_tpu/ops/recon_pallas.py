@@ -54,7 +54,8 @@ JMAX = 103        # edge_arrays' index bound (176-long arrays, origin 72:
  KPF, KM0X, KM0Y, KM1X, KM1Y, KR0, KR1, KCHUNK,
  KWDEN, KW0, KW1, KO0, KO1, KHPEL, KCIIPW,
  KGPMPART, KGPMTX, KGPMTY, KGPMLW, KGPMLH, KHYP0LX, KHYP1LX,
- KCSRC) = range(44)
+ KW0B, KW1B, KO0B, KO1B,
+ KCSRC) = range(48)
 
 MC_PLANAR, MC_DC, MC_VERT, MC_HORZ, MC_ANG_V, MC_ANG_H, MC_INTER = range(7)
 

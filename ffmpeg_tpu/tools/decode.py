@@ -8,8 +8,6 @@ from __future__ import annotations
 import argparse
 import sys
 
-from ..models.vvc.decoder import decode_file
-
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="decode VVC to frame MD5 / yuv")
@@ -17,7 +15,16 @@ def main(argv=None) -> int:
     p.add_argument("--framemd5", action="store_true",
                    help="print one MD5 line per frame (default)")
     p.add_argument("--yuv", help="write raw planar YUV to this path")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the XLA CPU backend (the TPU plugin wins "
+                        "platform selection over JAX_PLATFORMS env)")
     args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from ..models.vvc.decoder import decode_file
 
     yuv = open(args.yuv, "wb") if args.yuv else None
     n = 0
