@@ -92,6 +92,7 @@ class CuIntent:
     amvr_shift: int = 2      # 2 (off) / 3 / 4 / 6
     bcw_idx: int = 0         # BI only, w*h >= 256
     mmvd: tuple | None = None  # (cand_flag, distance_idx, direction)
+    sbtmvp: bool = False     # merge_subblock_flag (SbTMVP candidate)
     ciip: bool = False       # combined inter/intra (merge, w*h >= 64)
     gpm: tuple | None = None  # (partition_idx, merge_idx0, merge_idx1)
     # filled during encoding: derived final MVs (1/16 pel) + refs
@@ -164,6 +165,7 @@ class FrameSyntaxEncoder:
         self.tab_cbh = np.zeros((mh, mw), dtype=np.int32)
         self.tab_cqt = np.zeros((mh, mw), dtype=np.int32)
         self.tab_skip = np.zeros((mh, mw), dtype=np.int32)
+        self.tab_msf = np.zeros((mh, mw), dtype=np.int32)
         self.tab_sao: dict = {}  # (rx, ry) -> resolved sao params
         self.tab_alf: dict = {}  # (rx, ry) -> [fy, set, fcb, acb, fcr, acr, cc0, cc1]
         self.alf_num_chroma_alts = 1
@@ -515,6 +517,22 @@ class FrameSyntaxEncoder:
         if not cu.skip:
             self._bin("GENERAL_MERGE_FLAG", 0, int(general_merge))
         if general_merge:
+            # merge_subblock_flag first (hls_merge_data); without affine
+            # MaxNumSubblockMergeCand = sbtmvp && tmvp
+            max_sb = (self.sps.sps_sbtmvp_enabled_flag
+                      and self.sh.ph.ph_temporal_mvp_enabled_flag)
+            if max_sb and cu.w >= 8 and cu.h >= 8:
+                self._bin("MERGE_SUBBLOCK_FLAG",
+                          self._get_inc(self.tab_msf, cu.x0, cu.y0),
+                          int(cu.sbtmvp))
+            else:
+                assert not cu.sbtmvp
+        if general_merge and cu.sbtmvp:
+            s_ = self.min_cb_log2
+            self.tab_msf[cu.y0 >> s_:(cu.y0 + cu.h) >> s_,
+                         cu.x0 >> s_:(cu.x0 + cu.w) >> s_] = 1
+            m.sb_merge_mode(cu.x0, cu.y0, cu.w, cu.h, is_b)
+        elif general_merge:
             # merge_data_block gating (GPM still off)
             ciip_avail = (self.sps.sps_ciip_enabled_flag and not cu.skip
                           and cu.w * cu.h >= 64)
@@ -675,7 +693,8 @@ class FrameSyntaxEncoder:
                     mvf.mv[lx] = [pred[0] + (mvds[lx][0] << amvr_shift),
                                   pred[1] + (mvds[lx][1] << amvr_shift)]
             m.set_mvf(cu.x0, cu.y0, cu.w, cu.h, mvf)
-        m.update_hmvp(m.mvf_at(cu.x0, cu.y0))
+        if not cu.sbtmvp:  # subblock merge skips hmvp (vvc_ctu.c:1723)
+            m.update_hmvp(m.mvf_at(cu.x0, cu.y0))
         f = m.mvf_at(cu.x0, cu.y0)
         cu.pred_flag = f.pred_flag
         cu.mv = tuple(f.mv[0])

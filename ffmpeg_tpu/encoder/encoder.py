@@ -85,6 +85,7 @@ class EncoderConfig:
     ra: bool = False
     # temporal motion vector prediction (collocated-picture candidates)
     tmvp: bool = False
+    sbtmvp: bool = False  # subblock temporal MVP (implies tmvp)
 
 
 def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
@@ -113,7 +114,8 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
             if cfg.max_mtt_depth else 0),
         sps_sao_enabled_flag=1 if cfg.sao else 0,
         dpb_max_num_reorder_pics=2 if cfg.ra else 0,
-        sps_temporal_mvp_enabled_flag=1 if cfg.tmvp else 0,
+        sps_temporal_mvp_enabled_flag=1 if (cfg.tmvp or cfg.sbtmvp) else 0,
+        sps_sbtmvp_enabled_flag=1 if cfg.sbtmvp else 0,
         sps_mts_enabled_flag=1 if (cfg.mts or cfg.mts_implicit) else 0,
         sps_joint_cbcr_enabled_flag=1 if cfg.joint_cbcr else 0,
         sps_transform_skip_enabled_flag=(
@@ -184,14 +186,18 @@ def _random_cu(cfg, rng, x0, y0, w, h, is_inter_slice=False):
             cu.merge = True
             cu.merge_idx = int(rng.integers(0, 6))
             cu.coeff_y = cu.coeff_cb = cu.coeff_cr = None
-            if cfg.mmvd and rng.random() < 0.5:
+            if cfg.sbtmvp and w >= 8 and h >= 8 and rng.random() < 0.5:
+                cu.sbtmvp = True
+            elif cfg.mmvd and rng.random() < 0.5:
                 cu.mmvd = (int(rng.integers(0, 2)),
                            int(rng.integers(0, 8)),
                            int(rng.integers(0, 4)))
         elif rng.random() < cfg.merge_prob:
             cu.merge = True
             cu.merge_idx = int(rng.integers(0, 6))
-            if (cfg.ciip and w * h >= 64 and w <= 32 and h <= 32
+            if cfg.sbtmvp and w >= 8 and h >= 8 and rng.random() < 0.5:
+                cu.sbtmvp = True
+            elif (cfg.ciip and w * h >= 64 and w <= 32 and h <= 32
                     and rng.random() < 0.5):
                 cu.ciip = True  # excludes mmvd (regular_merge_flag 0)
             elif (cfg.gpm and cfg.b_slices and w >= 8 and h >= 8
@@ -619,7 +625,7 @@ def encode_stream(cfg: EncoderConfig):
                                        l1)
             if cfg.b_slices:
                 sh.ph.ph_mvd_l1_zero_flag = 0
-            if cfg.tmvp:
+            if cfg.tmvp or cfg.sbtmvp:
                 sh.ph.ph_temporal_mvp_enabled_flag = 1
         if cfg.sao:
             sh.sh_sao_luma_used_flag = 1
@@ -760,6 +766,7 @@ def _cu_to_dict(cu: CuIntent) -> dict:
         "x0": cu.x0, "y0": cu.y0, "w": cu.w, "h": cu.h,
         "pred_mode": cu.pred_mode,
         "skip": int(cu.skip), "merge": int(cu.merge),
+        "sbtmvp": int(cu.sbtmvp),
         "merge_idx": cu.merge_idx, "mvp_flag": cu.mvp_flag,
         "mvd": list(cu.mvd), "mv": None if cu.mv is None else list(cu.mv),
         "ref_idx": cu.ref_idx,

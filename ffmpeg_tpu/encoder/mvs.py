@@ -232,6 +232,73 @@ class MotionState:
         tc = self._col_mvf_at((x0 + (w >> 1)) & ~7, (y0 + (h >> 1)) & ~7)
         return self._derive_col_mv(tc, ref_idx_lx, x_list)
 
+    # -- SbTMVP (8.5.5.3/8.5.5.4; vvc_mvs.c:1000-1120) ------------------
+    def _derive_col_mv_sb(self, tc: MvField, x_list: int):
+        # sb_flag colocated-list selection: prefer the matching list,
+        # other list only when NoBackwardPredFlag
+        if tc.pred_flag == PF_INTRA:
+            return None
+        if tc.pred_flag & (x_list + 1):
+            return self._check_mvset(tc, x_list, 0, x_list)
+        if self.no_backward and (tc.pred_flag & (2 - x_list)):
+            return self._check_mvset(tc, 1 - x_list, 0, x_list)
+        return None
+
+    def _sb_col_motion(self, x_ctb, y_ctb, tmv, x, y, is_b) -> MvField:
+        yy = max(y_ctb, min(min(self.pic_h - 1, y_ctb + self.ctb - 1),
+                            y + tmv[1])) & ~7
+        xx = max(x_ctb, min(min(self.pic_w - 1, x_ctb + self.ctb + 3),
+                            x + tmv[0])) & ~7
+        tc = self._col_mvf_at(xx, yy)
+        m = MvField()
+        m.pred_flag = 0
+        m.ref_idx = [0, 0]
+        mv = self._derive_col_mv_sb(tc, 0)
+        if mv is not None:
+            m.pred_flag |= PF_L0
+            m.mv[0] = mv
+        if is_b:
+            mv = self._derive_col_mv_sb(tc, 1)
+            if mv is not None:
+                m.pred_flag |= PF_L1
+                m.mv[1] = mv
+        return m
+
+    def sb_merge_mode(self, x0, y0, w, h, is_b: bool) -> None:
+        """Derive + store the SbTMVP candidate's per-8x8 motion; zero
+        translational fallback when the centre motion is unavailable."""
+        x_ctb = (x0 >> self.ctb_log2) << self.ctb_log2
+        y_ctb = (y0 >> self.ctb_log2) << self.ctb_log2
+        ctr = MvField()
+        ctr.pred_flag = 0
+        tmv = [0, 0]
+        if self.col is not None:
+            col_poc = self.col[0]
+            a1 = self._check(self._neighbours(x0, y0, w, h)[A1])
+            if a1 is not None:
+                if (a1.pred_flag & PF_L0) and \
+                        col_poc == self.rpl[0][a1.ref_idx[0]]:
+                    tmv = list(a1.mv[0])
+                elif (a1.pred_flag & PF_L1) and \
+                        col_poc == self.rpl[1][a1.ref_idx[1]]:
+                    tmv = list(a1.mv[1])
+                tmv = list(round_mv(tmv[0], tmv[1], 0, 4))
+            ctr = self._sb_col_motion(x_ctb, y_ctb, tmv,
+                                      x0 + w // 2, y0 + h // 2, is_b)
+        if ctr.pred_flag:
+            for sy in range(y0, y0 + h, 8):
+                for sx in range(x0, x0 + w, 8):
+                    m = self._sb_col_motion(x_ctb, y_ctb, tmv,
+                                            sx + 4, sy + 4, is_b)
+                    if not m.pred_flag:
+                        m = ctr.copy()
+                    self.set_mvf(sx, sy, 8, 8, m)
+        else:
+            m = MvField()
+            m.pred_flag = PF_L0 + (2 if is_b else 0)
+            m.ref_idx = [0, 0]
+            self.set_mvf(x0, y0, w, h, m)
+
     # -- merge list (vvc_mvs.c:637-830) --------------------------------
     def merge_candidate(self, x0, y0, w, h, merge_idx: int,
                         max_num_merge: int, is_b: bool,

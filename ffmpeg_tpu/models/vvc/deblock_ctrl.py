@@ -89,8 +89,35 @@ def _bs_between(motion_p, motion_q, cbf_p, cbf_q, pcmf_p=None,
   return bs
 
 
+def _sb_grids(fs: FrameSyntax):
+  """Per-4-sample planes (flag, cb-start, cb-size) marking subblock-
+  motion CUs (SbTMVP; tab.msf analog) in both edge orientations.
+  Returns None when the frame has none (the common case)."""
+  cus = fs.cus
+  if cus is None or "sbtmvp" not in cus or not np.any(cus["sbtmvp"]):
+    return None
+  gw, gh = fs.width // 4, fs.height // 4
+  msf = np.zeros((gh, gw), np.int32)
+  cbx = np.zeros((gh, gw), np.int32)
+  cby = np.zeros((gh, gw), np.int32)
+  cbw = np.zeros((gh, gw), np.int32)
+  cbh = np.zeros((gh, gw), np.int32)
+  idx = np.where((cus["sbtmvp"] > 0) & (cus["pred_mode"] == 0))[0]
+  for j in idx:
+    x0, y0 = int(cus["x0"][j]), int(cus["y0"][j])
+    w, h = int(cus["w"][j]), int(cus["h"][j])
+    sl = (slice(y0 // 4, (y0 + h) // 4), slice(x0 // 4, (x0 + w) // 4))
+    msf[sl] = 1
+    cbx[sl] = x0
+    cby[sl] = y0
+    cbw[sl] = w
+    cbh[sl] = h
+  return {"v": (msf, cbx, cbw),
+          "h": (msf.T.copy(), cby.T.copy(), cbh.T.copy())}
+
+
 def _luma_edge_params(pos, tw, qp, motion, cbf, Sp: int, Ep: int,
-                      pcmf=None):
+                      pcmf=None, sb=None):
   """Vertical-orientation params on (S, E) grids from 4-granular planes.
 
   pos/tw/qp/cbf: (gh, gw) grids at 4-sample granularity (rows = segments).
@@ -115,8 +142,28 @@ def _luma_edge_params(pos, tw, qp, motion, cbf, Sp: int, Ep: int,
   small = (size_p <= 4) | (size_q <= 4)
   mp = np.where(small, 1, np.where(size_p >= 32, 7, 3))
   mq = np.where(small, 1, np.where(size_q >= 32, 7, 3))
-  maxp[:gh, 1:gw] = np.where(is_edge, mp, 0)
-  maxq[:gh, 1:gw] = np.where(is_edge, mq, 0)
+  if sb is not None:
+    # subblock-motion CUs (SbTMVP): clamp at the CU-boundary edges and
+    # add internal per-8-sample edges (derive_max_filter_length_luma +
+    # vvc_deblock_subblock_bs_*, vvc_filter.c:374-478)
+    msf, cb0, cbs_ = sb
+    p_msf, q_msf = msf[:, :-1], msf[:, 1:]
+    mp = np.where(p_msf > 0, np.minimum(mp, 5), mp)
+    mq = np.where((q_msf > 0) & (cbs_[:, 1:] > 8), np.minimum(mq, 5), mq)
+    maxp[:gh, 1:gw] = np.where(is_edge, mp, 0)
+    maxq[:gh, 1:gw] = np.where(is_edge, mq, 0)
+    dist = e[None, :] * 4 - cb0[:, 1:]
+    internal = ((q_msf > 0) & ~is_edge & (dist > 0) & (dist % 8 == 0)
+                & (dist < cbs_[:, 1:]))
+    zero = np.zeros_like(cbf[:, 1:])
+    bs_mv = _bs_between(mp_side, mq_side, zero, zero)
+    bs[:gh, 1:gw] = np.where(internal, bs_mv, bs[:gh, 1:gw])
+    il = np.where((dist == 8) | (dist == cbs_[:, 1:] - 8), 2, 3)
+    maxp[:gh, 1:gw] = np.where(internal, il, maxp[:gh, 1:gw])
+    maxq[:gh, 1:gw] = np.where(internal, il, maxq[:gh, 1:gw])
+  else:
+    maxp[:gh, 1:gw] = np.where(is_edge, mp, 0)
+    maxq[:gh, 1:gw] = np.where(is_edge, mq, 0)
   qpa[:gh, 1:gw] = (qp[:, :-1] + qp[:, 1:] + 1) >> 1
   return bs, qpa, maxp, maxq
 
@@ -210,8 +257,10 @@ def deblock_frame(fs: FrameSyntax, planes, ctb_log2: int, beta_off, tc_off):
   # ---- luma ---------------------------------------------------------
   Hp, Wp = planes[0].shape
   Sv, Ev = Hp // 4, Wp // 4
+  sbg = _sb_grids(fs)
   bs, qpa, mp, mq = _luma_edge_params(y_pos_x, y_w, y_qp, motion, cbf_y,
-                                      Sv, Ev)
+                                      Sv, Ev, sb=None if sbg is None
+                                      else sbg["v"])
   hor0 = np.zeros((Sv, Ev), np.int32)
   out[0] = deblock_vertical_luma(out[0], jnp.asarray(bs), jnp.asarray(qpa),
                                  jnp.asarray(mp), jnp.asarray(mq),
@@ -220,7 +269,9 @@ def deblock_frame(fs: FrameSyntax, planes, ctb_log2: int, beta_off, tc_off):
   Sh, Eh = Wp // 4, Hp // 4
   motion_t = {k: m.T for k, m in motion.items()}
   bs, qpa, mp, mq = _luma_edge_params(y_pos_y.T, y_h.T, y_qp.T, motion_t,
-                                      cbf_y.T, Sh, Eh)
+                                      cbf_y.T, Sh, Eh,
+                                      sb=None if sbg is None
+                                      else sbg["h"])
   hor = np.zeros((Sh, Eh), np.int32)
   edge_y = np.arange(Eh) * 4
   hor[:, :] = ((edge_y % ctb) == 0)[None, :]

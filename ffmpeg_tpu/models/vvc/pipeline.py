@@ -431,9 +431,16 @@ def _residual_blocks_from_buckets(buckets, ncap, bit_depth, sizes,
     # indices unique (slots are 1:1 with coded TUs per plane)
     valid = mask[:, 0, 0] & (b["slot"] >= 0)
     slot = jnp.where(valid, b["slot"], ncap)
-    flat = (slot[:, None, None] * (S * S)
-            + jnp.arange(h)[None, :, None] * S
-            + jnp.arange(w)[None, None, :])
+    # SbTMVP TUs span several consecutive predict-unit slots (one per
+    # 8x8 luma / 4x4 chroma subblock, row-major): redistribute the TU
+    # residual to each subblock's slot at its local origin
+    sb = jnp.where(b["sbs"] > 0, b["sbs"], S)[:, None, None]
+    nx = jnp.maximum(w // sb, 1)
+    yy = jnp.arange(h)[None, :, None]
+    xx = jnp.arange(w)[None, None, :]
+    flat = ((slot[:, None, None] + (yy // sb) * nx + xx // sb) * (S * S)
+            + (yy % sb) * S
+            + (xx % sb))
     res = res.at[flat.reshape(-1)].add(out.reshape(-1),
                                        mode="drop", unique_indices=True)
   return res.reshape(ncap, S, S)
@@ -1055,7 +1062,7 @@ def _scale_shift_tables(lw, lh, bit_depth, dep_quant=False):
 
 # row order of the per-bucket scalar matrix (decode.cc BucketRow)
 BUCKET_ROWS = ("x0", "y0", "scale", "shift", "slot", "trh", "trv", "jop",
-               "ts", "lf_sel", "lf_tr", "vpdu")
+               "ts", "lf_sel", "lf_tr", "vpdu", "sbs")
 
 _SCSH_CACHE: dict = {}
 
@@ -1182,13 +1189,16 @@ def _deblock_grids(fs: FrameSyntax, Hp_y, Wp_y, Hp_c, Wp_c, ctb_log2):
   pcmf_c = pcmf_plane(1, 2)  # CB records mark the shared chroma plane
   d = {}
   Sv, Ev = Hp_y // 4, Wp_y // 4
+  sbg = D._sb_grids(fs)
   d["ybs_v"], d["yqp_v"], d["ymp_v"], d["ymq_v"] = D._luma_edge_params(
-      y_pos_x, y_w, y_qp, motion, cbf_y, Sv, Ev, pcmf_y)
+      y_pos_x, y_w, y_qp, motion, cbf_y, Sv, Ev, pcmf_y,
+      sb=None if sbg is None else sbg["v"])
   d["yhor0"] = np.zeros((Sv, Ev), np.int32)
   Sh, Eh = Wp_y // 4, Hp_y // 4
   d["ybs_h"], d["yqp_h"], d["ymp_h"], d["ymq_h"] = D._luma_edge_params(
       y_pos_y.T, y_h.T, y_qp.T, motion_t, cbf_y.T, Sh, Eh,
-      pcmf_y.T if pcmf_y is not None else None)
+      pcmf_y.T if pcmf_y is not None else None,
+      sb=None if sbg is None else sbg["h"])
   hor = np.zeros((Sh, Eh), np.int32)
   hor[:, :] = (((np.arange(Eh) * 4) % ctb) == 0)[None, :]
   d["yhor"] = hor

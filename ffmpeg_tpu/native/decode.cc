@@ -81,6 +81,8 @@ struct CuRecord {
   int32_t ciip_w;              // CIIP intra blend weight (1..3)
   int32_t gpm_part;            // GPM partition idx (-1 = not GPM)
   int32_t gpm_lx0, gpm_lx1;    // per-hypothesis reference list
+  int32_t sbtmvp;              // merge_subblock_flag (SbTMVP; per-8x8
+                               // motion lives in the mvf planes)
 };
 struct TuRecord {
   int32_t x0, y0, w, h;  // component coords
@@ -318,10 +320,18 @@ inline std::vector<Unit> predict_units(const FrameOut& fr, bool is_chroma,
       cb_x0 = tu.x0;
       cb_y0 = tu.y0;
     }
-    for (int ty = 0; ty < tu.h; ty += 32)
-      for (int tx = 0; tx < tu.w; tx += 32) {
-        const int tw = std::min(32, tu.w - tx);
-        const int th = std::min(32, tu.h - ty);
+    // subblock CUs (SbTMVP) predict per 8x8 luma subblock
+    // (pred_regular_blk num_sb loop, vvc_inter.c:782-811): emit one MC
+    // unit per subblock, row-major so the residual scatter can place a
+    // TU across consecutive unit slots
+    const int step =
+        fr.cus[tu.cu_index].sbtmvp && fr.cus[tu.cu_index].pred_mode == 0
+            ? (want_c ? (8 >> ss) : 8)
+            : 32;
+    for (int ty = 0; ty < tu.h; ty += step)
+      for (int tx = 0; tx < tu.w; tx += step) {
+        const int tw = std::min(step, tu.w - tx);
+        const int th = std::min(step, tu.h - ty);
         units.push_back({tu.cu_index, tu.x0 + tx, tu.y0 + ty, tw, th,
                          (tu.x0 + tx) << ss, (tu.y0 + ty) << ss});
       }
@@ -376,34 +386,56 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
     // (pred_regular_chroma do_ciip, vvc_inter.c:590)
     const bool unit_ciip = cu.ciip && !(is_chroma && w <= 2);
     if (cu.pred_mode == 0 && !unit_ciip) {  // MODE_INTER
+      int u_pf = cu.pf, u_r0 = cu.ref_idx, u_r1 = cu.ref_idx1;
+      int u_m0x = cu.mv_x, u_m0y = cu.mv_y;
+      int u_m1x = cu.mv1_x, u_m1y = cu.mv1_y;
+      if (cu.sbtmvp) {
+        // per-8x8 subblock motion lives in the exported mvf planes
+        // (sb_temporal_merge_candidate stores, vvc_mvs.c:1090-1110)
+        const size_t cell =
+            (size_t)(ly0 >> 2) * (fr.width >> 2) + (lx0 >> 2);
+        u_pf = fr.mvf_pf[cell];
+        u_m0x = fr.mvf_x[cell];
+        u_m0y = fr.mvf_y[cell];
+        u_r0 = fr.mvf_ref[cell];
+        u_m1x = fr.mvf_x1[cell];
+        u_m1y = fr.mvf_y1[cell];
+        u_r1 = fr.mvf_ref1[cell];
+      }
       O(kX0, i) = x0; O(kY0, i) = y0; O(kW, i) = w; O(kH, i) = h;
       O(kModeClass, i) = MC_INTER;
-      O(kPf, i) = cu.pf;
-      O(kM0x, i) = cu.mv_x; O(kM0y, i) = cu.mv_y;
-      O(kM1x, i) = cu.mv1_x; O(kM1y, i) = cu.mv1_y;
-      O(kR0Idx, i) = cu.ref_idx < 0 ? 0 : cu.ref_idx;
-      O(kR1Idx, i) = cu.ref_idx1 < 0 ? 0 : cu.ref_idx1;
+      O(kPf, i) = u_pf;
+      O(kM0x, i) = u_m0x; O(kM0y, i) = u_m0y;
+      O(kM1x, i) = u_m1x; O(kM1y, i) = u_m1y;
+      O(kR0Idx, i) = u_r0 < 0 ? 0 : u_r0;
+      O(kR1Idx, i) = u_r1 < 0 ? 0 : u_r1;
       O(kChunk, i) = -1;
       // weighted bi-prediction controls (derive_weight,
       // vvc_inter.c:149-178): BCW lookup {4,5,3,10,-2}; kWden < 0
       // selects the default average
       O(kWden, i) = -1;
-      if (cu.bcw && cu.pf == 3 /* PF_BI */) {
+      if (cu.bcw && u_pf == 3 /* PF_BI */) {
         static const int bcw_w_lut[5] = {4, 5, 3, 10, -2};
         O(kWden, i) = 2;
         O(kW1, i) = bcw_w_lut[cu.bcw];
         O(kW0, i) = 8 - bcw_w_lut[cu.bcw];
         O(kO0, i) = 0;
         O(kO1, i) = 0;
+        if (is_chroma) {
+          // Cr always reads the b-set (the shared chroma ctrl carries
+          // Cb in the main set): BCW weights apply to both components
+          O(kW0b, i) = O(kW0, i);
+          O(kW1b, i) = O(kW1, i);
+        }
       } else if (fr.wp_active && cu.gpm_part < 0) {
         // explicit weights; for the shared chroma ctrl, the main set
         // carries Cb and the b-set Cr (derive_weight/derive_weight_uni)
         const PredWeight& w = fr.pwt;
         const int c0 = is_chroma ? 1 : 0;
-        const int r0 = cu.ref_idx < 0 ? 0 : cu.ref_idx;
-        const int r1 = cu.ref_idx1 < 0 ? 0 : cu.ref_idx1;
+        const int r0 = u_r0 < 0 ? 0 : u_r0;
+        const int r1 = u_r1 < 0 ? 0 : u_r1;
         O(kWden, i) = w.log2_denom[is_chroma ? 1 : 0];
-        if (cu.pf == 3) {
+        if (u_pf == 3) {
           O(kW0, i) = w.weight[0][c0][r0];
           O(kO0, i) = w.offset[0][c0][r0];
           O(kW1, i) = w.weight[1][c0][r1];
@@ -415,7 +447,7 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
             O(kO1b, i) = w.offset[1][2][r1];
           }
         } else {
-          const int lx = cu.pf - 1;
+          const int lx = u_pf - 1;
           const int rr = lx ? r1 : r0;
           O(kW0, i) = w.weight[lx][c0][rr];
           O(kO0, i) = w.offset[lx][c0][rr];
@@ -771,6 +803,8 @@ class Decoder {
   int pu_w_ = 0, pu_h_ = 0;
   std::vector<MvF> hmvp_;
   std::vector<int32_t> tab_skip_;
+  std::vector<int32_t> tab_msf_;  // per-min-cb merge_subblock_flag (ctx
+                                  // inc for later CUs; tab.msf analog)
 
   MvF& mvf_at(int x, int y) { return mvf_[(size_t)(y >> 2) * pu_w_ + (x >> 2)]; }
 
@@ -919,6 +953,103 @@ class Decoder {
       if (derive_col_mv(tc, ref_idx_lx, X, mv_out)) return true;
     }
     return false;
+  }
+
+  // -- SbTMVP (8.5.5.3/8.5.5.4; sb_temporal_merge_candidate +
+  // sb_temporal_luma_motion_data, vvc_mvs.c:1000-1120) ---------------
+  // colocated fetch, sb_flag variant of derive_temporal_colocated_mvs
+  // (vvc_mvs.c:150-162): prefer the matching list, fall back to the
+  // other only when NoBackwardPredFlag
+  int derive_col_mv_sb(const MvF& tc, int X, int32_t* mv_out) {
+    if (tc.pred_flag == PF_INTRA) return 0;
+    if (tc.pred_flag & (X + 1)) return check_mvset(tc, X, 0, X, mv_out);
+    if (no_backward_ && (tc.pred_flag & (2 - X)))
+      return check_mvset(tc, 1 - X, 0, X, mv_out);
+    return 0;
+  }
+
+  // sb_clip_location + colocated motion at (x, y) shifted by temp_mv
+  // (sb_temproal_luma_motion, vvc_mvs.c:1005-1030)
+  void sb_col_motion(int x_ctb, int y_ctb, const int32_t* tmv, int x,
+                     int y, bool is_b, MvF* m) {
+    const int ctb = 1 << sps_.ctb_log2_size_y;
+    int yy = y + tmv[1];
+    int ylim = std::min(pps_.height - 1, y_ctb + ctb - 1);
+    yy = (yy < y_ctb ? y_ctb : (yy > ylim ? ylim : yy)) & ~7;
+    int xx = x + tmv[0];
+    int xlim = std::min(pps_.width - 1, x_ctb + ctb + 3);
+    xx = (xx < x_ctb ? x_ctb : (xx > xlim ? xlim : xx)) & ~7;
+    const MvF& tc = col_->mvf[(size_t)(yy >> 2) * col_->pu_w + (xx >> 2)];
+    m->pred_flag = 0;
+    m->ref_idx[0] = 0;
+    m->ref_idx[1] = 0;
+    int32_t mv[2];
+    if (derive_col_mv_sb(tc, 0, mv)) {
+      m->pred_flag |= PF_L0;
+      m->mv[0][0] = mv[0];
+      m->mv[0][1] = mv[1];
+    }
+    if (is_b && derive_col_mv_sb(tc, 1, mv)) {
+      m->pred_flag |= PF_L1;
+      m->mv[1][0] = mv[0];
+      m->mv[1][1] = mv[1];
+    }
+  }
+
+  // merge_data_subblock + sb_mv_merge_mode without affine: the single
+  // candidate is SbTMVP; when its centre motion is unavailable the
+  // list fallback (affine_merge_zero_motion with zero CPMVs,
+  // vvc_mvs.c:1188-1197) reduces to translational zero motion.
+  void sb_merge_mode(CuRecord& cu, int x0, int y0, int w, int h,
+                     bool is_b) {
+    cu.sbtmvp = 1;
+    cu.bcw = 0;
+    cu.hpel = 0;
+    const int x_ctb = (x0 >> sps_.ctb_log2_size_y) << sps_.ctb_log2_size_y;
+    const int y_ctb = (y0 >> sps_.ctb_log2_size_y) << sps_.ctb_log2_size_y;
+    MvF ctr;
+    ctr.pred_flag = 0;
+    int32_t tmv[2] = {0, 0};
+    if (col_) {
+      // shift vector from A1 when it references the collocated picture
+      Nb nbs[7];
+      neighbours(x0, y0, w, h, nbs);
+      const MvF* a1 = check_nb(nbs[1]);
+      if (a1) {
+        if ((a1->pred_flag & PF_L0) &&
+            col_->poc == out.ref_pocs[0][a1->ref_idx[0]]) {
+          tmv[0] = a1->mv[0][0];
+          tmv[1] = a1->mv[0][1];
+        } else if ((a1->pred_flag & PF_L1) &&
+                   col_->poc == out.ref_pocs[1][a1->ref_idx[1]]) {
+          tmv[0] = a1->mv[1][0];
+          tmv[1] = a1->mv[1][1];
+        }
+        round_mv(&tmv[0], &tmv[1], 0, 4);
+      }
+      sb_col_motion(x_ctb, y_ctb, tmv, x0 + w / 2, y0 + h / 2, is_b,
+                    &ctr);
+    }
+    if (ctr.pred_flag) {
+      for (int sy = y0; sy < y0 + h; sy += 8)
+        for (int sx = x0; sx < x0 + w; sx += 8) {
+          MvF m;
+          sb_col_motion(x_ctb, y_ctb, tmv, sx + 4, sy + 4, is_b, &m);
+          if (!m.pred_flag) m = ctr;
+          set_mvf(sx, sy, 8, 8, m);
+        }
+      cu.pf = ctr.pred_flag;
+    } else {
+      MvF m;
+      m.pred_flag = PF_L0 + ((is_b ? 1 : 0) << 1);
+      m.ref_idx[0] = 0;
+      m.ref_idx[1] = 0;
+      set_mvf(x0, y0, w, h, m);
+      cu.pf = m.pred_flag;
+    }
+    cu.mv_x = cu.mv_y = cu.mv1_x = cu.mv1_y = 0;
+    cu.ref_idx = 0;
+    cu.ref_idx1 = 0;
   }
 
   MvF merge_candidate(int x0, int y0, int w, int h, int merge_idx,
@@ -1369,6 +1500,7 @@ class Decoder {
     mvf_.assign((size_t)pu_w_ * pu_h_, MvF());
     mvf_set_.assign((size_t)pu_w_ * pu_h_, 0);
     tab_skip_.assign((size_t)mcb_w_ * mcb_h_, 0);
+    tab_msf_.assign((size_t)mcb_w_ * mcb_h_, 0);
     hmvp_.clear();
     for (int lx = 0; lx < 2; lx++) {
       const RefPicListStruct& rpl = sh_.rpl[lx];
@@ -1925,8 +2057,18 @@ class Decoder {
     MvF f;
     int is_ciip = 0;
     int is_gpm = 0;
+    int is_sbtmvp = 0;
     cu.gpm_part = -1;
     if (general_merge) {
+      // merge_subblock_flag first (hls_merge_data, vvc_ctu.c:1456-1459;
+      // MaxNumSubblockMergeCand without affine = sbtmvp && tmvp)
+      const int max_sb_cand = sps_.sps_sbtmvp_enabled_flag &&
+                              sh_.ph.ph_temporal_mvp_enabled_flag;
+      if (max_sb_cand > 0 && w >= 8 && h >= 8)
+        is_sbtmvp =
+            bin(MERGE_SUBBLOCK_FLAG + get_inc_tab(tab_msf_, x0, y0));
+    }
+    if (general_merge && !is_sbtmvp) {
       // merge_data_block gating (vvc_ctu.c:1338-1360): GPM still off
       const int is_128 = w == 128 || h == 128;
       const int ciip_avail = sps_.sps_ciip_enabled_flag && !cu.skip &&
@@ -1947,7 +2089,10 @@ class Decoder {
           is_gpm = 1;
       }
     }
-    if (is_gpm) {
+    if (is_sbtmvp) {
+      set_cb_tab(tab_msf_, x0, y0, w, h, 1);
+      sb_merge_mode(cu, x0, y0, w, h, is_b);
+    } else if (is_gpm) {
       // merge_data_gpm (vvc_ctu.c:1341-1358) + ff_vvc_luma_mv_merge_gpm
       // (vvc_mvs.c:805-829) + ff_vvc_store_gpm_mvf (vvc_mvs.c:440-486)
       int part = 0;
@@ -2208,10 +2353,11 @@ class Decoder {
         }
       }
     }
-    if (!is_gpm) {
+    if (!is_gpm && !is_sbtmvp) {
       f.ciip = is_ciip;
       set_mvf(x0, y0, w, h, f);
-      update_hmvp(mvf_at(x0, y0));  // gpm skips hmvp (vvc_ctu.c:1723)
+      // gpm/subblock skip hmvp (vvc_ctu.c:1723)
+      update_hmvp(mvf_at(x0, y0));
       cu.pf = f.pred_flag;
       cu.mv_x = f.mv[0][0];
       cu.mv_y = f.mv[0][1];
@@ -3388,6 +3534,10 @@ enum BucketRow {
   // (min(ctb,64)-sized luma grid; lmcs_derive_chroma_scale,
   // vvc_intra_template.c:390-428)
   kBVpdu,
+  // kBSbs: subblock split size (0 = none): the TU's residual block is
+  // redistributed across the consecutive per-subblock predict-unit
+  // slots starting at kBSlot (SbTMVP units are 8x8 luma / 4x4 chroma)
+  kBSbs,
   kBucketRows
 };
 
@@ -3475,6 +3625,12 @@ int vvch_fo_fill_buckets(void* fo_, int c_idx, int n_sizes,
     if (slots) m[(size_t)kBSlot * cap + n] = slots[j];
     m[(size_t)kBTrh * cap + n] = tu.trh;
     m[(size_t)kBTrv * cap + n] = tu.trv;
+    {
+      const CuRecord& bcu = fo.cus[tu.cu_index];
+      m[(size_t)kBSbs * cap + n] =
+          (bcu.sbtmvp && bcu.pred_mode == 0) ? (c_idx ? (8 >> ss) : 8)
+                                             : 0;
+    }
     m[(size_t)kBJop * cap + n] = tu.jop;
     m[(size_t)kBTs * cap + n] = tu.ts;
     m[(size_t)kBLfSel * cap + n] = tu.lf_sel;

@@ -152,6 +152,13 @@ needs_ref = pytest.mark.skipif(not os.path.exists(REF_FFMPEG),
     dict(width=96, height=64, seed=2003, qp=28, inter=True, b_slices=True,
          ra=True, n_frames=9, weighted_pred=True, mmvd=True, lmcs=True,
          deblock=True),
+    dict(width=96, height=64, seed=2101, qp=28, inter=True, n_frames=3,
+         sbtmvp=True),
+    dict(width=96, height=96, seed=2105, qp=28, inter=True, b_slices=True,
+         n_frames=4, sbtmvp=True, deblock=True, sao=True, max_mv=220),
+    dict(width=96, height=64, seed=2106, qp=28, inter=True, b_slices=True,
+         ra=True, n_frames=9, sbtmvp=True, tmvp=True, mmvd=True, amvr=True,
+         bcw=True, lmcs=True, deblock=True, max_mv=160),
     dict(width=96, height=64, seed=1901, qp=28, inter=True, b_slices=True,
          n_frames=3, gpm=True),
     dict(width=96, height=96, seed=1902, qp=28, inter=True, b_slices=True,
@@ -180,6 +187,7 @@ needs_ref = pytest.mark.skipif(not os.path.exists(REF_FFMPEG),
         "inter-wave1-all",
         "ciip", "ciip-deblock", "ciip-tools-ra",
         "wp", "wp-b", "wp-tools-ra",
+        "sbtmvp", "sbtmvp-filters", "sbtmvp-tools-ra",
         "gpm", "gpm-filters", "gpm-tools-ra"])
 def test_frame_md5_parity(tmp_path, cfg_kw):
     from ffmpeg_tpu.encoder.encoder import EncoderConfig, encode_stream

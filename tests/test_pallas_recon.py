@@ -34,7 +34,9 @@ def _md5s_ref(path):
          deblock=True, sao=True, n_frames=3),
     dict(width=96, height=64, seed=153, qp=28, inter=True, b_slices=True,
          n_frames=3, ciip=True, mmvd=True, bcw=True, lmcs=True),
-], ids=["intra", "inter-b", "wave1-lmcs"])
+    dict(width=96, height=64, seed=154, qp=28, inter=True, b_slices=True,
+         n_frames=3, sbtmvp=True, deblock=True),
+], ids=["intra", "inter-b", "wave1-lmcs", "sbtmvp"])
 def test_pallas_interpret_parity(tmp_path, cfg_kw, monkeypatch):
     monkeypatch.setenv("FFMPEG_TPU_PALLAS", "1")
     from ffmpeg_tpu.encoder.encoder import EncoderConfig, encode_stream
