@@ -92,7 +92,9 @@ class CuIntent:
     amvr_shift: int = 2      # 2 (off) / 3 / 4 / 6
     bcw_idx: int = 0         # BI only, w*h >= 256
     mmvd: tuple | None = None  # (cand_flag, distance_idx, direction)
-    sbtmvp: bool = False     # merge_subblock_flag (SbTMVP candidate)
+    sbtmvp: bool = False     # merge_subblock_flag (subblock merge)
+    affine_params: tuple | None = None  # AMVP affine: (model_idc,
+                                        #  [cp mvds L0], [cp mvds L1])
     ciip: bool = False       # combined inter/intra (merge, w*h >= 64)
     gpm: tuple | None = None  # (partition_idx, merge_idx0, merge_idx1)
     # filled during encoding: derived final MVs (1/16 pel) + refs
@@ -519,15 +521,28 @@ class FrameSyntaxEncoder:
         if general_merge:
             # merge_subblock_flag first (hls_merge_data); without affine
             # MaxNumSubblockMergeCand = sbtmvp && tmvp
-            max_sb = (self.sps.sps_sbtmvp_enabled_flag
-                      and self.sh.ph.ph_temporal_mvp_enabled_flag)
-            if max_sb and cu.w >= 8 and cu.h >= 8:
+            if self.sps.sps_affine_enabled_flag:
+                max_sb = (5 - self.sps
+                          .sps_five_minus_max_num_subblock_merge_cand)
+            else:
+                max_sb = int(self.sps.sps_sbtmvp_enabled_flag
+                             and self.sh.ph.ph_temporal_mvp_enabled_flag)
+            if max_sb > 0 and cu.w >= 8 and cu.h >= 8:
                 self._bin("MERGE_SUBBLOCK_FLAG",
                           self._get_inc(self.tab_msf, cu.x0, cu.y0),
                           int(cu.sbtmvp))
             else:
                 assert not cu.sbtmvp
         if general_merge and cu.sbtmvp:
+            if max_sb > 1:
+                idx = cu.merge_idx  # subblock merge candidate index
+                assert idx < max_sb
+                self._bin("MERGE_SUBBLOCK_IDX", 0, int(idx > 0))
+                if idx > 0:
+                    for _ in range(1, idx):
+                        self.enc.bypass(1)
+                    if idx < max_sb - 1:
+                        self.enc.bypass(0)
             s_ = self.min_cb_log2
             self.tab_msf[cu.y0 >> s_:(cu.y0 + cu.h) >> s_,
                          cu.x0 >> s_:(cu.x0 + cu.w) >> s_] = 1
@@ -642,19 +657,43 @@ class FrameSyntaxEncoder:
                     self._bin("INTER_PRED_IDC", 5, int(pf == PF_L1))
             else:
                 assert pf == PF_L0
+            aff = cu.affine_params
+            if (self.sps.sps_affine_enabled_flag and cu.w >= 16
+                    and cu.h >= 16):
+                self._bin("INTER_AFFINE_FLAG",
+                          self._get_inc(self.tab_msf, cu.x0, cu.y0),
+                          int(aff is not None))
+                if aff is not None:
+                    if self.sps.sps_6param_affine_enabled_flag:
+                        self._bin("CU_AFFINE_TYPE_FLAG", 0,
+                                  int(aff[0] == 2))
+                    else:
+                        assert aff[0] == 1
+            else:
+                assert aff is None
             mvds = [None, None]
             mvps = [cu.mvp_flag, cu.mvp_flag1]
             ref_sel = [0, 0]
             if pf != PF_L1:
                 ref_sel[0] = self._encode_ref_idx(0)
-                mvds[0] = cu.mvd
-                self._encode_mvd(cu.mvd)
+                if aff is not None:
+                    for d in aff[1][:aff[0] + 1]:
+                        self._encode_mvd(d)
+                    mvds[0] = aff[1][0]
+                else:
+                    mvds[0] = cu.mvd
+                    self._encode_mvd(cu.mvd)
                 self._bin("MVP_LX_FLAG", 0, cu.mvp_flag)
             if pf != PF_L0:
                 assert not self.sh.ph.ph_mvd_l1_zero_flag or pf != PF_BI
                 ref_sel[1] = self._encode_ref_idx(1)
-                mvds[1] = cu.mvd1
-                self._encode_mvd(cu.mvd1)
+                if aff is not None:
+                    for d in aff[2][:aff[0] + 1]:
+                        self._encode_mvd(d)
+                    mvds[1] = aff[2][0]
+                else:
+                    mvds[1] = cu.mvd1
+                    self._encode_mvd(cu.mvd1)
                 self._bin("MVP_LX_FLAG", 0, cu.mvp_flag1)
             amvr_shift = cu.amvr_shift
             has_no_zero_mvd = any(
@@ -662,7 +701,11 @@ class FrameSyntaxEncoder:
                 for lx in (0, 1)
                 if not (lx == 1 and self.sh.ph.ph_mvd_l1_zero_flag
                         and pf == PF_BI))
-            if self.sps.sps_amvr_enabled_flag and has_no_zero_mvd:
+            if aff is not None:
+                # affine AMVR is off in generated SPSes -> shift 2
+                assert not self.sps.sps_affine_amvr_enabled_flag
+                assert amvr_shift == 2
+            elif self.sps.sps_amvr_enabled_flag and has_no_zero_mvd:
                 self._bin("AMVR_FLAG", 0, int(amvr_shift != 2))
                 if amvr_shift != 2:
                     idx = {3: 0, 4: 1, 6: 2}[amvr_shift]
@@ -693,7 +736,12 @@ class FrameSyntaxEncoder:
                     mvf.mv[lx] = [pred[0] + (mvds[lx][0] << amvr_shift),
                                   pred[1] + (mvds[lx][1] << amvr_shift)]
             m.set_mvf(cu.x0, cu.y0, cu.w, cu.h, mvf)
-        if not cu.sbtmvp:  # subblock merge skips hmvp (vvc_ctu.c:1723)
+            if aff is not None:
+                s_ = self.min_cb_log2
+                self.tab_msf[cu.y0 >> s_:(cu.y0 + cu.h) >> s_,
+                             cu.x0 >> s_:(cu.x0 + cu.w) >> s_] = 1
+        if not cu.sbtmvp and cu.affine_params is None:
+            # subblock/affine skip hmvp (vvc_ctu.c:1723)
             m.update_hmvp(m.mvf_at(cu.x0, cu.y0))
         f = m.mvf_at(cu.x0, cu.y0)
         cu.pred_flag = f.pred_flag

@@ -86,6 +86,7 @@ class EncoderConfig:
     # temporal motion vector prediction (collocated-picture candidates)
     tmvp: bool = False
     sbtmvp: bool = False  # subblock temporal MVP (implies tmvp)
+    affine: bool = False  # affine motion (merge + AMVP, 4/6-param)
 
 
 def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
@@ -116,6 +117,9 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
         dpb_max_num_reorder_pics=2 if cfg.ra else 0,
         sps_temporal_mvp_enabled_flag=1 if (cfg.tmvp or cfg.sbtmvp) else 0,
         sps_sbtmvp_enabled_flag=1 if cfg.sbtmvp else 0,
+        sps_affine_enabled_flag=1 if cfg.affine else 0,
+        sps_five_minus_max_num_subblock_merge_cand=0,
+        sps_6param_affine_enabled_flag=1 if cfg.affine else 0,
         sps_mts_enabled_flag=1 if (cfg.mts or cfg.mts_implicit) else 0,
         sps_joint_cbcr_enabled_flag=1 if cfg.joint_cbcr else 0,
         sps_transform_skip_enabled_flag=(
@@ -186,8 +190,10 @@ def _random_cu(cfg, rng, x0, y0, w, h, is_inter_slice=False):
             cu.merge = True
             cu.merge_idx = int(rng.integers(0, 6))
             cu.coeff_y = cu.coeff_cb = cu.coeff_cr = None
-            if cfg.sbtmvp and w >= 8 and h >= 8 and rng.random() < 0.5:
+            if (cfg.sbtmvp or cfg.affine) and w >= 8 and h >= 8 \
+                    and rng.random() < 0.5:
                 cu.sbtmvp = True
+                cu.merge_idx = int(rng.integers(0, 5 if cfg.affine else 1))
             elif cfg.mmvd and rng.random() < 0.5:
                 cu.mmvd = (int(rng.integers(0, 2)),
                            int(rng.integers(0, 8)),
@@ -195,8 +201,10 @@ def _random_cu(cfg, rng, x0, y0, w, h, is_inter_slice=False):
         elif rng.random() < cfg.merge_prob:
             cu.merge = True
             cu.merge_idx = int(rng.integers(0, 6))
-            if cfg.sbtmvp and w >= 8 and h >= 8 and rng.random() < 0.5:
+            if (cfg.sbtmvp or cfg.affine) and w >= 8 and h >= 8 \
+                    and rng.random() < 0.5:
                 cu.sbtmvp = True
+                cu.merge_idx = int(rng.integers(0, 5 if cfg.affine else 1))
             elif (cfg.ciip and w * h >= 64 and w <= 32 and h <= 32
                     and rng.random() < 0.5):
                 cu.ciip = True  # excludes mmvd (regular_merge_flag 0)
@@ -227,6 +235,15 @@ def _random_cu(cfg, rng, x0, y0, w, h, is_inter_slice=False):
             if cfg.bcw and cu.pred_list == "BI" and w * h >= 256 \
                     and rng.random() < 0.7:
                 cu.bcw_idx = int(rng.integers(0, 3))
+            if cfg.affine and w >= 16 and h >= 16 and rng.random() < 0.6:
+                model = 2 if rng.random() < 0.5 else 1
+                ncp = model + 1
+                def _cp_mvds():
+                    return [(int(rng.integers(-48, 49)),
+                             int(rng.integers(-48, 49)))
+                            for _ in range(ncp)]
+                cu.affine_params = (model, _cp_mvds(), _cp_mvds())
+                cu.amvr_shift = 2  # affine AMVR off in generated SPSes
         if cu.mmvd is not None and cfg.skip_prob and cu.skip:
             pass
         if cu.merge and not cu.skip:
@@ -767,6 +784,7 @@ def _cu_to_dict(cu: CuIntent) -> dict:
         "pred_mode": cu.pred_mode,
         "skip": int(cu.skip), "merge": int(cu.merge),
         "sbtmvp": int(cu.sbtmvp),
+        "affine": cu.affine_params[0] if cu.affine_params else 0,
         "merge_idx": cu.merge_idx, "mvp_flag": cu.mvp_flag,
         "mvd": list(cu.mvd), "mv": None if cu.mv is None else list(cu.mv),
         "ref_idx": cu.ref_idx,

@@ -94,7 +94,10 @@ def _sb_grids(fs: FrameSyntax):
   motion CUs (SbTMVP; tab.msf analog) in both edge orientations.
   Returns None when the frame has none (the common case)."""
   cus = fs.cus
-  if cus is None or "sbtmvp" not in cus or not np.any(cus["sbtmvp"]):
+  if cus is None or "sbtmvp" not in cus:
+    return None
+  sbf = (cus["sbtmvp"] > 0) | (cus.get("affine", 0) > 0)
+  if not np.any(sbf):
     return None
   gw, gh = fs.width // 4, fs.height // 4
   msf = np.zeros((gh, gw), np.int32)
@@ -102,7 +105,7 @@ def _sb_grids(fs: FrameSyntax):
   cby = np.zeros((gh, gw), np.int32)
   cbw = np.zeros((gh, gw), np.int32)
   cbh = np.zeros((gh, gw), np.int32)
-  idx = np.where((cus["sbtmvp"] > 0) & (cus["pred_mode"] == 0))[0]
+  idx = np.where(sbf & (cus["pred_mode"] == 0))[0]
   for j in idx:
     x0, y0 = int(cus["x0"][j]), int(cus["y0"][j])
     w, h = int(cus["w"][j]), int(cus["h"][j])

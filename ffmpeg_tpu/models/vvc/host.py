@@ -26,7 +26,7 @@ CU_FIELDS = ["x0", "y0", "w", "h", "pred_mode", "luma_mode", "chroma_mode",
              "skip", "merge", "idx", "mv_x", "mv_y", "ref_idx",
              "pf", "mv1_x", "mv1_y", "ref_idx1", "bdpcm_l", "bdpcm_c",
              "bcw", "hpel", "ciip", "ciip_w",
-             "gpm_part", "gpm_lx0", "gpm_lx1", "sbtmvp"]
+             "gpm_part", "gpm_lx0", "gpm_lx1", "sbtmvp", "affine"]
 TU_FIELDS = ["x0", "y0", "w", "h", "c_idx", "coded", "qp", "cu_index",
              "trh", "trv", "res", "jop", "qsel", "qp_deq", "ts", "pcmf",
              "lf_sel", "lf_tr"]

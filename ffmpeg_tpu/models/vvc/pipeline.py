@@ -461,9 +461,10 @@ def _mc_block(refs, x0, y0, mvx, mvy, maxs, taps, before, frac_bits,
     hf = ftab[frac_x]
     vf = ftab[frac_y]
   else:
-    # bank 1 is the AMVR half-pel alternative filter (hpel_if_idx,
-    # ff_vvc_inter_luma_filters, vvc_data.c:1735)
-    ftab = jnp.asarray(INTERP_LUMA[:2].astype(np.int32))
+    # bank 1 is the AMVR half-pel alternative filter (hpel_if_idx);
+    # bank 2 the affine 6-tap filter (ff_vvc_inter_luma_filters,
+    # vvc_data.c:1735; selected via hpel==2 for affine subblock units)
+    ftab = jnp.asarray(INTERP_LUMA.astype(np.int32))
     hf = ftab[hpel, frac_x]
     vf = ftab[hpel, frac_y]
   g = maxs + taps - 1

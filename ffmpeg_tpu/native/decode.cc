@@ -83,6 +83,8 @@ struct CuRecord {
   int32_t gpm_lx0, gpm_lx1;    // per-hypothesis reference list
   int32_t sbtmvp;              // merge_subblock_flag (SbTMVP; per-8x8
                                // motion lives in the mvf planes)
+  int32_t affine;              // affine motion model (merge or AMVP):
+                               // per-4x4 motion in the mvf planes
 };
 struct TuRecord {
   int32_t x0, y0, w, h;  // component coords
@@ -324,10 +326,14 @@ inline std::vector<Unit> predict_units(const FrameOut& fr, bool is_chroma,
     // (pred_regular_blk num_sb loop, vvc_inter.c:782-811): emit one MC
     // unit per subblock, row-major so the residual scatter can place a
     // TU across consecutive unit slots
-    const int step =
-        fr.cus[tu.cu_index].sbtmvp && fr.cus[tu.cu_index].pred_mode == 0
-            ? (want_c ? (8 >> ss) : 8)
-            : 32;
+    const CuRecord& ucu = fr.cus[tu.cu_index];
+    int step = 32;
+    if (ucu.pred_mode == 0) {
+      if (ucu.affine)
+        step = want_c ? (8 >> ss) : 4;  // 4x4 affine subblocks
+      else if (ucu.sbtmvp)
+        step = want_c ? (8 >> ss) : 8;  // 8x8 SbTMVP subblocks
+    }
     for (int ty = 0; ty < tu.h; ty += step)
       for (int tx = 0; tx < tu.w; tx += step) {
         const int tw = std::min(step, tu.w - tx);
@@ -347,6 +353,12 @@ inline std::vector<Unit> predict_units(const FrameOut& fr, bool is_chroma,
 // chunk — the device executes chunks sequentially and units within a
 // chunk as one vmapped batch.  Inter units get chunk -1 (no intra-
 // frame sample deps; they run as one batched pass before chunk 0).
+// ff_vvc_round_mv(mv, 0, 1): affine chroma MV averaging
+inline void round_mv_pair(int32_t* x, int32_t* y) {
+  *x = (*x + 1 - (*x >= 0)) >> 1;
+  *y = (*y + 1 - (*y >= 0)) >> 1;
+}
+
 inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
                    const std::vector<Unit>& units, int32_t* out,
                    int chunk_cap) {
@@ -389,9 +401,9 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
       int u_pf = cu.pf, u_r0 = cu.ref_idx, u_r1 = cu.ref_idx1;
       int u_m0x = cu.mv_x, u_m0y = cu.mv_y;
       int u_m1x = cu.mv1_x, u_m1y = cu.mv1_y;
-      if (cu.sbtmvp) {
-        // per-8x8 subblock motion lives in the exported mvf planes
-        // (sb_temporal_merge_candidate stores, vvc_mvs.c:1090-1110)
+      if (cu.sbtmvp || cu.affine) {
+        // per-subblock motion lives in the exported mvf planes
+        // (sb_temporal_merge_candidate / store_sb_mvs)
         const size_t cell =
             (size_t)(ly0 >> 2) * (fr.width >> 2) + (lx0 >> 2);
         u_pf = fr.mvf_pf[cell];
@@ -401,6 +413,21 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
         u_m1x = fr.mvf_x1[cell];
         u_m1y = fr.mvf_y1[cell];
         u_r1 = fr.mvf_ref1[cell];
+        if (cu.affine && is_chroma) {
+          // derive_affine_mvc: average the diagonal pair of luma
+          // subblock MVs (vvc_inter.c:580-596)
+          const size_t c2 =
+              (size_t)((ly0 >> 2) + ss) * (fr.width >> 2) + (lx0 >> 2) + ss;
+          int32_t ax = u_m0x + fr.mvf_x[c2], ay = u_m0y + fr.mvf_y[c2];
+          round_mv_pair(&ax, &ay);
+          u_m0x = ax;
+          u_m0y = ay;
+          ax = u_m1x + fr.mvf_x1[c2];
+          ay = u_m1y + fr.mvf_y1[c2];
+          round_mv_pair(&ax, &ay);
+          u_m1x = ax;
+          u_m1y = ay;
+        }
       }
       O(kX0, i) = x0; O(kY0, i) = y0; O(kW, i) = w; O(kH, i) = h;
       O(kModeClass, i) = MC_INTER;
@@ -457,7 +484,9 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
           }
         }
       }
-      O(kHpel, i) = cu.hpel;
+      // affine luma MC uses the dedicated 6-tap filter bank
+      // (ff_vvc_inter_luma_filters[2]); selected via the hpel control
+      O(kHpel, i) = cu.affine ? 2 : cu.hpel;
       O(kHyp1Lx, i) = 1;  // normal bi: hypotheses on L0/L1
       if (cu.gpm_part >= 0) {
         O(kGpmPart, i) = cu.gpm_part + 1;  // 0 = not GPM
@@ -803,8 +832,13 @@ class Decoder {
   int pu_w_ = 0, pu_h_ = 0;
   std::vector<MvF> hmvp_;
   std::vector<int32_t> tab_skip_;
-  std::vector<int32_t> tab_msf_;  // per-min-cb merge_subblock_flag (ctx
-                                  // inc for later CUs; tab.msf analog)
+  std::vector<int32_t> tab_msf_;  // per-min-cb msf|iaf union (subblock
+                                  // merge or AMVP affine; feeds the
+                                  // get_inter_flag_inc ctx, tab.msf/iaf)
+  std::vector<int32_t> tab_mmi_;  // per-min-cb motion model idc
+  std::vector<int32_t> tab_cbx_, tab_cby_;  // CU origin per min-cb
+  // per-min-cb affine control-point MVs: [(cell*3 + cp)*2 + comp]
+  std::vector<int32_t> tab_cpmv_[2];
 
   MvF& mvf_at(int x, int y) { return mvf_[(size_t)(y >> 2) * pu_w_ + (x >> 2)]; }
 
@@ -996,60 +1030,644 @@ class Decoder {
     }
   }
 
-  // merge_data_subblock + sb_mv_merge_mode without affine: the single
-  // candidate is SbTMVP; when its centre motion is unavailable the
-  // list fallback (affine_merge_zero_motion with zero CPMVs,
-  // vvc_mvs.c:1188-1197) reduces to translational zero motion.
+  struct AffMi {
+    int pf = 0;
+    int ref_idx[2] = {0, 0};
+    int bcw = 0;
+    int mmi = 1;               // motion model idc (1=4param, 2=6param)
+    int32_t cp[2][3][2] = {};  // [list][cp][x/y], 1/16 pel
+  };
+
+  // merge_data_subblock + sb_mv_merge_mode (vvc_mvs.c:1396-1445):
+  // SbCol, inherited affine A/B, constructed affine 1-6, then the
+  // zero-CPMV fallback (translational zero when affine is off).
   void sb_merge_mode(CuRecord& cu, int x0, int y0, int w, int h,
-                     bool is_b) {
+                     bool is_b, int merge_idx) {
     cu.sbtmvp = 1;
     cu.bcw = 0;
     cu.hpel = 0;
-    const int x_ctb = (x0 >> sps_.ctb_log2_size_y) << sps_.ctb_log2_size_y;
-    const int y_ctb = (y0 >> sps_.ctb_log2_size_y) << sps_.ctb_log2_size_y;
-    MvF ctr;
-    ctr.pred_flag = 0;
-    int32_t tmv[2] = {0, 0};
-    if (col_) {
-      // shift vector from A1 when it references the collocated picture
-      Nb nbs[7];
-      neighbours(x0, y0, w, h, nbs);
-      const MvF* a1 = check_nb(nbs[1]);
-      if (a1) {
-        if ((a1->pred_flag & PF_L0) &&
-            col_->poc == out.ref_pocs[0][a1->ref_idx[0]]) {
-          tmv[0] = a1->mv[0][0];
-          tmv[1] = a1->mv[0][1];
-        } else if ((a1->pred_flag & PF_L1) &&
-                   col_->poc == out.ref_pocs[1][a1->ref_idx[1]]) {
-          tmv[0] = a1->mv[1][0];
-          tmv[1] = a1->mv[1][1];
-        }
-        round_mv(&tmv[0], &tmv[1], 0, 4);
-      }
-      sb_col_motion(x_ctb, y_ctb, tmv, x0 + w / 2, y0 + h / 2, is_b,
-                    &ctr);
-    }
-    if (ctr.pred_flag) {
-      for (int sy = y0; sy < y0 + h; sy += 8)
-        for (int sx = x0; sx < x0 + w; sx += 8) {
-          MvF m;
-          sb_col_motion(x_ctb, y_ctb, tmv, sx + 4, sy + 4, is_b, &m);
-          if (!m.pred_flag) m = ctr;
-          set_mvf(sx, sy, 8, 8, m);
-        }
-      cu.pf = ctr.pred_flag;
-    } else {
-      MvF m;
-      m.pred_flag = PF_L0 + ((is_b ? 1 : 0) << 1);
-      m.ref_idx[0] = 0;
-      m.ref_idx[1] = 0;
-      set_mvf(x0, y0, w, h, m);
-      cu.pf = m.pred_flag;
-    }
     cu.mv_x = cu.mv_y = cu.mv1_x = cu.mv1_y = 0;
     cu.ref_idx = 0;
     cu.ref_idx1 = 0;
+    int num_cands = 0;
+    Nb nbs[7];
+    neighbours(x0, y0, w, h, nbs);
+    // SbCol: derives + stores its subblock motion immediately (a later
+    // candidate overwrites it when not selected)
+    if (sps_.sps_sbtmvp_enabled_flag &&
+        sh_.ph.ph_temporal_mvp_enabled_flag && !(w < 8 && h < 8)) {
+      MvF ctr;
+      ctr.pred_flag = 0;
+      int32_t tmv[2] = {0, 0};
+      if (col_) {
+        // shift vector from A1 when it references the collocated picture
+        const MvF* a1 = check_nb(nbs[1]);
+        if (a1) {
+          if ((a1->pred_flag & PF_L0) &&
+              col_->poc == out.ref_pocs[0][a1->ref_idx[0]]) {
+            tmv[0] = a1->mv[0][0];
+            tmv[1] = a1->mv[0][1];
+          } else if ((a1->pred_flag & PF_L1) &&
+                     col_->poc == out.ref_pocs[1][a1->ref_idx[1]]) {
+            tmv[0] = a1->mv[1][0];
+            tmv[1] = a1->mv[1][1];
+          }
+          round_mv(&tmv[0], &tmv[1], 0, 4);
+        }
+        const int x_ctb =
+            (x0 >> sps_.ctb_log2_size_y) << sps_.ctb_log2_size_y;
+        const int y_ctb =
+            (y0 >> sps_.ctb_log2_size_y) << sps_.ctb_log2_size_y;
+        sb_col_motion(x_ctb, y_ctb, tmv, x0 + w / 2, y0 + h / 2, is_b,
+                      &ctr);
+        if (ctr.pred_flag) {
+          for (int sy = y0; sy < y0 + h; sy += 8)
+            for (int sx = x0; sx < x0 + w; sx += 8) {
+              MvF m;
+              sb_col_motion(x_ctb, y_ctb, tmv, sx + 4, sy + 4, is_b, &m);
+              if (!m.pred_flag) m = ctr;
+              set_mvf(sx, sy, 8, 8, m);
+            }
+          if (merge_idx == num_cands) {
+            cu.pf = ctr.pred_flag;
+            return;
+          }
+          num_cands++;
+        }
+      }
+    }
+    AffMi mi;
+    if (sps_.sps_affine_enabled_flag) {
+      static const int ak[] = {0, 1};     // A0, A1
+      static const int bk[] = {3, 4, 5};  // B0, B1, B2
+      if (affine_merge_from_nbs(x0, y0, w, h, nbs, ak, 2, &mi)) {
+        if (merge_idx == num_cands) {
+          finish_sb_affine(cu, mi, x0, y0, w, h);
+          return;
+        }
+        num_cands++;
+      }
+      if (affine_merge_from_nbs(x0, y0, w, h, nbs, bk, 3, &mi)) {
+        if (merge_idx == num_cands) {
+          finish_sb_affine(cu, mi, x0, y0, w, h);
+          return;
+        }
+        num_cands++;
+      }
+      static const int tl[] = {5, 6, 2};  // B2, B3, A2
+      static const int tr[] = {4, 3};     // B1, B0
+      static const int bl[] = {1, 0};     // A1, A0
+      const MvF* c0 = derive_corner_mvf(nbs, tl, 3);
+      const MvF* c1 = derive_corner_mvf(nbs, tr, 2);
+      const MvF* c2 = derive_corner_mvf(nbs, bl, 2);
+      if (sps_.sps_6param_affine_enabled_flag) {
+        if (affine_const1(c0, c1, c2, &mi)) {
+          if (merge_idx == num_cands) {
+            finish_sb_affine(cu, mi, x0, y0, w, h);
+            return;
+          }
+          num_cands++;
+        }
+        MvF corner3;
+        const MvF* c3 = nullptr;
+        if (sh_.ph.ph_temporal_mvp_enabled_flag) {
+          bool a0 = temporal_mv(x0, y0, w, h, 0, 0, false, corner3.mv[0]);
+          bool a1v = is_b
+                         ? temporal_mv(x0, y0, w, h, 0, 1, false,
+                                       corner3.mv[1])
+                         : false;
+          corner3.pred_flag = (a0 ? 1 : 0) | ((a1v ? 1 : 0) << 1);
+          corner3.ref_idx[0] = 0;
+          corner3.ref_idx[1] = 0;
+          if (corner3.pred_flag) c3 = &corner3;
+        }
+        if (affine_const2(c0, c1, c3, &mi)) {
+          if (merge_idx == num_cands) {
+            finish_sb_affine(cu, mi, x0, y0, w, h);
+            return;
+          }
+          num_cands++;
+        }
+        if (affine_const3(c0, c2, c3, &mi)) {
+          if (merge_idx == num_cands) {
+            finish_sb_affine(cu, mi, x0, y0, w, h);
+            return;
+          }
+          num_cands++;
+        }
+        if (affine_const4(c1, c2, c3, &mi)) {
+          if (merge_idx == num_cands) {
+            finish_sb_affine(cu, mi, x0, y0, w, h);
+            return;
+          }
+          num_cands++;
+        }
+      }
+      if (affine_const5(c0, c1, &mi)) {
+        if (merge_idx == num_cands) {
+          finish_sb_affine(cu, mi, x0, y0, w, h);
+          return;
+        }
+        num_cands++;
+      }
+      if (affine_const6(c0, c2, w, h, &mi)) {
+        if (merge_idx == num_cands) {
+          finish_sb_affine(cu, mi, x0, y0, w, h);
+          return;
+        }
+        num_cands++;
+      }
+    }
+    // zero candidate (affine_merge_zero_motion)
+    mi = AffMi();
+    mi.pf = PF_L0 + ((is_b ? 1 : 0) << 1);
+    mi.mmi = 1;
+    finish_sb_affine(cu, mi, x0, y0, w, h);
+  }
+
+  void finish_sb_affine(CuRecord& cu, const AffMi& mi, int x0, int y0,
+                        int w, int h) {
+    cu.affine = 1;
+    cu.pf = mi.pf;
+    cu.bcw = mi.bcw;
+    set_cb_tab(tab_mmi_, x0, y0, w, h, mi.mmi);
+    store_sb_mvs(mi, x0, y0, w, h);
+  }
+
+  // ================= affine motion (8.5.5; vvc_mvs.c:838-1300) =======
+  static int ilog2(int v) {
+    int l = 0;
+    while (v >>= 1) l++;
+    return l;
+  }
+
+  void store_cp_mv(const AffMi& mi, int x0, int y0, int w, int h, int lx) {
+    int xs = x0 >> min_cb_log2_, ys = y0 >> min_cb_log2_;
+    for (int y = 0; y < (h >> min_cb_log2_); y++)
+      for (int x = 0; x < (w >> min_cb_log2_); x++) {
+        int32_t* d = &tab_cpmv_[lx][((size_t)(ys + y) * mcb_w_ + xs + x) * 6];
+        for (int c = 0; c < 3; c++) {
+          d[c * 2] = mi.cp[lx][c][0];
+          d[c * 2 + 1] = mi.cp[lx][c][1];
+        }
+      }
+  }
+
+  struct SbParams {
+    int dhx, dvx, dhy, dvy, sh, sv, fallback;
+  };
+
+  // is_fallback_mode (vvc_mvs.c:313-337)
+  static int sb_is_fallback(const SbParams* sp, int pf) {
+    const int a = 4 * (2048 + sp->dhx);
+    const int b = 4 * sp->dhy;
+    const int c = 4 * (2048 + sp->dvy);
+    const int d = 4 * sp->dvx;
+    if (pf == PF_BI) {
+      const int maxw = std::max(0, std::max(a, std::max(b, a + b)));
+      const int minw = std::min(0, std::min(a, std::min(b, a + b)));
+      const int maxh = std::max(0, std::max(c, std::max(d, c + d)));
+      const int minh = std::min(0, std::min(c, std::min(d, c + d)));
+      return (((maxw - minw) >> 11) + 9) * (((maxh - minh) >> 11) + 9) > 225;
+    }
+    const int wxh = (std::abs(a) >> 11) + 9;
+    const int hxh = (std::abs(d) >> 11) + 9;
+    const int wxv = (std::abs(b) >> 11) + 9;
+    const int hxv = (std::abs(c) >> 11) + 9;
+    return !(wxh * hxh <= 165 && wxv * hxv <= 165);
+  }
+
+  void init_sb_params(SbParams* sp, const AffMi& mi, int w, int h,
+                      int lx) const {
+    const int lw = ilog2(w), lh = ilog2(h);
+    const auto& cp = mi.cp[lx];
+    sp->dhx = (cp[1][0] - cp[0][0]) * (1 << (7 - lw));
+    sp->dvx = (cp[1][1] - cp[0][1]) * (1 << (7 - lw));
+    if (mi.mmi == 2) {
+      sp->dhy = (cp[2][0] - cp[0][0]) * (1 << (7 - lh));
+      sp->dvy = (cp[2][1] - cp[0][1]) * (1 << (7 - lh));
+    } else {
+      sp->dhy = -sp->dvx;
+      sp->dvy = sp->dhx;
+    }
+    sp->sh = cp[0][0] * (1 << 7);
+    sp->sv = cp[0][1] * (1 << 7);
+    sp->fallback = sb_is_fallback(sp, mi.pf);
+  }
+
+  // ff_vvc_store_sb_mvs (8.5.5.9): per-4x4 subblock MVs from CPMVs
+  void store_sb_mvs(const AffMi& mi, int x0, int y0, int w, int h) {
+    SbParams params[2] = {};
+    MvF f;
+    f.pred_flag = mi.pf;
+    f.bcw = mi.bcw;
+    for (int i = 0; i < 2; i++) {
+      if (mi.pf & (i + 1)) {
+        store_cp_mv(mi, x0, y0, w, h, i);
+        init_sb_params(&params[i], mi, w, h, i);
+        f.ref_idx[i] = mi.ref_idx[i];
+      }
+    }
+    for (int sby = 0; sby < (h >> 2); sby++)
+      for (int sbx = 0; sbx < (w >> 2); sbx++) {
+        for (int i = 0; i < 2; i++) {
+          if (!(mi.pf & (i + 1))) continue;
+          const SbParams& sp = params[i];
+          const int xp = sp.fallback ? (w >> 1) : (2 + (sbx << 2));
+          const int yp = sp.fallback ? (h >> 1) : (2 + (sby << 2));
+          f.mv[i][0] = sp.sh + sp.dhx * xp + sp.dhy * yp;
+          f.mv[i][1] = sp.sv + sp.dvx * xp + sp.dvy * yp;
+          round_mv(&f.mv[i][0], &f.mv[i][1], 0, 7);
+          f.mv[i][0] = clip_intp2_17(f.mv[i][0]);
+          f.mv[i][1] = clip_intp2_17(f.mv[i][1]);
+        }
+        set_mvf(x0 + sbx * 4, y0 + sby * 4, 4, 4, f);
+      }
+  }
+
+  // affine_neighbour_cb: neighbour CU geometry when affine (tab.mmi)
+  int affine_neighbour_cb(int x_nb, int y_nb, int* xcb, int* ycb, int* cbw,
+                          int* cbh) const {
+    const size_t cell = (size_t)(y_nb >> min_cb_log2_) * mcb_w_ +
+                        (x_nb >> min_cb_log2_);
+    const int mmi = tab_mmi_[cell];
+    if (mmi) {
+      *xcb = tab_cbx_[cell];
+      *ycb = tab_cby_[cell];
+      *cbw = tab_cbw_[cell];
+      *cbh = tab_cbh_[cell];
+    }
+    return mmi;
+  }
+
+  // affine_cps_from_nb: inherit CPMVs from an affine neighbour
+  void affine_cps_from_nb(int x0, int y0, int cbw, int cbh, int x_nb,
+                          int y_nb, int nbw, int nbh, int lx,
+                          int32_t cps[3][2], int num_cps) const {
+    const int log2_nbw = ilog2(nbw), log2_nbh = ilog2(nbh);
+    const int is_ctb_boundary =
+        !((y_nb + nbh) % sps_.ctb_size_y) && (y_nb + nbh == y0);
+    int32_t lx_mv[2], rx_mv[2];
+    int mmi_nb = 0;
+    if (is_ctb_boundary) {
+      const MvF& l = mvf_[(size_t)((y_nb + nbh - 1) >> 2) * pu_w_ +
+                          (x_nb >> 2)];
+      const MvF& r = mvf_[(size_t)((y_nb + nbh - 1) >> 2) * pu_w_ +
+                          ((x_nb + nbw - 1) >> 2)];
+      lx_mv[0] = l.mv[lx][0];
+      lx_mv[1] = l.mv[lx][1];
+      rx_mv[0] = r.mv[lx][0];
+      rx_mv[1] = r.mv[lx][1];
+    } else {
+      const size_t cell = (size_t)(y_nb >> min_cb_log2_) * mcb_w_ +
+                          (x_nb >> min_cb_log2_);
+      const size_t cell_r = (size_t)(y_nb >> min_cb_log2_) * mcb_w_ +
+                            ((x_nb + nbw - 1) >> min_cb_log2_);
+      mmi_nb = tab_mmi_[cell];
+      const int32_t* tl = &tab_cpmv_[lx][cell * 6];
+      const int32_t* tr = &tab_cpmv_[lx][cell_r * 6 + 2];  // cp 1
+      lx_mv[0] = tl[0];
+      lx_mv[1] = tl[1];
+      rx_mv[0] = tr[0];
+      rx_mv[1] = tr[1];
+    }
+    int mv_scale_hor = lx_mv[0] * (1 << 7);
+    int mv_scale_ver = lx_mv[1] * (1 << 7);
+    int d_hor_x = (rx_mv[0] - lx_mv[0]) * (1 << (7 - log2_nbw));
+    int d_ver_x = (rx_mv[1] - lx_mv[1]) * (1 << (7 - log2_nbw));
+    int d_hor_y, d_ver_y;
+    if (!is_ctb_boundary && mmi_nb == 2) {
+      const size_t cell_b = (size_t)((y_nb + nbh - 1) >> min_cb_log2_) *
+                                mcb_w_ +
+                            (x_nb >> min_cb_log2_);
+      const int32_t* lb = &tab_cpmv_[lx][cell_b * 6 + 4];  // cp 2
+      d_hor_y = (lb[0] - lx_mv[0]) * (1 << (7 - log2_nbh));
+      d_ver_y = (lb[1] - lx_mv[1]) * (1 << (7 - log2_nbh));
+    } else {
+      d_hor_y = -d_ver_x;
+      d_ver_y = d_hor_x;
+    }
+    if (is_ctb_boundary) y_nb = y0;
+    cps[0][0] = mv_scale_hor + d_hor_x * (x0 - x_nb) + d_hor_y * (y0 - y_nb);
+    cps[0][1] = mv_scale_ver + d_ver_x * (x0 - x_nb) + d_ver_y * (y0 - y_nb);
+    cps[1][0] = mv_scale_hor + d_hor_x * (x0 + cbw - x_nb) +
+                d_hor_y * (y0 - y_nb);
+    cps[1][1] = mv_scale_ver + d_ver_x * (x0 + cbw - x_nb) +
+                d_ver_y * (y0 - y_nb);
+    if (num_cps == 3) {
+      cps[2][0] = mv_scale_hor + d_hor_x * (x0 - x_nb) +
+                  d_hor_y * (y0 + cbh - y_nb);
+      cps[2][1] = mv_scale_ver + d_ver_x * (x0 - x_nb) +
+                  d_ver_y * (y0 + cbh - y_nb);
+    }
+    for (int i = 0; i < num_cps; i++) {
+      round_mv(&cps[i][0], &cps[i][1], 0, 7);
+      cps[i][0] = clip_intp2_17(cps[i][0]);
+      cps[i][1] = clip_intp2_17(cps[i][1]);
+    }
+  }
+
+  // inherited affine merge candidate from one neighbour position
+  int affine_merge_candidate(int x0, int y0, int w, int h, int x_cand,
+                             int y_cand, AffMi* mi) {
+    int xcb, ycb, nbw, nbh;
+    const int mmi = affine_neighbour_cb(x_cand, y_cand, &xcb, &ycb, &nbw,
+                                        &nbh);
+    if (mmi) {
+      const MvF& mvf = mvf_[(size_t)(ycb >> 2) * pu_w_ + (xcb >> 2)];
+      mi->bcw = mvf.bcw;
+      mi->pf = mvf.pred_flag;
+      for (int i = 0; i < 2; i++) {
+        if (mi->pf & (i + 1))
+          affine_cps_from_nb(x0, y0, w, h, xcb, ycb, nbw, nbh, i,
+                             mi->cp[i], mmi + 1);
+        mi->ref_idx[i] = mvf.ref_idx[i];
+      }
+      mi->mmi = mmi;
+    }
+    return mmi;
+  }
+
+  int affine_merge_from_nbs(int x0, int y0, int w, int h, const Nb* nbs,
+                            const int* idxs, int n, AffMi* mi) {
+    for (int i = 0; i < n; i++) {
+      if (check_nb(nbs[idxs[i]]) &&
+          affine_merge_candidate(x0, y0, w, h, nbs[idxs[i]].x,
+                                 nbs[idxs[i]].y, mi))
+        return 1;
+    }
+    return 0;
+  }
+
+  const MvF* derive_corner_mvf(const Nb* nbs, const int* idxs, int n) {
+    for (int i = 0; i < n; i++) {
+      const MvF* f = check_nb(nbs[idxs[i]]);
+      if (f) return f;
+    }
+    return nullptr;
+  }
+
+  // compare_pf_ref_idx (vvc_mvs.c:980-997)
+  bool cmp_pf_ref(const MvF* A, const MvF* B, const MvF* C, int lx) const {
+    const int mask = (lx + 1) & A->pred_flag;
+    if (!(B->pred_flag & mask)) return false;
+    if (A->ref_idx[lx] != B->ref_idx[lx]) return false;
+    if (C) {
+      if (!(C->pred_flag & mask)) return false;
+      if (A->ref_idx[lx] != C->ref_idx[lx]) return false;
+    }
+    return true;
+  }
+
+  // constructed affine merge candidates 1-6 (vvc_mvs.c:1120-1310)
+  int affine_const1(const MvF* c0, const MvF* c1, const MvF* c2,
+                    AffMi* mi) {
+    if (!(c0 && c1 && c2)) return 0;
+    mi->pf = 0;
+    for (int i = 0; i < 2; i++) {
+      if (cmp_pf_ref(c0, c1, c2, i)) {
+        mi->pf |= i + 1;
+        mi->ref_idx[i] = c0->ref_idx[i];
+        for (int c = 0; c < 2; c++) {
+          mi->cp[i][0][c] = c0->mv[i][c];
+          mi->cp[i][1][c] = c1->mv[i][c];
+          mi->cp[i][2][c] = c2->mv[i][c];
+        }
+      }
+    }
+    if (!mi->pf) return 0;
+    if (mi->pf == PF_BI) mi->bcw = c0->bcw;
+    mi->mmi = 2;
+    return 1;
+  }
+
+  int affine_const2(const MvF* c0, const MvF* c1, const MvF* c3,
+                    AffMi* mi) {
+    if (!(c0 && c1 && c3)) return 0;
+    mi->pf = 0;
+    for (int i = 0; i < 2; i++) {
+      if (cmp_pf_ref(c0, c1, c3, i)) {
+        mi->pf |= i + 1;
+        mi->ref_idx[i] = c0->ref_idx[i];
+        for (int c = 0; c < 2; c++) {
+          mi->cp[i][0][c] = c0->mv[i][c];
+          mi->cp[i][1][c] = c1->mv[i][c];
+          mi->cp[i][2][c] = c3->mv[i][c] + c0->mv[i][c] - c1->mv[i][c];
+        }
+        mi->cp[i][2][0] = clip_intp2_17(mi->cp[i][2][0]);
+        mi->cp[i][2][1] = clip_intp2_17(mi->cp[i][2][1]);
+      }
+    }
+    if (!mi->pf) return 0;
+    mi->bcw = mi->pf == PF_BI ? c0->bcw : 0;
+    mi->mmi = 2;
+    return 1;
+  }
+
+  int affine_const3(const MvF* c0, const MvF* c2, const MvF* c3,
+                    AffMi* mi) {
+    if (!(c0 && c2 && c3)) return 0;
+    mi->pf = 0;
+    for (int i = 0; i < 2; i++) {
+      if (cmp_pf_ref(c0, c2, c3, i)) {
+        mi->pf |= i + 1;
+        mi->ref_idx[i] = c0->ref_idx[i];
+        for (int c = 0; c < 2; c++) {
+          mi->cp[i][0][c] = c0->mv[i][c];
+          mi->cp[i][1][c] = c3->mv[i][c] + c0->mv[i][c] - c2->mv[i][c];
+          mi->cp[i][2][c] = c2->mv[i][c];
+        }
+        mi->cp[i][1][0] = clip_intp2_17(mi->cp[i][1][0]);
+        mi->cp[i][1][1] = clip_intp2_17(mi->cp[i][1][1]);
+      }
+    }
+    if (!mi->pf) return 0;
+    mi->bcw = mi->pf == PF_BI ? c0->bcw : 0;
+    mi->mmi = 2;
+    return 1;
+  }
+
+  int affine_const4(const MvF* c1, const MvF* c2, const MvF* c3,
+                    AffMi* mi) {
+    if (!(c1 && c2 && c3)) return 0;
+    mi->pf = 0;
+    for (int i = 0; i < 2; i++) {
+      if (cmp_pf_ref(c1, c2, c3, i)) {
+        mi->pf |= i + 1;
+        mi->ref_idx[i] = c1->ref_idx[i];
+        for (int c = 0; c < 2; c++) {
+          mi->cp[i][0][c] = c1->mv[i][c] + c2->mv[i][c] - c3->mv[i][c];
+          mi->cp[i][1][c] = c1->mv[i][c];
+          mi->cp[i][2][c] = c2->mv[i][c];
+        }
+        mi->cp[i][0][0] = clip_intp2_17(mi->cp[i][0][0]);
+        mi->cp[i][0][1] = clip_intp2_17(mi->cp[i][0][1]);
+      }
+    }
+    if (!mi->pf) return 0;
+    mi->bcw = mi->pf == PF_BI ? c1->bcw : 0;
+    mi->mmi = 2;
+    return 1;
+  }
+
+  int affine_const5(const MvF* c0, const MvF* c1, AffMi* mi) {
+    if (!(c0 && c1)) return 0;
+    mi->pf = 0;
+    for (int i = 0; i < 2; i++) {
+      if (cmp_pf_ref(c0, c1, nullptr, i)) {
+        mi->pf |= i + 1;
+        mi->ref_idx[i] = c0->ref_idx[i];
+        for (int c = 0; c < 2; c++) {
+          mi->cp[i][0][c] = c0->mv[i][c];
+          mi->cp[i][1][c] = c1->mv[i][c];
+        }
+      }
+    }
+    if (!mi->pf) return 0;
+    if (mi->pf == PF_BI) mi->bcw = c0->bcw;
+    mi->mmi = 1;
+    return 1;
+  }
+
+  int affine_const6(const MvF* c0, const MvF* c2, int w, int h,
+                    AffMi* mi) {
+    if (!(c0 && c2)) return 0;
+    const int shift = 7 + ilog2(w) - ilog2(h);
+    mi->pf = 0;
+    for (int i = 0; i < 2; i++) {
+      if (cmp_pf_ref(c0, c2, nullptr, i)) {
+        mi->pf |= i + 1;
+        mi->ref_idx[i] = c0->ref_idx[i];
+        mi->cp[i][0][0] = c0->mv[i][0];
+        mi->cp[i][0][1] = c0->mv[i][1];
+        mi->cp[i][1][0] = (c0->mv[i][0] * (1 << 7)) +
+                          ((c2->mv[i][1] - c0->mv[i][1]) * (1 << shift));
+        mi->cp[i][1][1] = (c0->mv[i][1] * (1 << 7)) -
+                          ((c2->mv[i][0] - c0->mv[i][0]) * (1 << shift));
+        round_mv(&mi->cp[i][1][0], &mi->cp[i][1][1], 0, 7);
+        mi->cp[i][1][0] = clip_intp2_17(mi->cp[i][1][0]);
+        mi->cp[i][1][1] = clip_intp2_17(mi->cp[i][1][1]);
+      }
+    }
+    if (!mi->pf) return 0;
+    if (mi->pf == PF_BI) mi->bcw = c0->bcw;
+    mi->mmi = 1;
+    return 1;
+  }
+
+  // 8.5.5.7 affine AMVP predictor list (affine_mvp, vvc_mvs.c:1666-1722)
+  void affine_mvp(int x0, int y0, int w, int h, int mvp_lx_flag, int lx,
+                  const int* ref_idx, int amvr_shift, int num_cp,
+                  int32_t cps[3][2]) {
+    Nb nbs[7];
+    neighbours(x0, y0, w, h, nbs);
+    int num_cands = 0;
+    const int poc = out.ref_pocs[lx][ref_idx[lx]];
+    // inherited from an affine neighbour whose mvf matches the ref poc
+    auto from_nbs = [&](const int* idxs, int n) {
+      for (int i = 0; i < n; i++) {
+        if (!check_nb(nbs[idxs[i]])) continue;
+        int xcb, ycb, nbw, nbh;
+        const int mmi = affine_neighbour_cb(nbs[idxs[i]].x, nbs[idxs[i]].y,
+                                            &xcb, &ycb, &nbw, &nbh);
+        if (!mmi) continue;
+        const MvF& mvf = mvf_[(size_t)(ycb >> 2) * pu_w_ + (xcb >> 2)];
+        int use = -1;
+        if ((mvf.pred_flag & (lx + 1)) &&
+            out.ref_pocs[lx][mvf.ref_idx[lx]] == poc)
+          use = lx;
+        else {
+          const int ly = 1 - lx;
+          if ((mvf.pred_flag & (ly + 1)) && mvf.ref_idx[ly] >= 0 &&
+              out.ref_pocs[ly][mvf.ref_idx[ly]] == poc)
+            use = ly;
+        }
+        if (use < 0) continue;
+        affine_cps_from_nb(x0, y0, w, h, xcb, ycb, nbw, nbh, use, cps,
+                           num_cp);
+        for (int c = 0; c < num_cp; c++)
+          round_mv(&cps[c][0], &cps[c][1], amvr_shift, amvr_shift);
+        return true;
+      }
+      return false;
+    };
+    static const int ak[] = {0, 1};     // A0, A1
+    static const int bk[] = {3, 4, 5};  // B0, B1, B2
+    if (from_nbs(ak, 2)) {
+      if (mvp_lx_flag == num_cands) return;
+      num_cands++;
+    }
+    if (from_nbs(bk, 3)) {
+      if (mvp_lx_flag == num_cands) return;
+      num_cands++;
+    }
+    // constructed corner CPs (affine_mvp_const1/const2)
+    int avail[3] = {0, 0, 0};
+    int32_t ccp[3][2] = {};
+    auto corner_cp = [&](const int* idxs, int n, int32_t* cp) {
+      for (int i = 0; i < n; i++) {
+        const MvF* fnb = check_nb(nbs[idxs[i]]);
+        if (!fnb) continue;
+        if ((fnb->pred_flag & (lx + 1)) &&
+            out.ref_pocs[lx][fnb->ref_idx[lx]] == poc) {
+          cp[0] = fnb->mv[lx][0];
+          cp[1] = fnb->mv[lx][1];
+        } else {
+          const int ly = 1 - lx;
+          if ((fnb->pred_flag & (ly + 1)) && fnb->ref_idx[ly] >= 0 &&
+              out.ref_pocs[ly][fnb->ref_idx[ly]] == poc) {
+            cp[0] = fnb->mv[ly][0];
+            cp[1] = fnb->mv[ly][1];
+          } else {
+            continue;
+          }
+        }
+        round_mv(&cp[0], &cp[1], amvr_shift, amvr_shift);
+        return 1;
+      }
+      return 0;
+    };
+    static const int tl[] = {5, 6, 2};  // B2, B3, A2
+    static const int tr[] = {4, 3};     // B1, B0
+    static const int bl[] = {1, 0};     // A1, A0
+    avail[0] = corner_cp(tl, 3, ccp[0]);
+    avail[1] = corner_cp(tr, 2, ccp[1]);
+    avail[2] = corner_cp(bl, 2, ccp[2]);
+    if (avail[0] && avail[1] && (avail[2] || num_cp == 2)) {
+      if (mvp_lx_flag == num_cands) {
+        for (int j = 0; j < num_cp; j++) {
+          cps[j][0] = ccp[j][0];
+          cps[j][1] = ccp[j][1];
+        }
+        return;
+      }
+      num_cands++;
+    }
+    for (int i = 2; i >= 0; i--) {
+      if (avail[i]) {
+        if (mvp_lx_flag == num_cands) {
+          for (int j = 0; j < num_cp; j++) {
+            cps[j][0] = ccp[i][0];
+            cps[j][1] = ccp[i][1];
+          }
+          return;
+        }
+        num_cands++;
+      }
+    }
+    int32_t tmv[2];
+    if (temporal_mv(x0, y0, w, h, ref_idx[lx], lx, true, tmv)) {
+      if (mvp_lx_flag == num_cands) {
+        round_mv(&tmv[0], &tmv[1], amvr_shift, amvr_shift);
+        for (int j = 0; j < num_cp; j++) {
+          cps[j][0] = tmv[0];
+          cps[j][1] = tmv[1];
+        }
+        return;
+      }
+      num_cands++;
+    }
+    for (int j = 0; j < num_cp; j++) cps[j][0] = cps[j][1] = 0;
   }
 
   MvF merge_candidate(int x0, int y0, int w, int h, int merge_idx,
@@ -1501,6 +2119,11 @@ class Decoder {
     mvf_set_.assign((size_t)pu_w_ * pu_h_, 0);
     tab_skip_.assign((size_t)mcb_w_ * mcb_h_, 0);
     tab_msf_.assign((size_t)mcb_w_ * mcb_h_, 0);
+    tab_mmi_.assign((size_t)mcb_w_ * mcb_h_, 0);
+    tab_cbx_.assign((size_t)mcb_w_ * mcb_h_, 0);
+    tab_cby_.assign((size_t)mcb_w_ * mcb_h_, 0);
+    for (int lx = 0; lx < 2; lx++)
+      tab_cpmv_[lx].assign((size_t)mcb_w_ * mcb_h_ * 6, 0);
     hmvp_.clear();
     for (int lx = 0; lx < 2; lx++) {
       const RefPicListStruct& rpl = sh_.rpl[lx];
@@ -1955,6 +2578,8 @@ class Decoder {
     cu.skip = skip;
     set_cb_tab(tab_skip_, x0, y0, cb_w, cb_h, skip);
     set_cb_tab(tab_cbw_, x0, y0, cb_w, cb_h, cb_w);
+    set_cb_tab(tab_cbx_, x0, y0, cb_w, cb_h, x0);
+    set_cb_tab(tab_cby_, x0, y0, cb_w, cb_h, y0);
     set_cb_tab(tab_cbh_, x0, y0, cb_w, cb_h, cb_h);
     set_cb_tab(tab_cqt_, x0, y0, cb_w, cb_h, cqt_depth);
     cu.pred_mode = is_intra ? MODE_INTRA : MODE_INTER;
@@ -2058,12 +2683,16 @@ class Decoder {
     int is_ciip = 0;
     int is_gpm = 0;
     int is_sbtmvp = 0;
+    int is_affine_amvp = 0;
     cu.gpm_part = -1;
     if (general_merge) {
       // merge_subblock_flag first (hls_merge_data, vvc_ctu.c:1456-1459;
       // MaxNumSubblockMergeCand without affine = sbtmvp && tmvp)
-      const int max_sb_cand = sps_.sps_sbtmvp_enabled_flag &&
-                              sh_.ph.ph_temporal_mvp_enabled_flag;
+      const int max_sb_cand =
+          sps_.sps_affine_enabled_flag
+              ? 5 - sps_.sps_five_minus_max_num_subblock_merge_cand
+              : (sps_.sps_sbtmvp_enabled_flag &&
+                 sh_.ph.ph_temporal_mvp_enabled_flag);
       if (max_sb_cand > 0 && w >= 8 && h >= 8)
         is_sbtmvp =
             bin(MERGE_SUBBLOCK_FLAG + get_inc_tab(tab_msf_, x0, y0));
@@ -2091,7 +2720,18 @@ class Decoder {
     }
     if (is_sbtmvp) {
       set_cb_tab(tab_msf_, x0, y0, w, h, 1);
-      sb_merge_mode(cu, x0, y0, w, h, is_b);
+      // merge_subblock_idx (ff_vvc_merge_subblock_idx)
+      int sb_idx = 0;
+      const int max_sb =
+          sps_.sps_affine_enabled_flag
+              ? 5 - sps_.sps_five_minus_max_num_subblock_merge_cand
+              : 1;
+      if (max_sb > 1 && bin(MERGE_SUBBLOCK_IDX)) {
+        sb_idx = 1;
+        while (sb_idx < max_sb - 1 && cd_->bypass()) sb_idx++;
+      }
+      cu.idx = sb_idx;
+      sb_merge_mode(cu, x0, y0, w, h, is_b, sb_idx);
     } else if (is_gpm) {
       // merge_data_gpm (vvc_ctu.c:1341-1358) + ff_vvc_luma_mv_merge_gpm
       // (vvc_mvs.c:805-829) + ff_vvc_store_gpm_mvf (vvc_mvs.c:440-486)
@@ -2284,7 +2924,17 @@ class Decoder {
         else
           pf = PF_L0 + bin(INTER_PRED_IDC + 5);
       }
-      int32_t mvds[2][2] = {{0, 0}, {0, 0}};
+      // inter_affine_flag + cu_affine_type_flag (mvp_data,
+      // vvc_ctu.c:1540-1560)
+      int inter_affine = 0, affine_type = 0;
+      if (sps_.sps_affine_enabled_flag && w >= 16 && h >= 16) {
+        inter_affine =
+            bin(INTER_AFFINE_FLAG + get_inc_tab(tab_msf_, x0, y0));
+        if (sps_.sps_6param_affine_enabled_flag && inter_affine)
+          affine_type = bin(CU_AFFINE_TYPE_FLAG);
+      }
+      const int num_cp_mv = inter_affine + affine_type + 1;
+      int32_t mvds[2][3][2] = {};
       int mvp_flags[2] = {0, 0};
       int ref_idxs[2] = {-1, -1};
       int has_no_zero_mvd = 0;
@@ -2294,26 +2944,40 @@ class Decoder {
           ref_idxs[lx] = decode_ref_idx(lx);
           // ph_mvd_l1_zero_flag: L1+BI -> inferred zero
           if (lx == 1 && sh_.ph.ph_mvd_l1_zero_flag && pf == PF_BI) {
-            mvds[1][0] = mvds[1][1] = 0;
+            // all cp mvds inferred zero
           } else {
-            decode_mvd(mvds[lx]);
-            has_no_zero_mvd |= (mvds[lx][0] || mvds[lx][1]);
+            decode_mvd(mvds[lx][0]);
+            has_no_zero_mvd |= (mvds[lx][0][0] || mvds[lx][0][1]);
+            for (int j = 1; j < num_cp_mv; j++) {
+              decode_mvd(mvds[lx][j]);
+              mvds[lx][j][0] += mvds[lx][0][0];
+              mvds[lx][j][1] += mvds[lx][0][1];
+              has_no_zero_mvd |= (mvds[lx][j][0] || mvds[lx][j][1]);
+            }
           }
           mvp_flags[lx] = bin(MVP_LX_FLAG);
         }
       }
       cu.idx = mvp_flags[0];
-      // AMVR (ff_vvc_amvr_shift, vvc_cabac.c:1551-1583): translational
+      // AMVR (ff_vvc_amvr_shift, vvc_cabac.c:1551-1583)
       int amvr_shift = 2;
-      if (sps_.sps_amvr_enabled_flag && has_no_zero_mvd) {
-        if (bin(AMVR_FLAG)) {
-          static const int shifts[3] = {3, 4, 6};
-          int idx = 0;
-          if (bin(AMVR_PRECISION_IDX)) {
-            idx = 1;
-            if (bin(AMVR_PRECISION_IDX + 1)) idx = 2;
+      const int amvr_en = (inter_affine ? sps_.sps_affine_amvr_enabled_flag
+                                        : sps_.sps_amvr_enabled_flag) &&
+                          has_no_zero_mvd;
+      if (amvr_en) {
+        if (bin(AMVR_FLAG + inter_affine)) {
+          if (inter_affine) {
+            // amvr_precision_idx(lc, 2, 1): shift = idx * 4
+            amvr_shift = bin(AMVR_PRECISION_IDX + 2) ? 4 : 0;
+          } else {
+            static const int shifts[3] = {3, 4, 6};
+            int idx = 0;
+            if (bin(AMVR_PRECISION_IDX)) {
+              idx = 1;
+              if (bin(AMVR_PRECISION_IDX + 1)) idx = 2;
+            }
+            amvr_shift = shifts[idx];
           }
-          amvr_shift = shifts[idx];
         }
       }
       f.hpel = amvr_shift == 3;
@@ -2341,19 +3005,45 @@ class Decoder {
         }
       }
       f.pred_flag = pf;
-      for (int lx = 0; lx < 2; lx++) {
-        if (pf & (lx + 1)) {
-          int ri[2] = {ref_idxs[0] < 0 ? 0 : ref_idxs[0],
-                       ref_idxs[1] < 0 ? 0 : ref_idxs[1]};
-          int32_t mv[2];
-          mvp(x0, y0, w, h, mvp_flags[lx], lx, ri, amvr_shift, mv);
-          f.ref_idx[lx] = ref_idxs[lx];
-          f.mv[lx][0] = mv[0] + (mvds[lx][0] * (1 << amvr_shift));
-          f.mv[lx][1] = mv[1] + (mvds[lx][1] * (1 << amvr_shift));
+      if (inter_affine) {
+        // ff_vvc_affine_mvp + mvp_add_difference + store_sb_mvs
+        AffMi mi;
+        mi.pf = pf;
+        mi.mmi = inter_affine + affine_type;
+        mi.bcw = f.bcw;
+        int ri[2] = {ref_idxs[0] < 0 ? 0 : ref_idxs[0],
+                     ref_idxs[1] < 0 ? 0 : ref_idxs[1]};
+        for (int lx = 0; lx < 2; lx++) {
+          if (!(pf & (lx + 1))) continue;
+          mi.ref_idx[lx] = ri[lx];
+          affine_mvp(x0, y0, w, h, mvp_flags[lx], lx, ri, amvr_shift,
+                     mi.mmi + 1, mi.cp[lx]);
+          for (int j = 0; j < num_cp_mv; j++) {
+            mi.cp[lx][j][0] += mvds[lx][j][0] * (1 << amvr_shift);
+            mi.cp[lx][j][1] += mvds[lx][j][1] * (1 << amvr_shift);
+          }
+        }
+        is_affine_amvp = 1;
+        cu.ref_idx = (pf & PF_L0) ? ref_idxs[0] : -1;
+        cu.ref_idx1 = (pf & PF_L1) ? ref_idxs[1] : -1;
+        cu.hpel = 0;
+        set_cb_tab(tab_msf_, x0, y0, w, h, 1);  // tab.iaf analog
+        finish_sb_affine(cu, mi, x0, y0, w, h);
+      } else {
+        for (int lx = 0; lx < 2; lx++) {
+          if (pf & (lx + 1)) {
+            int ri[2] = {ref_idxs[0] < 0 ? 0 : ref_idxs[0],
+                         ref_idxs[1] < 0 ? 0 : ref_idxs[1]};
+            int32_t mv[2];
+            mvp(x0, y0, w, h, mvp_flags[lx], lx, ri, amvr_shift, mv);
+            f.ref_idx[lx] = ref_idxs[lx];
+            f.mv[lx][0] = mv[0] + (mvds[lx][0][0] * (1 << amvr_shift));
+            f.mv[lx][1] = mv[1] + (mvds[lx][0][1] * (1 << amvr_shift));
+          }
         }
       }
     }
-    if (!is_gpm && !is_sbtmvp) {
+    if (!is_gpm && !is_sbtmvp && !is_affine_amvp) {
       f.ciip = is_ciip;
       set_mvf(x0, y0, w, h, f);
       // gpm/subblock skip hmvp (vvc_ctu.c:1723)
@@ -3627,9 +4317,14 @@ int vvch_fo_fill_buckets(void* fo_, int c_idx, int n_sizes,
     m[(size_t)kBTrv * cap + n] = tu.trv;
     {
       const CuRecord& bcu = fo.cus[tu.cu_index];
-      m[(size_t)kBSbs * cap + n] =
-          (bcu.sbtmvp && bcu.pred_mode == 0) ? (c_idx ? (8 >> ss) : 8)
-                                             : 0;
+      int sbs = 0;
+      if (bcu.pred_mode == 0) {
+        if (bcu.affine)
+          sbs = c_idx ? (8 >> ss) : 4;
+        else if (bcu.sbtmvp)
+          sbs = c_idx ? (8 >> ss) : 8;
+      }
+      m[(size_t)kBSbs * cap + n] = sbs;
     }
     m[(size_t)kBJop * cap + n] = tu.jop;
     m[(size_t)kBTs * cap + n] = tu.ts;

@@ -215,7 +215,15 @@ Sps parse_sps(BitReader& r) {
   sps.max_num_merge_cand = 6 - r.ue();
   sps.sps_sbt_enabled_flag = r.flag();
   sps.sps_affine_enabled_flag = r.flag();
-  VVC_UNSUPPORTED(sps.sps_affine_enabled_flag, "affine (parse todo)");
+  if (sps.sps_affine_enabled_flag) {
+    sps.sps_five_minus_max_num_subblock_merge_cand = (int)r.ue();
+    sps.sps_6param_affine_enabled_flag = r.flag();
+    if (sps.sps_amvr_enabled_flag)
+      sps.sps_affine_amvr_enabled_flag = r.flag();
+    sps.sps_affine_prof_enabled_flag = r.flag();
+    if (sps.sps_affine_prof_enabled_flag)
+      sps.sps_prof_control_present_in_ph_flag = r.flag();
+  }
   sps.sps_bcw_enabled_flag = r.flag();
   sps.sps_ciip_enabled_flag = r.flag();
   if (sps.max_num_merge_cand >= 2) {
@@ -434,6 +442,10 @@ static PictureHeader parse_picture_header(BitReader& r, const Sps& sps,
     if (sps.sps_mmvd_fullpel_only_flag)
       ph.ph_mmvd_fullpel_only_flag = r.flag();
     ph.ph_mvd_l1_zero_flag = r.flag();
+    if (sps.sps_prof_control_present_in_ph_flag)
+      ph.ph_prof_disabled_flag = r.flag();
+    else
+      ph.ph_prof_disabled_flag = !sps.sps_affine_prof_enabled_flag;
   }
   if (pps.pps_qp_delta_info_in_ph_flag) ph.ph_qp_delta = r.se();
   if (sps.sps_joint_cbcr_enabled_flag) ph.ph_joint_cbcr_sign_flag = r.flag();

@@ -82,6 +82,11 @@ struct Sps {
   int max_num_merge_cand = 6;
   int sps_sbt_enabled_flag = 0;
   int sps_affine_enabled_flag = 0;
+  int sps_five_minus_max_num_subblock_merge_cand = 5;
+  int sps_6param_affine_enabled_flag = 0;
+  int sps_affine_amvr_enabled_flag = 0;
+  int sps_affine_prof_enabled_flag = 0;
+  int sps_prof_control_present_in_ph_flag = 0;
   int sps_bcw_enabled_flag = 0;
   int sps_ciip_enabled_flag = 0;
   int sps_gpm_enabled_flag = 0;
@@ -194,6 +199,7 @@ struct PictureHeader {
   int ph_cu_qp_delta_subdiv_inter_slice = 0;
   int ph_mmvd_fullpel_only_flag = 0;
   int ph_mvd_l1_zero_flag = 1;
+  int ph_prof_disabled_flag = 1;
   int ph_qp_delta = 0;
   int ph_joint_cbcr_sign_flag = 0;
   int ph_lmcs_enabled_flag = 0;
