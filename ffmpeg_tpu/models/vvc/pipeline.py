@@ -488,7 +488,9 @@ INTER_KEYS = ("x0", "y0", "w", "h", "pf", "m0x", "m0y", "m1x", "m1y",
               "r0slot", "r1slot", "wden", "w0", "w1", "wo0", "wo1",
               "hpel", "hyp0lx", "hyp1lx",
               "gpm_part", "gpm_tx", "gpm_ty", "gpm_lw", "gpm_lh",
-              "w0b", "w1b", "wo0b", "wo1b")
+              "w0b", "w1b", "wo0b", "wo1b",
+              "prof", "pdhx0", "pdhy0", "pdvx0", "pdvy0",
+              "pdhx1", "pdhy1", "pdvx1", "pdvy1")
 INTRA_KEYS = ("x0", "y0", "w", "h", "logw", "logh", "mode_class", "angle",
               "inv_angle", "filter_flag", "smooth", "left_size", "top_size",
               "unfilter_last_one", "do_pdpc", "nscale", "avail_l", "avail_t",
@@ -531,6 +533,40 @@ def _slice_block(plane, y0, x0, maxs):
   return plane.reshape(-1)[(y0 + d[:, None]) * Wp + x0 + d[None, :]]
 
 
+def _prof_refine(refs, c, t, lx, bit_depth):
+  """PROF (8.5.5.9) on a 4x4 affine subblock unit: pad the 14-bit MC
+  block with integer reference samples, 3-tap gradients, then the
+  per-sample gradient-dot-dMv refinement (bdof_fetch_samples +
+  prof_grad_filter + apply_prof, vvc_inter_template.c:101-208).
+  diff_mv is rebuilt from the subblock deltas (vvc_mvs.c:361-380)."""
+  on = (c["prof"] >> lx) & 1
+  sfx = "1" if lx else "0"
+  mvx = c["m1x"] if lx else c["m0x"]
+  mvy = c["m1y"] if lx else c["m0y"]
+  slot = c["r1slot"] if lx else c["r0slot"]
+  H, W = refs.shape[1:]
+  ix = c["x0"] + (mvx >> 4) + ((mvx >> 3) & 1) - 1
+  iy = c["y0"] + (mvy >> 4) + ((mvy >> 3) & 1) - 1
+  xs = jnp.clip(ix + jnp.arange(6), 0, W - 1)
+  ys = jnp.clip(iy + jnp.arange(6), 0, H - 1)
+  ring = refs.reshape(-1)[slot * (H * W) + ys[:, None] * W + xs[None, :]]
+  p = (ring << (14 - bit_depth)).at[1:5, 1:5].set(t[:4, :4])
+  gh = (p[1:5, 2:6] >> 6) - (p[1:5, 0:4] >> 6)
+  gv = (p[2:6, 1:5] >> 6) - (p[0:4, 1:5] >> 6)
+  dhx, dhy = c["pdhx" + sfx], c["pdhy" + sfx]
+  dvx, dvy = c["pdvx" + sfx], c["pdvy" + sfx]
+  xg = jnp.arange(4)[None, :]
+  yg = jnp.arange(4)[:, None]
+  rx = xg * (dhx * 4) + yg * (dhy * 4) - 6 * (dhx + dhy)
+  ry = xg * (dvx * 4) + yg * (dvy * 4) - 6 * (dvx + dvy)
+  dmx = jnp.clip((rx + 128 - (rx >= 0).astype(jnp.int32)) >> 8, -31, 31)
+  dmy = jnp.clip((ry + 128 - (ry >= 0).astype(jnp.int32)) >> 8, -31, 31)
+  lim = 1 << max(13, bit_depth + 1)
+  di = jnp.clip(gh * dmx + gv * dmy, -lim, lim - 1)
+  t4 = jnp.where(on > 0, t[:4, :4] + di, t[:4, :4])
+  return t.at[:4, :4].set(t4)
+
+
 def _inter_pred_unit(refs, c, *, maxs, taps, before, frac_bits,
                      bit_depth, maxv, lmcs=None, wb=None):
   """Clipped inter prediction for one unit (vmapped over a batch).
@@ -542,6 +578,9 @@ def _inter_pred_unit(refs, c, *, maxs, taps, before, frac_bits,
                  before, frac_bits, bit_depth, c["r0slot"], hp)
   t1 = _mc_block(refs, c["x0"], c["y0"], c["m1x"], c["m1y"], maxs, taps,
                  before, frac_bits, bit_depth, c["r1slot"], hp)
+  if taps == 8 and "prof" in c:
+    t0 = _prof_refine(refs, c, t0, 0, bit_depth)
+    t1 = _prof_refine(refs, c, t1, 1, bit_depth)
   # uni: put_uni rounding on the used list; bi: avg
   shift2 = 14 - bit_depth
   off2 = 1 << (shift2 - 1)

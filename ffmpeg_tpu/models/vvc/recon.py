@@ -37,7 +37,9 @@ CTRL_KEYS = (
     "gpm_part", "gpm_tx", "gpm_ty", "gpm_lw", "gpm_lh",
     "hyp0lx", "hyp1lx",
     "w0b", "w1b", "wo0b", "wo1b",
-    "corner_src")
+    "corner_src",
+    "prof", "pdhx0", "pdhy0", "pdvx0", "pdvy0",
+    "pdhx1", "pdhy1", "pdvx1", "pdvy1")
 
 
 MC_INTER = 6  # extra mode class: prediction comes from the MC plane

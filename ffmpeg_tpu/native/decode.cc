@@ -85,6 +85,9 @@ struct CuRecord {
                                // motion lives in the mvf planes)
   int32_t affine;              // affine motion model (merge or AMVP):
                                // per-4x4 motion in the mvf planes
+  int32_t prof;                // PROF flags (1 = L0, 2 = L1)
+  int32_t pd[8];               // per-list subblock deltas for PROF:
+                               // [list*4 + (dhx, dhy, dvx, dvy)]
 };
 struct TuRecord {
   int32_t x0, y0, w, h;  // component coords
@@ -175,7 +178,7 @@ struct FrameOut {
 // output straight to the frame program.
 namespace ctrl {
 
-constexpr int kNumKeys = 48;
+constexpr int kNumKeys = 57;
 // CTRL_KEYS order (recon.py): x0,y0,w,h,logw,logh,mode_class,angle,
 // inv_angle,filter_flag,smooth,left_size,top_size,unfilter_last_one,
 // do_pdpc,nscale,avail_l,avail_t,cand_up_left,proj_v,proj_h,
@@ -205,6 +208,12 @@ enum Key {
   // (read the B buffer), 1 = it extends below (read its right column
   // from the R buffer).  Exactly one holds when the corner is decoded.
   kCornerSrc,
+  // PROF (8.5.5.9 + apply_prof, vvc_inter_template.c:160-230): flag
+  // bits (1 = L0, 2 = L1) + the per-list subblock deltas the device
+  // rebuilds diff_mv_x/y from (d_hor_x, d_hor_y, d_ver_x, d_ver_y)
+  kProf,
+  kPDhx0, kPDhy0, kPDvx0, kPDvy0,
+  kPDhx1, kPDhy1, kPDvx1, kPDvy1,
 };
 
 constexpr int kPlanar = 0, kDc = 1, kHorz = 18, kDiag = 34, kVert = 50;
@@ -487,6 +496,11 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
       // affine luma MC uses the dedicated 6-tap filter bank
       // (ff_vvc_inter_luma_filters[2]); selected via the hpel control
       O(kHpel, i) = cu.affine ? 2 : cu.hpel;
+      if (cu.prof && !is_chroma) {
+        O(kProf, i) = cu.prof;
+        for (int k = 0; k < 8; k++)
+          O(Key(kPDhx0 + k), i) = cu.pd[k];
+      }
       O(kHyp1Lx, i) = 1;  // normal bi: hypotheses on L0/L1
       if (cu.gpm_part >= 0) {
         O(kGpmPart, i) = cu.gpm_part + 1;  // 0 = not GPM
@@ -1191,7 +1205,7 @@ class Decoder {
     cu.pf = mi.pf;
     cu.bcw = mi.bcw;
     set_cb_tab(tab_mmi_, x0, y0, w, h, mi.mmi);
-    store_sb_mvs(mi, x0, y0, w, h);
+    store_sb_mvs(cu, mi, x0, y0, w, h);
   }
 
   // ================= affine motion (8.5.5; vvc_mvs.c:838-1300) =======
@@ -1255,8 +1269,11 @@ class Decoder {
     sp->fallback = sb_is_fallback(sp, mi.pf);
   }
 
-  // ff_vvc_store_sb_mvs (8.5.5.9): per-4x4 subblock MVs from CPMVs
-  void store_sb_mvs(const AffMi& mi, int x0, int y0, int w, int h) {
+  // ff_vvc_store_sb_mvs (8.5.5.9): per-4x4 subblock MVs from CPMVs;
+  // also derives cb_prof_flag + the PROF deltas per list
+  // (derive_cb_prof_flag_lx + derive_subblock_diff_mvs)
+  void store_sb_mvs(CuRecord& cu, const AffMi& mi, int x0, int y0, int w,
+                    int h) {
     SbParams params[2] = {};
     MvF f;
     f.pred_flag = mi.pf;
@@ -1266,6 +1283,19 @@ class Decoder {
         store_cp_mv(mi, x0, y0, w, h, i);
         init_sb_params(&params[i], mi, w, h, i);
         f.ref_idx[i] = mi.ref_idx[i];
+        bool same01 = mi.cp[i][0][0] == mi.cp[i][1][0] &&
+                      mi.cp[i][0][1] == mi.cp[i][1][1];
+        bool same = mi.mmi == 1
+                        ? same01
+                        : (same01 && mi.cp[i][0][0] == mi.cp[i][2][0] &&
+                           mi.cp[i][0][1] == mi.cp[i][2][1]);
+        if (!sh_.ph.ph_prof_disabled_flag && !params[i].fallback && !same) {
+          cu.prof |= 1 << i;
+          cu.pd[i * 4 + 0] = params[i].dhx;
+          cu.pd[i * 4 + 1] = params[i].dhy;
+          cu.pd[i * 4 + 2] = params[i].dvx;
+          cu.pd[i * 4 + 3] = params[i].dvy;
+        }
       }
     }
     for (int sby = 0; sby < (h >> 2); sby++)

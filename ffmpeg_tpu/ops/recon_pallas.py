@@ -55,7 +55,9 @@ JMAX = 103        # edge_arrays' index bound (176-long arrays, origin 72:
  KWDEN, KW0, KW1, KO0, KO1, KHPEL, KCIIPW,
  KGPMPART, KGPMTX, KGPMTY, KGPMLW, KGPMLH, KHYP0LX, KHYP1LX,
  KW0B, KW1B, KO0B, KO1B,
- KCSRC) = range(48)
+ KCSRC,
+ KPROF, KPDHX0, KPDHY0, KPDVX0, KPDVY0,
+ KPDHX1, KPDHY1, KPDVX1, KPDVY1) = range(57)
 
 MC_PLANAR, MC_DC, MC_VERT, MC_HORZ, MC_ANG_V, MC_ANG_H, MC_INTER = range(7)
 

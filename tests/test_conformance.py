@@ -169,6 +169,11 @@ needs_ref = pytest.mark.skipif(not os.path.exists(REF_FFMPEG),
          max_mv=120),
     dict(width=96, height=64, seed=2208, qp=28, inter=True, b_slices=True,
          n_frames=4, affine=True, weighted_pred=True, deblock=True),
+    dict(width=96, height=96, seed=2302, qp=28, inter=True, b_slices=True,
+         n_frames=4, affine=True, prof=True, deblock=True, sao=True),
+    dict(width=96, height=64, seed=2303, qp=28, inter=True, b_slices=True,
+         ra=True, n_frames=9, affine=True, prof=True, sbtmvp=True,
+         tmvp=True, bcw=True, lmcs=True, deblock=True, max_mv=120),
     dict(width=96, height=64, seed=1901, qp=28, inter=True, b_slices=True,
          n_frames=3, gpm=True),
     dict(width=96, height=96, seed=1902, qp=28, inter=True, b_slices=True,
@@ -199,6 +204,7 @@ needs_ref = pytest.mark.skipif(not os.path.exists(REF_FFMPEG),
         "wp", "wp-b", "wp-tools-ra",
         "sbtmvp", "sbtmvp-filters", "sbtmvp-tools-ra",
         "affine", "affine-sbtmvp", "affine-tools-ra", "affine-wp",
+        "prof", "prof-tools-ra",
         "gpm", "gpm-filters", "gpm-tools-ra"])
 def test_frame_md5_parity(tmp_path, cfg_kw):
     from ffmpeg_tpu.encoder.encoder import EncoderConfig, encode_stream
