@@ -490,7 +490,7 @@ INTER_KEYS = ("x0", "y0", "w", "h", "pf", "m0x", "m0y", "m1x", "m1y",
               "gpm_part", "gpm_tx", "gpm_ty", "gpm_lw", "gpm_lh",
               "w0b", "w1b", "wo0b", "wo1b",
               "prof", "pdhx0", "pdhy0", "pdvx0", "pdvy0",
-              "pdhx1", "pdhy1", "pdvx1", "pdvy1")
+              "pdhx1", "pdhy1", "pdvx1", "pdvy1", "bdof")
 INTRA_KEYS = ("x0", "y0", "w", "h", "logw", "logh", "mode_class", "angle",
               "inv_angle", "filter_flag", "smooth", "left_size", "top_size",
               "unfilter_last_one", "do_pdpc", "nscale", "avail_l", "avail_t",
@@ -567,6 +567,82 @@ def _prof_refine(refs, c, t, lx, bit_depth):
   return t.at[:4, :4].set(t4)
 
 
+def _ilog2(v):
+  """floor(log2(v)) for v > 0 (av_log2), exact integer form."""
+  b = jnp.int32(0)
+  for k in range(1, 21):
+    b = b + (v >= (1 << k)).astype(jnp.int32)
+  return b
+
+
+def _bdof_bi(refs, c, t0, t1, bit_depth, maxv, maxs):
+  """BDOF (8.5.6.4/5) for one bi unit (w, h <= 16): integer-ring pad,
+  joint gradients, per-4x4 (vx, vy) from 6x6 windows, then the
+  per-sample offset (apply_bdof + derive_bdof_vx_vy,
+  vvc_inter_template.c:101-128, 256-334)."""
+  w, h = c["w"], c["h"]
+  H, W = refs.shape[1:]
+  d18 = jnp.arange(18)
+
+  def int_ring(mvx, mvy, slot):
+    ix = c["x0"] + (mvx >> 4) + ((mvx >> 3) & 1) - 1
+    iy = c["y0"] + (mvy >> 4) + ((mvy >> 3) & 1) - 1
+    xs = jnp.clip(ix + d18, 0, W - 1)
+    ys = jnp.clip(iy + d18, 0, H - 1)
+    return refs.reshape(-1)[slot * (H * W) + ys[:, None] * W
+                            + xs[None, :]] << (14 - bit_depth)
+
+  xi = d18[None, :] - 1
+  yi = d18[:, None] - 1
+  inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+  xc = jnp.clip(xi, 0, w - 1)
+  yc = jnp.clip(yi, 0, h - 1)
+
+  def rep(t, stride):  # edge-replicated 18x18 (pad_int16)
+    return t.reshape(-1)[(yc * stride + xc).reshape(-1)].reshape(18, 18)
+
+  t0r, t1r = rep(t0, maxs), rep(t1, maxs)
+  p0 = jnp.where(inside, t0r, int_ring(c["m0x"], c["m0y"], c["r0slot"]))
+  p1 = jnp.where(inside, t1r, int_ring(c["m1x"], c["m1y"], c["r1slot"]))
+
+  def grad(p):  # 3-tap gradients on the int-ring padded signal
+    gh = (p[1:17, 2:18] >> 6) - (p[1:17, 0:16] >> 6)
+    gv = (p[2:18, 1:17] >> 6) - (p[0:16, 1:17] >> 6)
+    return gh, gv
+
+  gh0, gv0 = grad(p0)
+  gh1, gv1 = grad(p1)
+  temph = (rep(gh0, 16) + rep(gh1, 16)) >> 1
+  tempv = (rep(gv0, 16) + rep(gv1, 16)) >> 1
+  diff = (t0r >> 4) - (t1r >> 4)
+  off = jnp.zeros((16, 16), jnp.int32)
+  for by in range(4):
+    for bx in range(4):
+      y0b, x0b = by * 4, bx * 4
+      wd = diff[y0b:y0b + 6, x0b:x0b + 6]
+      wh_ = temph[y0b:y0b + 6, x0b:x0b + 6]
+      wv_ = tempv[y0b:y0b + 6, x0b:x0b + 6]
+      sgx2 = jnp.sum(jnp.abs(wh_))
+      sgy2 = jnp.sum(jnp.abs(wv_))
+      sgxgy = jnp.sum(jnp.sign(wv_) * wh_)
+      sgxdi = jnp.sum(-jnp.sign(wh_) * wd)
+      sgydi = jnp.sum(-jnp.sign(wv_) * wd)
+      vx = jnp.where(sgx2 > 0,
+                     jnp.clip((sgxdi * 4) >> _ilog2(sgx2), -15, 15), 0)
+      vy = jnp.where(sgy2 > 0,
+                     jnp.clip(((sgydi * 4) - ((vx * sgxgy) >> 1))
+                              >> _ilog2(sgy2), -15, 15), 0)
+      bo = (vx * (gh0[y0b:y0b + 4, x0b:x0b + 4]
+                  - gh1[y0b:y0b + 4, x0b:x0b + 4])
+            + vy * (gv0[y0b:y0b + 4, x0b:x0b + 4]
+                    - gv1[y0b:y0b + 4, x0b:x0b + 4]))
+      off = off.at[y0b:y0b + 4, x0b:x0b + 4].set(bo)
+  shift4 = 15 - bit_depth
+  res = jnp.clip((t0[:16, :16] + t1[:16, :16] + (1 << (shift4 - 1)) + off)
+                 >> shift4, 0, maxv)
+  return jnp.zeros((maxs, maxs), jnp.int32).at[:16, :16].set(res)
+
+
 def _inter_pred_unit(refs, c, *, maxs, taps, before, frac_bits,
                      bit_depth, maxv, lmcs=None, wb=None):
   """Clipped inter prediction for one unit (vmapped over a batch).
@@ -588,6 +664,9 @@ def _inter_pred_unit(refs, c, *, maxs, taps, before, frac_bits,
   uni = jnp.clip((uni + off2) >> shift2, 0, maxv)
   sh_avg = max(3, 15 - bit_depth)
   bi = jnp.clip((t0 + t1 + (1 << (sh_avg - 1))) >> sh_avg, 0, maxv)
+  if taps == 8 and "bdof" in c:
+    bi = jnp.where(c["bdof"] > 0,
+                   _bdof_bi(refs, c, t0, t1, bit_depth, maxv, maxs), bi)
   if "wden" in c:
     # explicit uni weighting (put_uni_w, h2656_inter_template.c:60-85)
     wden = c["wden"]

@@ -88,6 +88,7 @@ struct CuRecord {
   int32_t prof;                // PROF flags (1 = L0, 2 = L1)
   int32_t pd[8];               // per-list subblock deltas for PROF:
                                // [list*4 + (dhx, dhy, dvx, dvy)]
+  int32_t bdof;                // BDOF applies (16x16 luma subblocks)
 };
 struct TuRecord {
   int32_t x0, y0, w, h;  // component coords
@@ -178,7 +179,7 @@ struct FrameOut {
 // output straight to the frame program.
 namespace ctrl {
 
-constexpr int kNumKeys = 57;
+constexpr int kNumKeys = 58;
 // CTRL_KEYS order (recon.py): x0,y0,w,h,logw,logh,mode_class,angle,
 // inv_angle,filter_flag,smooth,left_size,top_size,unfilter_last_one,
 // do_pdpc,nscale,avail_l,avail_t,cand_up_left,proj_v,proj_h,
@@ -214,6 +215,8 @@ enum Key {
   kProf,
   kPDhx0, kPDhy0, kPDvx0, kPDvy0,
   kPDhx1, kPDhy1, kPDvx1, kPDvy1,
+  // BDOF (8.5.6.4-5): bi-directional optical flow on this luma unit
+  kBdof,
 };
 
 constexpr int kPlanar = 0, kDc = 1, kHorz = 18, kDiag = 34, kVert = 50;
@@ -342,6 +345,8 @@ inline std::vector<Unit> predict_units(const FrameOut& fr, bool is_chroma,
         step = want_c ? (8 >> ss) : 4;  // 4x4 affine subblocks
       else if (ucu.sbtmvp)
         step = want_c ? (8 >> ss) : 8;  // 8x8 SbTMVP subblocks
+      else if (ucu.bdof && !want_c)
+        step = 16;  // BDOF refines per 16x16 luma subblock
     }
     for (int ty = 0; ty < tu.h; ty += step)
       for (int tx = 0; tx < tu.w; tx += step) {
@@ -501,6 +506,7 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
         for (int k = 0; k < 8; k++)
           O(Key(kPDhx0 + k), i) = cu.pd[k];
       }
+      O(kBdof, i) = cu.bdof && !is_chroma;
       O(kHyp1Lx, i) = 1;  // normal bi: hypotheses on L0/L1
       if (cu.gpm_part >= 0) {
         O(kGpmPart, i) = cu.gpm_part + 1;  // 0 = not GPM
@@ -3074,6 +3080,19 @@ class Decoder {
       }
     }
     if (!is_gpm && !is_sbtmvp && !is_affine_amvp) {
+      // derive_dmvr_bdof_flag (vvc_ctu.c): BDOF for symmetric-bi
+      // translational CUs without bcw/wp/ciip
+      if (sps_.sps_bdof_enabled_flag && f.pred_flag == PF_BI && !is_ciip &&
+          !f.bcw && w >= 8 && h >= 8 && w * h >= 128) {
+        const int p0 = out.ref_pocs[0][f.ref_idx[0]];
+        const int p1 = out.ref_pocs[1][f.ref_idx[1]];
+        const PredWeight& pwt = sh_.pwt;
+        const bool wt = pwt.weight_flag[0][0][f.ref_idx[0]] ||
+                        pwt.weight_flag[1][0][f.ref_idx[1]] ||
+                        pwt.weight_flag[0][1][f.ref_idx[0]] ||
+                        pwt.weight_flag[1][1][f.ref_idx[1]];
+        if (out.poc - p0 == p1 - out.poc && !wt) cu.bdof = 1;
+      }
       f.ciip = is_ciip;
       set_mvf(x0, y0, w, h, f);
       // gpm/subblock skip hmvp (vvc_ctu.c:1723)
@@ -4353,6 +4372,8 @@ int vvch_fo_fill_buckets(void* fo_, int c_idx, int n_sizes,
           sbs = c_idx ? (8 >> ss) : 4;
         else if (bcu.sbtmvp)
           sbs = c_idx ? (8 >> ss) : 8;
+        else if (bcu.bdof)
+          sbs = c_idx ? 0 : 16;
       }
       m[(size_t)kBSbs * cap + n] = sbs;
     }

@@ -57,7 +57,7 @@ JMAX = 103        # edge_arrays' index bound (176-long arrays, origin 72:
  KW0B, KW1B, KO0B, KO1B,
  KCSRC,
  KPROF, KPDHX0, KPDHY0, KPDVX0, KPDVY0,
- KPDHX1, KPDHY1, KPDVX1, KPDVY1) = range(57)
+ KPDHX1, KPDHY1, KPDVX1, KPDVY1, KBDOF) = range(58)
 
 MC_PLANAR, MC_DC, MC_VERT, MC_HORZ, MC_ANG_V, MC_ANG_H, MC_INTER = range(7)
 

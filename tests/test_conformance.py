@@ -174,6 +174,12 @@ needs_ref = pytest.mark.skipif(not os.path.exists(REF_FFMPEG),
     dict(width=96, height=64, seed=2303, qp=28, inter=True, b_slices=True,
          ra=True, n_frames=9, affine=True, prof=True, sbtmvp=True,
          tmvp=True, bcw=True, lmcs=True, deblock=True, max_mv=120),
+    dict(width=96, height=64, seed=2403, qp=28, inter=True, b_slices=True,
+         ra=True, n_frames=9, bdof=True, mmvd=True, tmvp=True, lmcs=True,
+         deblock=True, max_mv=90),
+    dict(width=96, height=96, seed=2405, qp=28, inter=True, b_slices=True,
+         ra=True, n_frames=9, bdof=True, affine=True, prof=True,
+         sbtmvp=True, deblock=True, sao=True, max_mv=90),
     dict(width=96, height=64, seed=1901, qp=28, inter=True, b_slices=True,
          n_frames=3, gpm=True),
     dict(width=96, height=96, seed=1902, qp=28, inter=True, b_slices=True,
@@ -205,6 +211,7 @@ needs_ref = pytest.mark.skipif(not os.path.exists(REF_FFMPEG),
         "sbtmvp", "sbtmvp-filters", "sbtmvp-tools-ra",
         "affine", "affine-sbtmvp", "affine-tools-ra", "affine-wp",
         "prof", "prof-tools-ra",
+        "bdof-ra", "bdof-affine-ra",
         "gpm", "gpm-filters", "gpm-tools-ra"])
 def test_frame_md5_parity(tmp_path, cfg_kw):
     from ffmpeg_tpu.encoder.encoder import EncoderConfig, encode_stream
