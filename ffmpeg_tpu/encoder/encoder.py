@@ -89,6 +89,7 @@ class EncoderConfig:
     affine: bool = False  # affine motion (merge + AMVP, 4/6-param)
     prof: bool = False    # affine prediction refinement w/ optical flow
     bdof: bool = False    # bi-directional optical flow
+    dmvr: bool = False    # decoder-side motion vector refinement
 
 
 def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
@@ -124,6 +125,7 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
         sps_6param_affine_enabled_flag=1 if cfg.affine else 0,
         sps_affine_prof_enabled_flag=1 if (cfg.affine and cfg.prof) else 0,
         sps_bdof_enabled_flag=1 if cfg.bdof else 0,
+        sps_dmvr_enabled_flag=1 if cfg.dmvr else 0,
         sps_mts_enabled_flag=1 if (cfg.mts or cfg.mts_implicit) else 0,
         sps_joint_cbcr_enabled_flag=1 if cfg.joint_cbcr else 0,
         sps_transform_skip_enabled_flag=(

@@ -119,6 +119,12 @@ class VVCDecoder:
             self._hosts.put(hd)
         if fs is None:
             return None
+        if fs.cus is not None and "dmvr" in fs.cus \
+                and np.any(fs.cus["dmvr"]):
+            # DMVR frames: the unit controls depend on the refined MVs,
+            # which need reference pixels -- the main thread runs the
+            # refinement (dmvr.refine_frame) and prepares afterwards
+            return fs, None
         return fs, prepare_frame(fs)
 
     def _split_aus(self, data: bytes):
@@ -169,7 +175,7 @@ class VVCDecoder:
             window.clear()
             return out
 
-        inflight: deque = deque()  # (is_idr, future) in decode order
+        inflight: deque = deque()  # (is_idr, epoch, future), decode order
         next_submit = 0
         # output reordering (DPB bumping): frames leave in POC order,
         # held back by at most sps_dpb_max_num_reorder_pics
@@ -181,7 +187,7 @@ class VVCDecoder:
             while (next_submit < len(aus)
                    and len(inflight) < self._parse_ahead):
                 is_idr, epoch, au = aus[next_submit]
-                inflight.append((is_idr,
+                inflight.append((is_idr, epoch,
                                  self._exec.submit(self._parse_au, au, epoch)))
                 next_submit += 1
 
@@ -204,12 +210,26 @@ class VVCDecoder:
         top_up()
         first = True
         while inflight:
-            is_idr, fut = inflight.popleft()
+            is_idr, epoch, fut = inflight.popleft()
             parsed = fut.result()
             top_up()
             if parsed is None:
                 continue
             fs, prepared = parsed
+            if prepared is None:
+                # DMVR: refine against the (device-resident) reference
+                # luma planes, publish the deferred collocated motion,
+                # then build the frame inputs with refined controls
+                from .dmvr import refine_frame
+                from .host import dmvr_apply
+                from .pipeline import prepare_frame
+
+                ref_luma = {
+                    poc: np.asarray(self._dpb[poc][0])[:fs.height, :fs.width]
+                    for poc in set(fs.ref_pocs[0]) | set(fs.ref_pocs[1])}
+                dmvr_apply(fs, self._colstore, epoch,
+                           refine_frame(fs, ref_luma))
+                prepared = prepare_frame(fs)
             if is_idr:
                 if not first:
                     yield from bump(all_of_them=True)

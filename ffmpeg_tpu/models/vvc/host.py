@@ -28,7 +28,7 @@ CU_FIELDS = ["x0", "y0", "w", "h", "pred_mode", "luma_mode", "chroma_mode",
              "bcw", "hpel", "ciip", "ciip_w",
              "gpm_part", "gpm_lx0", "gpm_lx1", "sbtmvp", "affine",
              "prof", "pdhx0", "pdhy0", "pdvx0", "pdvy0",
-             "pdhx1", "pdhy1", "pdvx1", "pdvy1", "bdof"]
+             "pdhx1", "pdhy1", "pdvx1", "pdvy1", "bdof", "dmvr"]
 TU_FIELDS = ["x0", "y0", "w", "h", "c_idx", "coded", "qp", "cu_index",
              "trh", "trv", "res", "jop", "qsel", "qp_deq", "ts", "pcmf",
              "lf_sel", "lf_tr"]
@@ -95,6 +95,14 @@ def _get_lib():
         lib.vvch_lmcs.restype = None
         lib.vvch_lmcs.argtypes = [ctypes.c_void_p,
                                   ctypes.POINTER(ctypes.c_int32)]
+        lib.vvch_fo_cu_ctrl.restype = ctypes.POINTER(ctypes.c_int32)
+        lib.vvch_fo_cu_ctrl.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                        ctypes.c_int, ctypes.c_int,
+                                        ctypes.POINTER(ctypes.c_int32)]
+        lib.vvch_dmvr_apply.restype = None
+        lib.vvch_dmvr_apply.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int] + \
+            [ctypes.POINTER(ctypes.c_int32)] * 6
         lib.vvch_detach.restype = ctypes.c_void_p
         lib.vvch_detach.argtypes = [ctypes.c_void_p]
         lib.vvch_fo_free.restype = None
@@ -246,7 +254,7 @@ class HostDecoder:
         sao = np.ctypeslib.as_array(self._lib.vvch_sao(self._h),
                                     shape=(cbh, cbw, 24)).copy()
         def cu_ctrl(is_chroma):
-            n_keys = 58  # ctrl::kNumKeys
+            n_keys = 63  # ctrl::kNumKeys
             if not n_cus:
                 return np.zeros((n_keys, 0), np.int32)
             n_units = ctypes.c_int32(0)
@@ -347,3 +355,29 @@ class HostDecoder:
             fo=NativeFrame(self._lib,
                            self._lib.vvch_detach(self._h)),
         )
+
+
+def dmvr_apply(fs: FrameSyntax, colstore: ColStore, epoch: int,
+               planes6) -> None:
+    """Hand the refined DMVR subblock MVs to the native side: stores
+    them on the detached FrameOut, publishes the deferred collocated
+    motion, then recomputes the unit control matrices (which now carry
+    the refined MVs + per-subblock BDOF kills)."""
+    lib = _get_lib()
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    arrs = [np.ascontiguousarray(a, np.int32) for a in planes6]
+    lib.vvch_dmvr_apply(fs.fo.ptr, colstore._s, epoch,
+                        *[a.ctypes.data_as(i32p) for a in arrs])
+    n_keys = 63  # ctrl::kNumKeys
+
+    def fo_ctrl(is_chroma):
+        n_units = ctypes.c_int32(0)
+        ptr = lib.vvch_fo_cu_ctrl(fs.fo.ptr, int(is_chroma), fs.ctb_log2,
+                                  CHUNK_CAP, ctypes.byref(n_units))
+        nu = int(n_units.value)
+        if not nu:
+            return np.zeros((n_keys, 0), np.int32)
+        return np.ctypeslib.as_array(ptr, shape=(n_keys, nu)).copy()
+
+    fs.ctrl_y = fo_ctrl(False)
+    fs.ctrl_c = fo_ctrl(True)

@@ -447,9 +447,11 @@ def _residual_blocks_from_buckets(buckets, ncap, bit_depth, sizes,
 
 
 def _mc_block(refs, x0, y0, mvx, mvy, maxs, taps, before, frac_bits,
-              bit_depth, slot, hpel=0):
+              bit_depth, slot, hpel=0, win=None):
   """Generic separable MC window for one CU (maxs x maxs), 14-bit out.
-  refs: (n_refs, H, W) stacked reference planes; slot selects one."""
+  refs: (n_refs, H, W) stacked reference planes; slot selects one.
+  win, when given, is a (wx0, wx1, wy0, wy1) sample-clamp window
+  (DMVR: reads clamp to the original-MV region, emulated_edge_dmvr)."""
   H, W = refs.shape[1:]
   mask = (1 << frac_bits) - 1
   frac_x = mvx & mask
@@ -468,8 +470,9 @@ def _mc_block(refs, x0, y0, mvx, mvy, maxs, taps, before, frac_bits,
     hf = ftab[hpel, frac_x]
     vf = ftab[hpel, frac_y]
   g = maxs + taps - 1
-  xs = jnp.clip(ix + jnp.arange(g) - before, 0, W - 1)
-  ys = jnp.clip(iy + jnp.arange(g) - before, 0, H - 1)
+  wx0, wx1, wy0, wy1 = win if win is not None else (0, W - 1, 0, H - 1)
+  xs = jnp.clip(ix + jnp.arange(g) - before, wx0, wx1)
+  ys = jnp.clip(iy + jnp.arange(g) - before, wy0, wy1)
   # flat gather over the stacked ref planes (fast TPU gather path)
   win = refs.reshape(-1)[slot * (H * W) + ys[:, None] * W + xs[None, :]]
   shift1 = bit_depth - 8
@@ -490,7 +493,8 @@ INTER_KEYS = ("x0", "y0", "w", "h", "pf", "m0x", "m0y", "m1x", "m1y",
               "gpm_part", "gpm_tx", "gpm_ty", "gpm_lw", "gpm_lh",
               "w0b", "w1b", "wo0b", "wo1b",
               "prof", "pdhx0", "pdhy0", "pdvx0", "pdvy0",
-              "pdhx1", "pdhy1", "pdvx1", "pdvy1", "bdof")
+              "pdhx1", "pdhy1", "pdvx1", "pdvy1", "bdof",
+              "dmvr", "om0x", "om0y", "om1x", "om1y")
 INTRA_KEYS = ("x0", "y0", "w", "h", "logw", "logh", "mode_class", "angle",
               "inv_angle", "filter_flag", "smooth", "left_size", "top_size",
               "unfilter_last_one", "do_pdpc", "nscale", "avail_l", "avail_t",
@@ -575,7 +579,7 @@ def _ilog2(v):
   return b
 
 
-def _bdof_bi(refs, c, t0, t1, bit_depth, maxv, maxs):
+def _bdof_bi(refs, c, t0, t1, bit_depth, maxv, maxs, wins=(None, None)):
   """BDOF (8.5.6.4/5) for one bi unit (w, h <= 16): integer-ring pad,
   joint gradients, per-4x4 (vx, vy) from 6x6 windows, then the
   per-sample offset (apply_bdof + derive_bdof_vx_vy,
@@ -584,11 +588,12 @@ def _bdof_bi(refs, c, t0, t1, bit_depth, maxv, maxs):
   H, W = refs.shape[1:]
   d18 = jnp.arange(18)
 
-  def int_ring(mvx, mvy, slot):
+  def int_ring(mvx, mvy, slot, win):
+    wx0, wx1, wy0, wy1 = win if win is not None else (0, W - 1, 0, H - 1)
     ix = c["x0"] + (mvx >> 4) + ((mvx >> 3) & 1) - 1
     iy = c["y0"] + (mvy >> 4) + ((mvy >> 3) & 1) - 1
-    xs = jnp.clip(ix + d18, 0, W - 1)
-    ys = jnp.clip(iy + d18, 0, H - 1)
+    xs = jnp.clip(ix + d18, wx0, wx1)
+    ys = jnp.clip(iy + d18, wy0, wy1)
     return refs.reshape(-1)[slot * (H * W) + ys[:, None] * W
                             + xs[None, :]] << (14 - bit_depth)
 
@@ -602,8 +607,10 @@ def _bdof_bi(refs, c, t0, t1, bit_depth, maxv, maxs):
     return t.reshape(-1)[(yc * stride + xc).reshape(-1)].reshape(18, 18)
 
   t0r, t1r = rep(t0, maxs), rep(t1, maxs)
-  p0 = jnp.where(inside, t0r, int_ring(c["m0x"], c["m0y"], c["r0slot"]))
-  p1 = jnp.where(inside, t1r, int_ring(c["m1x"], c["m1y"], c["r1slot"]))
+  p0 = jnp.where(inside, t0r,
+                 int_ring(c["m0x"], c["m0y"], c["r0slot"], wins[0]))
+  p1 = jnp.where(inside, t1r,
+                 int_ring(c["m1x"], c["m1y"], c["r1slot"], wins[1]))
 
   def grad(p):  # 3-tap gradients on the int-ring padded signal
     gh = (p[1:17, 2:18] >> 6) - (p[1:17, 0:16] >> 6)
@@ -650,10 +657,29 @@ def _inter_pred_unit(refs, c, *, maxs, taps, before, frac_bits,
   LMCS domain (vvc_inter.c:888-891).  wb, when given, is the unit's
   GPM blend-weight tile (put_gpm, vvc_inter_template.c:78-98)."""
   hp = c.get("hpel", 0) if taps == 8 else 0
+  wins = [None, None]
+  if "dmvr" in c:
+    H, W = refs.shape[1:]
+    eb, ea = (3, 4) if taps == 8 else (1, 2)
+    on = c["dmvr"] > 0
+
+    def dmvr_win(lx):
+      om_x = c["om1x"] if lx else c["om0x"]
+      om_y = c["om1y"] if lx else c["om0y"]
+      xsb = c["x0"] + (om_x >> frac_bits)
+      ysb = c["y0"] + (om_y >> frac_bits)
+      wx0 = jnp.clip(xsb - eb, 0, W - 1)
+      wx1 = wx0 + jnp.maximum(jnp.minimum(W, xsb + c["w"] + ea) - wx0, 1) - 1
+      wy0 = jnp.clip(ysb - eb, 0, H - 1)
+      wy1 = wy0 + jnp.maximum(jnp.minimum(H, ysb + c["h"] + ea) - wy0, 1) - 1
+      return (jnp.where(on, wx0, 0), jnp.where(on, wx1, W - 1),
+              jnp.where(on, wy0, 0), jnp.where(on, wy1, H - 1))
+
+    wins = [dmvr_win(0), dmvr_win(1)]
   t0 = _mc_block(refs, c["x0"], c["y0"], c["m0x"], c["m0y"], maxs, taps,
-                 before, frac_bits, bit_depth, c["r0slot"], hp)
+                 before, frac_bits, bit_depth, c["r0slot"], hp, wins[0])
   t1 = _mc_block(refs, c["x0"], c["y0"], c["m1x"], c["m1y"], maxs, taps,
-                 before, frac_bits, bit_depth, c["r1slot"], hp)
+                 before, frac_bits, bit_depth, c["r1slot"], hp, wins[1])
   if taps == 8 and "prof" in c:
     t0 = _prof_refine(refs, c, t0, 0, bit_depth)
     t1 = _prof_refine(refs, c, t1, 1, bit_depth)
@@ -666,7 +692,8 @@ def _inter_pred_unit(refs, c, *, maxs, taps, before, frac_bits,
   bi = jnp.clip((t0 + t1 + (1 << (sh_avg - 1))) >> sh_avg, 0, maxv)
   if taps == 8 and "bdof" in c:
     bi = jnp.where(c["bdof"] > 0,
-                   _bdof_bi(refs, c, t0, t1, bit_depth, maxv, maxs), bi)
+                   _bdof_bi(refs, c, t0, t1, bit_depth, maxv, maxs,
+                            wins), bi)
   if "wden" in c:
     # explicit uni weighting (put_uni_w, h2656_inter_template.c:60-85)
     wden = c["wden"]

@@ -39,7 +39,8 @@ CTRL_KEYS = (
     "w0b", "w1b", "wo0b", "wo1b",
     "corner_src",
     "prof", "pdhx0", "pdhy0", "pdvx0", "pdvy0",
-    "pdhx1", "pdhy1", "pdvx1", "pdvy1", "bdof")
+    "pdhx1", "pdhy1", "pdvx1", "pdvy1", "bdof",
+    "dmvr", "om0x", "om0y", "om1x", "om1y")
 
 
 MC_INTER = 6  # extra mode class: prediction comes from the MC plane

@@ -89,6 +89,8 @@ struct CuRecord {
   int32_t pd[8];               // per-list subblock deltas for PROF:
                                // [list*4 + (dhx, dhy, dvx, dvy)]
   int32_t bdof;                // BDOF applies (16x16 luma subblocks)
+  int32_t dmvr;                // DMVR applies (refined per subblock on
+                               // the python side; planes in FrameOut)
 };
 struct TuRecord {
   int32_t x0, y0, w, h;  // component coords
@@ -140,6 +142,28 @@ struct AlfOut {
   std::vector<int32_t> ctb;
 };
 
+constexpr int PF_INTRA = 0, PF_L0 = 1, PF_L1 = 2, PF_BI = 3;
+
+struct MvF {
+  int32_t mv[2][2] = {{0, 0}, {0, 0}};  // [list][x/y], 1/16 pel
+  int32_t ref_idx[2] = {-1, -1};
+  int32_t pred_flag = PF_INTRA;
+  int32_t bcw = 0;   // bcw_idx (propagates through spatial/HMVP merge)
+  int32_t hpel = 0;  // hpel_if_idx
+  int32_t ciip = 0;  // not inheritable (vvc_mvs.c:813); set at store
+  bool operator==(const MvF& o) const {
+    if (pred_flag != o.pred_flag) return false;
+    for (int i = 0; i < 2; i++) {
+      if (pred_flag & (i + 1)) {
+        if (mv[i][0] != o.mv[i][0] || mv[i][1] != o.mv[i][1] ||
+            ref_idx[i] != o.ref_idx[i])
+          return false;
+      }
+    }
+    return true;
+  }
+};
+
 struct FrameOut {
   int width = 0, height = 0, bit_depth = 8, chroma_format_idc = 1;
   int ctb_log2 = 5;
@@ -169,6 +193,13 @@ struct FrameOut {
   // explicit weighted prediction (derive_weight, vvc_inter.c:149-178)
   int wp_active = 0;
   PredWeight pwt;
+  // DMVR (8.5.3): refined per-subblock MVs arrive from the search
+  // (vvch_dmvr_apply) as per-4x4 planes; col publication is deferred
+  // until then so later frames' TMVP sees the refined motion
+  int needs_dmvr = 0;
+  int pending_epoch = 0;
+  std::vector<int32_t> dmvr_x0, dmvr_y0, dmvr_x1, dmvr_y1, dmvr_nobdof;
+  std::vector<MvF> pending_col;  // original motion awaiting publication
 };
 
 // ---------------- per-CU reconstruction controls ----------------
@@ -179,7 +210,7 @@ struct FrameOut {
 // output straight to the frame program.
 namespace ctrl {
 
-constexpr int kNumKeys = 58;
+constexpr int kNumKeys = 63;
 // CTRL_KEYS order (recon.py): x0,y0,w,h,logw,logh,mode_class,angle,
 // inv_angle,filter_flag,smooth,left_size,top_size,unfilter_last_one,
 // do_pdpc,nscale,avail_l,avail_t,cand_up_left,proj_v,proj_h,
@@ -217,6 +248,11 @@ enum Key {
   kPDhx1, kPDhy1, kPDvx1, kPDvy1,
   // BDOF (8.5.6.4-5): bi-directional optical flow on this luma unit
   kBdof,
+  // DMVR (8.5.3): the unit's MC uses the refined MV with sample reads
+  // clamped to the original-MV window (emulated_edge_dmvr); kOm* are
+  // the original (pre-refinement) MVs
+  kDmvr,
+  kOm0x, kOm0y, kOm1x, kOm1y,
 };
 
 constexpr int kPlanar = 0, kDc = 1, kHorz = 18, kDiag = 34, kVert = 50;
@@ -345,6 +381,8 @@ inline std::vector<Unit> predict_units(const FrameOut& fr, bool is_chroma,
         step = want_c ? (8 >> ss) : 4;  // 4x4 affine subblocks
       else if (ucu.sbtmvp)
         step = want_c ? (8 >> ss) : 8;  // 8x8 SbTMVP subblocks
+      else if (ucu.dmvr)
+        step = want_c ? (16 >> ss) : 16;  // refined per 16x16 subblock
       else if (ucu.bdof && !want_c)
         step = 16;  // BDOF refines per 16x16 luma subblock
     }
@@ -415,6 +453,26 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
       int u_pf = cu.pf, u_r0 = cu.ref_idx, u_r1 = cu.ref_idx1;
       int u_m0x = cu.mv_x, u_m0y = cu.mv_y;
       int u_m1x = cu.mv1_x, u_m1y = cu.mv1_y;
+      if (cu.dmvr) {
+        // refined subblock MVs (dmvr planes); MC clamps sample reads
+        // to the original-MV window (emulated_edge_dmvr)
+        const size_t cell =
+            (size_t)(ly0 >> 2) * (fr.width >> 2) + (lx0 >> 2);
+        if (!fr.dmvr_x0.empty()) {
+          u_m0x = fr.dmvr_x0[cell];
+          u_m0y = fr.dmvr_y0[cell];
+          u_m1x = fr.dmvr_x1[cell];
+          u_m1y = fr.dmvr_y1[cell];
+        }
+        O(kDmvr, i) = 1;
+        O(kOm0x, i) = cu.mv_x;
+        O(kOm0y, i) = cu.mv_y;
+        O(kOm1x, i) = cu.mv1_x;
+        O(kOm1y, i) = cu.mv1_y;
+        O(kBdof, i) = 0;
+        if (cu.bdof && !is_chroma && !fr.dmvr_nobdof.empty())
+          O(kBdof, i) = !fr.dmvr_nobdof[cell];
+      }
       if (cu.sbtmvp || cu.affine) {
         // per-subblock motion lives in the exported mvf planes
         // (sb_temporal_merge_candidate / store_sb_mvs)
@@ -506,7 +564,7 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
         for (int k = 0; k < 8; k++)
           O(Key(kPDhx0 + k), i) = cu.pd[k];
       }
-      O(kBdof, i) = cu.bdof && !is_chroma;
+      if (!cu.dmvr) O(kBdof, i) = cu.bdof && !is_chroma;
       O(kHyp1Lx, i) = 1;  // normal bi: hypotheses on L0/L1
       if (cu.gpm_part >= 0) {
         O(kGpmPart, i) = cu.gpm_part + 1;  // 0 = not GPM
@@ -690,32 +748,11 @@ static const uint8_t kLfnstTrSet[95] = {
 };
 
 // motion field entry (mirror of ffmpeg_tpu/encoder/mvs.py MvField)
-constexpr int PF_INTRA = 0, PF_L0 = 1, PF_L1 = 2, PF_BI = 3;
 // normative GPM geometry tables (spec tables 36/123; extracted values
 // cross-check tools/extract_transform_matrices.py / vvc_data.c:1998)
 constexpr int kGpmAngleIdx[64] = {0, 0, 2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 8, 8, 11, 11, 11, 11, 12, 12, 12, 12, 13, 13, 13, 13, 14, 14, 14, 14, 16, 16, 18, 18, 18, 19, 19, 19, 20, 20, 20, 21, 21, 21, 24, 24, 27, 27, 27, 28, 28, 28, 29, 29, 29, 30, 30, 30};
 constexpr int kGpmDistanceIdx[64] = {1, 3, 0, 1, 2, 3, 0, 1, 2, 3, 0, 1, 2, 3, 0, 1, 2, 3, 1, 3, 0, 1, 2, 3, 0, 1, 2, 3, 0, 1, 2, 3, 0, 1, 2, 3, 1, 3, 1, 2, 3, 1, 2, 3, 1, 2, 3, 1, 2, 3, 1, 3, 1, 2, 3, 1, 2, 3, 1, 2, 3, 1, 2, 3};
 constexpr int kGpmDistanceLut[32] = {8, 8, 8, 8, 4, 4, 2, 1, 0, -1, -2, -4, -4, -8, -8, -8, -8, -8, -8, -8, -4, -4, -2, -1, 0, 1, 2, 4, 4, 8, 8, 8};
-
-struct MvF {
-  int32_t mv[2][2] = {{0, 0}, {0, 0}};  // [list][x/y], 1/16 pel
-  int32_t ref_idx[2] = {-1, -1};
-  int32_t pred_flag = PF_INTRA;
-  int32_t bcw = 0;   // bcw_idx (propagates through spatial/HMVP merge)
-  int32_t hpel = 0;  // hpel_if_idx
-  int32_t ciip = 0;  // not inheritable (vvc_mvs.c:813); set at store
-  bool operator==(const MvF& o) const {
-    if (pred_flag != o.pred_flag) return false;
-    for (int i = 0; i < 2; i++) {
-      if (pred_flag & (i + 1)) {
-        if (mv[i][0] != o.mv[i][0] || mv[i][1] != o.mv[i][1] ||
-            ref_idx[i] != o.ref_idx[i])
-          return false;
-      }
-    }
-    return true;
-  }
-};
 
 // Collocated-picture motion store for TMVP, shared across decoder
 // instances: frame-parallel parsing threads publish each picture's
@@ -748,7 +785,10 @@ struct ColStore {
   std::shared_ptr<ColData> wait(int epoch, int poc) {
     std::unique_lock<std::mutex> lk(mu);
     auto key = std::make_pair(epoch, poc);
-    if (!cv.wait_for(lk, std::chrono::seconds(30),
+    // generous guard: publication can legitimately trail by minutes
+    // when the main thread sits in first-frame XLA compilation (DMVR
+    // defers publication until after device work)
+    if (!cv.wait_for(lk, std::chrono::seconds(600),
                      [&] { return map.count(key) > 0; }))
       return nullptr;
     return map[key];
@@ -2217,8 +2257,13 @@ class Decoder {
       }
     }
     cd_ = nullptr;
-    // publish this picture's motion field for later TMVP readers
-    {
+    // publish this picture's motion field for later TMVP readers;
+    // DMVR frames defer publication to vvch_dmvr_apply (the refined
+    // subblock MVs must land in the collocated store first)
+    if (out.needs_dmvr) {
+      out.pending_epoch = epoch;
+      out.pending_col = mvf_;
+    } else {
       auto cdta = std::make_shared<ColData>();
       cdta->poc = out.poc;
       cdta->pu_w = pu_w_;
@@ -2720,6 +2765,7 @@ class Decoder {
     int is_gpm = 0;
     int is_sbtmvp = 0;
     int is_affine_amvp = 0;
+    int was_mmvd = 0;
     cu.gpm_part = -1;
     if (general_merge) {
       // merge_subblock_flag first (hls_merge_data, vvc_ctu.c:1456-1459;
@@ -2882,6 +2928,7 @@ class Decoder {
       int mmvd = 0;
       int32_t mmvd_off[2] = {0, 0};
       if (sps_.sps_mmvd_enabled_flag) mmvd = bin(MMVD_MERGE_FLAG);
+      was_mmvd = mmvd;
       if (mmvd) {
         int cand = 0;
         if (sps_.max_num_merge_cand > 1) cand = bin(MMVD_CAND_FLAG);
@@ -3082,8 +3129,9 @@ class Decoder {
     if (!is_gpm && !is_sbtmvp && !is_affine_amvp) {
       // derive_dmvr_bdof_flag (vvc_ctu.c): BDOF for symmetric-bi
       // translational CUs without bcw/wp/ciip
-      if (sps_.sps_bdof_enabled_flag && f.pred_flag == PF_BI && !is_ciip &&
-          !f.bcw && w >= 8 && h >= 8 && w * h >= 128) {
+      if ((sps_.sps_bdof_enabled_flag || sps_.sps_dmvr_enabled_flag) &&
+          f.pred_flag == PF_BI && !is_ciip && !f.bcw && w >= 8 && h >= 8 &&
+          w * h >= 128) {
         const int p0 = out.ref_pocs[0][f.ref_idx[0]];
         const int p1 = out.ref_pocs[1][f.ref_idx[1]];
         const PredWeight& pwt = sh_.pwt;
@@ -3091,7 +3139,14 @@ class Decoder {
                         pwt.weight_flag[1][0][f.ref_idx[1]] ||
                         pwt.weight_flag[0][1][f.ref_idx[0]] ||
                         pwt.weight_flag[1][1][f.ref_idx[1]];
-        if (out.poc - p0 == p1 - out.poc && !wt) cu.bdof = 1;
+        if (out.poc - p0 == p1 - out.poc && !wt) {
+          if (sps_.sps_bdof_enabled_flag) cu.bdof = 1;
+          // dmvr_flag (vvc_ctu.c): merge without mmvd
+          if (sps_.sps_dmvr_enabled_flag && general_merge && !was_mmvd) {
+            cu.dmvr = 1;
+            out.needs_dmvr = 1;
+          }
+        }
       }
       f.ciip = is_ciip;
       set_mvf(x0, y0, w, h, f);
@@ -4211,6 +4266,21 @@ void vvch_ref_info(void* h, int32_t* info) {
 // one column per predict unit (intra TBs + inter CUs, in decode
 // order); *n_out receives n_units.  Valid until the next call with the
 // same is_chroma on this thread.
+// same as vvch_cu_ctrl but against a detached FrameOut (DMVR frames
+// recompute unit controls after the refined MVs arrive)
+const int32_t* vvch_fo_cu_ctrl(void* fo_, int is_chroma, int ctb_log2,
+                               int chunk_cap, int32_t* n_out) {
+  auto& fo = *(vvc::FrameOut*)fo_;
+  static thread_local std::vector<int32_t> bufs[2];
+  auto& buf = bufs[is_chroma ? 1 : 0];
+  auto units = ctrl::predict_units(fo, is_chroma != 0);
+  buf.resize((size_t)ctrl::kNumKeys * units.size() + 1);
+  ctrl::derive(fo, is_chroma != 0, ctb_log2, units, buf.data(),
+               chunk_cap > 0 ? chunk_cap : 1 << 30);
+  *n_out = (int32_t)units.size();
+  return buf.data();
+}
+
 const int32_t* vvch_cu_ctrl(void* h, int is_chroma, int ctb_log2,
                             int chunk_cap, int32_t* n_out) {
   auto* d = (Decoder*)h;
@@ -4235,6 +4305,45 @@ void vvch_set_colstore(void* h, void* s) {
 void vvch_set_epoch(void* h, int epoch) { ((Decoder*)h)->epoch = epoch; }
 
 void vvch_col_reset() {}  // legacy no-op: stores are session-scoped now
+
+// DMVR (8.5.3): receive the refined per-4x4 subblock MVs from the
+// python search, stash them for ctrl::derive, and publish the deferred
+// collocated motion (original field with refined DMVR-CU cells,
+// set_dmvr_info/fill_dmvr_info semantics, vvc_inter.c:316-330).
+// valid[cell] marks cells inside DMVR CUs; nobdof[cell] carries the
+// per-subblock SAD-based BDOF kill.
+void vvch_dmvr_apply(void* fo_, void* colstore, int epoch,
+                     const int32_t* rx0, const int32_t* ry0,
+                     const int32_t* rx1, const int32_t* ry1,
+                     const int32_t* valid, const int32_t* nobdof) {
+  vvc::FrameOut& fo = *(vvc::FrameOut*)fo_;
+  const size_t n = (size_t)(fo.width >> 2) * (fo.height >> 2);
+  fo.dmvr_x0.assign(rx0, rx0 + n);
+  fo.dmvr_y0.assign(ry0, ry0 + n);
+  fo.dmvr_x1.assign(rx1, rx1 + n);
+  fo.dmvr_y1.assign(ry1, ry1 + n);
+  fo.dmvr_nobdof.assign(nobdof, nobdof + n);
+  auto cdta = std::make_shared<vvc::ColData>();
+  cdta->poc = fo.poc;
+  cdta->pu_w = fo.width >> 2;
+  cdta->pu_h = fo.height >> 2;
+  cdta->mvf = fo.pending_col;
+  for (size_t i = 0; i < n && i < cdta->mvf.size(); i++) {
+    if (valid[i]) {
+      cdta->mvf[i].mv[0][0] = rx0[i];
+      cdta->mvf[i].mv[0][1] = ry0[i];
+      cdta->mvf[i].mv[1][0] = rx1[i];
+      cdta->mvf[i].mv[1][1] = ry1[i];
+    }
+  }
+  for (int lx = 0; lx < 2; lx++) {
+    cdta->nb_refs[lx] = fo.nb_refs[lx];
+    std::memcpy(cdta->ref_pocs[lx], fo.ref_pocs[lx],
+                sizeof(cdta->ref_pocs[lx]));
+  }
+  ((vvc::ColStore*)colstore)->publish(epoch, fo.poc, std::move(cdta));
+  fo.pending_col.clear();
+}
 
 // Per-TuRecord unit-slot mapping for plane kind `is_chroma` (see
 // predict_units): out must hold n_tus int32; -1 = TU has no slot in
@@ -4372,6 +4481,8 @@ int vvch_fo_fill_buckets(void* fo_, int c_idx, int n_sizes,
           sbs = c_idx ? (8 >> ss) : 4;
         else if (bcu.sbtmvp)
           sbs = c_idx ? (8 >> ss) : 8;
+        else if (bcu.dmvr)
+          sbs = c_idx ? (16 >> ss) : 16;
         else if (bcu.bdof)
           sbs = c_idx ? 0 : 16;
       }

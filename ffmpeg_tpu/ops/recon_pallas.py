@@ -57,7 +57,8 @@ JMAX = 103        # edge_arrays' index bound (176-long arrays, origin 72:
  KW0B, KW1B, KO0B, KO1B,
  KCSRC,
  KPROF, KPDHX0, KPDHY0, KPDVX0, KPDVY0,
- KPDHX1, KPDHY1, KPDVX1, KPDVY1, KBDOF) = range(58)
+ KPDHX1, KPDHY1, KPDVX1, KPDVY1, KBDOF,
+ KDMVR, KOM0X, KOM0Y, KOM1X, KOM1Y) = range(63)
 
 MC_PLANAR, MC_DC, MC_VERT, MC_HORZ, MC_ANG_V, MC_ANG_H, MC_INTER = range(7)
 
