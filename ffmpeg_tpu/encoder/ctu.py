@@ -116,6 +116,9 @@ class CuIntent:
     bdpcm_dir_c: int = 0  # 0 = HORZ, 1 = VERT
     # LFNST index (0 off, 1..2 kernel); only when the CU is eligible
     lfnst_idx: int = 0
+    # MIP (matrix-based intra prediction): mode (-1 = off) + transpose
+    mip_mode: int = -1
+    mip_transposed: int = 0
 
 
 class FrameSyntaxEncoder:
@@ -163,6 +166,7 @@ class FrameSyntaxEncoder:
         # per-min-CB tables mirroring fc->tab
         self.tab_ipm = np.zeros((mh, mw), dtype=np.int32)
         self.tab_cpm = np.zeros((mh, mw), dtype=np.int32)  # MODE_INTER init
+        self.tab_imf = np.zeros((mh, mw), dtype=np.int32)  # intra_mip_flag
         self.tab_cbw = np.zeros((mh, mw), dtype=np.int32)
         self.tab_cbh = np.zeros((mh, mw), dtype=np.int32)
         self.tab_cqt = np.zeros((mh, mw), dtype=np.int32)
@@ -238,9 +242,12 @@ class FrameSyntaxEncoder:
         avail_l = self.ctb_left or x0b
         avail_u = self.ctb_up or y0b
         a = b = INTRA_PLANAR
-        if avail_l and self.tab_cpm[y_a, x_a] == MODE_INTRA:
+        # MIP neighbours count as planar (vvc_ctu.c:719-731 imf gate)
+        if avail_l and self.tab_cpm[y_a, x_a] == MODE_INTRA \
+                and not self.tab_imf[y_a, x_a]:
             a = int(self.tab_ipm[y_a, x_a])
-        if avail_u and self.tab_cpm[y_b, x_b] == MODE_INTRA and y0b:
+        if avail_u and self.tab_cpm[y_b, x_b] == MODE_INTRA \
+                and not self.tab_imf[y_b, x_b] and y0b:
             b = int(self.tab_ipm[y_b, x_b])
         return a, b
 
@@ -439,6 +446,7 @@ class FrameSyntaxEncoder:
                         sps.sps_max_luma_transform_size_64_flag else 32)
                     and not self.cu_any_coded_ts
                     and min(cu.w, cu.h) >= 4
+                    and not (cu.mip_mode >= 0 and min(cu.w, cu.h) < 16)
                     and not self.res.lfnst_dc_only
                     and self.res.lfnst_zero_out_sig_coeff_flag)
         if not eligible:
@@ -842,7 +850,27 @@ class FrameSyntaxEncoder:
                 self.tab_cpm[ys:ys + (cu.h >> s_),
                              xs:xs + (cu.w >> s_)] = MODE_INTRA
             else:
-                self._encode_luma_intra_mode(cu)
+                # intra_mip_flag (vvc_ctu.c:967-980)
+                if sps.sps_mip_enabled_flag:
+                    inc = 3 if (cu.w > cu.h * 2 or cu.h > cu.w * 2) \
+                        else self._get_inc(self.tab_imf, cu.x0, cu.y0)
+                    self._bin("INTRA_MIP_FLAG", inc,
+                              int(cu.mip_mode >= 0))
+                else:
+                    assert cu.mip_mode < 0
+                if cu.mip_mode >= 0:
+                    self.enc.bypass(cu.mip_transposed)
+                    c_max = 15 if (cu.w == 4 and cu.h == 4) else \
+                        7 if ((cu.w == 4 or cu.h == 4)
+                              or (cu.w == 8 and cu.h == 8)) else 5
+                    assert 0 <= cu.mip_mode <= c_max
+                    self._truncated_binary(cu.mip_mode, c_max)
+                    assert cu.luma_mode == cu.mip_mode
+                    self.tab_ipm[area] = cu.luma_mode
+                    self.tab_cpm[area] = MODE_INTRA
+                    self.tab_imf[area] = 1
+                else:
+                    self._encode_luma_intra_mode(cu)
             if self.sps.sps_chroma_format_idc:
                 # intra_bdpcm_chroma (vvc_ctu.c:1008-1015)
                 if (sps.sps_bdpcm_enabled_flag and cu.w // 2 <= max_ts

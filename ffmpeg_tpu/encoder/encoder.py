@@ -90,6 +90,8 @@ class EncoderConfig:
     prof: bool = False    # affine prediction refinement w/ optical flow
     bdof: bool = False    # bi-directional optical flow
     dmvr: bool = False    # decoder-side motion vector refinement
+    # intra toolset wave
+    mip: bool = False     # matrix-based intra prediction
 
 
 def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
@@ -135,6 +137,7 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
             if (cfg.transform_skip or cfg.bdpcm) else 0),
         sps_bdpcm_enabled_flag=1 if cfg.bdpcm else 0,
         sps_lfnst_enabled_flag=1 if cfg.lfnst else 0,
+        sps_mip_enabled_flag=1 if cfg.mip else 0,
         sps_explicit_mts_intra_enabled_flag=1 if cfg.mts else 0,
         sps_explicit_mts_inter_enabled_flag=1 if cfg.mts else 0,
         sps_dep_quant_enabled_flag=1 if cfg.dep_quant else 0,
@@ -268,11 +271,19 @@ def _random_cu(cfg, rng, x0, y0, w, h, is_inter_slice=False):
                 and rng.random() < 0.7:
             cu.bdpcm_c = 1
             cu.bdpcm_dir_c = int(rng.random() < 0.5)
+    if (cfg.mip and cu.pred_mode == "intra" and not cu.bdpcm_l
+            and rng.random() < 0.5):
+        c_max = 15 if (w == 4 and h == 4) else \
+            7 if ((w == 4 or h == 4) or (w == 8 and h == 8)) else 5
+        cu.mip_mode = int(rng.integers(0, c_max + 1))
+        cu.mip_transposed = int(rng.integers(0, 2))
+        cu.luma_mode = cu.mip_mode  # tab.ipm parity (vvc_ctu.c:980)
     if (cfg.mts and max(w, h) <= 32 and not cu.bdpcm_l
             and rng.random() < 0.5):
         _try_mts(cu, rng)
     if (cfg.lfnst and cu.pred_mode == "intra" and not cu.bdpcm_l
             and cu.mts_idx == 0 and min(w, h) >= 4 and max(w, h) <= 32
+            and not (cu.mip_mode >= 0 and min(w, h) < 16)
             and rng.random() < 0.5):
         _try_lfnst(cu, rng)
     return cu
@@ -799,6 +810,7 @@ def _cu_to_dict(cu: CuIntent) -> dict:
         "ref_idx1": cu.ref_idx1,
         "luma_mode": cu.luma_mode,
         "chroma_mode_idx": cu.chroma_mode_idx,
+        "mip_mode": cu.mip_mode, "mip_transposed": cu.mip_transposed,
         "coeff_y": None if cu.coeff_y is None else cu.coeff_y.tolist(),
         "coeff_cb": None if cu.coeff_cb is None else cu.coeff_cb.tolist(),
         "coeff_cr": None if cu.coeff_cr is None else cu.coeff_cr.tolist(),

@@ -84,7 +84,7 @@ from ...ops.mc import INTERP_CHROMA, INTERP_LUMA
 from ...ops.sao import sao_plane
 from ...ops.transform import itx_matrix
 from .host import FrameSyntax
-from .recon import _round_up, derive_cu_controls, CTRL_KEYS
+from .recon import _round_up, derive_cu_controls, CTRL_KEYS, MC_MIP
 
 # fixed TU size buckets per plane kind (w, h); luma min width 8 under the
 # mode-type-safe generator, but keep 4-wide for future tools
@@ -502,7 +502,9 @@ INTRA_KEYS = ("x0", "y0", "w", "h", "logw", "logh", "mode_class", "angle",
               # CIIP inter-hypothesis motion + blend weight
               "pf", "m0x", "m0y", "m1x", "m1y", "r0slot", "r1slot",
               "wden", "w0", "w1", "wo0", "wo1", "hpel", "ciipw",
-              "hyp0lx", "hyp1lx")
+              "hyp0lx", "hyp1lx",
+              # MIP (8.4.5.2.2)
+              "mip_id", "mip_t", "mip_sz")
 
 # units per batched group: the device executes groups sequentially and
 # the units inside a group as one vmapped batch (host guarantees units
@@ -771,6 +773,9 @@ def _intra_unit(plane, res_plane, c, *, maxs, is_chroma, bit_depth, maxv,
                                pdpc, ns, is_chroma, maxv),
       lambda: I.pred_angular_h(top, left, OFF, maxs, w, h, angle, inv, ff,
                                pdpc, ns, is_chroma, maxv),
+      lambda: jnp.zeros((maxs, maxs), jnp.int32),  # 6 = MC_INTER (unused)
+      lambda: I.pred_mip(top, left, OFF, maxs, w, h, c["mip_id"],
+                         c["mip_t"], c["mip_sz"], bit_depth, maxv),
   ]
   mc = c["mode_class"]
   pred = jax.lax.switch(mc, branches)
@@ -915,12 +920,14 @@ def _build_frame_program(shapes):
 
     mid = 1 << (bd - 1)
     ry, rc = inp["recon"]["y"], inp["recon"]["c"]
+    has_mip = "has_mip" in inp["recon"]  # static: keys shape the program
     res_y = _residual_blocks_from_buckets(
         inp["planes"][0]["buckets"], ry["ctrl"].shape[1], bd,
         LUMA_SIZES, False)
     ky = recon_plane_pallas(ry["ctrl"], ry["n"], ry["ipos"], res_y,
                             _pred_blocks(inp, refs_in, 0, lm),
-                            W=W, H=H, nch=1, bit_depth=bd, is_chroma=False)
+                            W=W, H=H, nch=1, bit_depth=bd, is_chroma=False,
+                            has_mip=has_mip)
     scale = (_lmcs_vpdu_scales(ky[0][:H, :W], lm, W, H, vsz, bd)
              if crs else None)
     ncap_c = rc["ctrl"].shape[1]
@@ -1521,6 +1528,9 @@ def build_host_inputs(fs: FrameSyntax, ctb_log2=5, ref_slots=None,
                 fs.ctrl_y[CTRL_KEYS.index("ciipw")].any())
     if n_inter_y or n_inter_c or has_ciip:
       inp["has_inter"] = np.int32(1)
+    if (fs.ctrl_y is not None and fs.ctrl_y.size and
+        (fs.ctrl_y[CTRL_KEYS.index("mode_class")] == MC_MIP).any()):
+      inp["recon"]["has_mip"] = np.int32(1)
 
   (Hp_y, Wp_y), (Hp_c, Wp_c) = _padded_plane_shapes(W, H, ctb_log2)
 

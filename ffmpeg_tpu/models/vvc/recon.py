@@ -40,10 +40,12 @@ CTRL_KEYS = (
     "corner_src",
     "prof", "pdhx0", "pdhy0", "pdvx0", "pdvy0",
     "pdhx1", "pdhy1", "pdvx1", "pdvy1", "bdof",
-    "dmvr", "om0x", "om0y", "om1x", "om1y")
+    "dmvr", "om0x", "om0y", "om1x", "om1y",
+    "mip_id", "mip_t", "mip_sz")
 
 
 MC_INTER = 6  # extra mode class: prediction comes from the MC plane
+MC_MIP = 7    # matrix-based intra prediction (8.4.5.2.2)
 
 
 def predict_units(fs: FrameSyntax, is_chroma: bool) -> list:

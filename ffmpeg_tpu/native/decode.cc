@@ -91,6 +91,8 @@ struct CuRecord {
   int32_t bdof;                // BDOF applies (16x16 luma subblocks)
   int32_t dmvr;                // DMVR applies (refined per subblock on
                                // the python side; planes in FrameOut)
+  int32_t mip;                 // MIP mode (-1 = not MIP; vvc_ctu.c:967-980)
+  int32_t mip_t;               // intra_mip_transposed_flag
 };
 struct TuRecord {
   int32_t x0, y0, w, h;  // component coords
@@ -210,7 +212,7 @@ struct FrameOut {
 // output straight to the frame program.
 namespace ctrl {
 
-constexpr int kNumKeys = 63;
+constexpr int kNumKeys = 66;
 // CTRL_KEYS order (recon.py): x0,y0,w,h,logw,logh,mode_class,angle,
 // inv_angle,filter_flag,smooth,left_size,top_size,unfilter_last_one,
 // do_pdpc,nscale,avail_l,avail_t,cand_up_left,proj_v,proj_h,
@@ -253,11 +255,15 @@ enum Key {
   // the original (pre-refinement) MVs
   kDmvr,
   kOm0x, kOm0y, kOm1x, kOm1y,
+  // MIP (matrix-based intra prediction, 8.4.5.2.2): kMipId = global
+  // matrix row ({0,16,24}[size_id] + mode, -1 = not MIP), kMipT =
+  // transposed, kMipSz = size id of the predict unit's TB dims
+  kMipId, kMipT, kMipSz,
 };
 
 constexpr int kPlanar = 0, kDc = 1, kHorz = 18, kDiag = 34, kVert = 50;
 enum ModeClass { MC_PLANAR, MC_DC, MC_VERT, MC_HORZ, MC_ANG_V, MC_ANG_H,
-                 MC_INTER };
+                 MC_INTER, MC_MIP };
 
 constexpr int kAngles[] = {0, 1, 2, 3, 4, 6, 8, 10, 12, 14, 16, 18, 20,
                            23, 26, 29, 32, 35, 39, 45, 51, 57, 64, 73,
@@ -601,10 +607,13 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
       O(kCiipW, i) = cu.ciip_w;
     }
     const int bdpcm = is_chroma ? cu.bdpcm_c : cu.bdpcm_l;
-    const int mode = wide_angle_map(raw_mode, w, h);
-    const int mc = classify_mode(mode);
+    // MIP applies to the luma predict unit (per-TB dims, 8.4.5.2.1);
+    // the chroma blocks of a MIP CU take the normal derived mode path
+    const bool is_mip = !is_chroma && !unit_ciip && cu.mip >= 0 && !bdpcm;
+    const int mode = is_mip ? 0 : wide_angle_map(raw_mode, w, h);
+    const int mc = is_mip ? MC_MIP : classify_mode(mode);
     int angle = 0, inv = 0, filter_flag = 0, ns = 0;
-    const bool pdpc = !bdpcm && need_pdpc(w, h, mode);
+    const bool pdpc = !is_mip && !bdpcm && need_pdpc(w, h, mode);
     if (mc == MC_ANG_V || mc == MC_ANG_H) {
       angle = intra_pred_angle(mode);
       inv = angle ? intra_inv_angle(angle) : 0;
@@ -621,9 +630,14 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
       if (pdpc) ns = nscale(w, h, mode);
     }
     const int smooth =
-        (!is_chroma && w * h > 32 && ref_filter_flag(mode)) ? 1 : 0;
+        (!is_mip && !is_chroma && w * h > 32 && ref_filter_flag(mode)) ? 1 : 0;
     int left_size, top_size, unfilter_last, need_l, need_t;
-    if (mc == MC_PLANAR) {
+    if (mc == MC_MIP) {
+      // MIP reads unfiltered top[0..w) / left[0..h) (pred_mip,
+      // vvc_intra_template.c:773-825); no ref filter, no PDPC
+      left_size = h; top_size = w; unfilter_last = 1;
+      need_l = h; need_t = w;
+    } else if (mc == MC_PLANAR) {
       left_size = h + 1 + smooth; top_size = w + 1 + smooth;
       unfilter_last = 0; need_l = left_size; need_t = top_size;
     } else if (mc == MC_DC) {
@@ -731,6 +745,17 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
     O(kProjV, i) = (mc == MC_ANG_V && angle < 0) ? 1 : 0;
     O(kProjH, i) = (mc == MC_ANG_H && angle < 0) ? 1 : 0;
     O(kChunk, i) = chunk;
+    if (is_mip) {
+      // size id from the predict unit's (TB) dims (8.4.5.2.1)
+      int size_id = (w == 4 && h == 4) ? 0
+                    : ((w == 4 || h == 4) || (w == 8 && h == 8)) ? 1 : 2;
+      static const int base[3] = {0, 16, 24};
+      O(kMipId, i) = base[size_id] + cu.mip;
+      O(kMipT, i) = cu.mip_t;
+      O(kMipSz, i) = size_id;
+    } else {
+      O(kMipId, i) = -1;
+    }
   }
 }
 
@@ -863,7 +888,7 @@ class Decoder {
   SliceHeader sh_;
   int min_cb_log2_ = 2;
   int mcb_w_ = 0, mcb_h_ = 0;  // min-cb grid dims
-  std::vector<int32_t> tab_ipm_, tab_cpm_;
+  std::vector<int32_t> tab_ipm_, tab_cpm_, tab_imf_;
   std::vector<int32_t> tab_cbw_, tab_cbh_, tab_cqt_;
   bool ctb_left_ = false, ctb_up_ = false;
   int qp_y_ = 26;
@@ -1957,6 +1982,7 @@ class Decoder {
 
   int32_t ipm_at(int x_cb, int y_cb) const { return tab_ipm_[y_cb * mcb_w_ + x_cb]; }
   int32_t cpm_at(int x_cb, int y_cb) const { return tab_cpm_[y_cb * mcb_w_ + x_cb]; }
+  int32_t imf_at(int x_cb, int y_cb) const { return tab_imf_[y_cb * mcb_w_ + x_cb]; }
 
   int bin(int ctx) { return cd_->decode(ctxs_, ctx); }
 
@@ -2160,6 +2186,7 @@ class Decoder {
     mcb_h_ = pps_.height >> min_cb_log2_;
     tab_ipm_.assign((size_t)mcb_w_ * mcb_h_, 0);
     tab_cpm_.assign((size_t)mcb_w_ * mcb_h_, MODE_INTER);
+    tab_imf_.assign((size_t)mcb_w_ * mcb_h_, 0);
     tab_cbw_.assign((size_t)mcb_w_ * mcb_h_, 0);
     tab_cbh_.assign((size_t)mcb_w_ * mcb_h_, 0);
     tab_cqt_.assign((size_t)mcb_w_ * mcb_h_, 0);
@@ -2638,6 +2665,7 @@ class Decoder {
     cu.w = cb_w;
     cu.h = cb_h;
     cu.ref_idx = -1;
+    cu.mip = -1;
 
     // pred_mode_decode (vvc_ctu.c:1032-1092), no IBC
     bool inter_slice = sh_.sh_slice_type != 2;
@@ -2671,10 +2699,27 @@ class Decoder {
       if (sps_.sps_bdpcm_enabled_flag && cb_w <= sps_.max_ts_size &&
           cb_h <= sps_.max_ts_size)
         cu.bdpcm_l = bin(INTRA_BDPCM_LUMA_FLAG);
-      if (cu.bdpcm_l)
+      if (cu.bdpcm_l) {
         cu.luma_mode = bin(INTRA_BDPCM_LUMA_DIR_FLAG) ? 50 : 18;
-      else
-        cu.luma_mode = decode_luma_intra_mode(x0, y0, cb_w, cb_h);
+      } else {
+        // intra_mip_flag (vvc_ctu.c:967-980, ff_vvc_intra_mip_flag)
+        if (sps_.sps_mip_enabled_flag) {
+          int inc = (cb_w > cb_h * 2 || cb_h > cb_w * 2)
+                        ? 3 : get_inc_tab(tab_imf_, x0, y0);
+          if (bin(INTRA_MIP_FLAG + inc)) {
+            cu.mip_t = (int)cd_->bypass();
+            int c_max = (cb_w == 4 && cb_h == 4) ? 15
+                        : ((cb_w == 4 || cb_h == 4) ||
+                           (cb_w == 8 && cb_h == 8)) ? 7 : 5;
+            cu.mip = truncated_binary(c_max);
+          }
+        }
+        if (cu.mip >= 0)
+          cu.luma_mode = cu.mip;  // tab.ipm stores the MIP mode (ff parity)
+        else
+          cu.luma_mode = decode_luma_intra_mode(x0, y0, cb_w, cb_h);
+      }
+      set_cb_tab(tab_imf_, x0, y0, cb_w, cb_h, cu.mip >= 0 ? 1 : 0);
       set_cb_tab(tab_ipm_, x0, y0, cb_w, cb_h, cu.luma_mode);
       set_cb_tab(out.ipm, x0, y0, cb_w, cb_h, cu.luma_mode);
       int chroma_mode_idx = 4;
@@ -3220,7 +3265,8 @@ class Decoder {
     int lfnst_idx = 0;
     if (coded && sps_.sps_lfnst_enabled_flag && is_intra &&
         std::max(cu.w, cu.h) <= sps_.max_tb_size_y && !cu_any_coded_ts_ &&
-        std::min(cu.w, cu.h) >= 4) {
+        std::min(cu.w, cu.h) >= 4 &&
+        !(cu.mip >= 0 && std::min(cu.w, cu.h) < 16)) {  // vvc_ctu.c:826
       if (!lfnst_dc_only_ && lfnst_zero_out_) {
         if (bin(LFNST_IDX + 0))
           lfnst_idx = bin(LFNST_IDX + 2) ? 2 : 1;
@@ -3230,8 +3276,10 @@ class Decoder {
       for (size_t j = tu_begin; j < out.tus.size(); j++) {
         TuRecord& tr = out.tus[j];
         if (tr.c_idx != 0 || !tr.coded) continue;
-        // derive_ilfnst_pred_mode_intra + wide angle (vvc_intra.c:380-417)
-        int mode = ctrl::wide_angle_map(cu.luma_mode, tr.w, tr.h);
+        // derive_ilfnst_pred_mode_intra + wide angle (vvc_intra.c:380-417);
+        // MIP luma selects the planar transform set
+        int base_mode = cu.mip >= 0 ? 0 : cu.luma_mode;
+        int mode = ctrl::wide_angle_map(base_mode, tr.w, tr.h);
         tr.lf_tr = mode > 34;
         int set = mode < 0 ? 1 : kLfnstTrSet[mode];
         tr.lf_sel = set * 2 + (lfnst_idx - 1);
@@ -3252,7 +3300,7 @@ class Decoder {
     static const int32_t mts_to_trv[] = {0, 1, 1, 2, 2};
     bool implicit_on = sps_.sps_mts_enabled_flag && is_intra &&
                        !sps_.sps_explicit_mts_intra_enabled_flag &&
-                       !lfnst_idx;
+                       !lfnst_idx && cu.mip < 0;  // derive_transform_type
     for (size_t j = tu_begin; j < out.tus.size(); j++) {
       TuRecord& tr = out.tus[j];
       if (tr.c_idx != 0 || !tr.coded) continue;
@@ -3302,8 +3350,11 @@ class Decoder {
     bool avail_l = ctb_left_ || x0b;
     bool avail_u = ctb_up_ || y0b;
     int a = INTRA_PLANAR, b = INTRA_PLANAR;
-    if (avail_l && cpm_at(x_a, y_a) == MODE_INTRA) a = ipm_at(x_a, y_a);
-    if (avail_u && cpm_at(x_b, y_b) == MODE_INTRA && y0b) b = ipm_at(x_b, y_b);
+    // MIP neighbours count as planar (vvc_ctu.c:719-731 imf gate)
+    if (avail_l && cpm_at(x_a, y_a) == MODE_INTRA && !imf_at(x_a, y_a))
+      a = ipm_at(x_a, y_a);
+    if (avail_u && cpm_at(x_b, y_b) == MODE_INTRA && !imf_at(x_b, y_b) && y0b)
+      b = ipm_at(x_b, y_b);
 
     int cand[5];
     if (a == b && a > INTRA_DC) {
@@ -3366,7 +3417,9 @@ class Decoder {
     // but use the center sample for parity with split CUs later)
     int xc = (x0 + cb_w / 2) >> min_cb_log2_;
     int yc = (y0 + cb_h / 2) >> min_cb_log2_;
-    int center = ipm_at(xc, yc);
+    // a MIP center counts as planar (derive_center_luma_intra_pred_mode,
+    // vvc_ctu.c:863-879; 4:4:4 mip_chroma_direct not supported yet)
+    int center = imf_at(xc, yc) ? INTRA_PLANAR : ipm_at(xc, yc);
     (void)luma_mode;
     if (idx == 4) return center;
     static const int pred_mode_c[4][5] = {

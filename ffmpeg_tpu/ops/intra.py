@@ -307,3 +307,116 @@ def pdpc_hvdc(pred, top, left, OFF: int, maxs: int, logw, logh, mode_class,
                    32 >> jnp.minimum((y << 1) >> scale, 31))
     out = pred + ((wl * (l - pred) + wt * (t - pred) + 32) >> 6)
     return jnp.clip(out, 0, clip_max)
+
+
+# ----------------------------------------------------------------------
+# MIP — matrix-based intra prediction (spec 8.4.5.2.2; parity pred_mip,
+# vvc_intra_template.c:708-825).  One combined matrix bank, padded to
+# (30, 64, 8): rows 0..15 = size-id 0 (16x4 used), 16..23 = size-id 1
+# (16x8), 24..29 = size-id 2 (64x7).
+# ----------------------------------------------------------------------
+
+def _mip_bank() -> np.ndarray:
+    bank = np.zeros((30, 64, 8), np.int32)
+    m0 = _TABLES["mip_0"].astype(np.int32)   # (16, 16, 4)
+    m1 = _TABLES["mip_1"].astype(np.int32)   # (8, 16, 8)
+    m2 = _TABLES["mip_2"].astype(np.int32)   # (6, 64, 7)
+    bank[0:16, :16, :4] = m0
+    bank[16:24, :16, :8] = m1
+    bank[24:30, :64, :7] = m2
+    return bank
+
+
+MIP_BANK = _mip_bank()
+
+
+def _ilog2(v):
+    """log2 of a traced power-of-two int (exact in f32 for <= 2^24)."""
+    return jnp.int32(jnp.round(jnp.log2(v.astype(jnp.float32))))
+
+
+def pred_mip(top, left, OFF: int, maxs: int, w, h, mip_id, mip_t, size_id,
+             bit_depth: int, clip_max: int):
+    """MIP prediction of a (maxs, maxs) block (valid region (h, w)).
+
+    top/left: edge arrays (availability-substituted, unfiltered);
+    mip_id: global matrix row; mip_t: transposed flag; size_id: 0..2.
+    All of w/h/mip_id/mip_t/size_id are traced scalars.
+    """
+    bsz = jnp.where(size_id == 0, 2, 4)          # boundarySize
+    ps = jnp.where(size_id == 2, 8, 4)           # predSize
+    in_size = jnp.where(size_id == 0, 4, jnp.where(size_id == 2, 7, 8))
+
+    jj = jnp.arange(maxs)
+    tvals = top[OFF + jj]
+    lvals = left[OFF + jj]
+
+    def downsample(vals, n):
+        # reduced[i] = (sum of group i + ratio/2) >> log2(ratio)
+        ratio = n // bsz
+        lg = _ilog2(ratio)
+        grp = jj >> lg
+        i4 = jnp.arange(4)
+        sums = jnp.sum(jnp.where((jj[None, :] < n) & (grp[None, :] ==
+                                                      i4[:, None]),
+                                 vals[None, :], 0), axis=1)
+        return (sums + (ratio >> 1)) >> lg       # (4,)
+
+    red_t = downsample(tvals, w)
+    red_l = downsample(lvals, h)
+
+    first = jnp.where(mip_t > 0, red_l, red_t)
+    second = jnp.where(mip_t > 0, red_t, red_l)
+    i8 = jnp.arange(8)
+    r8 = jnp.where(i8 < bsz, first[jnp.clip(i8, 0, 3)],
+                   second[jnp.clip(i8 - bsz, 0, 3)])
+    temp0 = r8[0]
+
+    # input vector (in-place offsets; vvc_intra_template.c:805-816)
+    mid = 1 << (bit_depth - 1)
+    v = jnp.where(size_id == 2, r8[jnp.clip(i8 + 1, 0, 7)] - temp0,
+                  jnp.where(i8 == 0, mid - temp0, r8 - temp0))
+    v = jnp.where(i8 < in_size, v, 0)
+    ow = 32 - 32 * jnp.sum(v)
+
+    mat = jnp.asarray(MIP_BANK)[jnp.clip(mip_id, 0, 29)]   # (64, 8)
+    predv = ((mat @ v + ow) >> 6) + temp0                  # (64,)
+    predv = jnp.clip(predv, 0, clip_max)
+
+    # reduced prediction grid (transposed layout handled here)
+    y8 = jnp.arange(8)[:, None]
+    x8 = jnp.arange(8)[None, :]
+    p8 = predv[jnp.clip(y8 * ps + x8, 0, 63)]
+    p8 = jnp.where(mip_t > 0, p8.T, p8)
+
+    # upsampling (mip_upsampling_1d): horizontal over the ps rows that
+    # hold predRed, then vertical over all w columns
+    uh = w // ps
+    uv = h // ps
+    lg_h = _ilog2(uh)
+    lg_v = _ilog2(uv)
+
+    x = jnp.arange(maxs)[None, :]
+    yr = jnp.arange(8)[:, None]
+    k = x >> lg_h
+    dx = (x & (uh - 1)) + 1
+    brow = left[OFF + jnp.clip((yr + 1) * uv - 1, 0, maxs - 1)
+                + jnp.zeros_like(x)]
+    pa = jnp.where(k == 0, brow,
+                   p8[jnp.broadcast_to(yr, (8, maxs)),
+                      jnp.clip(jnp.broadcast_to(k - 1, (8, maxs)), 0, 7)])
+    pb = p8[jnp.broadcast_to(yr, (8, maxs)),
+            jnp.clip(jnp.broadcast_to(k, (8, maxs)), 0, 7)]
+    tmp = ((uh - dx) * pa + dx * pb + (uh >> 1)) >> lg_h   # (8, maxs)
+
+    y = jnp.arange(maxs)[:, None]
+    ky = y >> lg_v
+    dy = (y & (uv - 1)) + 1
+    trow = top[OFF + x + jnp.zeros_like(y)]
+    ca = jnp.where(ky == 0, trow,
+                   tmp[jnp.clip(jnp.broadcast_to(ky - 1, (maxs, maxs)), 0, 7),
+                       jnp.broadcast_to(x, (maxs, maxs))])
+    cb = tmp[jnp.clip(jnp.broadcast_to(ky, (maxs, maxs)), 0, 7),
+             jnp.broadcast_to(x, (maxs, maxs))]
+    out = ((uv - dy) * ca + dy * cb + (uv >> 1)) >> lg_v
+    return out.astype(jnp.int32)

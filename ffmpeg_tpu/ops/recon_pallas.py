@@ -58,9 +58,11 @@ JMAX = 103        # edge_arrays' index bound (176-long arrays, origin 72:
  KCSRC,
  KPROF, KPDHX0, KPDHY0, KPDVX0, KPDVY0,
  KPDHX1, KPDHY1, KPDVX1, KPDVY1, KBDOF,
- KDMVR, KOM0X, KOM0Y, KOM1X, KOM1Y) = range(63)
+ KDMVR, KOM0X, KOM0Y, KOM1X, KOM1Y,
+ KMIPID, KMIPT, KMIPSZ) = range(66)
 
-MC_PLANAR, MC_DC, MC_VERT, MC_HORZ, MC_ANG_V, MC_ANG_H, MC_INTER = range(7)
+(MC_PLANAR, MC_DC, MC_VERT, MC_HORZ, MC_ANG_V, MC_ANG_H, MC_INTER,
+ MC_MIP) = range(8)
 
 
 def _r128(v: int) -> int:
@@ -136,14 +138,19 @@ def _scal(v):
   return jnp.sum(v)
 
 
-def _build_kernel(Hp, Wp, Wr, HL, nch, bit_depth, is_chroma, gran):
+def _build_kernel(Hp, Wp, Wr, HL, nch, bit_depth, is_chroma, gran,
+                  has_mip=False):
   maxv = (1 << bit_depth) - 1
   mid = 1 << (bit_depth - 1)
   lg = gran.bit_length() - 1      # log2(gran)
   nr = S // gran                  # R rows written per unit
 
   def kernel(ctrl_ref, meta_ref, ipos_ref, res_ref, iblk_ref, ftab_ref,
-             p_in, r_in, plane_ref, r_ref):
+             *rest):
+    if has_mip:
+      mip_ref, p_in, r_in, plane_ref, r_ref = rest
+    else:
+      p_in, r_in, plane_ref, r_ref = rest
     i = pl.program_id(0)
     iy = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
     ix = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
@@ -381,6 +388,93 @@ def _build_kernel(Hp, Wp, Wr, HL, nch, bit_depth, is_chroma, gran):
             0, maxv)
         pred = jnp.where((pdpc > 0) & (mc < MC_ANG_V), hv_pdpc, pred)
 
+        # ---- MIP (8.4.5.2.2; parity ops/intra.py pred_mip) ----------
+        if has_mip and not is_chroma:
+          mip_id = ctrl_ref[KMIPID, i]
+          mip_t = ctrl_ref[KMIPT, i]
+          msz = ctrl_ref[KMIPSZ, i]
+          bsz = jnp.where(msz == 0, 2, 4)
+          lgps = jnp.where(msz == 2, 3, 2)       # log2(predSize)
+          ps_ = jnp.where(msz == 2, 8, 4)
+          in_size = jnp.where(msz == 0, 4, jnp.where(msz == 2, 7, 8))
+          lgbsz = jnp.where(msz == 0, 1, 2)
+          # boundary downsampling: one-hot group-sum matmuls.  src1 is
+          # reduced into entries [0, bsz), src2 into [bsz, 2*bsz)
+          # (sources swap when transposed: mip_downsampling + FFSWAP)
+          n1 = jnp.where(mip_t > 0, h, w)
+          n2 = jnp.where(mip_t > 0, w, h)
+          rat1 = n1 >> lgbsz
+          rat2 = n2 >> lgbsz
+          lg1 = ((rat1 >= 2).astype(jnp.int32) + (rat1 >= 4) + (rat1 >= 8))
+          lg2 = ((rat2 >= 2).astype(jnp.int32) + (rat2 >= 4) + (rat2 >= 8))
+          src1 = jnp.where(mip_t > 0, left, top)
+          src2 = jnp.where(mip_t > 0, top, left)
+          sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, LE), 0)
+          jl8 = jax.lax.broadcasted_iota(jnp.int32, (8, LE), 1) - OFF
+          d1 = ((sub8 < bsz) & (jl8 >= 0) & (jl8 < n1)
+                & ((jl8 >> lg1) == sub8)).astype(jnp.int32)
+          d2 = ((sub8 >= bsz) & (jl8 >= 0) & (jl8 < n2)
+                & ((jl8 >> lg2) == sub8 - bsz)).astype(jnp.int32)
+          r8 = _dot_t(d1, src1) + _dot_t(d2, src2)           # (8, 1)
+          rowi = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+          r8 = ((r8 + jnp.where(rowi < bsz, rat1 >> 1, rat2 >> 1))
+                >> jnp.where(rowi < bsz, lg1, lg2))
+          temp0 = _scal(_row(r8, 0))
+          r8s = pltpu.roll(r8, 7, axis=0)                    # r8[i+1]
+          vv = jnp.where(msz == 2, r8s - temp0,
+                         jnp.where(rowi == 0, mid - temp0, r8 - temp0))
+          vv = jnp.where(rowi < in_size, vv, 0)              # (8, 1)
+          ow = 32 - 32 * jnp.sum(vv)
+          # matrix rows (bank layout: row mip_id*8+k = input-k column,
+          # lanes = the 64 reduced-pred outputs)
+          mrow0 = jnp.maximum(mip_id, 0) * 8
+          mat8 = jnp.concatenate(
+              [mip_ref[pl.ds(mrow0 + k, 1), :] for k in range(8)], axis=0)
+          pv = jax.lax.dot_general(
+              vv.astype(jnp.float32), mat8.astype(jnp.float32),
+              (((0,), (0,)), ((), ())),
+              precision=jax.lax.Precision.HIGHEST,
+              preferred_element_type=jnp.float32).astype(jnp.int32)
+          pv = jnp.clip(((pv + ow) >> 6) + temp0, 0, maxv)   # (1, 128)
+          # reduced-pred grid: P8[y, x] = pv[y*ps + x]
+          t8 = jnp.concatenate(
+              [pltpu.roll(pv, (128 - x_) % 128, axis=1)
+               for x_ in range(8)], axis=0)                  # (8, 128)
+          sub8b = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+          lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+          e8 = (lane8 == sub8b * ps_).astype(jnp.int32)
+          p8g = _dot_t(e8, t8)                               # (8, 8)
+          p8g = jnp.where(mip_t > 0, p8g.T, p8g)
+          # upsampling (mip_upsampling_1d): H over the ps rows holding
+          # predRed (left boundary at rows (y+1)*uv-1), then V over all
+          # columns (top boundary)
+          uv_ = h >> lgps
+          uh_ = w >> lgps
+          lg_h = ((uh_ >= 2).astype(jnp.int32) + (uh_ >= 4) + (uh_ >= 8))
+          lg_v = ((uv_ >= 2).astype(jnp.int32) + (uv_ >= 4) + (uv_ >= 8))
+          eb = (jl8 == (sub8 + 1) * uv_ - 1 - 0).astype(jnp.int32)
+          b8 = _dot_t(eb, left)                              # (8, 1)
+          ext_h = jnp.concatenate(
+              [b8, p8g, jnp.zeros((8, 128 - 9), jnp.int32)], axis=1)
+          jj2 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+          xx2 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+          kx = xx2 >> lg_h
+          dxx = (xx2 & (uh_ - 1)) + 1
+          w_h = jnp.where(xx2 < S,
+                          (jj2 == kx) * (uh_ - dxx) + (jj2 == kx + 1) * dxx,
+                          0)
+          tmp8 = (_dot(ext_h, w_h) + (uh_ >> 1)) >> lg_h     # (8, 128)
+          trow128 = pltpu.roll(top, LE - OFF, axis=1)[:, :128] + 0
+          ext_v = jnp.concatenate(
+              [trow128, tmp8, jnp.zeros((7, 128), jnp.int32)], axis=0)
+          yy3 = jax.lax.broadcasted_iota(jnp.int32, (S, 16), 0)
+          jj3 = jax.lax.broadcasted_iota(jnp.int32, (S, 16), 1)
+          ky = yy3 >> lg_v
+          dyy = (yy3 & (uv_ - 1)) + 1
+          w_v = (jj3 == ky) * (uv_ - dyy) + (jj3 == ky + 1) * dyy
+          mip_out = (_dot(w_v, ext_v) + (uv_ >> 1)) >> lg_v  # (S, 128)
+          pred = jnp.where(mc == MC_MIP, mip_out[:, :S] + 0, pred)
+
         # CIIP: blend the (planar+PDPC) intra prediction with the
         # prefetched MC block (put_ciip, vvc_inter_template.c:60-76)
         ciipw = ctrl_ref[KCIIPW, i]
@@ -429,10 +523,25 @@ _FTAB_ROWS[:32, :4] = INTRA_LUMA_FILTER[0]
 _FTAB_ROWS[32:, :4] = INTRA_LUMA_FILTER[1]
 
 
+# MIP matrix bank in kernel layout: row mip_id*8 + k holds input-k's
+# column of the matrix across lanes 0..63 (transposed w.r.t. the spec
+# tables so the reduced prediction is one (1,8)x(8,64) MXU matmul)
+def _mip_bank_rows() -> np.ndarray:
+  from .intra import MIP_BANK  # (30, 64, 8)
+
+  bank = np.zeros((240, 128), np.int32)
+  for mid_ in range(30):
+    bank[mid_ * 8:(mid_ + 1) * 8, :64] = MIP_BANK[mid_].T
+  return bank
+
+
+_MIP_BANK_ROWS = None
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "W", "H", "nch", "bit_depth", "is_chroma"))
+    "W", "H", "nch", "bit_depth", "is_chroma", "has_mip"))
 def recon_plane_pallas(ctrl, n_units, inter_pos, res_blocks, inter_blocks,
-                       *, W, H, nch, bit_depth, is_chroma):
+                       *, W, H, nch, bit_depth, is_chroma, has_mip=False):
   """Run the recon kernel over one plane kind.
 
   ctrl: (30, ncap) int32 decode-order control matrix.
@@ -445,7 +554,9 @@ def recon_plane_pallas(ctrl, n_units, inter_pos, res_blocks, inter_blocks,
   gran = 2 if is_chroma else 4
   Hp, Wp, Wr, HL = plane_geom(W, H, gran)
   ncap = ctrl.shape[1]
-  kernel = _build_kernel(Hp, Wp, Wr, HL, nch, bit_depth, is_chroma, gran)
+  has_mip = bool(has_mip) and not is_chroma
+  kernel = _build_kernel(Hp, Wp, Wr, HL, nch, bit_depth, is_chroma, gran,
+                         has_mip)
   mid = 1 << (bit_depth - 1)
   p0 = jnp.full((nch, Hp, Wp), mid, jnp.int32)
   r0 = jnp.zeros((nch, Wr, HL), jnp.int32)
@@ -457,19 +568,47 @@ def recon_plane_pallas(ctrl, n_units, inter_pos, res_blocks, inter_blocks,
     res_spec = pl.BlockSpec((1, S, S), lambda i, c, m, p: (i, 0, 0))
     iblk_spec = pl.BlockSpec((1, S, S), lambda i, c, m, p: (p[i], 0, 0))
   vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+  # The ctrl matrix is a scalar-prefetch operand and lives in SMEM
+  # (1 MB cap on current TPUs).  Large frames can need ncap=4096+
+  # units, and (63, 4096) int32 alone is 1.03 MB — so the unit grid is
+  # split into segments whose ctrl slice fits comfortably, threading
+  # the plane / R-column buffers through via input-output aliasing
+  # (one kernel launch per segment, state stays in VMEM-backed HBM).
+  seg = min(ncap, max(256, (600 * 1024 // (4 * ctrl.shape[0])) // 256 * 256))
+  nseg = (ncap + seg - 1) // seg
+  nconst = 2 if has_mip else 1  # ftab (+ mip bank) before p_in/r_in
   grid_spec = pltpu.PrefetchScalarGridSpec(
-      num_scalar_prefetch=3, grid=(ncap,),
-      in_specs=[res_spec, iblk_spec, vm, vm, vm],
+      num_scalar_prefetch=3, grid=(seg,),
+      in_specs=[res_spec, iblk_spec] + [vm] * (nconst + 2),
       out_specs=[vm, vm])
   fn = pl.pallas_call(
       kernel,
       out_shape=[jax.ShapeDtypeStruct((nch, Hp, Wp), jnp.int32),
                  jax.ShapeDtypeStruct((nch, Wr, HL), jnp.int32)],
       grid_spec=grid_spec,
-      input_output_aliases={6: 0, 7: 1},
+      input_output_aliases={5 + nconst: 0, 6 + nconst: 1},
       # off-TPU (FFMPEG_TPU_PALLAS=1 tests) run the kernel interpreted
       interpret=jax.default_backend() != "tpu")
-  meta = jnp.asarray([n_units], jnp.int32).reshape(1)
-  plane, _r = fn(ctrl, meta, inter_pos, res_blocks, inter_blocks,
-                 jnp.asarray(_FTAB_ROWS), p0, r0)
+  consts = [jnp.asarray(_FTAB_ROWS)]
+  if has_mip:
+    global _MIP_BANK_ROWS
+    if _MIP_BANK_ROWS is None:
+      _MIP_BANK_ROWS = _mip_bank_rows()
+    consts.append(jnp.asarray(_MIP_BANK_ROWS))
+  plane, r = p0, r0
+  for s in range(nseg):
+    lo, hi = s * seg, min((s + 1) * seg, ncap)
+    if hi - lo < seg:  # keep one kernel variant: pad the tail segment
+      pad = seg - (hi - lo)
+      ctrl_s = jnp.pad(ctrl[:, lo:hi], ((0, 0), (0, pad)))
+      pos_s = jnp.pad(inter_pos[lo:hi], (0, pad))
+      res_s = jnp.pad(res_blocks[lo:hi],
+                      ((0, pad),) + ((0, 0),) * (res_blocks.ndim - 1))
+    else:
+      ctrl_s = ctrl[:, lo:hi]
+      pos_s = inter_pos[lo:hi]
+      res_s = res_blocks[lo:hi]
+    meta = jnp.clip(n_units - lo, 0, seg).astype(jnp.int32).reshape(1)
+    plane, r = fn(ctrl_s, meta, pos_s, res_s, inter_blocks, *consts,
+                  plane, r)
   return plane
