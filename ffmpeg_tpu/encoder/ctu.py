@@ -119,6 +119,8 @@ class CuIntent:
     # MIP (matrix-based intra prediction): mode (-1 = off) + transpose
     mip_mode: int = -1
     mip_transposed: int = 0
+    # CCLM chroma mode: -1 off, 0 LT / 1 L / 2 T
+    cclm_idx: int = -1
 
 
 class FrameSyntaxEncoder:
@@ -287,7 +289,18 @@ class FrameSyntaxEncoder:
         self.tab_cpm[ys:ys + (cu.h >> s), xs:xs + (cu.w >> s)] = MODE_INTRA
 
     def _encode_chroma_intra_mode(self, cu: CuIntent) -> None:
-        # CCLM off; intra_chroma_pred_mode: 4 = DM
+        # cclm_mode_flag/idx (vvc_ctu.c:1016-1030); without dual tree
+        # get_cclm_enabled is just the SPS flag (vvc_ctu.c:629-637)
+        if self.sps.sps_cclm_enabled_flag:
+            self._bin("CCLM_MODE_FLAG", 0, int(cu.cclm_idx >= 0))
+        else:
+            assert cu.cclm_idx < 0
+        if cu.cclm_idx >= 0:
+            self._bin("CCLM_MODE_IDX", 0, int(cu.cclm_idx > 0))
+            if cu.cclm_idx > 0:
+                self.enc.bypass(cu.cclm_idx - 1)
+            return
+        # intra_chroma_pred_mode: 4 = DM
         if cu.chroma_mode_idx == 4:
             self._bin("INTRA_CHROMA_PRED_MODE", 0, 0)
         else:

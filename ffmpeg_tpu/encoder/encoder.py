@@ -92,6 +92,9 @@ class EncoderConfig:
     dmvr: bool = False    # decoder-side motion vector refinement
     # intra toolset wave
     mip: bool = False     # matrix-based intra prediction
+    cclm: bool = False    # cross-component linear model chroma
+    # sps_chroma_vertical_collocated_flag (CCLM luma downsampler shape)
+    cclm_vertical_collocated: bool = True
 
 
 def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
@@ -138,6 +141,9 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
         sps_bdpcm_enabled_flag=1 if cfg.bdpcm else 0,
         sps_lfnst_enabled_flag=1 if cfg.lfnst else 0,
         sps_mip_enabled_flag=1 if cfg.mip else 0,
+        sps_cclm_enabled_flag=1 if cfg.cclm else 0,
+        sps_chroma_vertical_collocated_flag=(
+            1 if cfg.cclm_vertical_collocated else 0),
         sps_explicit_mts_intra_enabled_flag=1 if cfg.mts else 0,
         sps_explicit_mts_inter_enabled_flag=1 if cfg.mts else 0,
         sps_dep_quant_enabled_flag=1 if cfg.dep_quant else 0,
@@ -271,8 +277,17 @@ def _random_cu(cfg, rng, x0, y0, w, h, is_inter_slice=False):
                 and rng.random() < 0.7:
             cu.bdpcm_c = 1
             cu.bdpcm_dir_c = int(rng.random() < 0.5)
+    if (cfg.cclm and cu.pred_mode == "intra" and not cu.bdpcm_c
+            and rng.random() < 0.6):
+        cu.cclm_idx = int(rng.integers(0, 3))  # 0 LT / 1 L / 2 T
+    # MIP is capped at the max transform size: for larger CUs the
+    # reference predicts each split TB with tab.imm/imtf values it only
+    # wrote at the CU's first min-CB column (vvc_ctu.c:976-977) and
+    # never zeroes per frame (vvcdec.c:101 tl_init zero=0) — stale
+    # out-of-spec modes.  Our decoder follows the spec (the CU's MIP
+    # mode applies to every TB), so the generator avoids the quirk.
     if (cfg.mip and cu.pred_mode == "intra" and not cu.bdpcm_l
-            and rng.random() < 0.5):
+            and max(w, h) <= 32 and rng.random() < 0.5):
         c_max = 15 if (w == 4 and h == 4) else \
             7 if ((w == 4 or h == 4) or (w == 8 and h == 8)) else 5
         cu.mip_mode = int(rng.integers(0, c_max + 1))
@@ -811,6 +826,7 @@ def _cu_to_dict(cu: CuIntent) -> dict:
         "luma_mode": cu.luma_mode,
         "chroma_mode_idx": cu.chroma_mode_idx,
         "mip_mode": cu.mip_mode, "mip_transposed": cu.mip_transposed,
+        "cclm_idx": cu.cclm_idx,
         "coeff_y": None if cu.coeff_y is None else cu.coeff_y.tolist(),
         "coeff_cb": None if cu.coeff_cb is None else cu.coeff_cb.tolist(),
         "coeff_cr": None if cu.coeff_cr is None else cu.coeff_cr.tolist(),

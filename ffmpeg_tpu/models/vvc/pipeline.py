@@ -504,7 +504,10 @@ INTRA_KEYS = ("x0", "y0", "w", "h", "logw", "logh", "mode_class", "angle",
               "wden", "w0", "w1", "wo0", "wo1", "hpel", "ciipw",
               "hyp0lx", "hyp1lx",
               # MIP (8.4.5.2.2)
-              "mip_id", "mip_t", "mip_sz")
+              "mip_id", "mip_t", "mip_sz",
+              # CCLM (8.4.5.2.14)
+              "cclm", "cclm_vc", "cclm_ct", "cclm_cl",
+              "cclm_p0", "cclm_p1", "cclm_p2", "cclm_p3")
 
 # units per batched group: the device executes groups sequentially and
 # the units inside a group as one vmapped batch (host guarantees units
@@ -737,8 +740,31 @@ def _inter_unit(res_plane, refs, c, *, maxs, taps, before, frac_bits,
   return jnp.clip(pred + res, 0, maxv)
 
 
+def _cclm_unit(c, top, left, cclm, OFF, maxs, bit_depth, maxv):
+  """CCLM prediction for one chroma unit (8.4.5.2.14): boundary picks
+  from the unit's own edge vectors (chroma) and the reconstructed luma
+  plane, min/max model fit, apply to the downsampled collocated luma."""
+  luma, dsy, _vc_inp = cclm
+  x0, y0 = c["x0"], c["y0"]
+  vc = c["cclm_vc"] & 1
+  b_ctu = c["cclm_vc"] >> 1
+  cnt_t, cnt_l = c["cclm_ct"], c["cclm_cl"]
+  pos = jnp.stack([c["cclm_p0"], c["cclm_p1"], c["cclm_p2"], c["cclm_p3"]])
+  n_sel = cnt_t + cnt_l
+  sel_l = I.cclm_select_luma(luma, x0, y0, cnt_t, pos, vc, b_ctu,
+                             (x0 > 0).astype(jnp.int32),
+                             (y0 > 0).astype(jnp.int32))
+  i4 = jnp.arange(4)
+  sel_c = jnp.where(i4 < cnt_t, top[OFF + pos], left[OFF + pos])
+  sel_l = jnp.where(n_sel == 2, I.cclm_reorder2(sel_l), sel_l)
+  sel_c = jnp.where(n_sel == 2, I.cclm_reorder2(sel_c), sel_c)
+  a, k, b = I.cclm_get_params(sel_l, sel_c, n_sel, bit_depth)
+  blk = jax.lax.dynamic_slice(dsy, (y0, x0), (maxs, maxs))
+  return jnp.clip(((blk * a) >> k) + b, 0, maxv)
+
+
 def _intra_unit(plane, res_plane, c, *, maxs, is_chroma, bit_depth, maxv,
-                mid, OFF, refs=None, lmcs=None):
+                mid, OFF, refs=None, lmcs=None, cclm=None):
   """Prediction + residual for one intra unit (vmapped over a chunk);
   reads reconstructed neighbour samples from the current plane."""
   w, h = c["w"], c["h"]
@@ -777,6 +803,9 @@ def _intra_unit(plane, res_plane, c, *, maxs, is_chroma, bit_depth, maxv,
       lambda: I.pred_mip(top, left, OFF, maxs, w, h, c["mip_id"],
                          c["mip_t"], c["mip_sz"], bit_depth, maxv),
   ]
+  if cclm is not None:
+    branches.append(lambda: _cclm_unit(c, top, left, cclm, OFF, maxs,
+                                       bit_depth, maxv))
   mc = c["mode_class"]
   pred = jax.lax.switch(mc, branches)
   pred = jax.lax.cond(
@@ -800,7 +829,7 @@ def _intra_unit(plane, res_plane, c, *, maxs, is_chroma, bit_depth, maxv,
 
 def _recon_plane(res_plane, inter, n_inter, intra, n_chunks, refs, *,
                  maxs_inter, maxs_intra, is_chroma, bit_depth, lmcs=None,
-                 cr_weights=False):
+                 cr_weights=False, cclm=None):
   """Batched reconstruction of one plane.
 
   Replaces the reference's per-CTU RECON/INTER task stages
@@ -847,7 +876,7 @@ def _recon_plane(res_plane, inter, n_inter, intra, n_chunks, refs, *,
     blks = jax.vmap(lambda cc: _intra_unit(
         plane, res_plane, cc, maxs=maxs_intra, is_chroma=is_chroma,
         bit_depth=bit_depth, maxv=maxv, mid=mid, OFF=OFF,
-        refs=refs, lmcs=lmcs))(c)
+        refs=refs, lmcs=lmcs, cclm=cclm))(c)
     return _scatter_blocks(plane, blks, c["x0"], c["y0"], c["w"], c["h"],
                            c["w"] > 0, maxs_intra)
 
@@ -934,12 +963,33 @@ def _build_frame_program(shapes):
     res_c = [_residual_blocks_from_buckets(
         inp["planes"][c]["buckets"], ncap_c, bd, CHROMA_SIZES, True,
         scale) for c in (1, 2)]
+    has_cclm = "cclm_vc" in inp  # static: keys shape the program
+    sel_luma = dsy = None
+    if has_cclm:
+      # CCLM reads the (mapped-domain) reconstructed luma: whole-plane
+      # collocated downsample + the per-unit boundary luma picks
+      vc = inp["cclm_vc"]
+      luma_p = ky[0]
+      dsy = I.cclm_dsy_plane(luma_p, vc)
+      K = CTRL_KEYS.index
+      cm = rc["ctrl"]
+
+      def sel_one(col):
+        pos = col[K("cclm_p0"):K("cclm_p3") + 1]
+        return I.cclm_select_luma(
+            luma_p, col[K("x0")], col[K("y0")], col[K("cclm_ct")], pos,
+            col[K("cclm_vc")] & 1, col[K("cclm_vc")] >> 1,
+            (col[K("x0")] > 0).astype(jnp.int32),
+            (col[K("y0")] > 0).astype(jnp.int32))
+
+      sel_luma = jax.vmap(sel_one, in_axes=1, out_axes=1)(cm)
     kc = recon_plane_pallas(rc["ctrl"], rc["n"], rc["ipos"],
                             jnp.stack(res_c, axis=1),
                             jnp.stack([_pred_blocks(inp, refs_in, c, lm)
                                        for c in (1, 2)], axis=1),
                             W=W >> 1, H=H >> 1, nch=2, bit_depth=bd,
-                            is_chroma=True)
+                            is_chroma=True, has_cclm=has_cclm,
+                            sel_luma=sel_luma, dsy=dsy)
     luma = _lmcs_inv(ky[0], lm, bd) if lm is not None else ky[0]
 
     def embed(kp, Hx, Wx, Hp, Wp):
@@ -1004,6 +1054,7 @@ def _build_frame_program(shapes):
     else:
       planes = []
       scale = None
+      cclm = None
       for c_idx, (maxs, Hp, Wp, sizes) in enumerate((
           (maxs_y, Hp_y, Wp_y, LUMA_SIZES),
           (maxs_c, Hp_c, Wp_c, CHROMA_SIZES),
@@ -1019,10 +1070,15 @@ def _build_frame_program(shapes):
                              maxs_intra=min(32, maxs),
                              is_chroma=c_idx > 0, bit_depth=bd,
                              lmcs=lm if c_idx == 0 else None,
-                             cr_weights=c_idx == 2)
+                             cr_weights=c_idx == 2, cclm=cclm)
         planes.append(plane)
         if c_idx == 0 and crs:
           scale = _lmcs_vpdu_scales(plane[:H, :W], lm, W, H, vsz, bd)
+        if c_idx == 0 and "cclm_vc" in inp:
+          # chroma CCLM reads the (mapped-domain) reconstructed luma:
+          # the whole-plane collocated downsample + the plane itself
+          vc = inp["cclm_vc"]
+          cclm = (plane, I.cclm_dsy_plane(plane, vc), vc)
       if lm is not None:
         # inverse mapping of the whole luma plane before the loop
         # filters (ff_vvc_lmcs_filter, vvc_filter.c:1322-1331)
@@ -1531,6 +1587,10 @@ def build_host_inputs(fs: FrameSyntax, ctb_log2=5, ref_slots=None,
     if (fs.ctrl_y is not None and fs.ctrl_y.size and
         (fs.ctrl_y[CTRL_KEYS.index("mode_class")] == MC_MIP).any()):
       inp["recon"]["has_mip"] = np.int32(1)
+  if (fs.ctrl_c is not None and fs.ctrl_c.size and
+      (fs.ctrl_c[CTRL_KEYS.index("cclm")] > 0).any()):
+    inp["cclm_vc"] = np.int32(
+        fs.ctrl_c[CTRL_KEYS.index("cclm_vc")].max() & 1)
 
   (Hp_y, Wp_y), (Hp_c, Wp_c) = _padded_plane_shapes(W, H, ctb_log2)
 

@@ -41,11 +41,13 @@ CTRL_KEYS = (
     "prof", "pdhx0", "pdhy0", "pdvx0", "pdvy0",
     "pdhx1", "pdhy1", "pdvx1", "pdvy1", "bdof",
     "dmvr", "om0x", "om0y", "om1x", "om1y",
-    "mip_id", "mip_t", "mip_sz")
+    "mip_id", "mip_t", "mip_sz", "cclm", "cclm_vc",
+    "cclm_ct", "cclm_cl", "cclm_p0", "cclm_p1", "cclm_p2", "cclm_p3")
 
 
 MC_INTER = 6  # extra mode class: prediction comes from the MC plane
 MC_MIP = 7    # matrix-based intra prediction (8.4.5.2.2)
+MC_CCLM = 8   # cross-component linear model (8.4.5.2.14)
 
 
 def predict_units(fs: FrameSyntax, is_chroma: bool) -> list:

@@ -30,7 +30,8 @@ namespace {
 
 constexpr int MODE_INTER = 0, MODE_INTRA = 1;
 constexpr int INTRA_PLANAR = 0, INTRA_DC = 1, INTRA_HORZ = 18, INTRA_VERT = 50,
-              INTRA_VDIAG = 66;
+              INTRA_VDIAG = 66, INTRA_LT_CCLM = 81, INTRA_L_CCLM = 82,
+              INTRA_T_CCLM = 83;
 
 // Diagonal scan (spec 6.5.2), computed on demand.
 struct DiagScan {
@@ -177,6 +178,7 @@ struct FrameOut {
   int tc_offset[3] = {0, 0, 0};
   int slice_type = 2;  // 0=B 1=P 2=I
   int dep_quant = 0;   // sh_dep_quant_used_flag (drives dequant addin)
+  int cclm_vc = 0;     // sps_chroma_vertical_collocated_flag (CCLM dsy)
   int nb_refs[2] = {0, 0};
   int32_t ref_pocs[2][16] = {};
   std::vector<int32_t> coeff[3];  // [h][w] raster planes (chroma at c-res)
@@ -212,7 +214,7 @@ struct FrameOut {
 // output straight to the frame program.
 namespace ctrl {
 
-constexpr int kNumKeys = 66;
+constexpr int kNumKeys = 74;
 // CTRL_KEYS order (recon.py): x0,y0,w,h,logw,logh,mode_class,angle,
 // inv_angle,filter_flag,smooth,left_size,top_size,unfilter_last_one,
 // do_pdpc,nscale,avail_l,avail_t,cand_up_left,proj_v,proj_h,
@@ -259,11 +261,19 @@ enum Key {
   // matrix row ({0,16,24}[size_id] + mode, -1 = not MIP), kMipT =
   // transposed, kMipSz = size id of the predict unit's TB dims
   kMipId, kMipT, kMipSz,
+  // CCLM (8.4.5.2.14): kCclm = 0 off / 1 LT / 2 L / 3 T; kCclmVC =
+  // sps_chroma_vertical_collocated_flag (selects the 5-tap vs 6-tap
+  // luma downsampling stencil).  The avail keys carry the CCLM
+  // select-sample runs (w / h for LT, the extended w+min(w,h) /
+  // h+min(w,h) runs for T / L).  kCclmCT/kCclmCL = select-sample
+  // counts, kCclmP0..3 = packed positions (cnt_t top picks then
+  // cnt_l left picks; cclm_get_select_pos, vvc_intra_template.c:61-87)
+  kCclm, kCclmVC, kCclmCT, kCclmCL, kCclmP0, kCclmP1, kCclmP2, kCclmP3,
 };
 
 constexpr int kPlanar = 0, kDc = 1, kHorz = 18, kDiag = 34, kVert = 50;
 enum ModeClass { MC_PLANAR, MC_DC, MC_VERT, MC_HORZ, MC_ANG_V, MC_ANG_H,
-                 MC_INTER, MC_MIP };
+                 MC_INTER, MC_MIP, MC_CCLM };
 
 constexpr int kAngles[] = {0, 1, 2, 3, 4, 6, 8, 10, 12, 14, 16, 18, 20,
                            23, 26, 29, 32, 35, 39, 45, 51, 57, 64, 73,
@@ -610,10 +620,12 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
     // MIP applies to the luma predict unit (per-TB dims, 8.4.5.2.1);
     // the chroma blocks of a MIP CU take the normal derived mode path
     const bool is_mip = !is_chroma && !unit_ciip && cu.mip >= 0 && !bdpcm;
-    const int mode = is_mip ? 0 : wide_angle_map(raw_mode, w, h);
-    const int mc = is_mip ? MC_MIP : classify_mode(mode);
+    const bool is_cclm = is_chroma && !unit_ciip && raw_mode >= INTRA_LT_CCLM;
+    const int mode = (is_mip || is_cclm) ? 0 : wide_angle_map(raw_mode, w, h);
+    const int mc = is_mip ? MC_MIP : is_cclm ? MC_CCLM : classify_mode(mode);
     int angle = 0, inv = 0, filter_flag = 0, ns = 0;
-    const bool pdpc = !is_mip && !bdpcm && need_pdpc(w, h, mode);
+    const bool pdpc =
+        !is_mip && !is_cclm && !bdpcm && need_pdpc(w, h, mode);
     if (mc == MC_ANG_V || mc == MC_ANG_H) {
       angle = intra_pred_angle(mode);
       inv = angle ? intra_inv_angle(angle) : 0;
@@ -637,6 +649,15 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
       // vvc_intra_template.c:773-825); no ref filter, no PDPC
       left_size = h; top_size = w; unfilter_last = 1;
       need_l = h; need_t = w;
+    } else if (mc == MC_CCLM) {
+      // the avail runs carry the CCLM select-sample counts
+      // (cclm_get_select_pos, vvc_intra_template.c:61-87)
+      const int mn = w < h ? w : h;
+      unfilter_last = 1;
+      if (raw_mode == INTRA_LT_CCLM) { need_t = w; need_l = h; }
+      else if (raw_mode == INTRA_L_CCLM) { need_t = 0; need_l = h + mn; }
+      else { need_t = w + mn; need_l = 0; }
+      left_size = need_l; top_size = need_t;
     } else if (mc == MC_PLANAR) {
       left_size = h + 1 + smooth; top_size = w + 1 + smooth;
       unfilter_last = 0; need_l = left_size; need_t = top_size;
@@ -755,6 +776,33 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
       O(kMipSz, i) = size_id;
     } else {
       O(kMipId, i) = -1;
+    }
+    if (is_cclm) {
+      const int variant = raw_mode - INTRA_LT_CCLM;  // 0 LT / 1 L / 2 T
+      O(kCclm, i) = 1 + variant;
+      // bit 0: vertical-collocated stencil; bit 1: block starts at a
+      // CTU row (line-buffer single-row top-pick filter)
+      O(kCclmVC, i) = fr.cclm_vc + 2 * (y0b_c == 0 ? 1 : 0);
+      // single slice/tile: binary luma availability is the picture edge
+      const bool at_bin = ly0 > 0, al_bin = lx0 > 0;
+      const int num_is4 = (variant != 0 || !at_bin || !al_bin) ? 1 : 0;
+      const int num_t = avail_t, num_l = avail_l;  // runs (see above)
+      const int cnt_t = std::min(num_t, (1 + num_is4) << 1);
+      const int cnt_l = std::min(num_l, (1 + num_is4) << 1);
+      O(kCclmCT, i) = cnt_t;
+      O(kCclmCL, i) = cnt_l;
+      int pos[4] = {0, 0, 0, 0}, np = 0;
+      const int start_t = num_t >> (2 + num_is4);
+      const int step_t = std::max(1, num_t >> (1 + num_is4));
+      for (int c = 0; c < cnt_t; c++) pos[np++] = start_t + c * step_t;
+      const int start_l = num_l >> (2 + num_is4);
+      const int step_l = std::max(1, num_l >> (1 + num_is4));
+      for (int c = 0; c < cnt_l && np < 4; c++)
+        pos[np++] = start_l + c * step_l;
+      O(kCclmP0, i) = pos[0];
+      O(kCclmP1, i) = pos[1];
+      O(kCclmP2, i) = pos[2];
+      O(kCclmP3, i) = pos[3];
     }
   }
 }
@@ -2166,6 +2214,7 @@ class Decoder {
     out.poc = sh_.ph.ph_pic_order_cnt_lsb;
     out.slice_qp = sh_.slice_qp_y;
     out.dep_quant = sh_.sh_dep_quant_used_flag;
+    out.cclm_vc = sps_.sps_chroma_vertical_collocated_flag;
     out.wp_active =
         (pps_.pps_weighted_pred_flag && sh_.sh_slice_type == 1) ||
         (pps_.pps_weighted_bipred_flag && sh_.sh_slice_type == 0);
@@ -2724,7 +2773,6 @@ class Decoder {
       set_cb_tab(out.ipm, x0, y0, cb_w, cb_h, cu.luma_mode);
       int chroma_mode_idx = 4;
       if (sps_.sps_chroma_format_idc) {
-        VVC_UNSUPPORTED(sps_.sps_cclm_enabled_flag, "cclm (todo)");
         // intra_bdpcm_chroma (vvc_ctu.c:1008-1015)
         if (sps_.sps_bdpcm_enabled_flag &&
             (cb_w >> sps_.hshift_c) <= sps_.max_ts_size &&
@@ -2733,13 +2781,23 @@ class Decoder {
         if (cu.bdpcm_c) {
           cu.chroma_mode = bin(INTRA_BDPCM_CHROMA_DIR_FLAG) ? 50 : 18;
         } else {
-          if (!bin(INTRA_CHROMA_PRED_MODE)) {
-            chroma_mode_idx = 4;
+          // cclm_mode_flag/idx (vvc_ctu.c:1016-1030; get_cclm_enabled
+          // is unconditional without dual tree, vvc_ctu.c:629-637)
+          int cclm_flag = 0;
+          if (sps_.sps_cclm_enabled_flag) cclm_flag = bin(CCLM_MODE_FLAG);
+          if (cclm_flag) {
+            int idx = bin(CCLM_MODE_IDX) ? (int)cd_->bypass() + 1 : 0;
+            cu.chroma_mode = INTRA_LT_CCLM + idx;
           } else {
-            chroma_mode_idx = (int)cd_->bypass_bits(2);
+            if (!bin(INTRA_CHROMA_PRED_MODE)) {
+              chroma_mode_idx = 4;
+            } else {
+              chroma_mode_idx = (int)cd_->bypass_bits(2);
+            }
+            cu.chroma_mode = derive_chroma_mode(chroma_mode_idx,
+                                                cu.luma_mode,
+                                                x0, y0, cb_w, cb_h);
           }
-          cu.chroma_mode = derive_chroma_mode(chroma_mode_idx, cu.luma_mode,
-                                              x0, y0, cb_w, cb_h);
         }
       }
       if (inter_slice) {

@@ -420,3 +420,136 @@ def pred_mip(top, left, OFF: int, maxs: int, w, h, mip_id, mip_t, size_id,
              jnp.broadcast_to(x, (maxs, maxs))]
     out = ((uv - dy) * ca + dy * cb + (uv >> 1)) >> lg_v
     return out.astype(jnp.int32)
+
+
+# ----------------------------------------------------------------------
+# CCLM — cross-component linear model (spec 8.4.5.2.14; parity
+# intra_cclm_pred, vvc_intra_template.c:29-375).  The luma plane is
+# fully reconstructed before chroma recon starts (phase-separated
+# pipeline), so the collocated downsample is one whole-plane stencil
+# and the boundary picks are small gathers.
+# ----------------------------------------------------------------------
+
+CCLM_DIV_SIG = np.array([0, 7, 6, 5, 5, 4, 4, 3, 3, 2, 2, 1, 1, 1, 1, 0],
+                        np.int32)
+
+
+def cclm_dsy_plane(luma, vc):
+    """Downsampled collocated luma at chroma resolution (4:2:0), full
+    plane (cclm_get_luma_rec_pixels).  Picture-edge clamping at x=0 /
+    y=0 reproduces the per-block avail_l/avail_t replication.  `vc` is
+    the traced sps_chroma_vertical_collocated_flag."""
+    lm1 = jnp.concatenate([luma[:, :1], luma[:, :-1]], axis=1)   # x-1
+    tm1 = jnp.concatenate([luma[:1, :], luma[:-1, :]], axis=0)   # y-1
+    c0 = luma[0::2, 0::2]
+    c1 = luma[1::2, 0::2]
+    r0 = luma[0::2, 1::2]
+    r1 = luma[1::2, 1::2]
+    l0 = lm1[0::2, 0::2]
+    l1 = lm1[1::2, 0::2]
+    t0 = tm1[0::2, 0::2]
+    d_vc = (l0 + t0 + 4 * c0 + r0 + c1 + 4) >> 3
+    d_6t = (l0 + l1 + 2 * (c0 + c1) + r0 + r1 + 4) >> 3
+    return jnp.where(vc > 0, d_vc, d_6t)
+
+
+def cclm_select_luma(luma, x0, y0, cnt_t, pos, vc, b_ctu, avl, avt):
+    """The 4 downsampled boundary luma picks (cclm_select_luma).
+    x0/y0: chroma coords; pos: (4,) packed positions (cnt_t top picks
+    then left picks); avl/avt: binary luma availability; b_ctu: the
+    block starts at a CTU row (line-buffer single-row top filter)."""
+    H, W = luma.shape
+    flat = luma.reshape(-1)
+
+    def at(yy, xx):
+        return flat[jnp.clip(yy, 0, H - 1) * W + jnp.clip(xx, 0, W - 1)]
+
+    i4 = jnp.arange(4)
+    is_top = i4 < cnt_t
+    lx0, ly0 = 2 * x0, 2 * y0
+    # top picks at luma column xa
+    xa = lx0 + 2 * pos
+    hl = (2 * pos > 0) | (avl > 0)
+    lt_r1 = jnp.where(hl, at(ly0 - 1, xa - 1), at(ly0 - 1, xa))
+    sel_ctu = (lt_r1 + 2 * at(ly0 - 1, xa) + at(ly0 - 1, xa + 1) + 2) >> 2
+    lt_r2 = jnp.where(hl, at(ly0 - 2, xa - 1), at(ly0 - 2, xa))
+    sel_vc = (at(ly0 - 3, xa) + lt_r2 + 4 * at(ly0 - 2, xa)
+              + at(ly0 - 2, xa + 1) + at(ly0 - 1, xa) + 4) >> 3
+    sel_6 = (lt_r2 + lt_r1 + 2 * (at(ly0 - 2, xa) + at(ly0 - 1, xa))
+             + at(ly0 - 2, xa + 1) + at(ly0 - 1, xa + 1) + 4) >> 3
+    sel_top = jnp.where(b_ctu > 0, sel_ctu,
+                        jnp.where(vc > 0, sel_vc, sel_6))
+    # left picks at luma row ya, columns lx0-3..lx0-1
+    ya = ly0 + 2 * pos
+    ht = (2 * pos > 0) | (avt > 0)
+    tv = jnp.where(ht, at(ya - 1, lx0 - 2), at(ya, lx0 - 2))
+    sel_l_vc = (at(ya, lx0 - 3) + tv + 4 * at(ya, lx0 - 2)
+                + at(ya, lx0 - 1) + at(ya + 1, lx0 - 2) + 4) >> 3
+    sel_l_6 = (at(ya, lx0 - 3) + at(ya + 1, lx0 - 3)
+               + 2 * (at(ya, lx0 - 2) + at(ya + 1, lx0 - 2))
+               + at(ya, lx0 - 1) + at(ya + 1, lx0 - 1) + 4) >> 3
+    sel_left = jnp.where(vc > 0, sel_l_vc, sel_l_6)
+    return jnp.where(is_top, sel_top, sel_left).astype(jnp.int32)
+
+
+def _cclm_log2(v):
+    """floor(log2(v)) for v in [1, 2^12) via compares (branch-free)."""
+    acc = jnp.int32(0)
+    for k in range(1, 12):
+        acc = acc + (v >= (1 << k)).astype(jnp.int32)
+    return acc
+
+
+def cclm_get_params(sel_l, sel_c, n_sel, bit_depth: int):
+    """(a, k, b) model parameters for one chroma channel
+    (cclm_get_min_max + cclm_get_params).  sel_l/sel_c: (4,) picks
+    (already 2-sample-reordered by the caller); n_sel: total picks."""
+    mid = 1 << (bit_depth - 1)
+    # 4-element min/max network, payload swapped in lockstep
+    v = [(sel_l[i], sel_c[i]) for i in range(4)]
+
+    def swap_if(cond, a, b):
+        return ((jnp.where(cond, b[0], a[0]), jnp.where(cond, b[1], a[1])),
+                (jnp.where(cond, a[0], b[0]), jnp.where(cond, a[1], b[1])))
+
+    mi0, mi1, ma0, ma1 = v[0], v[2], v[1], v[3]
+    mi0, mi1 = swap_if(mi0[0] > mi1[0], mi0, mi1)
+    ma0, ma1 = swap_if(ma0[0] > ma1[0], ma0, ma1)
+    c3 = mi0[0] > ma1[0]
+    mi0, ma0 = swap_if(c3, mi0, ma0)
+    mi1, ma1 = swap_if(c3, mi1, ma1)
+    mi1, ma0 = swap_if(mi1[0] > ma0[0], mi1, ma0)
+    max_l = (ma0[0] + ma1[0] + 1) >> 1
+    min_l = (mi0[0] + mi1[0] + 1) >> 1
+    max_c = (ma0[1] + ma1[1] + 1) >> 1
+    min_c = (mi0[1] + mi1[1] + 1) >> 1
+
+    diff = max_l - min_l
+    diffc = max_c - min_c
+    x = _cclm_log2(jnp.maximum(diff, 1))
+    norm_diff = ((diff << 4) >> x) & 15
+    x = x + (norm_diff != 0).astype(jnp.int32)
+    absc = jnp.abs(diffc)
+    y = jnp.where(absc > 0, _cclm_log2(jnp.maximum(absc, 1)) + 1, 0)
+    vdiv = jnp.sum(jnp.where(jnp.arange(16) == norm_diff,
+                             jnp.asarray(CCLM_DIV_SIG), 0)) | 8
+    add = (1 << y) >> 1
+    a = (diffc * vdiv + add) >> y
+    k = jnp.maximum(1, 3 + x - y)
+    sign = jnp.sign(a)
+    a = jnp.where((3 + x - y) < 1, sign * 15, a)
+    b = min_c - ((a * min_l) >> k)
+    # diff == 0 -> flat model; no picks -> mid fill
+    a = jnp.where(diff == 0, 0, a)
+    k = jnp.where(diff == 0, 0, k)
+    b = jnp.where(diff == 0, min_c, b)
+    a = jnp.where(n_sel == 0, 0, a)
+    k = jnp.where(n_sel == 0, 0, k)
+    b = jnp.where(n_sel == 0, mid, b)
+    return a, k, b
+
+
+def cclm_reorder2(sel):
+    """cnt==2 pick reorder (cclm_select_samples tail): [s0,s1] ->
+    [s1,s0,s1,s0]."""
+    return jnp.stack([sel[1], sel[0], sel[1], sel[0]])

@@ -59,10 +59,12 @@ JMAX = 103        # edge_arrays' index bound (176-long arrays, origin 72:
  KPROF, KPDHX0, KPDHY0, KPDVX0, KPDVY0,
  KPDHX1, KPDHY1, KPDVX1, KPDVY1, KBDOF,
  KDMVR, KOM0X, KOM0Y, KOM1X, KOM1Y,
- KMIPID, KMIPT, KMIPSZ) = range(66)
+ KMIPID, KMIPT, KMIPSZ,
+ KCCLM, KCCLMVC, KCCLMCT, KCCLMCL,
+ KCCLMP0, KCCLMP1, KCCLMP2, KCCLMP3) = range(74)
 
 (MC_PLANAR, MC_DC, MC_VERT, MC_HORZ, MC_ANG_V, MC_ANG_H, MC_INTER,
- MC_MIP) = range(8)
+ MC_MIP, MC_CCLM) = range(9)
 
 
 def _r128(v: int) -> int:
@@ -73,7 +75,9 @@ def plane_geom(W: int, H: int, gran: int = 4):
   """Padded plane geometry for the kernel: (Hp, Wp, Wr, HL).
   Wp/HL are lane dims (128-multiples, >= LE); Hp covers the 40-row
   store spans; Wr is the R-buffer row count (one per gran columns)."""
-  Wp = max(_r128(W + 40), LE)
+  # lane dim must cover the (40, 256) store window at the last unit's
+  # 128-aligned origin: xa_max + 256
+  Wp = max(_r128(W + 40), ((max(W, 1) - 1) // 128) * 128 + 256, LE)
   Hp = max((H + 36 + 7) // 8 * 8, 64)
   HL = max(_r128(Hp), LE)     # R-buffer lane dim
   # + S//gran headroom: the R store writes nr rows at a dynamic start
@@ -139,18 +143,22 @@ def _scal(v):
 
 
 def _build_kernel(Hp, Wp, Wr, HL, nch, bit_depth, is_chroma, gran,
-                  has_mip=False):
+                  has_mip=False, has_cclm=False):
   maxv = (1 << bit_depth) - 1
   mid = 1 << (bit_depth - 1)
   lg = gran.bit_length() - 1      # log2(gran)
   nr = S // gran                  # R rows written per unit
 
-  def kernel(ctrl_ref, meta_ref, ipos_ref, res_ref, iblk_ref, ftab_ref,
-             *rest):
+  def kernel(ctrl_ref, meta_ref, ipos_ref, *rest):
+    if has_cclm:
+      sel_ref, rest = rest[0], rest[1:]
+    res_ref, iblk_ref, ftab_ref = rest[:3]
+    rest = rest[3:]
     if has_mip:
-      mip_ref, p_in, r_in, plane_ref, r_ref = rest
-    else:
-      p_in, r_in, plane_ref, r_ref = rest
+      mip_ref, rest = rest[0], rest[1:]
+    if has_cclm:
+      dsy_ref, rest = rest[0], rest[1:]
+    p_in, r_in, plane_ref, r_ref = rest
     i = pl.program_id(0)
     iy = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
     ix = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
@@ -199,7 +207,7 @@ def _build_kernel(Hp, Wp, Wr, HL, nch, bit_depth, is_chroma, gran,
       else:
         pcol = jax.lax.broadcasted_iota(jnp.int32, (S, 64), 1)
         oh = (pcol == fact + 32 * ff).astype(jnp.int32)
-        taps = _dot(oh, ftab_ref[...])    # (S, 128): lanes 0..3
+        taps = _dot(oh, ftab_ref[0:64, :])  # (S, 128): lanes 0..3
         A = (_col(taps, 0) * (jj_le == OFF + aidx - 1)
              + _col(taps, 1) * (jj_le == OFF + aidx)
              + _col(taps, 2) * (jj_le == OFF + aidx + 1)
@@ -239,12 +247,17 @@ def _build_kernel(Hp, Wp, Wr, HL, nch, bit_depth, is_chroma, gran,
                   + (offset_dc >= 64))
       lane_s = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
 
-      # store masks / selectors (shared)
+      # store masks / selectors (shared).  The plane store RMWs a
+      # (40, 256) window at a 128-aligned lane origin xa instead of
+      # full (40, Wp) rows: at 1080p the full-width temporaries alone
+      # overflowed the 16 MB VMEM budget.
       ya = pl.multiple_of((y0 >> 3) * 8, 8)
       dy = y0 - ya                       # in {0,..,6}, gran-aligned
-      lanes40 = jax.lax.broadcasted_iota(jnp.int32, (40, Wp), 1)
-      sub40 = jax.lax.broadcasted_iota(jnp.int32, (40, Wp), 0)
-      m40 = ((lanes40 >= x0) & (lanes40 < x0 + w)
+      xa = pl.multiple_of((x0 >> 7) * 128, 128)
+      dx = x0 - xa                       # in {0,..,127}
+      lanes40 = jax.lax.broadcasted_iota(jnp.int32, (40, 256), 1)
+      sub40 = jax.lax.broadcasted_iota(jnp.int32, (40, 256), 0)
+      m40 = ((lanes40 >= dx) & (lanes40 < dx + w)
              & (sub40 >= dy) & (sub40 < dy + h))
       kk = jax.lax.broadcasted_iota(jnp.int32, (nr, S), 0)
       cc = jax.lax.broadcasted_iota(jnp.int32, (nr, S), 1)
@@ -475,6 +488,83 @@ def _build_kernel(Hp, Wp, Wr, HL, nch, bit_depth, is_chroma, gran,
           mip_out = (_dot(w_v, ext_v) + (uv_ >> 1)) >> lg_v  # (S, 128)
           pred = jnp.where(mc == MC_MIP, mip_out[:, :S] + 0, pred)
 
+        # ---- CCLM (8.4.5.2.14; parity ops/intra.py cclm_*) ----------
+        if has_cclm and is_chroma:
+          cnt_t = ctrl_ref[KCCLMCT, i]
+          cnt_l = ctrl_ref[KCCLMCL, i]
+          n_sel = cnt_t + cnt_l
+          posj = [ctrl_ref[KCCLMP0 + j, i] for j in range(4)]
+          slj = [sel_ref[j, i] for j in range(4)]
+          # chroma picks from this channel's substituted edge vectors
+          scj = []
+          for j in range(4):
+            tval = _scal(_dyn_extract(top, (OFF + posj[j]) % LE))
+            lval = _scal(_dyn_extract(left, (OFF + posj[j]) % LE))
+            scj.append(jnp.where(j < cnt_t, tval, lval))
+          # 2-pick reorder: [s0, s1] -> [s1, s0, s1, s0]
+          two = n_sel == 2
+          slj = [jnp.where(two, v, slj[j])
+                 for j, v in enumerate([slj[1], slj[0], slj[1], slj[0]])]
+          scj = [jnp.where(two, v, scj[j])
+                 for j, v in enumerate([scj[1], scj[0], scj[1], scj[0]])]
+          # 4-element min/max network, payload in lockstep
+          pairs = [(slj[j], scj[j]) for j in range(4)]
+
+          def swp(cond, a, b):
+            return ((jnp.where(cond, b[0], a[0]),
+                     jnp.where(cond, b[1], a[1])),
+                    (jnp.where(cond, a[0], b[0]),
+                     jnp.where(cond, a[1], b[1])))
+
+          mi0, mi1, ma0, ma1 = pairs[0], pairs[2], pairs[1], pairs[3]
+          mi0, mi1 = swp(mi0[0] > mi1[0], mi0, mi1)
+          ma0, ma1 = swp(ma0[0] > ma1[0], ma0, ma1)
+          c3p = mi0[0] > ma1[0]
+          mi0, ma0 = swp(c3p, mi0, ma0)
+          mi1, ma1 = swp(c3p, mi1, ma1)
+          mi1, ma0 = swp(mi1[0] > ma0[0], mi1, ma0)
+          max_l = (ma0[0] + ma1[0] + 1) >> 1
+          min_l = (mi0[0] + mi1[0] + 1) >> 1
+          max_c = (ma0[1] + ma1[1] + 1) >> 1
+          min_c = (mi0[1] + mi1[1] + 1) >> 1
+          diff = max_l - min_l
+          diffc = max_c - min_c
+
+          def log2c(v):  # floor(log2) for v in [1, 2^12)
+            acc = (v >= 2).astype(jnp.int32)
+            for kk in range(2, 12):
+              acc = acc + (v >= (1 << kk))
+            return acc
+
+          xx_ = log2c(jnp.maximum(diff, 1))
+          norm_diff = ((diff << 4) >> xx_) & 15
+          xx_ = xx_ + (norm_diff != 0).astype(jnp.int32)
+          absc = jnp.abs(diffc)
+          yy_ = jnp.where(absc > 0, log2c(jnp.maximum(absc, 1)) + 1, 0)
+          dvrow = _row(ftab_ref[...], 64)          # CCLM div-sig table
+          vdiv = _scal(_dyn_extract(dvrow, norm_diff)) | 8
+          add_ = (1 << yy_) >> 1
+          a_ = (diffc * vdiv + add_) >> yy_
+          k_ = jnp.maximum(1, 3 + xx_ - yy_)
+          a_ = jnp.where((3 + xx_ - yy_) < 1,
+                         jnp.sign(a_) * 15, a_)
+          b_ = min_c - ((a_ * min_l) >> k_)
+          a_ = jnp.where(diff == 0, 0, a_)
+          k_ = jnp.where(diff == 0, 0, k_)
+          b_ = jnp.where(diff == 0, min_c, b_)
+          a_ = jnp.where(n_sel == 0, 0, a_)
+          k_ = jnp.where(n_sel == 0, 0, k_)
+          b_ = jnp.where(n_sel == 0, mid, b_)
+          # collocated downsampled-luma block at (y0, x0)
+          span = dsy_ref[pl.ds(ya, 40), pl.ds(xa, 256)]  # (40, 256)
+          rows = span[0:S]
+          for d in (2, 4, 6):
+            rows = jnp.where(dy == d,
+                             pltpu.roll(span, 40 - d, axis=0)[0:S], rows)
+          blk_dsy = pltpu.roll(rows, (256 - dx) % 256, axis=1)[:, :S] + 0
+          cclm_pred = jnp.clip(((blk_dsy * a_) >> k_) + b_, 0, maxv)
+          pred = jnp.where(mc == MC_CCLM, cclm_pred, pred)
+
         # CIIP: blend the (planar+PDPC) intra prediction with the
         # prefetched MC block (put_ciip, vvc_inter_template.c:60-76)
         ciipw = ctrl_ref[KCIIPW, i]
@@ -494,10 +584,11 @@ def _build_kernel(Hp, Wp, Wr, HL, nch, bit_depth, is_chroma, gran,
                                  sh0[:40 - d] + 0], axis=0)
           blk = jnp.where(dy == d, shd, blk)
         blk40 = jnp.concatenate(
-            [blk, jnp.zeros((40, Wp - S), jnp.int32)], axis=1)
-        blk40 = pltpu.roll(blk40, x0, axis=1)
-        span = plane_ref[ch, pl.ds(ya, 40), :]
-        plane_ref[ch, pl.ds(ya, 40), :] = jnp.where(m40, blk40, span)
+            [blk, jnp.zeros((40, 256 - S), jnp.int32)], axis=1)
+        blk40 = pltpu.roll(blk40, dx, axis=1)
+        span = plane_ref[ch, pl.ds(ya, 40), pl.ds(xa, 256)]
+        plane_ref[ch, pl.ds(ya, 40), pl.ds(xa, 256)] = jnp.where(
+            m40, blk40, span)
 
         # ---- store: R columns (every gran-th column, transposed) --
         # colsT[k, j] = out[j, gran*k + gran-1] via one-hot MXU matmul
@@ -517,10 +608,13 @@ def _build_kernel(Hp, Wp, Wr, HL, nch, bit_depth, is_chroma, gran,
 
 
 # filter-tap lookup rows for the one-hot fact->taps matmul: row
-# (fact + 32*filter_flag), lanes 0..3 = the 4 taps
-_FTAB_ROWS = np.zeros((64, 128), np.int32)
+# (fact + 32*filter_flag), lanes 0..3 = the 4 taps.  Row 64 carries the
+# CCLM division-significand table (lanes 0..15).
+_FTAB_ROWS = np.zeros((72, 128), np.int32)
 _FTAB_ROWS[:32, :4] = INTRA_LUMA_FILTER[0]
-_FTAB_ROWS[32:, :4] = INTRA_LUMA_FILTER[1]
+_FTAB_ROWS[32:64, :4] = INTRA_LUMA_FILTER[1]
+from .intra import CCLM_DIV_SIG  # noqa: E402
+_FTAB_ROWS[64, :16] = CCLM_DIV_SIG
 
 
 # MIP matrix bank in kernel layout: row mip_id*8 + k holds input-k's
@@ -539,9 +633,10 @@ _MIP_BANK_ROWS = None
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "W", "H", "nch", "bit_depth", "is_chroma", "has_mip"))
+    "W", "H", "nch", "bit_depth", "is_chroma", "has_mip", "has_cclm"))
 def recon_plane_pallas(ctrl, n_units, inter_pos, res_blocks, inter_blocks,
-                       *, W, H, nch, bit_depth, is_chroma, has_mip=False):
+                       *, W, H, nch, bit_depth, is_chroma, has_mip=False,
+                       has_cclm=False, sel_luma=None, dsy=None):
   """Run the recon kernel over one plane kind.
 
   ctrl: (30, ncap) int32 decode-order control matrix.
@@ -555,18 +650,20 @@ def recon_plane_pallas(ctrl, n_units, inter_pos, res_blocks, inter_blocks,
   Hp, Wp, Wr, HL = plane_geom(W, H, gran)
   ncap = ctrl.shape[1]
   has_mip = bool(has_mip) and not is_chroma
+  has_cclm = bool(has_cclm) and is_chroma
   kernel = _build_kernel(Hp, Wp, Wr, HL, nch, bit_depth, is_chroma, gran,
-                         has_mip)
+                         has_mip, has_cclm)
   mid = 1 << (bit_depth - 1)
   p0 = jnp.full((nch, Hp, Wp), mid, jnp.int32)
   r0 = jnp.zeros((nch, Wr, HL), jnp.int32)
   if nch > 1:
-    res_spec = pl.BlockSpec((1, nch, S, S), lambda i, c, m, p: (i, 0, 0, 0))
+    res_spec = pl.BlockSpec((1, nch, S, S),
+                            lambda i, *sp: (i, 0, 0, 0))
     iblk_spec = pl.BlockSpec((1, nch, S, S),
-                             lambda i, c, m, p: (p[i], 0, 0, 0))
+                             lambda i, *sp: (sp[2][i], 0, 0, 0))
   else:
-    res_spec = pl.BlockSpec((1, S, S), lambda i, c, m, p: (i, 0, 0))
-    iblk_spec = pl.BlockSpec((1, S, S), lambda i, c, m, p: (p[i], 0, 0))
+    res_spec = pl.BlockSpec((1, S, S), lambda i, *sp: (i, 0, 0))
+    iblk_spec = pl.BlockSpec((1, S, S), lambda i, *sp: (sp[2][i], 0, 0))
   vm = pl.BlockSpec(memory_space=pltpu.VMEM)
   # The ctrl matrix is a scalar-prefetch operand and lives in SMEM
   # (1 MB cap on current TPUs).  Large frames can need ncap=4096+
@@ -576,9 +673,10 @@ def recon_plane_pallas(ctrl, n_units, inter_pos, res_blocks, inter_blocks,
   # (one kernel launch per segment, state stays in VMEM-backed HBM).
   seg = min(ncap, max(256, (600 * 1024 // (4 * ctrl.shape[0])) // 256 * 256))
   nseg = (ncap + seg - 1) // seg
-  nconst = 2 if has_mip else 1  # ftab (+ mip bank) before p_in/r_in
+  nsp = 4 if has_cclm else 3   # scalar-prefetch operands
+  nconst = 1 + has_mip + has_cclm  # ftab (+mip bank) (+dsy) pre p/r
   grid_spec = pltpu.PrefetchScalarGridSpec(
-      num_scalar_prefetch=3, grid=(seg,),
+      num_scalar_prefetch=nsp, grid=(seg,),
       in_specs=[res_spec, iblk_spec] + [vm] * (nconst + 2),
       out_specs=[vm, vm])
   fn = pl.pallas_call(
@@ -586,7 +684,7 @@ def recon_plane_pallas(ctrl, n_units, inter_pos, res_blocks, inter_blocks,
       out_shape=[jax.ShapeDtypeStruct((nch, Hp, Wp), jnp.int32),
                  jax.ShapeDtypeStruct((nch, Wr, HL), jnp.int32)],
       grid_spec=grid_spec,
-      input_output_aliases={5 + nconst: 0, 6 + nconst: 1},
+      input_output_aliases={nsp + 2 + nconst: 0, nsp + 3 + nconst: 1},
       # off-TPU (FFMPEG_TPU_PALLAS=1 tests) run the kernel interpreted
       interpret=jax.default_backend() != "tpu")
   consts = [jnp.asarray(_FTAB_ROWS)]
@@ -595,6 +693,13 @@ def recon_plane_pallas(ctrl, n_units, inter_pos, res_blocks, inter_blocks,
     if _MIP_BANK_ROWS is None:
       _MIP_BANK_ROWS = _mip_bank_rows()
     consts.append(jnp.asarray(_MIP_BANK_ROWS))
+  if has_cclm:
+    # embed the downsampled-luma plane into this kernel's geometry
+    dsy_k = jnp.zeros((Hp, Wp), jnp.int32)
+    dh = min(Hp, dsy.shape[0])
+    dw = min(Wp, dsy.shape[1])
+    dsy_k = dsy_k.at[:dh, :dw].set(dsy[:dh, :dw])
+    consts.append(dsy_k)
   plane, r = p0, r0
   for s in range(nseg):
     lo, hi = s * seg, min((s + 1) * seg, ncap)
@@ -604,11 +709,14 @@ def recon_plane_pallas(ctrl, n_units, inter_pos, res_blocks, inter_blocks,
       pos_s = jnp.pad(inter_pos[lo:hi], (0, pad))
       res_s = jnp.pad(res_blocks[lo:hi],
                       ((0, pad),) + ((0, 0),) * (res_blocks.ndim - 1))
+      sel_s = (jnp.pad(sel_luma[:, lo:hi], ((0, 0), (0, pad)))
+               if has_cclm else None)
     else:
       ctrl_s = ctrl[:, lo:hi]
       pos_s = inter_pos[lo:hi]
       res_s = res_blocks[lo:hi]
+      sel_s = sel_luma[:, lo:hi] if has_cclm else None
     meta = jnp.clip(n_units - lo, 0, seg).astype(jnp.int32).reshape(1)
-    plane, r = fn(ctrl_s, meta, pos_s, res_s, inter_blocks, *consts,
-                  plane, r)
+    sp = [ctrl_s, meta, pos_s] + ([sel_s] if has_cclm else [])
+    plane, r = fn(*sp, res_s, inter_blocks, *consts, plane, r)
   return plane
