@@ -121,6 +121,9 @@ class CuIntent:
     mip_transposed: int = 0
     # CCLM chroma mode: -1 off, 0 LT / 1 L / 2 T
     cclm_idx: int = -1
+    # MRL: reference line (0 off, 1/2) + which MPM candidate to use
+    mrl_idx: int = 0
+    mrl_mpm_idx: int = 0
 
 
 class FrameSyntaxEncoder:
@@ -254,8 +257,32 @@ class FrameSyntaxEncoder:
         return a, b
 
     def _encode_luma_intra_mode(self, cu: CuIntent) -> None:
+        # intra_luma_ref_idx (MRL, vvc_ctu.c:984-985): present whenever
+        # MRL is enabled and the CU is below the CTU's top row
+        if self.sps.sps_mrl_enabled_flag and (cu.y0 % self.ctb_size):
+            self._bin("INTRA_LUMA_REF_IDX", 0, int(cu.mrl_idx > 0))
+            if cu.mrl_idx > 0:
+                self._bin("INTRA_LUMA_REF_IDX", 1, int(cu.mrl_idx == 2))
+        else:
+            assert cu.mrl_idx == 0
         a, b = self._left_top_ipm(cu)
         cand = mpm_candidates(a, b)
+        if cu.mrl_idx > 0:
+            # mpm_flag / not_planar inferred 1: the mode comes from the
+            # MPM list; the intent picks the list slot
+            idx = cu.mrl_mpm_idx
+            cu.luma_mode = cand[idx]
+            for _ in range(idx):
+                self.enc.bypass(1)
+            if idx < 4:
+                self.enc.bypass(0)
+            s = self.min_cb_log2
+            ys, xs = cu.y0 >> s, cu.x0 >> s
+            self.tab_ipm[ys:ys + (cu.h >> s), xs:xs + (cu.w >> s)] = \
+                cu.luma_mode
+            self.tab_cpm[ys:ys + (cu.h >> s), xs:xs + (cu.w >> s)] = \
+                MODE_INTRA
+            return
         mode = cu.luma_mode
         if mode == INTRA_PLANAR:
             self._bin("INTRA_LUMA_MPM_FLAG", 0, 1)

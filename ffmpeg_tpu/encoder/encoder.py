@@ -95,6 +95,7 @@ class EncoderConfig:
     cclm: bool = False    # cross-component linear model chroma
     # sps_chroma_vertical_collocated_flag (CCLM luma downsampler shape)
     cclm_vertical_collocated: bool = True
+    mrl: bool = False     # multi-reference-line intra
 
 
 def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
@@ -141,6 +142,7 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
         sps_bdpcm_enabled_flag=1 if cfg.bdpcm else 0,
         sps_lfnst_enabled_flag=1 if cfg.lfnst else 0,
         sps_mip_enabled_flag=1 if cfg.mip else 0,
+        sps_mrl_enabled_flag=1 if cfg.mrl else 0,
         sps_cclm_enabled_flag=1 if cfg.cclm else 0,
         sps_chroma_vertical_collocated_flag=(
             1 if cfg.cclm_vertical_collocated else 0),
@@ -280,6 +282,10 @@ def _random_cu(cfg, rng, x0, y0, w, h, is_inter_slice=False):
     if (cfg.cclm and cu.pred_mode == "intra" and not cu.bdpcm_c
             and rng.random() < 0.6):
         cu.cclm_idx = int(rng.integers(0, 3))  # 0 LT / 1 L / 2 T
+    if (cfg.mrl and cu.pred_mode == "intra" and not cu.bdpcm_l
+            and (y0 % (1 << cfg.ctu_log2)) and rng.random() < 0.5):
+        cu.mrl_idx = int(rng.integers(1, 3))      # line 1 or 2
+        cu.mrl_mpm_idx = int(rng.integers(0, 5))  # pick from the MPM list
     # MIP is capped at the max transform size: for larger CUs the
     # reference predicts each split TB with tab.imm/imtf values it only
     # wrote at the CU's first min-CB column (vvc_ctu.c:976-977) and
@@ -287,6 +293,7 @@ def _random_cu(cfg, rng, x0, y0, w, h, is_inter_slice=False):
     # out-of-spec modes.  Our decoder follows the spec (the CU's MIP
     # mode applies to every TB), so the generator avoids the quirk.
     if (cfg.mip and cu.pred_mode == "intra" and not cu.bdpcm_l
+            and cu.mrl_idx == 0
             and max(w, h) <= 32 and rng.random() < 0.5):
         c_max = 15 if (w == 4 and h == 4) else \
             7 if ((w == 4 or h == 4) or (w == 8 and h == 8)) else 5

@@ -29,7 +29,7 @@ CU_FIELDS = ["x0", "y0", "w", "h", "pred_mode", "luma_mode", "chroma_mode",
              "gpm_part", "gpm_lx0", "gpm_lx1", "sbtmvp", "affine",
              "prof", "pdhx0", "pdhy0", "pdvx0", "pdvy0",
              "pdhx1", "pdhy1", "pdvx1", "pdvy1", "bdof", "dmvr",
-             "mip", "mip_t"]
+             "mip", "mip_t", "mrl"]
 TU_FIELDS = ["x0", "y0", "w", "h", "c_idx", "coded", "qp", "cu_index",
              "trh", "trv", "res", "jop", "qsel", "qp_deq", "ts", "pcmf",
              "lf_sel", "lf_tr"]
@@ -255,7 +255,7 @@ class HostDecoder:
         sao = np.ctypeslib.as_array(self._lib.vvch_sao(self._h),
                                     shape=(cbh, cbw, 24)).copy()
         def cu_ctrl(is_chroma):
-            n_keys = 74  # ctrl::kNumKeys
+            n_keys = 75  # ctrl::kNumKeys
             if not n_cus:
                 return np.zeros((n_keys, 0), np.int32)
             n_units = ctypes.c_int32(0)
@@ -369,7 +369,7 @@ def dmvr_apply(fs: FrameSyntax, colstore: ColStore, epoch: int,
     arrs = [np.ascontiguousarray(a, np.int32) for a in planes6]
     lib.vvch_dmvr_apply(fs.fo.ptr, colstore._s, epoch,
                         *[a.ctypes.data_as(i32p) for a in arrs])
-    n_keys = 74  # ctrl::kNumKeys
+    n_keys = 75  # ctrl::kNumKeys
 
     def fo_ctrl(is_chroma):
         n_units = ctypes.c_int32(0)

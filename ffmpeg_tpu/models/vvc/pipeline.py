@@ -507,7 +507,9 @@ INTRA_KEYS = ("x0", "y0", "w", "h", "logw", "logh", "mode_class", "angle",
               "mip_id", "mip_t", "mip_sz",
               # CCLM (8.4.5.2.14)
               "cclm", "cclm_vc", "cclm_ct", "cclm_cl",
-              "cclm_p0", "cclm_p1", "cclm_p2", "cclm_p3")
+              "cclm_p0", "cclm_p1", "cclm_p2", "cclm_p3",
+              # MRL (8.4.5.2.5)
+              "mrl")
 
 # units per batched group: the device executes groups sequentially and
 # the units inside a group as one vmapped batch (host guarantees units
@@ -768,8 +770,10 @@ def _intra_unit(plane, res_plane, c, *, maxs, is_chroma, bit_depth, maxv,
   """Prediction + residual for one intra unit (vmapped over a chunk);
   reads reconstructed neighbour samples from the current plane."""
   w, h = c["w"], c["h"]
+  mrl = c["mrl"] if not is_chroma else 0
   left, top = I.edge_arrays(plane, c["x0"], c["y0"], maxs, c["avail_l"],
-                            c["avail_t"], c["cand_up_left"], mid)
+                            c["avail_t"], c["cand_up_left"], mid,
+                            ref_idx=mrl)
 
   def do_filter(args):
     l, t = args
@@ -780,11 +784,13 @@ def _intra_unit(plane, res_plane, c, *, maxs, is_chroma, bit_depth, maxv,
                            (left, top))
   top = jax.lax.cond(
       c["proj_v"] > 0,
-      lambda t: I.project_negative_angle(t, left, OFF, c["inv_angle"], h),
+      lambda t: I.project_negative_angle(t, left, OFF, c["inv_angle"], h,
+                                         ref_idx=mrl),
       lambda t: t, top)
   left = jax.lax.cond(
       c["proj_h"] > 0,
-      lambda l: I.project_negative_angle(l, top, OFF, c["inv_angle"], w),
+      lambda l: I.project_negative_angle(l, top, OFF, c["inv_angle"], w,
+                                         ref_idx=mrl),
       lambda l: l, left)
 
   angle, inv = c["angle"], c["inv_angle"]
@@ -796,9 +802,9 @@ def _intra_unit(plane, res_plane, c, *, maxs, is_chroma, bit_depth, maxv,
       lambda: I.pred_v(top, OFF, maxs),
       lambda: I.pred_h(left, OFF, maxs),
       lambda: I.pred_angular_v(top, left, OFF, maxs, w, h, angle, inv, ff,
-                               pdpc, ns, is_chroma, maxv),
+                               pdpc, ns, is_chroma, maxv, ref_idx=mrl),
       lambda: I.pred_angular_h(top, left, OFF, maxs, w, h, angle, inv, ff,
-                               pdpc, ns, is_chroma, maxv),
+                               pdpc, ns, is_chroma, maxv, ref_idx=mrl),
       lambda: jnp.zeros((maxs, maxs), jnp.int32),  # 6 = MC_INTER (unused)
       lambda: I.pred_mip(top, left, OFF, maxs, w, h, c["mip_id"],
                          c["mip_t"], c["mip_sz"], bit_depth, maxv),
@@ -950,13 +956,14 @@ def _build_frame_program(shapes):
     mid = 1 << (bd - 1)
     ry, rc = inp["recon"]["y"], inp["recon"]["c"]
     has_mip = "has_mip" in inp["recon"]  # static: keys shape the program
+    has_mrl = "has_mrl" in inp["recon"]
     res_y = _residual_blocks_from_buckets(
         inp["planes"][0]["buckets"], ry["ctrl"].shape[1], bd,
         LUMA_SIZES, False)
     ky = recon_plane_pallas(ry["ctrl"], ry["n"], ry["ipos"], res_y,
                             _pred_blocks(inp, refs_in, 0, lm),
                             W=W, H=H, nch=1, bit_depth=bd, is_chroma=False,
-                            has_mip=has_mip)
+                            has_mip=has_mip, has_mrl=has_mrl)
     scale = (_lmcs_vpdu_scales(ky[0][:H, :W], lm, W, H, vsz, bd)
              if crs else None)
     ncap_c = rc["ctrl"].shape[1]
@@ -1587,6 +1594,9 @@ def build_host_inputs(fs: FrameSyntax, ctb_log2=5, ref_slots=None,
     if (fs.ctrl_y is not None and fs.ctrl_y.size and
         (fs.ctrl_y[CTRL_KEYS.index("mode_class")] == MC_MIP).any()):
       inp["recon"]["has_mip"] = np.int32(1)
+    if (fs.ctrl_y is not None and fs.ctrl_y.size and
+        (fs.ctrl_y[CTRL_KEYS.index("mrl")] > 0).any()):
+      inp["recon"]["has_mrl"] = np.int32(1)
   if (fs.ctrl_c is not None and fs.ctrl_c.size and
       (fs.ctrl_c[CTRL_KEYS.index("cclm")] > 0).any()):
     inp["cclm_vc"] = np.int32(

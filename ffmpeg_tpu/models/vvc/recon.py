@@ -42,7 +42,8 @@ CTRL_KEYS = (
     "pdhx1", "pdhy1", "pdvx1", "pdvy1", "bdof",
     "dmvr", "om0x", "om0y", "om1x", "om1y",
     "mip_id", "mip_t", "mip_sz", "cclm", "cclm_vc",
-    "cclm_ct", "cclm_cl", "cclm_p0", "cclm_p1", "cclm_p2", "cclm_p3")
+    "cclm_ct", "cclm_cl", "cclm_p0", "cclm_p1", "cclm_p2", "cclm_p3",
+    "mrl")
 
 
 MC_INTER = 6  # extra mode class: prediction comes from the MC plane

@@ -94,6 +94,7 @@ struct CuRecord {
                                // the python side; planes in FrameOut)
   int32_t mip;                 // MIP mode (-1 = not MIP; vvc_ctu.c:967-980)
   int32_t mip_t;               // intra_mip_transposed_flag
+  int32_t mrl;                 // intra_luma_ref_idx (0/1/2, MRL)
 };
 struct TuRecord {
   int32_t x0, y0, w, h;  // component coords
@@ -214,7 +215,7 @@ struct FrameOut {
 // output straight to the frame program.
 namespace ctrl {
 
-constexpr int kNumKeys = 74;
+constexpr int kNumKeys = 75;
 // CTRL_KEYS order (recon.py): x0,y0,w,h,logw,logh,mode_class,angle,
 // inv_angle,filter_flag,smooth,left_size,top_size,unfilter_last_one,
 // do_pdpc,nscale,avail_l,avail_t,cand_up_left,proj_v,proj_h,
@@ -269,6 +270,10 @@ enum Key {
   // counts, kCclmP0..3 = packed positions (cnt_t top picks then
   // cnt_l left picks; cclm_get_select_pos, vvc_intra_template.c:61-87)
   kCclm, kCclmVC, kCclmCT, kCclmCL, kCclmP0, kCclmP1, kCclmP2, kCclmP3,
+  // MRL (8.4.5.2.5): intra_luma_ref_idx — the reference line offset.
+  // Disables the ref filter and PDPC; angular positions start at
+  // (y + 1 + ref_idx) * angle; edges come from row/col -1-ref_idx.
+  kMrl,
 };
 
 constexpr int kPlanar = 0, kDc = 1, kHorz = 18, kDiag = 34, kVert = 50;
@@ -621,15 +626,17 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
     // the chroma blocks of a MIP CU take the normal derived mode path
     const bool is_mip = !is_chroma && !unit_ciip && cu.mip >= 0 && !bdpcm;
     const bool is_cclm = is_chroma && !unit_ciip && raw_mode >= INTRA_LT_CCLM;
+    const int mrl = (!is_chroma && !unit_ciip && !is_mip && !bdpcm)
+                        ? cu.mrl : 0;
     const int mode = (is_mip || is_cclm) ? 0 : wide_angle_map(raw_mode, w, h);
     const int mc = is_mip ? MC_MIP : is_cclm ? MC_CCLM : classify_mode(mode);
     int angle = 0, inv = 0, filter_flag = 0, ns = 0;
-    const bool pdpc =
-        !is_mip && !is_cclm && !bdpcm && need_pdpc(w, h, mode);
+    const bool pdpc = !is_mip && !is_cclm && !bdpcm && !mrl &&
+                      need_pdpc(w, h, mode);
     if (mc == MC_ANG_V || mc == MC_ANG_H) {
       angle = intra_pred_angle(mode);
       inv = angle ? intra_inv_angle(angle) : 0;
-      if (!is_chroma) {
+      if (!is_chroma && !mrl) {  // MRL: edge->filter_flag = 0
         if (ref_filter_flag(mode)) {
           filter_flag = 0;
         } else {
@@ -642,7 +649,8 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
       if (pdpc) ns = nscale(w, h, mode);
     }
     const int smooth =
-        (!is_mip && !is_chroma && w * h > 32 && ref_filter_flag(mode)) ? 1 : 0;
+        (!is_mip && !mrl && !is_chroma && w * h > 32 &&
+         ref_filter_flag(mode)) ? 1 : 0;
     int left_size, top_size, unfilter_last, need_l, need_t;
     if (mc == MC_MIP) {
       // MIP reads unfiltered top[0..w) / left[0..h) (pred_mip,
@@ -722,19 +730,24 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
 
     // wavefront chunk: after every intra-frame sample dependency
     // (the avail runs + corner are exactly what edge_arrays reads)
+    // MRL reads rows/cols out to -1-mrl: widen the dependency stencil
     int dep = -1;
+    const int byt0 = std::max(0, (y0 - 1 - mrl) / g);
+    const int bxl0 = std::max(0, (x0 - 1 - mrl) / g);
     if (avail_t > 0) {
-      const int by = (y0 - 1) / g;
-      for (int bx = x0 / g; bx <= (x0 + avail_t - 1) / g; bx++)
-        dep = std::max(dep, cm(by, bx));
+      for (int by = byt0; by <= (y0 - 1) / g; by++)
+        for (int bx = x0 / g; bx <= (x0 + avail_t - 1) / g; bx++)
+          dep = std::max(dep, cm(by, bx));
     }
     if (avail_l > 0) {
-      const int bx = (x0 - 1) / g;
-      for (int by = y0 / g; by <= (y0 + avail_l - 1) / g; by++)
-        dep = std::max(dep, cm(by, bx));
+      for (int bx = bxl0; bx <= (x0 - 1) / g; bx++)
+        for (int by = y0 / g; by <= (y0 + avail_l - 1) / g; by++)
+          dep = std::max(dep, cm(by, bx));
     }
     if (cul && x0 > 0 && y0 > 0)
-      dep = std::max(dep, cm((y0 - 1) / g, (x0 - 1) / g));
+      for (int by = byt0; by <= (y0 - 1) / g; by++)
+        for (int bx = bxl0; bx <= (x0 - 1) / g; bx++)
+          dep = std::max(dep, cm(by, bx));
     int chunk = dep + 1;
     while ((int)chunk_count.size() <= chunk) chunk_count.push_back(0);
     while (chunk_count[chunk] >= chunk_cap) {
@@ -777,6 +790,7 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
     } else {
       O(kMipId, i) = -1;
     }
+    O(kMrl, i) = mrl;
     if (is_cclm) {
       const int variant = raw_mode - INTRA_LT_CCLM;  // 0 LT / 1 L / 2 T
       O(kCclm, i) = 1 + variant;
@@ -2763,10 +2777,16 @@ class Decoder {
             cu.mip = truncated_binary(c_max);
           }
         }
-        if (cu.mip >= 0)
+        if (cu.mip >= 0) {
           cu.luma_mode = cu.mip;  // tab.ipm stores the MIP mode (ff parity)
-        else
-          cu.luma_mode = decode_luma_intra_mode(x0, y0, cb_w, cb_h);
+        } else {
+          // intra_luma_ref_idx (MRL, vvc_ctu.c:984-985): unary, 2 ctx
+          if (sps_.sps_mrl_enabled_flag && (y0 & (sps_.ctb_size_y - 1))) {
+            if (bin(INTRA_LUMA_REF_IDX))
+              cu.mrl = bin(INTRA_LUMA_REF_IDX + 1) ? 2 : 1;
+          }
+          cu.luma_mode = decode_luma_intra_mode(x0, y0, cb_w, cb_h, cu.mrl);
+        }
       }
       set_cb_tab(tab_imf_, x0, y0, cb_w, cb_h, cu.mip >= 0 ? 1 : 0);
       set_cb_tab(tab_ipm_, x0, y0, cb_w, cb_h, cu.luma_mode);
@@ -3388,12 +3408,15 @@ class Decoder {
         tab[(ys + y) * mcb_w_ + xs + x] = v;
   }
 
-  int decode_luma_intra_mode(int x0, int y0, int cb_w, int cb_h) {
-    // parity: vvc_ctu.c:680-789 (luma_intra_pred_mode + MPM list)
-    int mpm_flag = bin(INTRA_LUMA_MPM_FLAG);
+  int decode_luma_intra_mode(int x0, int y0, int cb_w, int cb_h,
+                             int ref_idx = 0) {
+    // parity: vvc_ctu.c:680-789 (luma_intra_pred_mode + MPM list);
+    // with MRL (ref_idx > 0) mpm_flag and not_planar are inferred 1
+    int mpm_flag = ref_idx ? 1 : bin(INTRA_LUMA_MPM_FLAG);
     int not_planar = 1, mpm_idx = 0, remainder = 0;
     if (mpm_flag) {
-      not_planar = bin(INTRA_LUMA_NOT_PLANAR_FLAG + 1);  // +1: no ISP
+      if (!ref_idx)
+        not_planar = bin(INTRA_LUMA_NOT_PLANAR_FLAG + 1);  // +1: no ISP
       if (not_planar)
         while (mpm_idx < 4 && cd_->bypass()) mpm_idx++;
     } else {

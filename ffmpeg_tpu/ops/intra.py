@@ -123,35 +123,45 @@ def edge_len(maxs: int) -> tuple[int, int]:
 
 
 def edge_arrays(plane, x0, y0, maxs: int, avail_l, avail_t,
-                cand_up_left, mid_val: int):
+                cand_up_left, mid_val: int, ref_idx=0):
     """Gather + substitute reference samples (parity
-    prepare_intra_edge_params, vvc_intra_template.c:467-548)."""
+    prepare_intra_edge_params, vvc_intra_template.c:467-548).
+    ref_idx selects the MRL reference line: edges read row y0-1-r /
+    column x0-1-r, and the corner region spans lanes [-1-r, -1]."""
     L, OFF = edge_len(maxs)
     H, W = plane.shape
+    r = ref_idx
     # flat 1-D gathers: XLA lowers these to the fast gather path on TPU
     # (2-D advanced indexing does not, and is ~60x slower when vmapped)
     flat = plane.reshape(-1)
     j = jnp.arange(L) - OFF
+    joff = jnp.where(j >= 0, jnp.minimum(j, avail_t - 1),
+                     jnp.clip(j, -1 - r, -1))
 
-    top_ix = jnp.clip(x0 + jnp.minimum(j, avail_t - 1), 0, W - 1)
-    top_iy = jnp.clip(y0 - 1, 0, H - 1)
-    top_raw = flat[top_iy * W + top_ix]
-    left_iy = jnp.clip(y0 + jnp.minimum(j, avail_l - 1), 0, H - 1)
-    left_ix = jnp.clip(x0 - 1, 0, W - 1)
-    left_raw = flat[left_iy * W + left_ix]
+    top_iy = jnp.clip(y0 - 1 - r, 0, H - 1)
+    top_raw = flat[top_iy * W + jnp.clip(x0 + joff, 0, W - 1)]
+    joff_l = jnp.where(j >= 0, jnp.minimum(j, avail_l - 1),
+                       jnp.clip(j, -1 - r, -1))
+    left_ix = jnp.clip(x0 - 1 - r, 0, W - 1)
+    left_raw = flat[jnp.clip(y0 + joff_l, 0, H - 1) * W + left_ix]
 
-    corner_px = flat[jnp.clip(y0 - 1, 0, H - 1) * W
-                     + jnp.clip(x0 - 1, 0, W - 1)]
     top0 = flat[top_iy * W + jnp.clip(x0, 0, W - 1)]
     left0 = flat[jnp.clip(y0, 0, H - 1) * W + left_ix]
-    corner = jnp.where(cand_up_left > 0, corner_px,
-                       jnp.where(avail_l > 0, left0,
-                                 jnp.where(avail_t > 0, top0, mid_val)))
+    fallback = jnp.where(avail_l > 0, left0,
+                         jnp.where(avail_t > 0, top0, mid_val))
+    top_m1 = jnp.where(cand_up_left > 0,
+                       flat[top_iy * W + jnp.clip(x0 - 1, 0, W - 1)],
+                       fallback)
+    left_m1 = jnp.where(cand_up_left > 0,
+                        flat[jnp.clip(y0 - 1, 0, H - 1) * W + left_ix],
+                        fallback)
 
-    top = jnp.where(avail_t > 0, top_raw, corner)
-    left = jnp.where(avail_l > 0, left_raw, corner)
-    top = jnp.where(j >= 0, top, corner)
-    left = jnp.where(j >= 0, left, corner)
+    top = jnp.where(j >= 0,
+                    jnp.where(avail_t > 0, top_raw, top_m1),
+                    jnp.where(cand_up_left > 0, top_raw, fallback))
+    left = jnp.where(j >= 0,
+                     jnp.where(avail_l > 0, left_raw, left_m1),
+                     jnp.where(cand_up_left > 0, left_raw, fallback))
     return left.astype(jnp.int32), top.astype(jnp.int32)
 
 
@@ -173,15 +183,16 @@ def ref_filter_121(left, top, OFF: int, left_size, top_size,
     return left_o, top_o
 
 
-def project_negative_angle(dst, src, OFF: int, inv_angle, limit):
-    """Negative-angle projection (vvc_intra_template.c:566-583, ref_idx 0):
-    dst[x-1] = src[-1 + min((x*invAngle + 256) >> 9, limit)], x in [-limit,-1).
-    """
+def project_negative_angle(dst, src, OFF: int, inv_angle, limit, ref_idx=0):
+    """Negative-angle projection (vvc_intra_template.c:566-583):
+    dst[x-1-r] = src[-1-r + min((x*invAngle + 256) >> 9, limit)],
+    x in [-limit, -1)."""
+    r = ref_idx
     t = jnp.arange(dst.shape[0]) - OFF
-    xx = t + 1
-    sidx = OFF - 1 + jnp.minimum((xx * inv_angle + 256) >> 9, limit)
+    xx = t + 1 + r
+    sidx = OFF - 1 - r + jnp.minimum((xx * inv_angle + 256) >> 9, limit)
     proj = src[jnp.clip(sidx, 0, src.shape[0] - 1)]
-    sel = (t >= -limit - 1) & (t <= -2)
+    sel = (t >= -limit - 1 - r) & (t <= -2 - r)
     return jnp.where(sel, proj, dst)
 
 
@@ -225,12 +236,13 @@ def pred_h(left, OFF: int, maxs: int):
 
 
 def _angular_core(main, OFF: int, maxs: int, angle, filter_flag,
-                  is_chroma: bool, clip_max: int):
+                  is_chroma: bool, clip_max: int, ref_idx=0):
     """For line i (0..maxs-1) produce maxs samples from `main`:
-    pos = (i+1)*angle; idx = pos>>5; fact = pos&31."""
+    pos = (i+1+ref_idx)*angle; idx = pos>>5; fact = pos&31 (in the
+    line-0 array origin the MRL +ref_idx index shift cancels)."""
     i = jnp.arange(maxs)[:, None]
     x = jnp.arange(maxs)[None, :]
-    pos = (i + 1) * angle
+    pos = (i + 1 + ref_idx) * angle
     idx = pos >> 5
     fact = pos & 31
 
@@ -251,9 +263,10 @@ def _angular_core(main, OFF: int, maxs: int, angle, filter_flag,
 
 
 def pred_angular_v(top, left, OFF: int, maxs: int, w, h, angle, inv_angle,
-                   filter_flag, do_pdpc, ns, is_chroma: bool, clip_max: int):
+                   filter_flag, do_pdpc, ns, is_chroma: bool, clip_max: int,
+                   ref_idx=0):
     pred = _angular_core(top, OFF, maxs, angle, filter_flag, is_chroma,
-                         clip_max)
+                         clip_max, ref_idx)
 
     def pdpc(pred):
         y = jnp.arange(maxs)[:, None]
@@ -270,9 +283,10 @@ def pred_angular_v(top, left, OFF: int, maxs: int, w, h, angle, inv_angle,
 
 
 def pred_angular_h(top, left, OFF: int, maxs: int, w, h, angle, inv_angle,
-                   filter_flag, do_pdpc, ns, is_chroma: bool, clip_max: int):
+                   filter_flag, do_pdpc, ns, is_chroma: bool, clip_max: int,
+                   ref_idx=0):
     pred = _angular_core(left, OFF, maxs, angle, filter_flag, is_chroma,
-                         clip_max).T
+                         clip_max, ref_idx).T
 
     def pdpc(pred):
         y = jnp.arange(maxs)[:, None]

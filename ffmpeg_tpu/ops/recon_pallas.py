@@ -61,7 +61,8 @@ JMAX = 103        # edge_arrays' index bound (176-long arrays, origin 72:
  KDMVR, KOM0X, KOM0Y, KOM1X, KOM1Y,
  KMIPID, KMIPT, KMIPSZ,
  KCCLM, KCCLMVC, KCCLMCT, KCCLMCL,
- KCCLMP0, KCCLMP1, KCCLMP2, KCCLMP3) = range(74)
+ KCCLMP0, KCCLMP1, KCCLMP2, KCCLMP3,
+ KMRL) = range(75)
 
 (MC_PLANAR, MC_DC, MC_VERT, MC_HORZ, MC_ANG_V, MC_ANG_H, MC_INTER,
  MC_MIP, MC_CCLM) = range(9)
@@ -143,7 +144,7 @@ def _scal(v):
 
 
 def _build_kernel(Hp, Wp, Wr, HL, nch, bit_depth, is_chroma, gran,
-                  has_mip=False, has_cclm=False):
+                  has_mip=False, has_cclm=False, has_mrl=False):
   maxv = (1 << bit_depth) - 1
   mid = 1 << (bit_depth - 1)
   lg = gran.bit_length() - 1      # log2(gran)
@@ -158,7 +159,13 @@ def _build_kernel(Hp, Wp, Wr, HL, nch, bit_depth, is_chroma, gran,
       mip_ref, rest = rest[0], rest[1:]
     if has_cclm:
       dsy_ref, rest = rest[0], rest[1:]
-    p_in, r_in, plane_ref, r_ref = rest
+    if has_mrl:
+      # R2: the two extra columns per gran-4 group ((c & 3) in {1, 2}),
+      # packed 16-bit lo/hi into one int32 row per group — the MRL
+      # left-reference columns x0-2 / x0-3
+      p_in, r_in, r2_in, plane_ref, r_ref, r2_ref = rest
+    else:
+      p_in, r_in, plane_ref, r_ref = rest
     i = pl.program_id(0)
     iy = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
     ix = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
@@ -167,6 +174,8 @@ def _build_kernel(Hp, Wp, Wr, HL, nch, bit_depth, is_chroma, gran,
     def _():
       plane_ref[...] = p_in[...]
       r_ref[...] = r_in[...]
+      if has_mrl:
+        r2_ref[...] = r2_in[...]
 
     @pl.when(i < meta_ref[0])
     def _():
@@ -192,13 +201,16 @@ def _build_kernel(Hp, Wp, Wr, HL, nch, bit_depth, is_chroma, gran,
       ff = ctrl_ref[KFF, i]
       ns = ctrl_ref[KNS, i]
       pdpc = ctrl_ref[KPDPC, i]
+      # MRL reference-line offset (luma only; 0 when the frame has no
+      # MRL units, keeping non-MRL programs identical)
+      mrl = ctrl_ref[KMRL, i] if has_mrl else 0
 
       jl = jax.lax.broadcasted_iota(jnp.int32, (1, LE), 1) - OFF
       jj_le = jax.lax.broadcasted_iota(jnp.int32, (S, LE), 1)
       rows1 = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
 
       # angular one-hot 4-tap weight matrix A (shared by channels)
-      pos = (rows1 + 1) * angle
+      pos = (rows1 + 1 + mrl) * angle
       aidx = pos >> 5                     # (S, 1)
       fact = pos & 31
       if is_chroma:
@@ -218,8 +230,8 @@ def _build_kernel(Hp, Wp, Wr, HL, nch, bit_depth, is_chroma, gran,
         # mt[l, r]: src lane l contributing to projected lane r
         ll2 = jax.lax.broadcasted_iota(jnp.int32, (LE, 128), 0)
         rr2 = jax.lax.broadcasted_iota(jnp.int32, (LE, 128), 1)
-        xx = rr2 - 32                    # j+1
-        sidx = OFF - 1 + jnp.minimum((xx * inv + 256) >> 9, limit)
+        xx = rr2 - 32                    # j+1+mrl
+        sidx = OFF - 1 - mrl + jnp.minimum((xx * inv + 256) >> 9, limit)
         return (ll2 == jnp.clip(sidx, 0, LE - 1)).astype(jnp.int32)
 
       mt_v = project_mt(h)               # for projecting top (limit=h)
@@ -271,29 +283,51 @@ def _build_kernel(Hp, Wp, Wr, HL, nch, bit_depth, is_chroma, gran,
         iblk = iblk_ref[0, ch] if nch > 1 else iblk_ref[0]
 
         # ---- edge vectors (left/top) ------------------------------
-        # top row straight from the plane; left column from R
-        trow = plane_ref[ch, pl.ds(jnp.maximum(y0 - 1, 0), 1), :]
-        trow = pltpu.roll(trow, (Wp - (x0 - 1)) % Wp, axis=1)
-        tloc = trow[:, :LE] + 0            # lane k = plane[y0-1, x0-1+k]
+        # top row straight from the plane (row y0-1-mrl); left column
+        # from R (col x0-1; MRL lines x0-2 / x0-3 from the packed R2)
+        trow = plane_ref[ch, pl.ds(jnp.maximum(y0 - 1 - mrl, 0), 1), :]
+        trow = pltpu.roll(trow, (Wp - (x0 - 1 - mrl)) % Wp, axis=1)
+        tloc = trow[:, :LE] + 0        # lane k = plane[y0-1-r, x0-1-r+k]
         rrow = r_ref[ch, pl.ds(jnp.maximum((x0 - 1) >> lg, 0), 1), :]
-        lrow = pltpu.roll(rrow, (HL - (y0 - 1)) % HL, axis=1)
-        lloc = lrow[:, :LE] + 0            # lane k = plane[y0-1+k, x0-1]
+        if has_mrl:
+          r2row = r2_ref[ch, pl.ds(jnp.maximum((x0 - 1) >> lg, 0), 1), :]
+          rrow = jnp.where(
+              mrl == 0, rrow,
+              jnp.where(mrl == 1, (r2row >> 16) & 0xffff,   # col x0-2
+                        r2row & 0xffff))                    # col x0-3
+        lrow = pltpu.roll(rrow, (HL - (y0 - 1 - mrl)) % HL, axis=1)
+        lloc = lrow[:, :LE] + 0        # lane k = plane[y0-1-r+k, x0-1-r]
 
-        t_run = pltpu.roll(tloc, OFF - 1, axis=1)   # lane j+OFF = x0+j
-        l_run = pltpu.roll(lloc, OFF - 1, axis=1)
-        t_last = jnp.broadcast_to(_dyn_extract(tloc, avt), (1, LE))
-        l_last = jnp.broadcast_to(_dyn_extract(lloc, avl), (1, LE))
-        top0 = _st_extract(tloc, 1)                 # plane[y0-1, x0]
-        left0 = _st_extract(lloc, 1)                # plane[y0, x0-1]
-        corner_px = tloc[:, :1] + 0                 # plane[y0-1, x0-1]
-        corner = jnp.where(
-            cul > 0, corner_px,
-            jnp.where(avl > 0, left0, jnp.where(avt > 0, top0, mid)))
-        corner_b = jnp.broadcast_to(corner, (1, LE))
-        top = jnp.where((jl >= 0) & (avt > 0),
-                        jnp.where(jl < avt, t_run, t_last), corner_b)
-        left = jnp.where((jl >= 0) & (avl > 0),
-                         jnp.where(jl < avl, l_run, l_last), corner_b)
+        t_run = pltpu.roll(tloc, OFF - 1 - mrl, axis=1)  # lane j+OFF=x0+j
+        l_run = pltpu.roll(lloc, OFF - 1 - mrl, axis=1)
+        t_last = jnp.broadcast_to(_dyn_extract(tloc, avt + mrl), (1, LE))
+        l_last = jnp.broadcast_to(_dyn_extract(lloc, avl + mrl), (1, LE))
+        top0 = _dyn_extract(tloc, 1 + mrl)          # plane[y0-1-r, x0]
+        left0 = _dyn_extract(lloc, 1 + mrl)         # plane[y0, x0-1-r]
+        tm1_px = _dyn_extract(tloc, mrl + 0)        # plane[y0-1-r, x0-1]
+        lm1_px = _dyn_extract(lloc, mrl + 0)        # plane[y0-1, x0-1-r]
+        fallback = jnp.where(avl > 0, left0,
+                             jnp.where(avt > 0, top0, mid))
+        fb_b = jnp.broadcast_to(fallback, (1, LE))
+        tm1_b = jnp.broadcast_to(
+            jnp.where(cul > 0, tm1_px, fallback), (1, LE))
+        lm1_b = jnp.broadcast_to(
+            jnp.where(cul > 0, lm1_px, fallback), (1, LE))
+        # negative lanes clamp at j = -1-r (parity edge_arrays joff)
+        t0_b = jnp.broadcast_to(tloc[:, :1] + 0, (1, LE))
+        l0_b = jnp.broadcast_to(lloc[:, :1] + 0, (1, LE))
+        t_neg = jnp.where(jl >= -1 - mrl, t_run, t0_b)
+        l_neg = jnp.where(jl >= -1 - mrl, l_run, l0_b)
+        top = jnp.where(
+            jl >= 0,
+            jnp.where(avt > 0,
+                      jnp.where(jl < avt, t_run, t_last), tm1_b),
+            jnp.where(cul > 0, t_neg, fb_b))
+        left = jnp.where(
+            jl >= 0,
+            jnp.where(avl > 0,
+                      jnp.where(jl < avl, l_run, l_last), lm1_b),
+            jnp.where(cul > 0, l_neg, fb_b))
 
         # ---- [1 2 1] reference filter (ref_filter_121) ------------
         if not is_chroma:
@@ -318,13 +352,14 @@ def _build_kernel(Hp, Wp, Wr, HL, nch, bit_depth, is_chroma, gran,
 
         # ---- negative-angle projection (project_negative_angle) ---
         def project(dst, src, mt, limit):
-          # dst[j] <- src[OFF-1 + min(((j+1)*inv + 256) >> 9, limit)]
-          # for j in [-limit-1, -2]; evaluated at j = r-33, r in [0,32)
-          prow = _dot(src, mt)             # (1,128): col r = src[sidx(r)]
+          # dst[j] <- src[OFF-1-mrl + min(((j+1+mrl)*inv + 256) >> 9,
+          # limit)] for j in [-limit-1-mrl, -2-mrl]; evaluated at
+          # j = q-33-mrl for matrix column q in [0,32)
+          prow = _dot(src, mt)             # (1,128): col q = src[sidx(q)]
           pvec = jnp.concatenate(
               [prow, jnp.zeros((1, LE - 128), jnp.int32)], axis=1)
-          pvec = pltpu.roll(pvec, 31, axis=1)   # lane r+31 = j+OFF
-          sel = (jl >= -limit - 1) & (jl <= -2)
+          pvec = pltpu.roll(pvec, 31 - mrl, axis=1)  # lane q+31-mrl = j+OFF
+          sel = (jl >= -limit - 1 - mrl) & (jl <= -2 - mrl)
           return jnp.where(sel, pvec, dst)
 
         top = jnp.where(projv > 0, project(top, left, mt_v, h), top)
@@ -598,11 +633,24 @@ def _build_kernel(Hp, Wp, Wr, HL, nch, bit_depth, is_chroma, gran,
         rblk = jnp.concatenate(
             [colsT, jnp.zeros((nr, HL - S), jnp.int32)], axis=1)
         rblk = pltpu.roll(rblk, y0, axis=1)
+        if has_mrl:
+          # R2: columns gran*k+1 (lo 16) and gran*k+2 (hi 16) packed
+          # into one int32 row per group — the MRL left lines x0-3/x0-2
+          c1_oh = (cc == gran * kk + 1).astype(jnp.int32)
+          c2_oh = (cc == gran * kk + 2).astype(jnp.int32)
+          packT = _dot_t(c1_oh, out) + (_dot_t(c2_oh, out) << 16)
+          r2blk = jnp.concatenate(
+              [packT, jnp.zeros((nr, HL - S), jnp.int32)], axis=1)
+          r2blk = pltpu.roll(r2blk, y0, axis=1)
         for k in range(nr):
           bi = jnp.minimum(b0 + k, Wr - 1)
+          live = lmask & (k < (w >> lg))
           old = r_ref[ch, pl.ds(bi, 1), :]
-          r_ref[ch, pl.ds(bi, 1), :] = jnp.where(
-              lmask & (k < (w >> lg)), _row(rblk, k), old)
+          r_ref[ch, pl.ds(bi, 1), :] = jnp.where(live, _row(rblk, k), old)
+          if has_mrl:
+            old2 = r2_ref[ch, pl.ds(bi, 1), :]
+            r2_ref[ch, pl.ds(bi, 1), :] = jnp.where(
+                live, _row(r2blk, k), old2)
 
   return kernel
 
@@ -633,10 +681,12 @@ _MIP_BANK_ROWS = None
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "W", "H", "nch", "bit_depth", "is_chroma", "has_mip", "has_cclm"))
+    "W", "H", "nch", "bit_depth", "is_chroma", "has_mip", "has_cclm",
+    "has_mrl"))
 def recon_plane_pallas(ctrl, n_units, inter_pos, res_blocks, inter_blocks,
                        *, W, H, nch, bit_depth, is_chroma, has_mip=False,
-                       has_cclm=False, sel_luma=None, dsy=None):
+                       has_cclm=False, has_mrl=False, sel_luma=None,
+                       dsy=None):
   """Run the recon kernel over one plane kind.
 
   ctrl: (30, ncap) int32 decode-order control matrix.
@@ -651,11 +701,13 @@ def recon_plane_pallas(ctrl, n_units, inter_pos, res_blocks, inter_blocks,
   ncap = ctrl.shape[1]
   has_mip = bool(has_mip) and not is_chroma
   has_cclm = bool(has_cclm) and is_chroma
+  has_mrl = bool(has_mrl) and not is_chroma
   kernel = _build_kernel(Hp, Wp, Wr, HL, nch, bit_depth, is_chroma, gran,
-                         has_mip, has_cclm)
+                         has_mip, has_cclm, has_mrl)
   mid = 1 << (bit_depth - 1)
   p0 = jnp.full((nch, Hp, Wp), mid, jnp.int32)
   r0 = jnp.zeros((nch, Wr, HL), jnp.int32)
+  nstate = 3 if has_mrl else 2   # plane, R (+ packed R2 for MRL)
   if nch > 1:
     res_spec = pl.BlockSpec((1, nch, S, S),
                             lambda i, *sp: (i, 0, 0, 0))
@@ -677,14 +729,19 @@ def recon_plane_pallas(ctrl, n_units, inter_pos, res_blocks, inter_blocks,
   nconst = 1 + has_mip + has_cclm  # ftab (+mip bank) (+dsy) pre p/r
   grid_spec = pltpu.PrefetchScalarGridSpec(
       num_scalar_prefetch=nsp, grid=(seg,),
-      in_specs=[res_spec, iblk_spec] + [vm] * (nconst + 2),
-      out_specs=[vm, vm])
+      in_specs=[res_spec, iblk_spec] + [vm] * (nconst + nstate),
+      out_specs=[vm] * nstate)
   fn = pl.pallas_call(
       kernel,
-      out_shape=[jax.ShapeDtypeStruct((nch, Hp, Wp), jnp.int32),
-                 jax.ShapeDtypeStruct((nch, Wr, HL), jnp.int32)],
+      out_shape=[jax.ShapeDtypeStruct((nch, Hp, Wp), jnp.int32)]
+      + [jax.ShapeDtypeStruct((nch, Wr, HL), jnp.int32)] * (nstate - 1),
       grid_spec=grid_spec,
-      input_output_aliases={nsp + 2 + nconst: 0, nsp + 3 + nconst: 1},
+      input_output_aliases={nsp + 2 + nconst + k: k for k in range(nstate)},
+      # the XLA default scoped-VMEM budget (16 MB) is conservative;
+      # large-frame plane+R state plus windows needs more (v5e VMEM
+      # is far larger) — raise the ceiling for the 1080p/4K kernels
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024),
       # off-TPU (FFMPEG_TPU_PALLAS=1 tests) run the kernel interpreted
       interpret=jax.default_backend() != "tpu")
   consts = [jnp.asarray(_FTAB_ROWS)]
@@ -700,7 +757,8 @@ def recon_plane_pallas(ctrl, n_units, inter_pos, res_blocks, inter_blocks,
     dw = min(Wp, dsy.shape[1])
     dsy_k = dsy_k.at[:dh, :dw].set(dsy[:dh, :dw])
     consts.append(dsy_k)
-  plane, r = p0, r0
+  state = [p0, r0] + ([jnp.zeros((nch, Wr, HL), jnp.int32)]
+                      if has_mrl else [])
   for s in range(nseg):
     lo, hi = s * seg, min((s + 1) * seg, ncap)
     if hi - lo < seg:  # keep one kernel variant: pad the tail segment
@@ -718,5 +776,5 @@ def recon_plane_pallas(ctrl, n_units, inter_pos, res_blocks, inter_blocks,
       sel_s = sel_luma[:, lo:hi] if has_cclm else None
     meta = jnp.clip(n_units - lo, 0, seg).astype(jnp.int32).reshape(1)
     sp = [ctrl_s, meta, pos_s] + ([sel_s] if has_cclm else [])
-    plane, r = fn(*sp, res_s, inter_blocks, *consts, plane, r)
-  return plane
+    state = list(fn(*sp, res_s, inter_blocks, *consts, *state))
+  return state[0]

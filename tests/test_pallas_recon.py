@@ -38,7 +38,10 @@ def _md5s_ref(path):
          n_frames=3, sbtmvp=True, deblock=True),
     dict(width=96, height=64, seed=155, qp=28, inter=True, b_slices=True,
          n_frames=3, affine=True, prof=True, deblock=True),
-], ids=["intra", "inter-b", "wave1-lmcs", "sbtmvp", "affine"])
+    dict(width=96, height=64, seed=156, qp=28, mrl=True, mip=True,
+         cclm=True),
+], ids=["intra", "inter-b", "wave1-lmcs", "sbtmvp", "affine",
+        "mrl-mip-cclm"])
 def test_pallas_interpret_parity(tmp_path, cfg_kw, monkeypatch):
     monkeypatch.setenv("FFMPEG_TPU_PALLAS", "1")
     from ffmpeg_tpu.encoder.encoder import EncoderConfig, encode_stream
