@@ -773,6 +773,16 @@ class PictureHeader:
             w.flag(self.ph_deblocking_params_present_flag)
             assert not self.ph_deblocking_params_present_flag
 
+    def to_nal(self, sps: SPS, pps: PPS) -> bytes:
+        """Standalone PH_NUT (7.3.2.8: picture_header_structure +
+        rbsp_trailing_bits)."""
+        from ..bitstream.bits import NAL_PH, make_nal
+
+        w = BitWriter()
+        self.write(w, sps, pps)
+        w.rbsp_trailing_bits()
+        return make_nal(NAL_PH, w.to_bytes())
+
 
 @dataclass
 class SliceHeader:

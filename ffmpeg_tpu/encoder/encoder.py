@@ -54,6 +54,9 @@ class EncoderConfig:
     cu_qp_delta_subdiv: int = 2
     # joint chroma residual coding
     joint_cbcr: bool = False
+    # emit the picture header as its own PH NAL (PH_NUT) instead of
+    # inside the slice header (sh_picture_header_in_slice_header_flag=0)
+    separate_ph: bool = False
     # dependent quantization / sign data hiding (mutually exclusive in a
     # slice: SDH flag is only written when dep-quant is off, 7.3.7)
     dep_quant: bool = False
@@ -801,6 +804,11 @@ def encode_stream(cfg: EncoderConfig):
                                   _np.full((2, ph4, pw4), -1, _np.int32),
                                   ((), ()))
 
+        if cfg.separate_ph:
+            sh.sh_picture_header_in_slice_header_flag = 0
+            if cfg.lmcs:
+                sh.sh_lmcs_used_flag = 1
+            out += sh.ph.to_nal(sps, pps)
         w = BitWriter()
         sh.write(w, sps, pps)
         assert w.bit_length % 8 == 0

@@ -903,6 +903,11 @@ class Decoder {
             pps_ = parse_pps(r, sps_);
             has_pps_ = true;
             break;
+          case NAL_PH:
+            VVC_UNSUPPORTED(!has_sps_ || !has_pps_, "PH before SPS/PPS");
+            ph_ = parse_picture_header_nal(r, sps_, pps_);
+            has_ph_ = true;
+            break;
           case NAL_PREFIX_APS:
           case NAL_SUFFIX_APS: {
             Aps aps = parse_aps(r);
@@ -943,6 +948,8 @@ class Decoder {
   Aps aps_lmcs_[4];
   Aps aps_alf_[8];
   bool has_sps_ = false, has_pps_ = false;
+  PictureHeader ph_;  // active header from a separate PH NAL
+  bool has_ph_ = false;
 
   // parse-time state
   CabacStates ctxs_;
@@ -2070,7 +2077,7 @@ class Decoder {
   void derive_lmcs() {
     LmcsOut& lm = out.lmcs;
     lm = LmcsOut();
-    if (!sh_.ph.ph_lmcs_enabled_flag) return;
+    if (!sh_.sh_lmcs_used_flag) return;
     const Aps& aps = aps_lmcs_[sh_.ph.ph_lmcs_aps_id & 3];
     VVC_UNSUPPORTED(aps.aps_params_type != 1, "LMCS APS missing");
     VVC_UNSUPPORTED(sps_.bit_depth > 12, "LMCS >12-bit");
@@ -2212,7 +2219,8 @@ class Decoder {
   }
 
   void decode_slice(const Nal& nal, BitReader& r) {
-    sh_ = parse_slice_header(r, nal.type, sps_, pps_);
+    sh_ = parse_slice_header(r, nal.type, sps_, pps_,
+                             has_ph_ ? &ph_ : nullptr);
     VVC_UNSUPPORTED(sps_.sps_qtbtt_dual_tree_intra_flag, "dual tree (todo)");
     VVC_UNSUPPORTED(sps_.sps_entropy_coding_sync_enabled_flag, "WPP (todo)");
     VVC_UNSUPPORTED(pps_.num_tile_columns * pps_.num_tile_rows != 1,

@@ -562,14 +562,26 @@ Aps parse_aps(BitReader& r) {
   return aps;
 }
 
+PictureHeader parse_picture_header_nal(BitReader& r, const Sps& sps,
+                                       const Pps& pps) {
+  return parse_picture_header(r, sps, pps);
+}
+
 SliceHeader parse_slice_header(BitReader& r, int nal_type, const Sps& sps,
-                               const Pps& pps) {
+                               const Pps& pps,
+                               const PictureHeader* ext_ph) {
   SliceHeader sh;
   sh.nal_type = nal_type;
   sh.sh_picture_header_in_slice_header_flag = r.flag();
-  VVC_UNSUPPORTED(!sh.sh_picture_header_in_slice_header_flag,
-                  "separate PH NAL (todo)");
-  sh.ph = parse_picture_header(r, sps, pps);
+  if (sh.sh_picture_header_in_slice_header_flag) {
+    sh.ph = parse_picture_header(r, sps, pps);
+  } else {
+    VVC_UNSUPPORTED(!ext_ph, "slice without a preceding PH NAL");
+    sh.ph = *ext_ph;
+  }
+  // inferred value when PH is in SH (7.4.8.1); overridden below when a
+  // separate PH carries the picture header
+  sh.sh_lmcs_used_flag = sh.ph.ph_lmcs_enabled_flag;
   const PictureHeader& ph = sh.ph;
 
   // no subpics; slice address (single slice per pic supported so far)
@@ -609,6 +621,10 @@ SliceHeader parse_slice_header(BitReader& r, int nal_type, const Sps& sps,
       }
     }
   }
+
+  if (!sh.sh_picture_header_in_slice_header_flag &&
+      ph.ph_lmcs_enabled_flag)
+    sh.sh_lmcs_used_flag = r.flag();
 
   bool is_idr = nal_is_idr(nal_type);
   bool has_rpl = !pps.pps_rpl_info_in_ph_flag &&

@@ -253,6 +253,7 @@ struct SliceHeader {
   int sh_sign_data_hiding_used_flag = 0;
   int sh_ts_residual_coding_disabled_flag = 0;
   int sh_ts_residual_coding_rice_idx_minus1 = 0;
+  int sh_lmcs_used_flag = 0;  // inferred = ph_lmcs_enabled when PH in SH
   std::vector<uint32_t> entry_point_offsets;
   size_t data_bitpos = 0;  // byte-aligned start of slice_data()
 };
@@ -260,7 +261,14 @@ struct SliceHeader {
 Sps parse_sps(BitReader& r);
 Pps parse_pps(BitReader& r, const Sps& sps);
 Aps parse_aps(BitReader& r);
+// Standalone PH_NUT parse (spec 7.3.2.8; parity: cbs reads the same
+// picture_header_structure the in-slice path does).
+PictureHeader parse_picture_header_nal(BitReader& r, const Sps& sps,
+                                       const Pps& pps);
+// ext_ph: the active picture header from a preceding PH NAL, used when
+// sh_picture_header_in_slice_header_flag == 0.
 SliceHeader parse_slice_header(BitReader& r, int nal_type, const Sps& sps,
-                               const Pps& pps);
+                               const Pps& pps,
+                               const PictureHeader* ext_ph = nullptr);
 
 }  // namespace vvc
