@@ -20,16 +20,30 @@ transport latency, so the decoder
 from __future__ import annotations
 
 import hashlib
+from dataclasses import dataclass
 
 import numpy as np
 
+from ...utils.log import get_logger
 from .host import HostDecoder
 from .pipeline import submit_frame
 
+log = get_logger("vvc.decoder")
+
 # frames fetched per device->host transfer; also the dispatch-ahead depth
 FETCH_BATCH = 8
-# device DPB sliding window (pocs kept as references)
-DPB_KEEP = 16
+
+
+@dataclass
+class DecoderConfig:
+    """Runtime decoder options (the AVOption analog; reference uses
+    thread_count -> executor width, AV_CODEC_FLAG_LOW_DELAY -> nb_fcs,
+    vvcdec.c:937-954)."""
+    host_threads: int = 4      # parallel host CABAC parse lanes
+    fetch_batch: int = FETCH_BATCH  # frames per device->host transfer
+    errors: str = "contain"    # "contain": log + skip bad AUs, synthesize
+    #                            gray for missing refs (vvc_refs.c:316);
+    #                            "raise": propagate (strict/test mode)
 
 
 class Frame:
@@ -92,19 +106,55 @@ class VVCDecoder:
     (vvc_thread.c PARSE stage) without its progress-tracking machinery.
     """
 
-    def __init__(self, host_threads: int = 4) -> None:
+    def __init__(self, host_threads: int | None = None,
+                 config: DecoderConfig | None = None) -> None:
         import queue
         from concurrent.futures import ThreadPoolExecutor
 
         from .host import ColStore
 
+        cfg = config or DecoderConfig()
+        if host_threads is not None:
+            cfg.host_threads = host_threads
+        self.config = cfg
         self._colstore = ColStore()  # session-scoped TMVP exchange
         self._hosts: queue.Queue = queue.Queue()
-        for _ in range(host_threads):
+        for _ in range(cfg.host_threads):
             self._hosts.put(HostDecoder(self._colstore))
-        self._exec = ThreadPoolExecutor(max_workers=host_threads)
-        self._parse_ahead = 2 * host_threads
+        self._exec = ThreadPoolExecutor(max_workers=cfg.host_threads)
+        self._parse_ahead = 2 * cfg.host_threads
         self._dpb: dict[int, list] = {}  # poc -> [Y, Cb, Cr] device planes
+        self._epoch_base = 0  # monotone across decode() calls (TMVP keys)
+
+    def flush(self) -> None:
+        """Drop all inter-frame stream state (avcodec_flush_buffers /
+        vvc_decode_flush analog, vvcdec.c:894-907): the DPB and the
+        TMVP collocated store.  After a flush, decoding must resume at
+        an IRAP (IDR/CRA) access unit — the seek-restart contract."""
+        from .host import ColStore
+
+        self._dpb.clear()
+        self._colstore = ColStore()
+        self._epoch_base = 0
+        # re-bind the pooled host parsers to the fresh colstore
+        hosts = []
+        while not self._hosts.empty():
+            hosts.append(self._hosts.get_nowait())
+        for _ in hosts:
+            self._hosts.put(HostDecoder(self._colstore))
+
+    def _gray_planes(self, fs):
+        """Synthesize a mid-gray reference (missing-ref recovery,
+        vvc_refs.c:316-347: generate_missing_ref)."""
+        import jax.numpy as jnp
+
+        from .pipeline import _padded_plane_shapes
+
+        sy, sc = _padded_plane_shapes(fs.width, fs.height, fs.ctb_log2)
+        gray = 1 << (fs.bit_depth - 1)
+        return [jnp.full(sy, gray, jnp.int32),
+                jnp.full(sc, gray, jnp.int32),
+                jnp.full(sc, gray, jnp.int32)]
 
     def _parse_au(self, au: bytes, epoch: int):
         """Worker-thread frame stage: native CABAC parse (releases the
@@ -137,7 +187,10 @@ class VVCDecoder:
         params: list[bytes] = []
         cur: list[bytes] = []
         aus = []
-        epoch = -1
+        # epochs are monotone across decode() calls on this session so
+        # restarted POCs never alias older TMVP entries
+        base = self._epoch_base
+        epoch = base - 1
         for t, _layer, _tid, raw in split_annexb_raw(data):
             if t in _PARAM_NAL_TYPES:
                 params.append(raw)
@@ -147,9 +200,10 @@ class VVCDecoder:
                 is_idr = t in (7, 8)
                 if is_idr:
                     epoch += 1
-                aus.append((is_idr, max(epoch, 0),
+                aus.append((is_idr, max(epoch, base),
                             b"".join(params) + b"".join(cur)))
                 cur = []
+        self._epoch_base = epoch + 1
         return aus
 
     def decode(self, data: bytes, fetch: bool = True):
@@ -195,7 +249,7 @@ class VVCDecoder:
             if not fetch:
                 return [frame]
             window.append((frame, frame.buf))
-            if len(window) >= FETCH_BATCH:
+            if len(window) >= self.config.fetch_batch:
                 return flush()
             return []
 
@@ -207,15 +261,35 @@ class VVCDecoder:
                 out.extend(emit(pending_out.pop(0)))
             return out
 
+        contain = self.config.errors == "contain"
         top_up()
         first = True
         while inflight:
             is_idr, epoch, fut = inflight.popleft()
-            parsed = fut.result()
+            try:
+                parsed = fut.result()
+            except Exception as e:
+                # per-frame error containment (vvc_thread.c:605-617 /
+                # vvcdec.c:795-798: a failed frame is dropped, the
+                # session keeps decoding)
+                if not contain:
+                    raise
+                log.error("dropping undecodable access unit: %s", e)
+                top_up()
+                continue
             top_up()
             if parsed is None:
                 continue
             fs, prepared = parsed
+            if fs.slice_type != 2:
+                needed = set(fs.ref_pocs[0]) | set(fs.ref_pocs[1])
+                missing = needed - set(self._dpb)
+                if missing and not contain:
+                    raise RuntimeError(f"missing reference frames {missing}")
+                for poc in missing:
+                    log.warning("poc %d: missing reference %d, "
+                                "synthesizing gray", fs.poc, poc)
+                    self._dpb[poc] = self._gray_planes(fs)
             if prepared is None:
                 # DMVR: refine against the (device-resident) reference
                 # luma planes, publish the deferred collocated motion,
@@ -236,11 +310,6 @@ class VVCDecoder:
                 self._dpb.clear()
             first = False
             reorder_depth = fs.max_num_reorder
-            if fs.slice_type != 2:
-                needed = set(fs.ref_pocs[0]) | set(fs.ref_pocs[1])
-                missing = needed - set(self._dpb)
-                if missing:
-                    raise RuntimeError(f"missing reference frames {missing}")
             packed, planes = submit_frame(prepared, fs, self._dpb)
             if fetch and hasattr(packed, "copy_to_host_async"):
                 # start the device->host transfer now so it streams
@@ -248,8 +317,17 @@ class VVCDecoder:
                 # is the throughput floor, not the device)
                 packed.copy_to_host_async()
             self._dpb[fs.poc] = planes
-            while len(self._dpb) > DPB_KEEP:
-                del self._dpb[min(self._dpb)]
+            # RPS-driven DPB lifetime (spec 8.3.2 / vvc_refs.c:196-294):
+            # every picture that any later picture references must be in
+            # the current picture's ref pic lists (active or inactive);
+            # anything not listed is "unused for reference" and released.
+            listed = set(fs.ref_pocs[0]) | set(fs.ref_pocs[1])
+            if listed:
+                for poc in [p for p in self._dpb
+                            if p != fs.poc and p not in listed]:
+                    del self._dpb[poc]
+            log.debug("decoded poc %d (%dx%d), dpb=%d", fs.poc, fs.width,
+                      fs.height, len(self._dpb))
             pending_out.append(Frame(poc=fs.poc, buf=packed, width=fs.width,
                                      height=fs.height,
                                      bit_depth=fs.bit_depth))
