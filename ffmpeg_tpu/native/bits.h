@@ -54,6 +54,11 @@ struct Nal {
   int layer_id;
   int temporal_id;
   std::vector<uint8_t> rbsp;  // emulation-prevention removed
+  // rbsp positions where an emulation byte was removed (the
+  // skipped_bytes_pos analog, h2645_parse.c): rbsp index that the
+  // removed 0x03 preceded.  Used to map escaped entry-point offsets
+  // to rbsp offsets (vvcdec.c:434-445).
+  std::vector<size_t> skipped;
 };
 
 // H.266 NAL unit types (spec table 5).
@@ -97,6 +102,7 @@ inline std::vector<Nal> split_annexb(const uint8_t* data, size_t size) {
       uint8_t b = data[i];
       if (zeros >= 2 && b == 3) {
         zeros = 0;
+        nal.skipped.push_back(nal.rbsp.size());
         continue;  // emulation prevention byte
       }
       nal.rbsp.push_back(b);

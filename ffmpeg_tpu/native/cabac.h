@@ -93,6 +93,24 @@ class CabacDecoder {
 
   size_t bitpos() const { return pos_; }
 
+  // Re-initialize the arithmetic engine at the next byte boundary: the
+  // entry point of a new tile / WPP row (spec 9.3.1: initialization is
+  // invoked after byte_alignment() following end_of_tile_one_bit /
+  // end_of_subset_one_bit).
+  void restart() {
+    pos_ = (pos_ + 7) & ~(size_t)7;
+    range_ = 510;
+    offset_ = read_bits(9);
+  }
+
+  // Jump to an absolute (byte-aligned) bit position and re-initialize:
+  // the signaled-entry-point path (ep_init_cabac_decoder).
+  void reinit_at(size_t bitpos) {
+    pos_ = bitpos;
+    range_ = 510;
+    offset_ = read_bits(9);
+  }
+
  private:
   uint32_t read_bits(int n) {
     uint32_t v = 0;

@@ -171,6 +171,9 @@ struct MvF {
 struct FrameOut {
   int width = 0, height = 0, bit_depth = 8, chroma_format_idc = 1;
   int ctb_log2 = 5;
+  // tile boundaries in luma samples, ascending, with 0 / >=pic sentinels
+  std::vector<int32_t> tile_col_bd{0, 1 << 16};
+  std::vector<int32_t> tile_row_bd{0, 1 << 16};
   int max_num_reorder = 0;
   int poc = 0, slice_qp = 26;
   int mcb_w = 0, mcb_h = 0;  // min-CB grid dims of the ipm plane
@@ -683,18 +686,34 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
       need_l = 2 * h; need_t = 2 * w;
     }
 
-    // availability (parity ff_vvc_get_left/top_available, vvc_intra.c)
+    // availability (parity ff_vvc_get_left/top_available, vvc_intra.c);
+    // intra reference samples never cross tile boundaries
     const int ctb_rx = lx0 >> ctb_log2, ctb_ry = ly0 >> ctb_log2;
-    const bool ctb_left = ctb_rx > 0, ctb_up = ctb_ry > 0;
+    int tlx0 = 0, tlx1 = fr.width;
+    for (size_t k = 1; k < fr.tile_col_bd.size(); k++)
+      if (fr.tile_col_bd[k] > lx0) {
+        tlx0 = fr.tile_col_bd[k - 1];
+        tlx1 = std::min(fr.width, (int)fr.tile_col_bd[k]);
+        break;
+      }
+    int tly0 = 0;
+    for (size_t k = 1; k < fr.tile_row_bd.size(); k++)
+      if (fr.tile_row_bd[k] > ly0) {
+        tly0 = fr.tile_row_bd[k - 1];
+        break;
+      }
+    const bool ctb_left = lx0 > tlx0, ctb_up = ly0 > tly0;
     const int end_of_ctb_x = (ctb_rx + 1) << ctb_log2;
     const int end_of_ctb_y = (ctb_ry + 1) << ctb_log2;
     const int log2_ctb_c = ctb_log2 - ss;
     const int y0b_c = y0 & ((1 << log2_ctb_c) - 1);
     const int x0b_c = x0 & ((1 << log2_ctb_c) - 1);
+    const int tile_w_c = (tlx1 >> ss) - x0;  // to the tile's right edge
 
     int avail_t;
     if (y0b_c == 0) {
-      avail_t = ctb_up ? std::min(need_t, pic_w - x0) : 0;
+      avail_t = ctb_up ? std::min(need_t,
+                                  std::min(pic_w - x0, tile_w_c)) : 0;
     } else {
       int max_x = std::min(fr.width, end_of_ctb_x) >> ss;
       int tgt = std::max(0, std::min(need_t, max_x - x0));
@@ -797,8 +816,8 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
       // bit 0: vertical-collocated stencil; bit 1: block starts at a
       // CTU row (line-buffer single-row top-pick filter)
       O(kCclmVC, i) = fr.cclm_vc + 2 * (y0b_c == 0 ? 1 : 0);
-      // single slice/tile: binary luma availability is the picture edge
-      const bool at_bin = ly0 > 0, al_bin = lx0 > 0;
+      // binary luma availability stops at the tile (or picture) edge
+      const bool at_bin = ly0 > tly0, al_bin = lx0 > tlx0;
       const int num_is4 = (variant != 0 || !at_bin || !al_bin) ? 1 : 0;
       const int num_t = avail_t, num_l = avail_l;  // runs (see above)
       const int cnt_t = std::min(num_t, (1 + num_is4) << 1);
@@ -960,6 +979,8 @@ class Decoder {
   std::vector<int32_t> tab_ipm_, tab_cpm_, tab_imf_;
   std::vector<int32_t> tab_cbw_, tab_cbh_, tab_cqt_;
   bool ctb_left_ = false, ctb_up_ = false;
+  // current tile bounds in luma samples (whole picture when no tiles)
+  int tile_x0_ = 0, tile_y0_ = 0, tile_x1_ = 0, tile_y1_ = 0;
   int qp_y_ = 26;
   // MTS parse state, reset per coded CU (vvc_ctu.c:1805-1806)
   int mts_zero_out_ = 1, mts_dc_only_ = 1;
@@ -1013,17 +1034,18 @@ class Decoder {
     int x, y;
     bool pre_ok;
   };
-  // neighbour geometry (vvc_mvs.c:573-596); single tile/slice assumptions
+  // neighbour geometry (vvc_mvs.c:573-596); prediction dependencies
+  // stop at tile boundaries (tile_* bounds; single slice per picture)
   void neighbours(int x0, int y0, int w, int h, Nb nbs[7]) {
     int ctb = sps_.ctb_size_y;
     int x0b = x0 & (ctb - 1), y0b = y0 & (ctb - 1);
-    bool ctb_left = x0 > 0, ctb_up = y0 > 0;
+    bool ctb_left = x0 > tile_x0_, ctb_up = y0 > tile_y0_;
     bool cand_left = ctb_left || x0b;
     bool cand_up = ctb_up || y0b;
     bool cand_up_left = (x0b || y0b) ? (cand_left && cand_up)
                                      : (ctb_left && ctb_up);
     bool sap = (x0b + w == ctb) ? (ctb_up && !y0b) : cand_up;
-    bool cand_up_right = sap && (x0 + w) < pps_.width;
+    bool cand_up_right = sap && (x0 + w) < std::min(pps_.width, tile_x1_);
     bool a0_ok;
     if (!x0b && !ctb_left) {
       a0_ok = false;
@@ -2223,8 +2245,9 @@ class Decoder {
                              has_ph_ ? &ph_ : nullptr);
     VVC_UNSUPPORTED(sps_.sps_qtbtt_dual_tree_intra_flag, "dual tree (todo)");
     VVC_UNSUPPORTED(sps_.sps_entropy_coding_sync_enabled_flag, "WPP (todo)");
-    VVC_UNSUPPORTED(pps_.num_tile_columns * pps_.num_tile_rows != 1,
-                    "tiles (todo)");
+    VVC_UNSUPPORTED(pps_.num_tile_columns * pps_.num_tile_rows != 1 &&
+                        !pps_.pps_loop_filter_across_tiles_enabled_flag,
+                    "loop filter disabled across tiles (todo)");
 
     // frame setup
   out.width = pps_.width;
@@ -2232,6 +2255,14 @@ class Decoder {
     out.bit_depth = sps_.bit_depth;
     out.chroma_format_idc = sps_.sps_chroma_format_idc;
     out.ctb_log2 = sps_.ctb_log2_size_y;
+    out.tile_col_bd.clear();
+    for (int bd : pps_.col_bd)
+      out.tile_col_bd.push_back(bd << sps_.ctb_log2_size_y);
+    out.tile_row_bd.clear();
+    for (int bd : pps_.row_bd)
+      out.tile_row_bd.push_back(bd << sps_.ctb_log2_size_y);
+    tile_x1_ = pps_.width;
+    tile_y1_ = pps_.height;
     out.max_num_reorder = sps_.dpb_max_num_reorder_pics;
     out.poc = sh_.ph.ph_pic_order_cnt_lsb;
     out.slice_qp = sh_.slice_qp_y;
@@ -2344,16 +2375,50 @@ class Decoder {
     int ctb_h = (pps_.height + sps_.ctb_size_y - 1) >> sps_.ctb_log2_size_y;
     int n_ctus = ctb_w * ctb_h;
     out.sao.assign((size_t)n_ctus * SAO_N, 0);
-    int idx = 0;
-    for (int ry = 0; ry < ctb_h; ry++) {
-      for (int rx = 0; rx < ctb_w; rx++, idx++) {
-        parse_ctu(rx, ry, idx);
-        if (idx == n_ctus - 1) {
-          if (!cd.terminate())
-            throw std::runtime_error("end_of_slice_one_bit != 1");
+
+    // entry-point rbsp byte starts: signaled escaped offsets adjusted
+    // by the NAL's emulation-byte positions (ep_init_cabac_decoder,
+    // vvcdec.c:426-451)
+    std::vector<size_t> ep_start;
+    {
+      size_t start = sh_.data_bitpos >> 3;
+      size_t sk = 0;
+      while (sk < nal.skipped.size() && nal.skipped[sk] <= start) sk++;
+      for (uint32_t off : sh_.entry_point_offsets) {
+        size_t end = start + off;
+        while (sk < nal.skipped.size() && nal.skipped[sk] <= end) {
+          end--;
+          sk++;
         }
+        ep_start.push_back(end);
+        start = end;
       }
     }
+
+    // tile-major CTU scan (spec 6.5.1 CTB raster within tile, tiles in
+    // raster order); per-tile CABAC entry point + context re-init
+    const int n_tile_cols = pps_.num_tile_columns;
+    const int n_tiles = n_tile_cols * pps_.num_tile_rows;
+    int ep_idx = 0;
+    for (int t = 0; t < n_tiles; t++) {
+      if (t > 0) {
+        if (!cd.terminate())
+          throw std::runtime_error("end_of_tile_one_bit != 1");
+        if (ep_idx < (int)ep_start.size())
+          cd.reinit_at(ep_start[ep_idx++] * 8);
+        else
+          cd.restart();  // no signaled entry points: derive by alignment
+        ctxs_.init(qp, init_type);
+      }
+      const int tx = t % n_tile_cols, ty = t / n_tile_cols;
+      const int rx0 = pps_.col_bd[tx], rx1 = pps_.col_bd[tx + 1];
+      const int ry0 = pps_.row_bd[ty], ry1 = pps_.row_bd[ty + 1];
+      for (int ry = ry0; ry < std::min(ry1, ctb_h); ry++)
+        for (int rx = rx0; rx < std::min(rx1, ctb_w); rx++)
+          parse_ctu(rx, ry, ry * ctb_w + rx);
+    }
+    if (!cd.terminate())
+      throw std::runtime_error("end_of_slice_one_bit != 1");
     cd_ = nullptr;
     // publish this picture's motion field for later TMVP readers;
     // DMVR frames defer publication to vvch_dmvr_apply (the refined
@@ -2468,12 +2533,29 @@ class Decoder {
   }
 
   void parse_ctu(int rx, int ry, int ctu_idx) {
-    ctb_left_ = rx > 0;
-    ctb_up_ = ry > 0;
+    const int log2 = sps_.ctb_log2_size_y;
+    // current tile bounds (CTU-aligned; maps from vvc_ps.c:254-455)
+    const int tcx = pps_.ctb_to_col_bd[rx], tcy = pps_.ctb_to_row_bd[ry];
+    tile_x0_ = tcx << log2;
+    tile_y0_ = tcy << log2;
+    tile_x1_ = pps_.width;
+    for (size_t i = 1; i < pps_.col_bd.size(); i++)
+      if (pps_.col_bd[i] > rx) {
+        tile_x1_ = std::min(pps_.width, pps_.col_bd[i] << log2);
+        break;
+      }
+    tile_y1_ = pps_.height;
+    for (size_t i = 1; i < pps_.row_bd.size(); i++)
+      if (pps_.row_bd[i] > ry) {
+        tile_y1_ = std::min(pps_.height, pps_.row_bd[i] << log2);
+        break;
+      }
+    ctb_left_ = rx > tcx;
+    ctb_up_ = ry > tcy;
     // HMVP + first-QG reset at each tile-column start (vvc_ctu.c:2447-2450)
-    if (rx == pps_.ctb_to_col_bd[rx]) {
+    if (rx == tcx) {
       hmvp_.clear();
-      is_first_qg_ = (ry == pps_.ctb_to_row_bd[ry]) || !ctu_idx;
+      is_first_qg_ = (ry == tcy) || !ctu_idx;
     }
     if (sh_.sh_sao_luma_used_flag || sh_.sh_sao_chroma_used_flag)
       decode_sao(rx, ry);
