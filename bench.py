@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Decode benchmark vs the reference build (BASELINE.md configs 1-2).
+"""Decode benchmark vs the reference build (BASELINE.md configs 1-3).
 
 Prints ONE JSON line.  The headline metric is decode fps with frames
 left device-resident (the deployment mode: downstream TPU stages —
@@ -9,33 +9,79 @@ sandbox's tunnel transport, whose device->host direction measures
 ~15 MB/s (`d2h_MBps`, measured below) — on real PCIe/plugin topologies
 the fetch is >100x faster, so the fetched number here is a transport
 artifact, reported for honesty (ADVICE r1), not a decoder property.
-`ra1080_fps` covers BASELINE.md config 2 (random-access 1080p,
-B-pyramid + deblock + SAO + TMVP).
+
+Engineered to COMPLETE (round-2 postmortem: rc=124, no number):
+  * generated bitstreams are cached in .bench_streams/ keyed by
+    (encoder-source hash, config) — generation costs ~0 s warm;
+  * the persistent XLA compile cache lives in .jax_cache/ inside the
+    repo workdir, surviving rounds;
+  * an internal wall-clock budget runs the headline config first and
+    emits whatever completed if later configs would blow the budget.
 """
+import hashlib
 import json
 import os
 import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
 
-REF_FFMPEG = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          ".refbuild", "ffmpeg")
-# headline config 1 (BASELINE.md): all-intra 8-bit 4:2:0 720p
-W, H, FRAMES, SEED, QP = 1280, 720, 8, 7, 30
-# config 2: random-access 1080p
+REF_FFMPEG = os.path.join(ROOT, ".refbuild", "ffmpeg")
+STREAM_CACHE = os.path.join(ROOT, ".bench_streams")
+
+# Total wall budget.  The driver kills the bench if it runs too long;
+# stay safely below by skipping late configs when the clock runs down.
+BUDGET_S = float(os.environ.get("FFMPEG_TPU_BENCH_BUDGET_S", "540"))
+T_START = time.perf_counter()
+
+# config 1 (headline, BASELINE.md): all-intra 8-bit 4:2:0 720p
+AI_KW = dict(width=1280, height=720, n_frames=8, seed=7, qp=30)
+# config 2: random-access 1080p (translational MC, SAO, DPB mgmt)
 RA_KW = dict(width=1920, height=1080, n_frames=9, seed=11, qp=32,
              inter=True, b_slices=True, ra=True, tmvp=True,
              deblock=True, sao=True, max_mv=200)
+# config 3: full inter toolset 1080p (affine/BDOF/CIIP/GPM/MMVD/ALF/LMCS)
+FULL_KW = dict(width=1920, height=1080, n_frames=9, seed=23, qp=32,
+               inter=True, b_slices=True, ra=True, tmvp=True,
+               deblock=True, sao=True, alf=True, ccalf=True, lmcs=True,
+               affine=True, prof=True, bdof=True, ciip=True, gpm=True,
+               mmvd=True, bcw=True, amvr=True, mip=True, cclm=True,
+               max_mv=200)
 
 
-def gen_stream(path: str, **kw) -> None:
-    from ffmpeg_tpu.encoder.encoder import EncoderConfig, encode_stream
+def _left() -> float:
+    return BUDGET_S - (time.perf_counter() - T_START)
 
-    data, _ = encode_stream(EncoderConfig(**kw))
-    with open(path, "wb") as f:
-        f.write(data)
+
+def _encoder_hash() -> str:
+    """Hash of every source file the generator's output depends on, so
+    cached streams regenerate exactly when the encoder changes."""
+    h = hashlib.sha256()
+    dirs = [os.path.join(ROOT, "ffmpeg_tpu", d)
+            for d in ("encoder", "cbs", "bitstream")]
+    for d in dirs:
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".py"):
+                with open(os.path.join(d, fn), "rb") as f:
+                    h.update(fn.encode() + b"\0" + f.read())
+    return h.hexdigest()[:16]
+
+
+def gen_stream(name: str, **kw) -> str:
+    os.makedirs(STREAM_CACHE, exist_ok=True)
+    key = hashlib.sha256(
+        (_encoder_hash() + repr(sorted(kw.items()))).encode()).hexdigest()[:16]
+    path = os.path.join(STREAM_CACHE, f"{name}-{key}.vvc")
+    if not os.path.exists(path):
+        from ffmpeg_tpu.encoder.encoder import EncoderConfig, encode_stream
+        data, _ = encode_stream(EncoderConfig(**kw))
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    return path
 
 
 def _decode_all(data, fetch):
@@ -107,28 +153,45 @@ def measure_d2h() -> float:
 
 
 def main() -> None:
-    path = "/tmp/ffmpeg_tpu_bench.vvc"
-    gen_stream(path, width=W, height=H, n_frames=FRAMES, seed=SEED, qp=QP)
-    ours = bench_ours(path, FRAMES, fetch=False)
-    fetched = bench_ours(path, FRAMES, fetch=True, check=False)
-    ref = bench_ref(path, FRAMES)
+    result = {
+        "metric": "vvc_decode_fps_1280x720_allintra_device_resident",
+        "value": None, "unit": "fps", "vs_baseline": None,
+    }
+    try:
+        # headline config first: its JSON fields are filled before any
+        # later config can burn the budget.
+        path = gen_stream("ai720", **AI_KW)
+        ours = bench_ours(path, AI_KW["n_frames"], fetch=False)
+        ref = bench_ref(path, AI_KW["n_frames"])
+        result["value"] = round(ours, 3)
+        result["vs_baseline"] = round(ours / ref, 4) if ref else None
 
-    ra_path = "/tmp/ffmpeg_tpu_bench_ra.vvc"
-    gen_stream(ra_path, **RA_KW)
-    ra = bench_ours(ra_path, RA_KW["n_frames"], fetch=False)
-    ra_ref = bench_ref(ra_path, RA_KW["n_frames"])
+        if _left() > 30:
+            fetched = bench_ours(path, AI_KW["n_frames"], fetch=True,
+                                 check=False)
+            result["fetched_fps"] = round(fetched, 3)
+            result["fetched_vs_baseline"] = (
+                round(fetched / ref, 4) if ref else None)
+            result["d2h_MBps"] = round(measure_d2h(), 1)
 
-    print(json.dumps({
-        "metric": f"vvc_decode_fps_{W}x{H}_allintra_device_resident",
-        "value": round(ours, 3),
-        "unit": "fps",
-        "vs_baseline": round(ours / ref, 4) if ref else None,
-        "fetched_fps": round(fetched, 3),
-        "fetched_vs_baseline": round(fetched / ref, 4) if ref else None,
-        "d2h_MBps": round(measure_d2h(), 1),
-        "ra1080_fps": round(ra, 3),
-        "ra1080_vs_baseline": round(ra / ra_ref, 4) if ra_ref else None,
-    }))
+        for name, kw, key in (("ra1080", RA_KW, "ra1080"),
+                              ("full1080", FULL_KW, "full1080")):
+            if _left() < 120:
+                result[f"{key}_skipped"] = "budget"
+                continue
+            try:
+                p = gen_stream(name, **kw)
+                fps = bench_ours(p, kw["n_frames"], fetch=False)
+                rfps = bench_ref(p, kw["n_frames"])
+                result[f"{key}_fps"] = round(fps, 3)
+                result[f"{key}_vs_baseline"] = (
+                    round(fps / rfps, 4) if rfps else None)
+            except Exception as e:  # noqa: BLE001 - isolate per config
+                result[f"{key}_error"] = f"{type(e).__name__}: {e}"
+    except Exception as e:  # noqa: BLE001 - always emit the line
+        result["error"] = f"{type(e).__name__}: {e}"
+    result["elapsed_s"] = round(time.perf_counter() - T_START, 1)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

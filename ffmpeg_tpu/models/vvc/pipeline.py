@@ -16,6 +16,7 @@ a stream reuses one compiled executable.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -37,8 +38,11 @@ def _ensure_compile_cache():
   try:
     if jax.default_backend() != "tpu":
       return
-    jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/ffmpeg_tpu_jax_cache")
+    cache_dir = os.environ.get(
+        "FFMPEG_TPU_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))), ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
   except Exception:  # noqa: BLE001 - older jax without these knobs
@@ -890,16 +894,17 @@ def _recon_plane(res_plane, inter, n_inter, intra, n_chunks, refs, *,
 
 
 def _use_pallas() -> bool:
-  """The Pallas recon kernel runs on real TPU backends; the batched-XLA
-  fallback covers CPU (tests / virtual meshes).  FFMPEG_TPU_PALLAS=1
-  forces the Pallas path on CPU too (interpret mode, for hermetic
-  kernel tests); FFMPEG_TPU_NO_PALLAS=1 forces the fallback."""
+  """Opt-in only.  The sequential decode-order Pallas recon kernel was
+  measured (round 2, real chip) at 453 s compile + ~1 s/frame at 64x64
+  — orders of magnitude behind the batched-XLA frame program (7 fps at
+  720p).  Until the kernel beats the XLA path in an on-TPU A/B, the
+  batched-XLA program is the default on every backend.
+  FFMPEG_TPU_PALLAS=1 opts in (interpret mode on CPU, Mosaic on TPU);
+  FFMPEG_TPU_NO_PALLAS=1 force-disables it."""
   import os
   if os.environ.get("FFMPEG_TPU_NO_PALLAS"):
     return False
-  if os.environ.get("FFMPEG_TPU_PALLAS"):
-    return True
-  return jax.default_backend() == "tpu"
+  return bool(os.environ.get("FFMPEG_TPU_PALLAS"))
 
 
 def _build_frame_program(shapes):

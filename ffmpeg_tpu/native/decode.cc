@@ -1003,6 +1003,7 @@ class Decoder {
   std::vector<MvF> mvf_;       // 4x4 plane
   std::shared_ptr<ColData> col_;  // collocated picture (TMVP)
   int no_backward_ = 1;
+  int ref_idx_sym_[2] = {-1, -1};  // RefIdxSymL0/L1 (SMVD, vvcdec.c:363)
   std::vector<uint8_t> mvf_set_;
   int pu_w_ = 0, pu_h_ = 0;
   std::vector<MvF> hmvp_;
@@ -2349,6 +2350,30 @@ class Decoder {
     for (int lx = 0; lx < 2; lx++)
       for (int i = 0; i < out.nb_refs[lx]; i++)
         if (out.ref_pocs[lx][i] > out.poc) no_backward_ = 0;
+
+    // RefIdxSymL0/L1 (smvd_ref_idx, vvcdec.c:363-375): nearest
+    // forward ref in L0 + nearest backward in L1, else swapped.  All
+    // refs here are short-term (LTR is VVC_UNSUPPORTED at parse).
+    ref_idx_sym_[0] = ref_idx_sym_[1] = -1;
+    if (sh_.sh_slice_type == 0) {
+      auto find = [&](int lx, bool positive) {
+        int idx = -1, old_diff = 0;
+        for (int i = 0; i < sh_.num_ref_idx_active[lx] &&
+                        i < out.nb_refs[lx]; i++) {
+          int diff = out.poc - out.ref_pocs[lx][i];
+          bool better = positive ? (diff > 0 && (idx < 0 || diff < old_diff))
+                                 : (diff < 0 && (idx < 0 || diff > old_diff));
+          if (better) { idx = i; old_diff = diff; }
+        }
+        return idx;
+      };
+      ref_idx_sym_[0] = find(0, true);
+      ref_idx_sym_[1] = find(1, false);
+      if (ref_idx_sym_[0] == -1 || ref_idx_sym_[1] == -1) {
+        ref_idx_sym_[0] = find(0, false);
+        ref_idx_sym_[1] = find(1, true);
+      }
+    }
     col_.reset();
     if (sh_.ph.ph_temporal_mvp_enabled_flag && sh_.sh_slice_type != 2) {
       int lx = sh_.sh_collocated_from_l0_flag ? 0 : 1;
@@ -2979,6 +3004,7 @@ class Decoder {
     int is_sbtmvp = 0;
     int is_affine_amvp = 0;
     int was_mmvd = 0;
+    int was_sym_mvd = 0;
     cu.gpm_part = -1;
     if (general_merge) {
       // merge_subblock_flag first (hls_merge_data, vvc_ctu.c:1456-1459;
@@ -3230,6 +3256,12 @@ class Decoder {
           affine_type = bin(CU_AFFINE_TYPE_FLAG);
       }
       const int num_cp_mv = inter_affine + affine_type + 1;
+      // sym_mvd_flag (mvp_data, vvc_ctu.c:1599-1603)
+      int sym_mvd = 0;
+      if (sps_.sps_smvd_enabled_flag && !sh_.ph.ph_mvd_l1_zero_flag &&
+          pf == PF_BI && !inter_affine &&
+          ref_idx_sym_[0] > -1 && ref_idx_sym_[1] > -1)
+        sym_mvd = was_sym_mvd = bin(SYM_MVD_FLAG);
       int32_t mvds[2][3][2] = {};
       int mvp_flags[2] = {0, 0};
       int ref_idxs[2] = {-1, -1};
@@ -3237,12 +3269,19 @@ class Decoder {
       for (int lx = 0; lx < 2; lx++) {
         int skip_flag_pf = lx == 0 ? PF_L1 : PF_L0;
         if (pf != skip_flag_pf) {
-          ref_idxs[lx] = decode_ref_idx(lx);
+          // ref_idx_decode (vvc_ctu.c:1511-1521)
+          ref_idxs[lx] = sym_mvd ? ref_idx_sym_[lx] : decode_ref_idx(lx);
           // ph_mvd_l1_zero_flag: L1+BI -> inferred zero
           if (lx == 1 && sh_.ph.ph_mvd_l1_zero_flag && pf == PF_BI) {
             // all cp mvds inferred zero
           } else {
-            decode_mvd(mvds[lx][0]);
+            if (lx == 1 && sym_mvd) {
+              // mvds_decode: L1 first-cp mvd mirrored (vvc_ctu.c:1537)
+              mvds[1][0][0] = -mvds[0][0][0];
+              mvds[1][0][1] = -mvds[0][0][1];
+            } else {
+              decode_mvd(mvds[lx][0]);
+            }
             has_no_zero_mvd |= (mvds[lx][0][0] || mvds[lx][0][1]);
             for (int j = 1; j < num_cp_mv; j++) {
               decode_mvd(mvds[lx][j]);
@@ -3353,7 +3392,9 @@ class Decoder {
                         pwt.weight_flag[0][1][f.ref_idx[0]] ||
                         pwt.weight_flag[1][1][f.ref_idx[1]];
         if (out.poc - p0 == p1 - out.poc && !wt) {
-          if (sps_.sps_bdof_enabled_flag) cu.bdof = 1;
+          // BDOF excluded for SMVD CUs (derive_dmvr_bdof_flag,
+          // vvc_ctu.c:1668-1672)
+          if (sps_.sps_bdof_enabled_flag && !was_sym_mvd) cu.bdof = 1;
           // dmvr_flag (vvc_ctu.c): merge without mmvd
           if (sps_.sps_dmvr_enabled_flag && general_merge && !was_mmvd) {
             cu.dmvr = 1;
