@@ -213,7 +213,14 @@ class FrameSyntaxEncoder:
             init_type ^= 3
         self.ctxs = ContextTable()
         self.ctxs.init_states(max(0, min(self.slice_qp_y, 63)), init_type)
-        self.enc = CabacEncoder()
+        from .native_cabac import NativeCabac, available as _native_ok
+        if _native_ok():
+            # Native engine: contexts live in the handle; self.ctxs is
+            # kept (and initialised identically) only for introspection.
+            self.enc = NativeCabac(max(0, min(self.slice_qp_y, 63)),
+                                   init_type)
+        else:
+            self.enc = CabacEncoder()
         self.res = ResidualEncoder(
             self.enc, self.ctxs, sh.sh_slice_type == 2,
             dep_quant=sh.sh_dep_quant_used_flag,

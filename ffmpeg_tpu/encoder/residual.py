@@ -136,6 +136,13 @@ class ResidualEncoder:
     # -- main ----------------------------------------------------------
     def encode_ts(self, coeffs: np.ndarray, c_idx: int,
                   bdpcm: int = 0) -> None:
+        if hasattr(self.enc, "residual_ts"):  # NativeCabac fast path
+            self.enc.residual_ts(coeffs, c_idx, bdpcm)
+            return
+        self._encode_ts_py(coeffs, c_idx, bdpcm)
+
+    def _encode_ts_py(self, coeffs: np.ndarray, c_idx: int,
+                      bdpcm: int = 0) -> None:
         """Transform-skip residual coding — encoder side.
 
         Bin-exact mirror of residual_ts_coding (spec 7.3.11.11 ts path;
@@ -322,6 +329,21 @@ class ResidualEncoder:
                     self.enc.bypass(int(coeffs[yc, xc] < 0))
 
     def encode(self, coeffs: np.ndarray, c_idx: int) -> None:
+        if hasattr(self.enc, "residual"):  # NativeCabac fast path
+            flags = self.enc.residual(coeffs, c_idx, self.is_intra_slice,
+                                      self.dep_quant, self.sign_hiding)
+            if flags & 1:
+                self.lfnst_dc_only = 0
+            if flags & 2:
+                self.lfnst_zero_out_sig_coeff_flag = 0
+            if flags & 4:
+                self.mts_dc_only = 0
+            if flags & 8:
+                self.mts_zero_out_sig_coeff_flag = 0
+            return
+        self._encode_py(coeffs, c_idx)
+
+    def _encode_py(self, coeffs: np.ndarray, c_idx: int) -> None:
         """coeffs: int array shaped (tb_height, tb_width), raster order."""
         h, w = coeffs.shape
         log2_w, log2_h = w.bit_length() - 1, h.bit_length() - 1
