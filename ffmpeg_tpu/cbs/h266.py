@@ -466,7 +466,10 @@ class PPS:
                 w.flag(self.pps_rect_slice_flag)
             if self.pps_rect_slice_flag:
                 w.flag(self.pps_single_slice_per_subpic_flag)
-            assert self.pps_rect_slice_flag and self.pps_single_slice_per_subpic_flag, \
+            # raster slices (rect=0) or one-rect-slice-per-subpic only;
+            # explicit rect slice layouts are not implemented
+            assert (not self.pps_rect_slice_flag) or \
+                self.pps_single_slice_per_subpic_flag, \
                 "explicit slice layouts not implemented yet"
             # pps_num_slices_in_pic inferred = num subpics (=1)
             w.flag(self.pps_loop_filter_across_slices_enabled_flag)

@@ -211,24 +211,78 @@ class FrameSyntaxEncoder:
         init_type = 2 - sh.sh_slice_type
         if sh.sh_cabac_init_flag and sh.sh_slice_type != 2:
             init_type ^= 3
-        self.ctxs = ContextTable()
-        self.ctxs.init_states(max(0, min(self.slice_qp_y, 63)), init_type)
-        from .native_cabac import NativeCabac, available as _native_ok
-        if _native_ok():
-            # Native engine: contexts live in the handle; self.ctxs is
-            # kept (and initialised identically) only for introspection.
-            self.enc = NativeCabac(max(0, min(self.slice_qp_y, 63)),
-                                   init_type)
+        self._init_type = init_type
+        self._new_engine()
+
+        # tile geometry in CTU units, expanded like the parser
+        # (spec 6.5.1; parity vvc_ps.c:254-455)
+        if getattr(pps, "pps_no_pic_partition_flag", 1):
+            col_w, row_h = [self.ctb_w], [self.ctb_h]
         else:
-            self.enc = CabacEncoder()
-        self.res = ResidualEncoder(
-            self.enc, self.ctxs, sh.sh_slice_type == 2,
-            dep_quant=sh.sh_dep_quant_used_flag,
-            sign_hiding=sh.sh_sign_data_hiding_used_flag)
+            def expand(exp, total):
+                sizes, rem = [], total
+                for v in exp:
+                    sizes.append(v)
+                    rem -= v
+                while rem > 0:
+                    s = min(exp[-1], rem)
+                    sizes.append(s)
+                    rem -= s
+                return sizes
+            col_w = expand([v + 1 for v in pps.pps_tile_column_width_minus1],
+                           self.ctb_w)
+            row_h = expand([v + 1 for v in pps.pps_tile_row_height_minus1],
+                           self.ctb_h)
+        assert sum(col_w) == self.ctb_w and sum(row_h) == self.ctb_h
+        self.tile_col_w, self.tile_row_h = col_w, row_h
+        self.ctb_to_col_bd, self.ctb_to_row_bd = [], []
+        acc = 0
+        for tw in col_w:
+            self.ctb_to_col_bd += [acc] * tw
+            acc += tw
+        acc = 0
+        for th in row_h:
+            self.ctb_to_row_bd += [acc] * th
+            acc += th
 
         # neighbour availability for the current CTU
         self.ctb_left = False
         self.ctb_up = False
+
+    def _new_engine(self, restore=None) -> None:
+        """Fresh CABAC engine; contexts re-initialised (per tile entry
+        point; cabac_init_state, vvc_cabac.c:842-858) or restored from
+        a _save_ctx snapshot (WPP row inheritance)."""
+        qp = max(0, min(self.slice_qp_y, 63))
+        self.ctxs = ContextTable()
+        self.ctxs.init_states(qp, self._init_type)
+        from .native_cabac import NativeCabac, available as _native_ok
+        if _native_ok():
+            # Native engine: contexts live in the handle; self.ctxs is
+            # kept (and initialised identically) only for introspection.
+            self.enc = NativeCabac(qp, self._init_type)
+        else:
+            self.enc = CabacEncoder()
+        if restore is not None:
+            kind, snap = restore
+            if kind == "n":
+                self.enc.load_states(snap)
+            else:
+                (self.ctxs.state0[:], self.ctxs.state1[:],
+                 self.ctxs.shift0[:], self.ctxs.shift1[:]) = snap
+        self.res = ResidualEncoder(
+            self.enc, self.ctxs, self.sh.sh_slice_type == 2,
+            dep_quant=self.sh.sh_dep_quant_used_flag,
+            sign_hiding=self.sh.sh_sign_data_hiding_used_flag)
+
+    def _save_ctx(self):
+        """Snapshot the adaptive contexts (WPP: taken after a row's
+        first CTU, restored at the next row's start)."""
+        if hasattr(self.enc, "save_states"):
+            return ("n", self.enc.save_states())
+        c = self.ctxs
+        return ("p", (c.state0.copy(), c.state1.copy(),
+                      c.shift0.copy(), c.shift1.copy()))
 
     # -- helpers -------------------------------------------------------
     def _bin(self, name: str, inc: int, val: int) -> None:
@@ -1204,11 +1258,14 @@ class FrameSyntaxEncoder:
 
     def encode_ctu(self, rx: int, ry: int, tree: dict,
                    is_last_in_slice: bool) -> None:
-        self.ctb_left = rx > 0
-        self.ctb_up = ry > 0
+        # availability never crosses a tile boundary
+        # (ff_vvc_decode_neighbour, vvc_ctu.c:2468-2495)
+        tcx, tcy = self.ctb_to_col_bd[rx], self.ctb_to_row_bd[ry]
+        self.ctb_left = rx > tcx
+        self.ctb_up = ry > tcy
         # HMVP resets at each tile-column start (vvc_ctu.c:2447-2450);
         # single tile -> at the first CTU of every row
-        if rx == 0 and self.motion is not None:
+        if rx == tcx and self.motion is not None:
             self.motion.hmvp.clear()
         if self.sh.sh_sao_luma_used_flag or self.sh.sh_sao_chroma_used_flag:
             self._encode_sao(rx, ry, tree.setdefault("sao", _sao_off()))
@@ -1226,3 +1283,51 @@ class FrameSyntaxEncoder:
     def finish(self) -> bytes:
         payload, _bits = self.enc.finish()
         return payload
+
+    def encode_slice_data(self, trees: list) -> tuple[bytes, list]:
+        """Tile-major slice_data() encode (spec 6.5.1 CTB scan): each
+        tile is an independent CABAC sub-stream with re-initialised
+        contexts, separated by end_of_tile_one_bit terminates.  Returns
+        (payload, sh_entry_point_offset_minus1 values in escaped-byte
+        units, 7.4.8.1 / ep carving vvcdec.c:426-451)."""
+        segs = []
+        wpp = bool(self.sps.sps_entropy_coding_sync_enabled_flag)
+        n_tile_cols = len(self.tile_col_w)
+        n_tiles = n_tile_cols * len(self.tile_row_h)
+        col_bd, row_bd = [0], [0]
+        for tw in self.tile_col_w:
+            col_bd.append(col_bd[-1] + tw)
+        for th in self.tile_row_h:
+            row_bd.append(row_bd[-1] + th)
+        saved = None
+        for t in range(n_tiles):
+            tx, ty = t % n_tile_cols, t // n_tile_cols
+            for ry in range(row_bd[ty], row_bd[ty + 1]):
+                new_tile = t > 0 and ry == row_bd[ty]
+                new_row = wpp and ry > row_bd[ty]
+                if new_tile or new_row:
+                    # end_of_tile_one_bit / end_of_subset_one_bit, flush
+                    self.enc.terminate(1)
+                    segs.append(self.enc.finish()[0])
+                    self._new_engine(restore=saved if new_row else None)
+                for rx in range(col_bd[tx], col_bd[tx + 1]):
+                    last = (t == n_tiles - 1 and ry == row_bd[ty + 1] - 1
+                            and rx == col_bd[tx + 1] - 1)
+                    self.encode_ctu(rx, ry, trees[ry * self.ctb_w + rx],
+                                    last)
+                    if wpp and rx == col_bd[tx]:
+                        saved = self._save_ctx()
+        segs.append(self.enc.finish()[0])
+        # signaled offsets count transmitted (escaped) bytes; escape
+        # state carries across segment boundaries exactly as nal_escape
+        # will see them (the slice header always ends on a nonzero byte)
+        lens, zeros = [], 0
+        for seg in segs:
+            n = len(seg)
+            for b in seg:
+                if zeros >= 2 and b <= 3:
+                    n += 1
+                    zeros = 0
+                zeros = zeros + 1 if b == 0 else 0
+            lens.append(n)
+        return b"".join(segs), [n - 1 for n in lens[:-1]]

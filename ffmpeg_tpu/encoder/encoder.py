@@ -99,11 +99,21 @@ class EncoderConfig:
     # sps_chroma_vertical_collocated_flag (CCLM luma downsampler shape)
     cclm_vertical_collocated: bool = True
     mrl: bool = False     # multi-reference-line intra
+    # tiles: explicit column widths / row heights in CTUs (empty = one
+    # tile).  Entry-point offsets are always signaled when tiled.
+    tile_cols: tuple = ()
+    tile_rows: tuple = ()
+    # WPP (sps_entropy_coding_sync): one CABAC sub-stream per CTU row,
+    # contexts inherited from the row above's first CTU
+    wpp: bool = False
 
 
 def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
     min_qt_log2 = cfg.min_qt_size.bit_length() - 1
+    tiled = bool(cfg.tile_cols or cfg.tile_rows)
     sps = SPS(
+        sps_entry_point_offsets_present_flag=1 if (tiled or cfg.wpp) else 0,
+        sps_entropy_coding_sync_enabled_flag=1 if cfg.wpp else 0,
         sps_chroma_format_idc=cfg.chroma_format_idc,
         sps_log2_ctu_size_minus5=cfg.ctu_log2 - 5,
         sps_pic_width_max_in_luma_samples=cfg.width,
@@ -166,7 +176,27 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
         sps_weighted_bipred_flag=1 if (cfg.weighted_pred and
                                        cfg.b_slices) else 0,
     )
+    ctb = 1 << cfg.ctu_log2
+    pic_w_ctbs = (cfg.width + ctb - 1) >> cfg.ctu_log2
+    pic_h_ctbs = (cfg.height + ctb - 1) >> cfg.ctu_log2
+    tile_cols = tuple(cfg.tile_cols) or (pic_w_ctbs,)
+    tile_rows = tuple(cfg.tile_rows) or (pic_h_ctbs,)
+    if tiled:
+        assert sum(tile_cols) == pic_w_ctbs and sum(tile_rows) == pic_h_ctbs
+        assert len(tile_cols) * len(tile_rows) > 1, \
+            "tiled configs need >1 tile (rect_slice inference differs)"
     pps = PPS(
+        pps_no_pic_partition_flag=0 if tiled else 1,
+        pps_num_exp_tile_columns_minus1=len(tile_cols) - 1,
+        pps_tile_column_width_minus1=tuple(v - 1 for v in tile_cols),
+        pps_num_exp_tile_rows_minus1=len(tile_rows) - 1,
+        pps_tile_row_height_minus1=tuple(v - 1 for v in tile_rows),
+        pps_loop_filter_across_tiles_enabled_flag=1 if tiled else 0,
+        pps_loop_filter_across_slices_enabled_flag=1 if tiled else 0,
+        # raster (tile-scan) slices: the reference CBS only derives
+        # NumEntryPoints correctly for this layout (its rect
+        # single-slice-per-subpic path never fills slice_width_in_tiles)
+        pps_rect_slice_flag=0 if tiled else 1,
         pps_pic_width_in_luma_samples=cfg.width,
         pps_pic_height_in_luma_samples=cfg.height,
         pps_init_qp_minus26=cfg.qp - 26,
@@ -720,10 +750,17 @@ def encode_stream(cfg: EncoderConfig):
             sh.ph.ph_chroma_residual_scale_flag = lmcs_crs_flag
         trees = random_frame_intent(cfg, sps, pps, rng, is_inter_slice=is_p)
         if cfg.sao:
+            # merge-left/up candidates never cross a tile boundary
+            # (decode_sao gates on tile-aware ctb_left_/ctb_up_)
             ctb_w = (cfg.width + (1 << cfg.ctu_log2) - 1) >> cfg.ctu_log2
+            col_bd = np.cumsum((0,) + (tuple(cfg.tile_cols) or (ctb_w,)))
+            ctb_h = (cfg.height + (1 << cfg.ctu_log2) - 1) >> cfg.ctu_log2
+            row_bd = np.cumsum((0,) + (tuple(cfg.tile_rows) or (ctb_h,)))
             for i, t in enumerate(trees):
-                t["sao"] = _random_sao(cfg, rng, i % ctb_w > 0,
-                                       i // ctb_w > 0)
+                rx, ry = i % ctb_w, i // ctb_w
+                can_left = rx not in col_bd
+                can_up = ry not in row_bd
+                t["sao"] = _random_sao(cfg, rng, can_left, can_up)
         if cfg.alf or cfg.ccalf:
             n_ids = sh.sh_num_alf_aps_ids_luma
             for t in trees:
@@ -782,13 +819,12 @@ def encode_stream(cfg: EncoderConfig):
                 .alf_cc_cr_filters_signalled_minus1 + 1)
         fse.qp_delta_rng = rng
         fse.tool_rng = rng
-        n_ctus = len(trees)
-        idx = 0
-        for ry in range(fse.ctb_h):
-            for rx in range(fse.ctb_w):
-                fse.encode_ctu(rx, ry, trees[idx], idx == n_ctus - 1)
-                idx += 1
-        payload = fse.finish()
+        payload, ep_offsets = fse.encode_slice_data(trees)
+        sh.sh_entry_point_offsets = tuple(ep_offsets)
+        n_tiles = len(fse.tile_col_w) * len(fse.tile_row_h)
+        if n_tiles > 1:  # raster slice covering every tile
+            sh.sh_slice_address = 0
+            sh.sh_num_tiles_in_slice_minus1 = n_tiles - 1
         # snapshot this frame's motion for TMVP readers
         if cfg.tmvp:
             import numpy as _np
@@ -810,7 +846,7 @@ def encode_stream(cfg: EncoderConfig):
                 sh.sh_lmcs_used_flag = 1
             out += sh.ph.to_nal(sps, pps)
         w = BitWriter()
-        sh.write(w, sps, pps)
+        sh.write(w, sps, pps, num_tiles_in_pic=n_tiles)
         assert w.bit_length % 8 == 0
         rbsp = w.to_bytes() + payload + b"\x80"  # rbsp stop bit byte
         out += make_nal(nal_type, rbsp)

@@ -34,6 +34,7 @@ def get_lib():
         lib.vvce_bypass_bits.argtypes = [ctypes.c_void_p, ctypes.c_uint32,
                                          ctypes.c_int]
         lib.vvce_terminate.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.vvce_copy_states.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
         lib.vvce_finish.restype = ctypes.c_int
         lib.vvce_finish.argtypes = [ctypes.c_void_p,
                                     ctypes.POINTER(ctypes.c_uint8),
@@ -62,6 +63,21 @@ def available() -> bool:
         return False
 
 
+class _NativeStates:
+    """A snapshot of the 378 adaptive contexts (held in a spare native
+    encoder handle; only its state tables are ever used)."""
+
+    def __init__(self, lib, src_h) -> None:
+        self._lib = lib
+        self._h = lib.vvce_new()
+        lib.vvce_copy_states(self._h, src_h)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.vvce_free(self._h)
+            self._h = None
+
+
 class NativeCabac:
     """Same interface as ``CabacEncoder`` (the ``ctxs`` argument of
     ``encode`` is ignored: context state lives inside the handle)."""
@@ -88,6 +104,13 @@ class NativeCabac:
 
     def terminate(self, binval: int) -> None:
         self._lib.vvce_terminate(self._h, binval)
+
+    # -- WPP context inheritance ---------------------------------------
+    def save_states(self) -> "_NativeStates":
+        return _NativeStates(self._lib, self._h)
+
+    def load_states(self, s: "_NativeStates") -> None:
+        self._lib.vvce_copy_states(self._h, s._h)
 
     def finish(self) -> tuple[bytes, int]:
         cap = self._lib.vvce_finish(self._h, None, 0)

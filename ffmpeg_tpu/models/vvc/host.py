@@ -69,6 +69,9 @@ def _get_lib():
                 [ctypes.c_int] if name in ("vvch_coeffs", "vvch_mvf") else [])
         lib.vvch_ref_info.argtypes = [ctypes.c_void_p,
                                       ctypes.POINTER(ctypes.c_int32)]
+        lib.vvch_tile_bd.restype = None
+        lib.vvch_tile_bd.argtypes = [ctypes.c_void_p,
+                                     ctypes.POINTER(ctypes.c_int32)]
         lib.vvch_col_reset.restype = None
         lib.vvch_col_reset.argtypes = []
         lib.vvch_colstore_new.restype = ctypes.c_void_p
@@ -149,6 +152,9 @@ class FrameSyntax:
     ctrl_c: np.ndarray | None = None
     ctb_log2: int = 5
     max_num_reorder: int = 0
+    # tile boundaries in luma samples, incl. 0 and width/height
+    # (vvch_tile_bd; ((0, W), (0, H)) when untiled)
+    tile_bd: tuple = ((), ())
     dep_quant: int = 0        # sh_dep_quant_used_flag (dequant addin)
     # per-TuRecord unit-slot maps (residual scatter targets for the
     # decode-order recon kernel); -1 = no slot in that plane kind
@@ -244,6 +250,12 @@ class HostDecoder:
             if n_tus else np.zeros((0, n_tu_fields), np.int32)
         ipm = np.ctypeslib.as_array(
             self._lib.vvch_ipm(self._h), shape=(mcb_h, mcb_w)).copy()
+
+        tinfo = (ctypes.c_int32 * 134)()
+        self._lib.vvch_tile_bd(self._h, tinfo)
+        n_cb, n_rb = int(tinfo[0]), int(tinfo[1])
+        tile_bd = (tuple(tinfo[2:2 + n_cb]),
+                   tuple(tinfo[2 + n_cb:2 + n_cb + n_rb]))
 
         rinfo = (ctypes.c_int32 * 35)()
         self._lib.vvch_ref_info(self._h, rinfo)
@@ -348,6 +360,7 @@ class HostDecoder:
             ctrl_c=cu_ctrl(True),
             ctb_log2=ctb_log2,
             max_num_reorder=max_num_reorder,
+            tile_bd=tile_bd,
             dep_quant=dep_quant,
             slots_y=tu_slots(False),
             slots_c=tu_slots(True),

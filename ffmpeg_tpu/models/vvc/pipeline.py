@@ -296,12 +296,14 @@ def _lmcs_inv(x, lm, bit_depth):
   return jnp.clip(out, 0, (1 << bit_depth) - 1)
 
 
-def _lmcs_vpdu_scales(plane_y, lm, W, H, vsz, bit_depth):
+def _lmcs_vpdu_scales(plane_y, lm, W, H, vsz, bit_depth, tile_bds=((), ())):
   """Per-VPDU chroma residual scale factors from the mapped luma recon
   (lmcs_derive_chroma_scale, vvc_intra_template.c:390-428): average of
   the VPDU's outside-left column and outside-top row (edge-replicated
   to vsz samples within the picture), mapped through the pivot scan.
-  Returns a flat (nvy*nvx,) int32 scale array."""
+  Availability is tile-aware (ff_vvc_get_top/left_available): a VPDU
+  whose left/top neighbour lies in another tile averages nothing from
+  that side.  Returns a flat (nvy*nvx,) int32 scale array."""
   nvx = -(-W // vsz)
   nvy = -(-H // vsz)
   vy = jnp.arange(nvy) * vsz
@@ -316,6 +318,10 @@ def _lmcs_vpdu_scales(plane_y, lm, W, H, vsz, bit_depth):
   tsum = jnp.sum(trow, axis=-1)
   avail_l = (vx > 0)[None, :]
   avail_t = (vy > 0)[:, None]
+  for bx in tile_bds[0]:
+    avail_l = avail_l & (vx != bx)[None, :]
+  for by in tile_bds[1]:
+    avail_t = avail_t & (vy != by)[:, None]
   total = lsum * avail_l + tsum * avail_t
   cnt_log2 = (vsz.bit_length() - 1) + (avail_l & avail_t)
   cnt = (avail_l.astype(jnp.int32) + avail_t) * vsz
@@ -753,13 +759,13 @@ def _cclm_unit(c, top, left, cclm, OFF, maxs, bit_depth, maxv):
   luma, dsy, _vc_inp = cclm
   x0, y0 = c["x0"], c["y0"]
   vc = c["cclm_vc"] & 1
-  b_ctu = c["cclm_vc"] >> 1
+  b_ctu = (c["cclm_vc"] >> 1) & 1
   cnt_t, cnt_l = c["cclm_ct"], c["cclm_cl"]
   pos = jnp.stack([c["cclm_p0"], c["cclm_p1"], c["cclm_p2"], c["cclm_p3"]])
   n_sel = cnt_t + cnt_l
   sel_l = I.cclm_select_luma(luma, x0, y0, cnt_t, pos, vc, b_ctu,
-                             (x0 > 0).astype(jnp.int32),
-                             (y0 > 0).astype(jnp.int32))
+                             (c["cclm_vc"] >> 2) & 1,
+                             (c["cclm_vc"] >> 3) & 1)
   i4 = jnp.arange(4)
   sel_c = jnp.where(i4 < cnt_t, top[OFF + pos], left[OFF + pos])
   sel_l = jnp.where(n_sel == 2, I.cclm_reorder2(sel_l), sel_l)
@@ -916,6 +922,7 @@ def _build_frame_program(shapes):
   bd = shapes["bit_depth"]
   ctb_log2 = shapes["ctb_log2"]
   use_pallas = shapes["pallas"]
+  tile_bds = shapes.get("tile_bds", ((), ()))
   maxs_y = 1 << ctb_log2
   maxs_c = maxs_y >> 1
   Hp_y = _round_up(H, 128) + maxs_y
@@ -969,7 +976,8 @@ def _build_frame_program(shapes):
                             _pred_blocks(inp, refs_in, 0, lm),
                             W=W, H=H, nch=1, bit_depth=bd, is_chroma=False,
                             has_mip=has_mip, has_mrl=has_mrl)
-    scale = (_lmcs_vpdu_scales(ky[0][:H, :W], lm, W, H, vsz, bd)
+    scale = (_lmcs_vpdu_scales(ky[0][:H, :W], lm, W, H, vsz, bd,
+                              tile_bds)
              if crs else None)
     ncap_c = rc["ctrl"].shape[1]
     res_c = [_residual_blocks_from_buckets(
@@ -982,7 +990,7 @@ def _build_frame_program(shapes):
       # collocated downsample + the per-unit boundary luma picks
       vc = inp["cclm_vc"]
       luma_p = ky[0]
-      dsy = I.cclm_dsy_plane(luma_p, vc)
+      dsy = I.cclm_dsy_plane(luma_p, vc, tile_bds[0], tile_bds[1])
       K = CTRL_KEYS.index
       cm = rc["ctrl"]
 
@@ -990,9 +998,9 @@ def _build_frame_program(shapes):
         pos = col[K("cclm_p0"):K("cclm_p3") + 1]
         return I.cclm_select_luma(
             luma_p, col[K("x0")], col[K("y0")], col[K("cclm_ct")], pos,
-            col[K("cclm_vc")] & 1, col[K("cclm_vc")] >> 1,
-            (col[K("x0")] > 0).astype(jnp.int32),
-            (col[K("y0")] > 0).astype(jnp.int32))
+            col[K("cclm_vc")] & 1, (col[K("cclm_vc")] >> 1) & 1,
+            (col[K("cclm_vc")] >> 2) & 1,
+            (col[K("cclm_vc")] >> 3) & 1)
 
       sel_luma = jax.vmap(sel_one, in_axes=1, out_axes=1)(cm)
     kc = recon_plane_pallas(rc["ctrl"], rc["n"], rc["ipos"],
@@ -1085,12 +1093,14 @@ def _build_frame_program(shapes):
                              cr_weights=c_idx == 2, cclm=cclm)
         planes.append(plane)
         if c_idx == 0 and crs:
-          scale = _lmcs_vpdu_scales(plane[:H, :W], lm, W, H, vsz, bd)
+          scale = _lmcs_vpdu_scales(plane[:H, :W], lm, W, H, vsz, bd,
+                                     tile_bds)
         if c_idx == 0 and "cclm_vc" in inp:
           # chroma CCLM reads the (mapped-domain) reconstructed luma:
           # the whole-plane collocated downsample + the plane itself
           vc = inp["cclm_vc"]
-          cclm = (plane, I.cclm_dsy_plane(plane, vc), vc)
+          cclm = (plane, I.cclm_dsy_plane(plane, vc, tile_bds[0],
+                                          tile_bds[1]), vc)
       if lm is not None:
         # inverse mapping of the whole luma plane before the loop
         # filters (ff_vvc_lmcs_filter, vvc_filter.c:1322-1331)
@@ -1224,15 +1234,18 @@ class PackedProgram:
 _PROGRAM_CACHE: dict = {}
 
 
-def get_frame_program(W, H, ctb_log2, bit_depth, pallas=None):
+def get_frame_program(W, H, ctb_log2, bit_depth, pallas=None,
+                      tile_bds=((), ())):
+  """tile_bds: interior tile boundary positions in luma samples
+  (static; only CCLM's cross-component stencils depend on them)."""
   _ensure_compile_cache()
   if pallas is None:
     pallas = _use_pallas()
-  key = (W, H, ctb_log2, bit_depth, pallas)
+  key = (W, H, ctb_log2, bit_depth, pallas, tile_bds)
   if key not in _PROGRAM_CACHE:
     _PROGRAM_CACHE[key] = PackedProgram(_build_frame_program(
         dict(W=W, H=H, ctb_log2=ctb_log2, bit_depth=bit_depth,
-             pallas=pallas)))
+             pallas=pallas, tile_bds=tile_bds)))
   return _PROGRAM_CACHE[key]
 
 
@@ -1692,7 +1705,10 @@ def prepare_frame(fs: FrameSyntax):
   """Worker-thread half of a frame dispatch: build + pack the host
   inputs.  Returns a ticket for submit_frame()."""
   assert fs.chroma_format_idc == 1, "4:2:0 only for now"
-  prog = get_frame_program(fs.width, fs.height, fs.ctb_log2, fs.bit_depth)
+  tile_bds = (tuple(v for v in fs.tile_bd[0] if 0 < v < fs.width),
+              tuple(v for v in fs.tile_bd[1] if 0 < v < fs.height))
+  prog = get_frame_program(fs.width, fs.height, fs.ctb_log2, fs.bit_depth,
+                           tile_bds=tile_bds)
   return prog, prog.pack(build_host_inputs(fs, fs.ctb_log2))
 
 

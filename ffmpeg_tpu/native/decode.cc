@@ -200,6 +200,7 @@ struct FrameOut {
   AlfOut alf;
   // explicit weighted prediction (derive_weight, vvc_inter.c:149-178)
   int wp_active = 0;
+  int wpp = 0;  // sps_entropy_coding_sync (clips intra/MV availability)
   PredWeight pwt;
   // DMVR (8.5.3): refined per-subblock MVs arrive from the search
   // (vvch_dmvr_apply) as per-4x4 planes; col publication is deferred
@@ -714,6 +715,11 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
     if (y0b_c == 0) {
       avail_t = ctb_up ? std::min(need_t,
                                   std::min(pic_w - x0, tile_w_c)) : 0;
+      // WPP: the above-right CTU is not yet decoded in the wavefront;
+      // the top reference run stops at the current CTU's right edge
+      // (ff_vvc_get_top_available, vvc_intra.c:605-609)
+      if (fr.wpp)
+        avail_t = std::min(avail_t, (end_of_ctb_x >> ss) - x0);
     } else {
       int max_x = std::min(fr.width, end_of_ctb_x) >> ss;
       int tgt = std::max(0, std::min(need_t, max_x - x0));
@@ -813,11 +819,14 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
     if (is_cclm) {
       const int variant = raw_mode - INTRA_LT_CCLM;  // 0 LT / 1 L / 2 T
       O(kCclm, i) = 1 + variant;
-      // bit 0: vertical-collocated stencil; bit 1: block starts at a
-      // CTU row (line-buffer single-row top-pick filter)
-      O(kCclmVC, i) = fr.cclm_vc + 2 * (y0b_c == 0 ? 1 : 0);
       // binary luma availability stops at the tile (or picture) edge
       const bool at_bin = ly0 > tly0, al_bin = lx0 > tlx0;
+      // bit 0: vertical-collocated stencil; bit 1: block starts at a
+      // CTU row (line-buffer single-row top-pick filter); bits 2/3:
+      // block-level left/top binary availability (tile-aware; drives
+      // the pick-filter edge substitution, cclm_select_luma)
+      O(kCclmVC, i) = fr.cclm_vc + 2 * (y0b_c == 0 ? 1 : 0) +
+                      4 * (al_bin ? 1 : 0) + 8 * (at_bin ? 1 : 0);
       const int num_is4 = (variant != 0 || !at_bin || !al_bin) ? 1 : 0;
       const int num_t = avail_t, num_l = avail_l;  // runs (see above)
       const int cnt_t = std::min(num_t, (1 + num_is4) << 1);
@@ -1047,6 +1056,12 @@ class Decoder {
                                      : (ctb_left && ctb_up);
     bool sap = (x0b + w == ctb) ? (ctb_up && !y0b) : cand_up;
     bool cand_up_right = sap && (x0 + w) < std::min(pps_.width, tile_x1_);
+    // WPP (1-CTU sync delay): neighbours in a CTU column right of the
+    // current CU's CTU are not yet decoded in the wavefront and are
+    // unavailable (check_available, vvc_mvs.c:607)
+    if (sps_.sps_entropy_coding_sync_enabled_flag)
+      cand_up_right = cand_up_right &&
+          ((x0 + w) >> sps_.ctb_log2_size_y) <= (x0 >> sps_.ctb_log2_size_y);
     bool a0_ok;
     if (!x0b && !ctb_left) {
       a0_ok = false;
@@ -2245,7 +2260,6 @@ class Decoder {
     sh_ = parse_slice_header(r, nal.type, sps_, pps_,
                              has_ph_ ? &ph_ : nullptr);
     VVC_UNSUPPORTED(sps_.sps_qtbtt_dual_tree_intra_flag, "dual tree (todo)");
-    VVC_UNSUPPORTED(sps_.sps_entropy_coding_sync_enabled_flag, "WPP (todo)");
     VVC_UNSUPPORTED(pps_.num_tile_columns * pps_.num_tile_rows != 1 &&
                         !pps_.pps_loop_filter_across_tiles_enabled_flag,
                     "loop filter disabled across tiles (todo)");
@@ -2269,6 +2283,7 @@ class Decoder {
     out.slice_qp = sh_.slice_qp_y;
     out.dep_quant = sh_.sh_dep_quant_used_flag;
     out.cclm_vc = sps_.sps_chroma_vertical_collocated_flag;
+    out.wpp = sps_.sps_entropy_coding_sync_enabled_flag;
     out.wp_active =
         (pps_.pps_weighted_pred_flag && sh_.sh_slice_type == 1) ||
         (pps_.pps_weighted_bipred_flag && sh_.sh_slice_type == 0);
@@ -2421,26 +2436,50 @@ class Decoder {
     }
 
     // tile-major CTU scan (spec 6.5.1 CTB raster within tile, tiles in
-    // raster order); per-tile CABAC entry point + context re-init
+    // raster order); per-tile CABAC entry point + context re-init.
+    // raster slices cover [sh_slice_address, +num_tiles) tiles
     const int n_tile_cols = pps_.num_tile_columns;
     const int n_tiles = n_tile_cols * pps_.num_tile_rows;
+    int t_first = 0, t_cnt = n_tiles;
+    if (!pps_.pps_rect_slice_flag && n_tiles > 1) {
+      t_first = sh_.sh_slice_address;
+      t_cnt = sh_.sh_num_tiles_in_slice_minus1 + 1;
+    }
+    // WPP: each CTU row is its own CABAC sub-stream; contexts are
+    // inherited from the state saved after the row above's first CTU
+    // (schedule_next_parse, vvc_thread.c:255-279; sync window = 1 CTU)
+    const bool wpp = sps_.sps_entropy_coding_sync_enabled_flag;
+    CabacStates wpp_saved;
     int ep_idx = 0;
-    for (int t = 0; t < n_tiles; t++) {
-      if (t > 0) {
-        if (!cd.terminate())
-          throw std::runtime_error("end_of_tile_one_bit != 1");
-        if (ep_idx < (int)ep_start.size())
-          cd.reinit_at(ep_start[ep_idx++] * 8);
-        else
-          cd.restart();  // no signaled entry points: derive by alignment
-        ctxs_.init(qp, init_type);
-      }
+    for (int ti = 0; ti < t_cnt; ti++) {
+      const int t = t_first + ti;
       const int tx = t % n_tile_cols, ty = t / n_tile_cols;
       const int rx0 = pps_.col_bd[tx], rx1 = pps_.col_bd[tx + 1];
       const int ry0 = pps_.row_bd[ty], ry1 = pps_.row_bd[ty + 1];
-      for (int ry = ry0; ry < std::min(ry1, ctb_h); ry++)
-        for (int rx = rx0; rx < std::min(rx1, ctb_w); rx++)
+      for (int ry = ry0; ry < std::min(ry1, ctb_h); ry++) {
+        const bool new_tile = ti > 0 && ry == ry0;
+        const bool new_row = wpp && ry > ry0;
+        if (new_tile || new_row) {
+          // end_of_tile_one_bit / end_of_subset_one_bit of the
+          // previous sub-stream, then re-align at the entry point
+          if (!cd.terminate())
+            throw std::runtime_error("end_of_subset/tile bit != 1");
+          if (ep_idx < (int)ep_start.size())
+            cd.reinit_at(ep_start[ep_idx++] * 8);
+          else
+            cd.restart();  // no signaled entry points: by alignment
+          if (new_row)
+            ctxs_ = wpp_saved;  // WPP context inheritance
+          else
+            ctxs_.init(qp, init_type);
+        }
+        for (int rx = rx0; rx < std::min(rx1, ctb_w); rx++) {
           parse_ctu(rx, ry, ry * ctb_w + rx);
+          // context storage after the row's first CTU (9.3.1; the
+          // 1-CTU WPP sync window)
+          if (wpp && rx == rx0) wpp_saved = ctxs_;
+        }
+      }
     }
     if (!cd.terminate())
       throw std::runtime_error("end_of_slice_one_bit != 1");
@@ -4450,6 +4489,17 @@ void vvch_frame_info(void* h, int32_t* info) {
   info[18] = o.ctb_log2;
   info[19] = o.max_num_reorder;
   info[20] = o.dep_quant;
+}
+
+// tile boundaries in luma samples: out[0]=n_cols+1, out[1]=n_rows+1,
+// then col bds (incl. 0 and width) and row bds (incl. 0 and height)
+void vvch_tile_bd(void* h, int32_t* out) {
+  const FrameOut& o = ((Decoder*)h)->out;
+  out[0] = (int32_t)o.tile_col_bd.size();
+  out[1] = (int32_t)o.tile_row_bd.size();
+  int k = 2;
+  for (int v : o.tile_col_bd) out[k++] = v;
+  for (int v : o.tile_row_bd) out[k++] = v;
 }
 
 const int32_t* vvch_coeffs(void* h, int c_idx) {

@@ -735,6 +735,17 @@ void vvce_terminate(void* h, int val) {
   static_cast<vvce::Encoder*>(h)->terminate(val);
 }
 
+// Copy the 378 adaptive context states between handles (WPP context
+// inheritance: the state after a row's first CTU seeds the next row)
+void vvce_copy_states(void* dst, const void* src) {
+  auto* d = static_cast<vvce::Encoder*>(dst);
+  const auto* s = static_cast<const vvce::Encoder*>(src);
+  std::memcpy(d->state0, s->state0, sizeof(d->state0));
+  std::memcpy(d->state1, s->state1, sizeof(d->state1));
+  std::memcpy(d->shift0, s->shift0, sizeof(d->shift0));
+  std::memcpy(d->shift1, s->shift1, sizeof(d->shift1));
+}
+
 // Finalize into caller buffer; returns byte count (call with cap=0 for
 // a size query — finish() is only performed on the sized call).
 int vvce_finish(void* h, uint8_t* out, int cap) {

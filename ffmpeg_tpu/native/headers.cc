@@ -313,8 +313,10 @@ Pps parse_pps(BitReader& r, const Sps& sps) {
     }
     int single_slice_per_subpic = 1;
     if (pps.pps_rect_slice_flag) single_slice_per_subpic = r.flag();
-    VVC_UNSUPPORTED(!(pps.pps_rect_slice_flag && single_slice_per_subpic),
-                    "explicit slice layouts");
+    // raster (tile-scan) slices and whole-picture rect slices are
+    // supported; explicit rect slice layouts are not (vvc_ps.c:307-427)
+    VVC_UNSUPPORTED(pps.pps_rect_slice_flag && !single_slice_per_subpic,
+                    "explicit rect slice layouts");
     pps.pps_loop_filter_across_slices_enabled_flag = r.flag();
   } else {
     pps.col_width = {pic_w_ctbs};
@@ -739,14 +741,27 @@ SliceHeader parse_slice_header(BitReader& r, int nal_type, const Sps& sps,
       !sh.sh_sign_data_hiding_used_flag)
     sh.sh_ts_residual_coding_disabled_flag = r.flag();
   if (sps.sps_entry_point_offsets_present_flag) {
-    // entry point count derivation for the supported layouts:
-    // rect slice covering whole pic: width_in_tiles * (rows or height)
+    // NumEntryPoints (7.4.8.1; parity cbs_h266_syntax_template.c:3380)
     int entropy_sync = sps.sps_entropy_coding_sync_enabled_flag;
     int pic_h_ctbs = (pps.height + sps.ctb_size_y - 1) >> sps.ctb_log2_size_y;
     int num_entry_points;
-    int width_in_tiles = pps.num_tile_columns;
-    int height = entropy_sync ? pic_h_ctbs : pps.num_tile_rows;
-    num_entry_points = width_in_tiles * height - 1;
+    if (pps.pps_rect_slice_flag) {
+      // whole-picture rect slice
+      int width_in_tiles = pps.num_tile_columns;
+      int height = entropy_sync ? pic_h_ctbs : pps.num_tile_rows;
+      num_entry_points = width_in_tiles * height - 1;
+    } else {
+      // raster slice: one EP per tile (or per CTU row with WPP)
+      num_entry_points = 0;
+      int n_tiles = pps.num_tile_columns * pps.num_tile_rows;
+      int first = sh.sh_slice_address;
+      int cnt = sh.sh_num_tiles_in_slice_minus1 + 1;
+      for (int t = first; t < first + cnt && t < n_tiles; t++) {
+        int ty = t / pps.num_tile_columns;
+        num_entry_points += entropy_sync ? pps.row_height[ty] : 1;
+      }
+      num_entry_points -= 1;
+    }
     if (num_entry_points > 0) {
       int len = r.ue() + 1;
       for (int i = 0; i < num_entry_points; i++)

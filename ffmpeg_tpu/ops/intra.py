@@ -448,13 +448,20 @@ CCLM_DIV_SIG = np.array([0, 7, 6, 5, 5, 4, 4, 3, 3, 2, 2, 1, 1, 1, 1, 0],
                         np.int32)
 
 
-def cclm_dsy_plane(luma, vc):
+def cclm_dsy_plane(luma, vc, col_bds=(), row_bds=()):
     """Downsampled collocated luma at chroma resolution (4:2:0), full
     plane (cclm_get_luma_rec_pixels).  Picture-edge clamping at x=0 /
-    y=0 reproduces the per-block avail_l/avail_t replication.  `vc` is
-    the traced sps_chroma_vertical_collocated_flag."""
+    y=0 reproduces the per-block avail_l/avail_t replication; the
+    static interior tile boundaries (col_bds/row_bds, luma samples)
+    replicate the same way, since block-level availability never
+    crosses a tile.  `vc` is the traced
+    sps_chroma_vertical_collocated_flag."""
     lm1 = jnp.concatenate([luma[:, :1], luma[:, :-1]], axis=1)   # x-1
     tm1 = jnp.concatenate([luma[:1, :], luma[:-1, :]], axis=0)   # y-1
+    for bx in col_bds:
+        lm1 = lm1.at[:, bx].set(luma[:, bx])
+    for by in row_bds:
+        tm1 = tm1.at[by, :].set(luma[by, :])
     c0 = luma[0::2, 0::2]
     c1 = luma[1::2, 0::2]
     r0 = luma[0::2, 1::2]

@@ -23,6 +23,11 @@ def main() -> int:
         if f.type is bool or isinstance(f.default, bool):
             ap.add_argument(flag, dest=f.name, action="store_true",
                             default=f.default)
+        elif isinstance(f.default, tuple):
+            # e.g. --tile-cols 2,1 (comma-separated ints)
+            ap.add_argument(flag, dest=f.name, default=f.default,
+                            type=lambda s: tuple(
+                                int(v) for v in s.split(",") if v))
         else:
             ap.add_argument(flag, dest=f.name, type=type(f.default),
                             default=f.default)
