@@ -24,6 +24,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from ...utils import trace
 from ...utils.log import get_logger
 from .host import HostDecoder
 from .pipeline import submit_frame
@@ -89,7 +90,8 @@ def _fetch_group(packed_list):
     for arr in packed_list:
         if hasattr(arr, "copy_to_host_async"):
             arr.copy_to_host_async()
-    return [np.asarray(arr) for arr in packed_list]
+    with trace.span("fetch"):
+        return [np.asarray(arr) for arr in packed_list]
 
 
 _PARAM_NAL_TYPES = (12, 13, 14, 15, 16, 17, 18)  # OPI/DCI/VPS/SPS/PPS/APS
@@ -164,7 +166,8 @@ class VVCDecoder:
 
         hd = self._hosts.get()
         try:
-            fs = hd.decode_au(au, epoch)
+            with trace.span("host_parse"):
+                fs = hd.decode_au(au, epoch)
         finally:
             self._hosts.put(hd)
         if fs is None:
@@ -175,7 +178,8 @@ class VVCDecoder:
             # which need reference pixels -- the main thread runs the
             # refinement (dmvr.refine_frame) and prepares afterwards
             return fs, None
-        return fs, prepare_frame(fs)
+        with trace.span("build_pack"):
+            return fs, prepare_frame(fs)
 
     def _split_aus(self, data: bytes):
         """[(is_idr, epoch, au_bytes)] where each AU is self-contained:
@@ -291,18 +295,17 @@ class VVCDecoder:
                                 "synthesizing gray", fs.poc, poc)
                     self._dpb[poc] = self._gray_planes(fs)
             if prepared is None:
-                # DMVR: refine against the (device-resident) reference
-                # luma planes, publish the deferred collocated motion,
-                # then build the frame inputs with refined controls
-                from .dmvr import refine_frame
+                # DMVR: the 25-point SAD search runs on device against
+                # the HBM-resident reference planes (ops/dmvr.py); only
+                # the per-subblock refinements come back to the host,
+                # which publishes the deferred collocated motion and
+                # rebuilds the unit controls with the refined MVs
+                from ...ops.dmvr import refine_frame_device
                 from .host import dmvr_apply
                 from .pipeline import prepare_frame
 
-                ref_luma = {
-                    poc: np.asarray(self._dpb[poc][0])[:fs.height, :fs.width]
-                    for poc in set(fs.ref_pocs[0]) | set(fs.ref_pocs[1])}
                 dmvr_apply(fs, self._colstore, epoch,
-                           refine_frame(fs, ref_luma))
+                           refine_frame_device(fs, self._dpb))
                 prepared = prepare_frame(fs)
             if is_idr:
                 if not first:
@@ -310,7 +313,8 @@ class VVCDecoder:
                 self._dpb.clear()
             first = False
             reorder_depth = fs.max_num_reorder
-            packed, planes = submit_frame(prepared, fs, self._dpb)
+            with trace.span("dispatch"):
+                packed, planes = submit_frame(prepared, fs, self._dpb)
             if fetch and hasattr(packed, "copy_to_host_async"):
                 # start the device->host transfer now so it streams
                 # behind later frames' dispatch/compute (the transport

@@ -3952,6 +3952,7 @@ class Decoder {
     std::vector<int32_t> abs_level, abs_level_pass1, sig;
     std::vector<uint8_t> sb_coded;
   };
+  RcCtx rc_scratch_;  // per-TB scratch, reused to avoid 4 allocs per TB
 
   // qstate_translate_table (vvc_cabac.c:1962): next state by level parity
   static constexpr uint8_t kQStateTrans[4][2] = {
@@ -4054,7 +4055,8 @@ class Decoder {
     int zo_w = log2_w < 5 ? log2_w : 5;
     int zo_h = log2_h < 5 ? log2_h : 5;
 
-    RcCtx rc;
+    RcCtx& rc = rc_scratch_;  // reused: .assign() below never reallocs
+    rc.qstate = 0;            // dep-quant state restarts per TB
     rc.log2_sb_w = (zo_w < 2 || zo_h < 2) ? 1 : 2;
     rc.log2_sb_h = rc.log2_sb_w;
     if (zo_w + zo_h > 3) {
@@ -4346,7 +4348,7 @@ class Decoder {
 
     int first_pos_mode0 = i == rc.last_sb ? rc.last_pos : rc.num_sb_coeff - 1;
     int first_pos_mode1 = first_pos_mode0;
-    std::vector<int> gt2(rc.num_sb_coeff, 0);
+    int gt2[16] = {0};  // num_sb_coeff <= 16
     int first_sig = rc.num_sb_coeff, last_sig_sb = -1;
     const int dq = sh_.sh_dep_quant_used_flag;
     const int start_qstate_sb = rc.qstate;
