@@ -3,36 +3,36 @@
 
 Prints ONE JSON line.  The headline metric is decode fps with frames
 left device-resident (the deployment mode: downstream TPU stages —
-scaling, encode, ML — consume the planes in HBM).  `fetched_fps`
-additionally materializes every frame on the host through this
-sandbox's tunnel transport, whose device->host direction measures
-~15 MB/s (`d2h_MBps`, measured below) — on real PCIe/plugin topologies
-the fetch is >100x faster, so the fetched number here is a transport
-artifact, reported for honesty (ADVICE r1), not a decoder property.
+scaling, encode, ML — consume the planes in HBM).  All three BASELINE
+configs (all-intra 720p, RA 1080p, full-toolset 1080p) are measured
+every run, in that order, each emitting its fields before the next
+starts so a budget kill never erases a completed number.
 
-Engineered to COMPLETE (round-2 postmortem: rc=124, no number):
+Robustness (round-3/4 postmortems):
   * generated bitstreams are cached in .bench_streams/ keyed by
-    (encoder-source hash, config) — generation costs ~0 s warm;
-  * the persistent XLA compile cache lives in .jax_cache/ inside the
-    repo workdir, surviving rounds;
-  * an internal wall-clock budget runs the headline config first and
-    emits whatever completed if later configs would blow the budget.
+    (encoder-source hash, config);
+  * the persistent XLA compile cache lives in .jax_cache/;
+  * device->host transfers on this sandbox's tunnel can stall for
+    minutes (r4: a 256-byte fetch took >400 s), so every fetch runs
+    under a timeout — when the transport is wedged the MD5 verify is
+    recorded as skipped rather than hanging the bench;
+  * an internal wall budget skips later sections instead of dying.
 """
 import hashlib
 import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, ROOT)
+os.environ.setdefault("FFMPEG_TPU_TRACE", "1")
 
 REF_FFMPEG = os.path.join(ROOT, ".refbuild", "ffmpeg")
 STREAM_CACHE = os.path.join(ROOT, ".bench_streams")
 
-# Total wall budget.  The driver kills the bench if it runs too long;
-# stay safely below by skipping late configs when the clock runs down.
 BUDGET_S = float(os.environ.get("FFMPEG_TPU_BENCH_BUDGET_S", "540"))
 T_START = time.perf_counter()
 
@@ -56,8 +56,6 @@ def _left() -> float:
 
 
 def _encoder_hash() -> str:
-    """Hash of every source file the generator's output depends on, so
-    cached streams regenerate exactly when the encoder changes."""
     h = hashlib.sha256()
     dirs = [os.path.join(ROOT, "ffmpeg_tpu", d)
             for d in ("encoder", "cbs", "bitstream")]
@@ -84,6 +82,24 @@ def gen_stream(name: str, **kw) -> str:
     return path
 
 
+def fetch_with_timeout(getter, timeout_s):
+    """Run a device->host fetch in a daemon thread; None on stall."""
+    box = []
+
+    def run():
+        try:
+            box.append(getter())
+        except Exception as e:  # noqa: BLE001
+            box.append(e)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not box or isinstance(box[0], Exception):
+        return None
+    return box[0]
+
+
 def _decode_all(data, fetch):
     import jax
 
@@ -98,22 +114,30 @@ def _decode_all(data, fetch):
     return frames
 
 
-def bench_ours(path: str, n_frames, fetch, check=True):
+def bench_ours(path: str, n_frames, fetch=False, reps=2):
     with open(path, "rb") as f:
         data = f.read()
     frames = _decode_all(data, fetch)  # warmup (compiles)
     assert len(frames) == n_frames
-    dt = float("inf")  # best-of-3: the tunnel transport is jittery
-    for _ in range(3):
+    dt = float("inf")
+    for _ in range(reps):
         t0 = time.perf_counter()
         frames = _decode_all(data, fetch)
         dt = min(dt, time.perf_counter() - t0)
-    if check:
-        got = [f.md5() for f in frames]
-        ref = ref_frame_md5s(path)
-        if ref:
-            assert got == ref, "decode mismatch vs reference"
-    return n_frames / dt
+    return n_frames / dt, frames
+
+
+def verify(frames, path: str, timeout_s=90):
+    """MD5 parity vs the reference build; 'skipped' when the tunnel's
+    device->host path is stalled (fetch under timeout)."""
+    ref = ref_frame_md5s(path)
+    if not ref:
+        return "no-ref"
+    got = fetch_with_timeout(
+        lambda: [f.md5() for f in frames], timeout_s)
+    if got is None:
+        return "skipped-d2h-stall"
+    return "ok" if got == ref else "MISMATCH"
 
 
 def ref_frame_md5s(path: str) -> list:
@@ -130,7 +154,7 @@ def bench_ref(path: str, n_frames) -> float:
     if not os.path.exists(REF_FFMPEG):
         return 0.0
     dt = float("inf")
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
         subprocess.run([REF_FFMPEG, "-hide_banner", "-loglevel", "error",
                         "-threads", "1", "-i", path, "-f", "null", "-"],
@@ -139,55 +163,73 @@ def bench_ref(path: str, n_frames) -> float:
     return n_frames / dt
 
 
-def measure_d2h() -> float:
-    import jax
-    import numpy as np
+def stage_breakdown() -> dict:
+    from ffmpeg_tpu.utils import trace
 
-    d = jax.device_put(np.zeros(4_000_000 // 4, np.int32))
-    jax.block_until_ready(d)
-    np.asarray(d)  # warm the path
-    t0 = time.perf_counter()
-    for _ in range(3):
-        np.asarray(jax.device_put(np.full(4_000_000 // 4, 7, np.int32)))
-    return 3 * 4.0 / (time.perf_counter() - t0)
+    return {k: v["mean_ms"] for k, v in trace.summary().items()
+            if isinstance(v, dict) and "mean_ms" in v}
 
 
 def main() -> None:
+    from ffmpeg_tpu.utils import trace
+
     result = {
         "metric": "vvc_decode_fps_1280x720_allintra_device_resident",
         "value": None, "unit": "fps", "vs_baseline": None,
     }
+    configs = [("ai720", AI_KW, True), ("ra1080", RA_KW, False),
+               ("full1080", FULL_KW, False)]
     try:
-        # headline config first: its JSON fields are filled before any
-        # later config can burn the budget.
-        path = gen_stream("ai720", **AI_KW)
-        ours = bench_ours(path, AI_KW["n_frames"], fetch=False)
-        ref = bench_ref(path, AI_KW["n_frames"])
-        result["value"] = round(ours, 3)
-        result["vs_baseline"] = round(ours / ref, 4) if ref else None
-
-        if _left() > 30:
-            fetched = bench_ours(path, AI_KW["n_frames"], fetch=True,
-                                 check=False)
-            result["fetched_fps"] = round(fetched, 3)
-            result["fetched_vs_baseline"] = (
-                round(fetched / ref, 4) if ref else None)
-            result["d2h_MBps"] = round(measure_d2h(), 1)
-
-        for name, kw, key in (("ra1080", RA_KW, "ra1080"),
-                              ("full1080", FULL_KW, "full1080")):
-            if _left() < 120:
-                result[f"{key}_skipped"] = "budget"
+        for name, kw, headline in configs:
+            if not headline and _left() < 100:
+                result[f"{name}_skipped"] = "budget"
                 continue
             try:
-                p = gen_stream(name, **kw)
-                fps = bench_ours(p, kw["n_frames"], fetch=False)
-                rfps = bench_ref(p, kw["n_frames"])
-                result[f"{key}_fps"] = round(fps, 3)
-                result[f"{key}_vs_baseline"] = (
-                    round(fps / rfps, 4) if rfps else None)
+                path = gen_stream(name, **kw)
+                trace.reset()
+                print(f"[bench] {name}: decoding ({_left():.0f}s left)",
+                      file=sys.stderr, flush=True)
+                fps, frames = bench_ours(path, kw["n_frames"])
+                print(f"[bench] {name}: {fps:.2f} fps ({_left():.0f}s left)",
+                      file=sys.stderr, flush=True)
+                rfps = bench_ref(path, kw["n_frames"])
+                stages = stage_breakdown()
+                vs = round(fps / rfps, 4) if rfps else None
+                if headline:
+                    result["value"] = round(fps, 3)
+                    result["vs_baseline"] = vs
+                    result["stages_ms"] = stages
+                else:
+                    result[f"{name}_fps"] = round(fps, 3)
+                    result[f"{name}_vs_baseline"] = vs
+                    result[f"{name}_stages_ms"] = stages
+                if _left() > 60:
+                    result[f"{name}_verify"] = verify(
+                        frames, path, timeout_s=min(90, _left() / 2))
+                del frames
             except Exception as e:  # noqa: BLE001 - isolate per config
-                result[f"{key}_error"] = f"{type(e).__name__}: {e}"
+                result[f"{name}_error"] = f"{type(e).__name__}: {e}"
+
+        # transport-inclusive numbers, only when the tunnel is healthy
+        if _left() > 90:
+            import jax
+            import numpy as np
+            probe = fetch_with_timeout(
+                lambda: np.asarray(jax.device_put(np.zeros(64, np.int32))),
+                10)
+            if probe is None:
+                result["fetched_skipped"] = "d2h-stall"
+            else:
+                path = gen_stream("ai720", **AI_KW)
+                fps, _ = bench_ours(path, AI_KW["n_frames"], fetch=True,
+                                    reps=1)
+                result["fetched_fps"] = round(fps, 3)
+                t0 = time.perf_counter()
+                for _ in range(3):
+                    np.asarray(jax.device_put(
+                        np.full(4_000_000 // 4, 7, np.int32)))
+                result["d2h_MBps"] = round(
+                    3 * 4.0 / (time.perf_counter() - t0), 1)
     except Exception as e:  # noqa: BLE001 - always emit the line
         result["error"] = f"{type(e).__name__}: {e}"
     result["elapsed_s"] = round(time.perf_counter() - T_START, 1)

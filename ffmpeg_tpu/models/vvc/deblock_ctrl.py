@@ -16,18 +16,34 @@ from ...ops.deblock import deblock_vertical_chroma, deblock_vertical_luma
 from .host import FrameSyntax
 
 
-def _tu_grids(fs: FrameSyntax, c_idx: int, g: int):
-  """Per-g-sample grids (pos_x, pos_y, w, h, qp) for one component."""
+def _tu_grids_cbf(fs: FrameSyntax, c_idx: int, g: int):
+  """Per-g-sample grids (pos_x, pos_y, w, h, qp, cbf) for one
+  component, filled by one native pass over the TU list
+  (vvch_fo_tu_grids); numpy fallback for synthetic FrameSyntax
+  objects without a native FrameOut handle."""
   ss = 0 if c_idx == 0 else 1
   W, H = fs.width >> ss, fs.height >> ss
   gw, gh = W // g, H // g
+  qp_bd_offset = 6 * (fs.bit_depth - 8)
+  if getattr(fs, "fo", None) is not None:
+    import ctypes
+
+    from .host import _get_lib
+
+    grids = [np.empty((gh, gw), np.int32) for _ in range(6)]
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    _get_lib().vvch_fo_tu_grids(
+        fs.fo.ptr, c_idx, g, qp_bd_offset,
+        *[a.ctypes.data_as(i32p) for a in grids])
+    return tuple(grids)
   pos_x = np.zeros((gh, gw), np.int32)
   pos_y = np.zeros((gh, gw), np.int32)
   tw = np.zeros((gh, gw), np.int32)
   th = np.zeros((gh, gw), np.int32)
   qp = np.zeros((gh, gw), np.int32)
+  cbf = np.zeros((gh, gw), np.int32)
   sel = np.where(fs.tus["c_idx"] == c_idx)[0]
-  qp_bd_offset = 6 * (fs.bit_depth - 8)
+  jop = fs.tus.get("jop") if c_idx else None
   for j in sel:
     x0 = int(fs.tus["x0"][j])
     y0 = int(fs.tus["y0"][j])
@@ -35,12 +51,20 @@ def _tu_grids(fs: FrameSyntax, c_idx: int, g: int):
     h = int(fs.tus["h"][j])
     q = int(fs.tus["qp"][j]) - qp_bd_offset  # stored with bd offset
     ys, xs = y0 // g, x0 // g
-    pos_x[ys:(y0 + h) // g, xs:(x0 + w) // g] = x0
-    pos_y[ys:(y0 + h) // g, xs:(x0 + w) // g] = y0
-    tw[ys:(y0 + h) // g, xs:(x0 + w) // g] = w
-    th[ys:(y0 + h) // g, xs:(x0 + w) // g] = h
-    qp[ys:(y0 + h) // g, xs:(x0 + w) // g] = q
-  return pos_x, pos_y, tw, th, qp
+    sl = (slice(ys, (y0 + h) // g), slice(xs, (x0 + w) // g))
+    pos_x[sl] = x0
+    pos_y[sl] = y0
+    tw[sl] = w
+    th[sl] = h
+    qp[sl] = q
+    if fs.tus["coded"][j] == 1 or (jop is not None and jop[j] > 0):
+      cbf[sl] = 1
+  return pos_x, pos_y, tw, th, qp, cbf
+
+
+def _tu_grids(fs: FrameSyntax, c_idx: int, g: int):
+  """Per-g-sample grids (pos_x, pos_y, w, h, qp) for one component."""
+  return _tu_grids_cbf(fs, c_idx, g)[:5]
 
 
 def _mv_far(ax, ay, bx, by):
@@ -214,7 +238,7 @@ def deblock_frame(fs: FrameSyntax, planes, ctb_log2: int, beta_off, tc_off):
 
   bd = fs.bit_depth
   ctb = 1 << ctb_log2
-  y_pos_x, y_pos_y, y_w, y_h, y_qp = _tu_grids(fs, 0, 4)
+  y_pos_x, y_pos_y, y_w, y_h, y_qp, cbf_y = _tu_grids_cbf(fs, 0, 4)
 
   # motion planes at the 4x4 PU grid (also the 2-chroma-sample grid)
   mvf = fs.mvf
@@ -242,19 +266,6 @@ def deblock_frame(fs: FrameSyntax, planes, ctb_log2: int, beta_off, tc_off):
       "p1": refpoc(mvf["ref1"], 1),
   }
 
-  def cbf_plane(c_idx, g):
-    ss = 0 if c_idx == 0 else 1
-    gw = (fs.width >> ss) // g
-    gh = (fs.height >> ss) // g
-    cbf = np.zeros((gh, gw), np.int32)
-    sel = np.where((fs.tus["c_idx"] == c_idx) & (fs.tus["coded"] == 1))[0]
-    for j in sel:
-      x0, y0 = int(fs.tus["x0"][j]), int(fs.tus["y0"][j])
-      w, h = int(fs.tus["w"][j]), int(fs.tus["h"][j])
-      cbf[y0 // g:(y0 + h) // g, x0 // g:(x0 + w) // g] = 1
-    return cbf
-
-  cbf_y = cbf_plane(0, 4)
   out = list(planes)
 
   # ---- luma ---------------------------------------------------------
@@ -285,8 +296,7 @@ def deblock_frame(fs: FrameSyntax, planes, ctb_log2: int, beta_off, tc_off):
   # ---- chroma -------------------------------------------------------
   if fs.chroma_format_idc:
     for c_idx in (1, 2):
-      pos_x, pos_y, tw, th, qpc = _tu_grids(fs, c_idx, 2)
-      cbf_c = cbf_plane(c_idx, 2)
+      pos_x, pos_y, tw, th, qpc, cbf_c = _tu_grids_cbf(fs, c_idx, 2)
       Hc, Wc = planes[c_idx].shape
       Sv, Ev = Hc // 2, Wc // 8
       bs, qpa, mp, mq = _chroma_edge_params(pos_x, tw, qpc, motion, cbf_c,

@@ -163,6 +163,71 @@ def _bucket_capacity(W, H, w, h):
 # real streams need; ratcheting keeps arrays tight while bounding
 # recompiles to O(log n) per geometry.
 _CAPS: dict = {}
+_CAPS_LOCK = None
+_CAPS_LOADED = False
+_CAPS_DIRTY = False
+
+
+def _caps_path():
+  import os
+  root = os.path.dirname(os.path.dirname(os.path.dirname(
+      os.path.dirname(os.path.abspath(__file__)))))
+  return os.environ.get("FFMPEG_TPU_RATCHET_PATH",
+                        os.path.join(root, ".jax_cache", "ratchet.json"))
+
+
+def _caps_load_locked():
+  """Ratcheted capacities persist across processes: they shape every
+  frame program's input signature, so without persistence each fresh
+  process ratchets differently and misses the on-disk XLA compile
+  cache entirely (measured: 70+ s of recompiles per bench run)."""
+  global _CAPS_LOADED
+  if _CAPS_LOADED:
+    return
+  _CAPS_LOADED = True
+  import json
+  import os
+  try:
+    with open(_caps_path()) as f:
+      for gk, slots in json.load(f).items():
+        caps = _CAPS.setdefault(eval(gk), {})  # noqa: S307 - own file
+        for sk, cap in slots.items():
+          caps[eval(sk)] = max(caps.get(eval(sk), 0), cap)  # noqa: S307
+  except (OSError, ValueError, SyntaxError):
+    pass
+
+
+_CAPS_LAST_SAVE = [0.0]
+_CAPS_DIRTY_FLAG = [False]
+
+
+def _caps_flush():
+  if _CAPS_DIRTY_FLAG[0] and _CAPS_LOCK is not None:
+    with _CAPS_LOCK:
+      _CAPS_LAST_SAVE[0] = 0.0
+      _caps_save_locked()
+
+
+def _caps_save_locked():
+  import json
+  import os
+  import time as _time
+  if _time.monotonic() - _CAPS_LAST_SAVE[0] < 1.0:
+    _CAPS_DIRTY_FLAG[0] = True
+    return
+  _CAPS_LAST_SAVE[0] = _time.monotonic()
+  _CAPS_DIRTY_FLAG[0] = False
+  path = _caps_path()
+  try:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    blob = {repr(gk): {repr(sk): cap for sk, cap in slots.items()}
+            for gk, slots in _CAPS.items()}
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+      json.dump(blob, f)
+    os.replace(tmp, path)
+  except OSError:
+    pass
 
 
 def _ratchet(geom_key, slot, needed, maxcap, floor=64):
@@ -170,13 +235,24 @@ def _ratchet(geom_key, slot, needed, maxcap, floor=64):
   # would silently drop TUs/predict units and corrupt the frame
   assert needed <= maxcap, (
       f"capacity model violated: slot={slot} needed={needed} > {maxcap}")
-  caps = _CAPS.setdefault(geom_key, {})
-  cap = caps.get(slot, min(floor, maxcap))
-  while cap < needed:
-    cap *= 2
-  cap = min(cap, maxcap)
-  caps[slot] = max(cap, caps.get(slot, 0))
-  return caps[slot]
+  global _CAPS_LOCK
+  if _CAPS_LOCK is None:
+    import atexit
+    import threading
+    _CAPS_LOCK = threading.Lock()
+    atexit.register(_caps_flush)
+  with _CAPS_LOCK:
+    _caps_load_locked()
+    caps = _CAPS.setdefault(geom_key, {})
+    cap = caps.get(slot, min(floor, maxcap))
+    while cap < needed:
+      cap *= 2
+    cap = min(cap, maxcap)
+    grown = cap > caps.get(slot, -1)
+    caps[slot] = max(cap, caps.get(slot, 0))
+    if grown:
+      _caps_save_locked()
+    return caps[slot]
 
 
 
@@ -1155,13 +1231,61 @@ def _build_frame_program(shapes):
   return frame_program
 
 
+_PACK_POOL: dict = {}
+_PACK_POOL_LOCK = None
+
+
+def _pack_scratch(total):
+  """Rotating pool of pack buffers.  A fresh 18-40 MB allocation per
+  frame costs 40-80 ms of page faults under the GIL; reusing warm
+  buffers makes the pack a plain memcpy.  The pool depth exceeds the
+  decoder's dispatch-ahead window, so a buffer is never rewritten
+  while its host->device copy may still be in flight."""
+  global _PACK_POOL_LOCK
+  if _PACK_POOL_LOCK is None:
+    import threading
+    _PACK_POOL_LOCK = threading.Lock()
+  if jax.default_backend() == "cpu":
+    # XLA:CPU device_put may alias host memory zero-copy; a reused
+    # buffer would mutate frames still in flight.  CPU runs (tests)
+    # allocate fresh.
+    return np.empty(total, np.int32)
+  with _PACK_POOL_LOCK:
+    ring, idx = _PACK_POOL.setdefault("ring", ([], [0]))
+    depth = 12  # > dispatch-ahead window (8) + margin
+    def fresh(n):
+      # explicit fill pre-faults the pages once at ring-build time;
+      # cold first-touch of a 45 MB buffer costs ~450 ms at 1080p
+      buf = np.empty(n, np.int32)
+      buf.fill(0)
+      return buf
+
+    if len(ring) < depth:
+      buf = fresh(total)
+      ring.append(buf)
+      return buf
+    idx[0] = (idx[0] + 1) % depth
+    if ring[idx[0]].size < total:
+      ring[idx[0]] = fresh(total)
+    return ring[idx[0]][:total]
+
+
 def _pack_leaves(leaves, total):
   """Flatten host leaves into one contiguous int32 buffer with a single
   C-level copy pass (a per-leaf python assignment loop costs ~50ms per
   frame at ~700 leaves)."""
-  buf = np.concatenate(
-      [np.asarray(l, np.int32).ravel() for l in leaves])
-  assert buf.size == total
+  buf = _pack_scratch(total)
+  off = 0
+  for l in leaves:
+    a = np.asarray(l, np.int32)
+    n = a.size
+    dst = buf[off:off + n]
+    if a.ndim == 1 or a.flags.c_contiguous:
+      dst[:] = a.reshape(-1)
+    else:
+      np.copyto(dst.reshape(a.shape), a)
+    off += n
+  assert off == total
   return buf
 
 
@@ -1363,7 +1487,7 @@ def _deblock_grids(fs: FrameSyntax, Hp_y, Wp_y, Hp_c, Wp_c, ctb_log2):
   from . import deblock_ctrl as D
 
   ctb = 1 << ctb_log2
-  y_pos_x, y_pos_y, y_w, y_h, y_qp = D._tu_grids(fs, 0, 4)
+  y_pos_x, y_pos_y, y_w, y_h, y_qp, cbf_y = D._tu_grids_cbf(fs, 0, 4)
   mvf = fs.mvf
 
   def refpoc(ref_plane, lx):
@@ -1387,23 +1511,6 @@ def _deblock_grids(fs: FrameSyntax, Hp_y, Wp_y, Hp_c, Wp_c, ctb_log2):
   }
   motion_t = {k: m.T for k, m in motion.items()}
 
-  def cbf_plane(c_idx, g):
-    ss = 0 if c_idx == 0 else 1
-    gw = (fs.width >> ss) // g
-    gh = (fs.height >> ss) // g
-    cbf = np.zeros((gh, gw), np.int32)
-    # deblock cbf: parsed tu_coded_flag, OR'd with the joint-CbCr flag
-    # for chroma (vvc_filter.c:680-684)
-    cond = fs.tus["coded"] == 1
-    if c_idx and "jop" in fs.tus:
-      cond = cond | (fs.tus["jop"] > 0)
-    sel = np.where((fs.tus["c_idx"] == c_idx) & cond)[0]
-    for j in sel:
-      x0, y0 = int(fs.tus["x0"][j]), int(fs.tus["y0"][j])
-      w, h = int(fs.tus["w"][j]), int(fs.tus["h"][j])
-      cbf[y0 // g:(y0 + h) // g, x0 // g:(x0 + w) // g] = 1
-    return cbf
-
   def pcmf_plane(want_c, g):
     if "pcmf" not in fs.tus or not np.any(fs.tus["pcmf"]):
       return None
@@ -1418,7 +1525,6 @@ def _deblock_grids(fs: FrameSyntax, Hp_y, Wp_y, Hp_c, Wp_c, ctb_log2):
       pl[y0 // g:(y0 + h) // g, x0 // g:(x0 + w) // g] = 1
     return pl
 
-  cbf_y = cbf_plane(0, 4)
   pcmf_y = pcmf_plane(0, 4)
   pcmf_c = pcmf_plane(1, 2)  # CB records mark the shared chroma plane
   d = {}
@@ -1437,8 +1543,7 @@ def _deblock_grids(fs: FrameSyntax, Hp_y, Wp_y, Hp_c, Wp_c, ctb_log2):
   hor[:, :] = (((np.arange(Eh) * 4) % ctb) == 0)[None, :]
   d["yhor"] = hor
   for c_idx in (1, 2):
-    pos_x, pos_y, tw, th, qpc = D._tu_grids(fs, c_idx, 2)
-    cbf_c = cbf_plane(c_idx, 2)
+    pos_x, pos_y, tw, th, qpc, cbf_c = D._tu_grids_cbf(fs, c_idx, 2)
     Sv, Ev = Hp_c // 2, Wp_c // 8
     (d[f"c{c_idx}bs_v"], d[f"c{c_idx}qp_v"], d[f"c{c_idx}mp_v"],
      d[f"c{c_idx}mq_v"]) = D._chroma_edge_params(pos_x, tw, qpc, motion,

@@ -4713,6 +4713,49 @@ inline int size_key(int w, int h) {
 }
 }  // namespace
 
+// Deblock control grids for one component at g-sample granularity:
+// per-cell TU top-left/size/qp plus the parsed-cbf plane.  One pass
+// over the TU list replaces ~150 ms/frame of per-TU numpy rectangle
+// fills at 1080p (deblock_ctrl._tu_grids / cbf_plane).
+// Outputs are (gh, gw) row-major int32: pos_x, pos_y, tw, th, qp
+// (minus qp_bd_offset), cbf.
+void vvch_fo_tu_grids(void* fo_, int c_idx, int g, int qp_bd_offset,
+                      int32_t* pos_x, int32_t* pos_y, int32_t* tw,
+                      int32_t* th, int32_t* qp, int32_t* cbf) {
+  FrameOut& fo = *(FrameOut*)fo_;
+  int ss = c_idx == 0 ? 0 : 1;
+  int W = fo.width >> ss, H = fo.height >> ss;
+  int gw = W / g, gh = H / g;
+  size_t n = (size_t)gw * gh;
+  std::memset(pos_x, 0, n * 4);
+  std::memset(pos_y, 0, n * 4);
+  std::memset(tw, 0, n * 4);
+  std::memset(th, 0, n * 4);
+  std::memset(qp, 0, n * 4);
+  std::memset(cbf, 0, n * 4);
+  for (const TuRecord& tu : fo.tus) {
+    if (tu.c_idx != c_idx) continue;
+    const int xs = tu.x0 / g, ys = tu.y0 / g;
+    const int xe = (tu.x0 + tu.w) / g, ye = (tu.y0 + tu.h) / g;
+    const int32_t q = tu.qp - qp_bd_offset;
+    // deblock cbf: parsed tu_coded_flag, OR'd with the joint-CbCr
+    // derived-component flag for chroma (vvc_filter.c:680-684)
+    const int32_t coded = tu.coded || (c_idx && tu.jop > 0);
+    for (int y = ys; y < ye && y < gh; y++) {
+      const size_t row = (size_t)y * gw;
+      const int x1 = xe < gw ? xe : gw;
+      for (int x = xs; x < x1; x++) {
+        pos_x[row + x] = tu.x0;
+        pos_y[row + x] = tu.y0;
+        tw[row + x] = tu.w;
+        th[row + x] = tu.h;
+        qp[row + x] = q;
+        if (coded) cbf[row + x] = 1;
+      }
+    }
+  }
+}
+
 // counts[k] = number of coded TUs of plane c_idx with size sizes[k]
 void vvch_fo_bucket_counts(void* fo_, int c_idx, int n_sizes,
                            const int32_t* sizes, int32_t* counts) {
