@@ -127,16 +127,30 @@ def bench_ours(path: str, n_frames, fetch=False, reps=2):
     return n_frames / dt, frames
 
 
-def verify(frames, path: str, timeout_s=90):
-    """MD5 parity vs the reference build; 'skipped' when the tunnel's
-    device->host path is stalled (fetch under timeout)."""
+def verify_subprocess(path: str, timeout_s=120):
+    """MD5 parity vs the reference build, decoded in a SUBPROCESS.
+
+    A stalled device->host fetch must not poison this process (r4
+    postmortem: one stuck fetch thread inside the tunnel client
+    degraded every later decode by ~20x), so the verifying decode +
+    fetch runs isolated and is killed on timeout."""
     ref = ref_frame_md5s(path)
     if not ref:
         return "no-ref"
-    got = fetch_with_timeout(
-        lambda: [f.md5() for f in frames], timeout_s)
-    if got is None:
-        return "skipped-d2h-stall"
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "from ffmpeg_tpu.models.vvc.decoder import decode_file; "
+        "[print(f.md5()) for f in decode_file(%r)]" % (ROOT, path))
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True,
+                             timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return "skipped-timeout"
+    if out.returncode != 0:
+        return f"error: {out.stderr.strip().splitlines()[-1][:120]}" \
+            if out.stderr.strip() else "error"
+    got = [ln.strip() for ln in out.stdout.splitlines() if ln.strip()]
     return "ok" if got == ref else "MISMATCH"
 
 
@@ -203,12 +217,17 @@ def main() -> None:
                     result[f"{name}_fps"] = round(fps, 3)
                     result[f"{name}_vs_baseline"] = vs
                     result[f"{name}_stages_ms"] = stages
-                if _left() > 60:
-                    result[f"{name}_verify"] = verify(
-                        frames, path, timeout_s=min(90, _left() / 2))
                 del frames
             except Exception as e:  # noqa: BLE001 - isolate per config
                 result[f"{name}_error"] = f"{type(e).__name__}: {e}"
+
+        # MD5 parity, isolated per config AFTER every fps number exists
+        for name, kw, _ in configs:
+            if _left() < 90:
+                result[f"{name}_verify"] = "skipped-budget"
+                continue
+            result[f"{name}_verify"] = verify_subprocess(
+                gen_stream(name, **kw), timeout_s=min(150, _left() - 30))
 
         # transport-inclusive numbers, only when the tunnel is healthy
         if _left() > 90:
