@@ -124,6 +124,8 @@ class CuIntent:
     # MRL: reference line (0 off, 1/2) + which MPM candidate to use
     mrl_idx: int = 0
     mrl_mpm_idx: int = 0
+    # dual-tree membership: "single" | "luma" | "chroma"
+    tree: str = "single"
 
 
 class FrameSyntaxEncoder:
@@ -175,6 +177,22 @@ class FrameSyntaxEncoder:
         self.tab_cbw = np.zeros((mh, mw), dtype=np.int32)
         self.tab_cbh = np.zeros((mh, mw), dtype=np.int32)
         self.tab_cqt = np.zeros((mh, mw), dtype=np.int32)
+        # chroma-tree (ch_type 1) neighbour tables for dual-tree splits
+        self.tab_cbw_c = np.zeros((mh, mw), dtype=np.int32)
+        self.tab_cbh_c = np.zeros((mh, mw), dtype=np.int32)
+        self.tab_cqt_c = np.zeros((mh, mw), dtype=np.int32)
+        # chroma-tree partition constraints (spec 7.4.3.4)
+        min_qt_c = 1 << (sps.sps_log2_diff_min_qt_min_cb_intra_slice_chroma
+                         + self.min_cb_log2)
+        self.pc_c = PartitionCtx(
+            min_cb_size=min_cb,
+            min_qt_size=min_qt_c,
+            max_bt_size=(min_qt_c <<
+                         sps.sps_log2_diff_max_bt_min_qt_intra_slice_chroma),
+            max_tt_size=(min_qt_c <<
+                         sps.sps_log2_diff_max_tt_min_qt_intra_slice_chroma),
+            max_mtt_depth=sps.sps_max_mtt_hierarchy_depth_intra_slice_chroma,
+            pic_width=self.width, pic_height=self.height)
         self.tab_skip = np.zeros((mh, mw), dtype=np.int32)
         self.tab_msf = np.zeros((mh, mw), dtype=np.int32)
         self.tab_sao: dict = {}  # (rx, ry) -> resolved sao params
@@ -425,7 +443,8 @@ class FrameSyntaxEncoder:
     def _transform_unit_leaf(self, cu, x0, y0, tw, th, is_large) -> None:
         sps = self.sps
         is_intra = cu.pred_mode == "intra"
-        chroma_available = sps.sps_chroma_format_idc != 0
+        chroma_available = (cu.tree != "luma"
+                            and sps.sps_chroma_format_idc != 0)
         ry, rx = y0 - cu.y0, x0 - cu.x0
 
         def sub(c, shift):
@@ -446,22 +465,24 @@ class FrameSyntaxEncoder:
             self._bin("TU_CR_CODED_FLAG",
                       2 if cu.bdpcm_c else int(cb_coded), int(cr_coded))
         is_chroma_coded = chroma_available and (cb_coded or cr_coded)
-        # tu_y_coded_flag: present for intra, chroma-coded, or split CUs;
-        # else inferred 1 (vvc_ctu.c:274-292)
-        if is_intra or is_chroma_coded or is_large:
-            self._bin("TU_Y_CODED_FLAG", 1 if cu.bdpcm_l else 0,
-                      int(y_coded))
-        else:
-            assert y_coded, "inter TU with no chroma must have luma coeffs"
-        # qp_delta gates on is_128 (CbWidth/CbHeight > 64, vvc_ctu.c:323),
-        # not is_large (> max_tb_size, tu_y_coded presence only)
-        is_128 = cu.w > 64 or cu.h > 64
-        has_qp_delta = ((is_128 or y_coded or is_chroma_coded)
-                        and self.cu_qp_delta_enabled
-                        and not self.is_cu_qp_delta_coded)
-        if has_qp_delta:
-            self._encode_cu_qp_delta(self.qg_pending_delta)
-            self.is_cu_qp_delta_coded = True
+        if cu.tree != "chroma":
+            # tu_y_coded_flag: present for intra, chroma-coded, or split
+            # CUs; else inferred 1 (vvc_ctu.c:274-292)
+            if is_intra or is_chroma_coded or is_large:
+                self._bin("TU_Y_CODED_FLAG", 1 if cu.bdpcm_l else 0,
+                          int(y_coded))
+            else:
+                assert y_coded, \
+                    "inter TU with no chroma must have luma coeffs"
+            # qp_delta gates on is_128 (CbWidth/CbHeight > 64,
+            # vvc_ctu.c:323), not is_large (tu_y_coded presence only)
+            is_128 = cu.w > 64 or cu.h > 64
+            has_qp_delta = ((is_128 or y_coded or is_chroma_coded)
+                            and self.cu_qp_delta_enabled
+                            and not self.is_cu_qp_delta_coded)
+            if has_qp_delta:
+                self._encode_cu_qp_delta(self.qg_pending_delta)
+                self.is_cu_qp_delta_coded = True
         # tu_joint_cbcr_residual_flag (vvc_ctu.c:374-379)
         joint = 0
         if (sps.sps_joint_cbcr_enabled_flag and chroma_available
@@ -500,11 +521,12 @@ class FrameSyntaxEncoder:
                 self.res.encode(arr, c)
 
         ts_y = 0
-        if y_coded:
-            ts_y = ts_flag(0, tw, th)
-            encode_res(0, cy, ts_y)
-        if self.cu_first_tb_ts < 0:
-            self.cu_first_tb_ts = ts_y
+        if cu.tree != "chroma":
+            if y_coded:
+                ts_y = ts_flag(0, tw, th)
+                encode_res(0, cy, ts_y)
+            if self.cu_first_tb_ts < 0:
+                self.cu_first_tb_ts = ts_y
         if cb_coded:
             encode_res(1, ccb, ts_flag(1, tw >> 1, th >> 1))
         if cr_coded and not (cb_coded and joint):
@@ -536,24 +558,29 @@ class FrameSyntaxEncoder:
             self.enc.bypass(1 if delta < 0 else 0)
 
     def _encode_lfnst_idx(self, cu: CuIntent) -> None:
-        """lfnst_idx after the CU's transform tree (vvc_ctu.c:791-839);
-        single tree, intra, no transform-skip TBs."""
+        """lfnst_idx after the CU's transform tree (vvc_ctu.c:791-850);
+        under a dual chroma tree the size gates use the chroma dims and
+        the first-bin ctx shifts for any dual tree."""
         sps = self.sps
         if not sps.sps_lfnst_enabled_flag:
             assert cu.lfnst_idx == 0
             return
+        lw = cu.w // 2 if cu.tree == "chroma" else cu.w
+        lh = cu.h // 2 if cu.tree == "chroma" else cu.h
         eligible = (cu.pred_mode == "intra"
                     and max(cu.w, cu.h) <= (64 if
                         sps.sps_max_luma_transform_size_64_flag else 32)
                     and not self.cu_any_coded_ts
-                    and min(cu.w, cu.h) >= 4
-                    and not (cu.mip_mode >= 0 and min(cu.w, cu.h) < 16)
+                    and min(lw, lh) >= 4
+                    and not (cu.tree != "chroma" and cu.mip_mode >= 0
+                             and min(lw, lh) < 16)
                     and not self.res.lfnst_dc_only
                     and self.res.lfnst_zero_out_sig_coeff_flag)
         if not eligible:
             assert cu.lfnst_idx == 0, "lfnst chosen for ineligible CU"
             return
-        self._bin("LFNST_IDX", 0, int(cu.lfnst_idx > 0))
+        self._bin("LFNST_IDX", int(cu.tree != "single"),
+                  int(cu.lfnst_idx > 0))
         if cu.lfnst_idx > 0:
             self._bin("LFNST_IDX", 2, int(cu.lfnst_idx == 2))
 
@@ -929,50 +956,52 @@ class FrameSyntaxEncoder:
                 self._bin("PRED_MODE_FLAG", inc, int(is_intra))
         else:
             assert is_intra
-        self.tab_skip[area] = int(cu.skip)
+        if cu.tree != "chroma":
+            self.tab_skip[area] = int(cu.skip)
 
         if is_intra:
             sps = self.sps
             max_ts = 1 << (sps.sps_log2_transform_skip_max_size_minus2 + 2)
-            # intra_bdpcm_luma (vvc_ctu.c:962-966)
-            if (sps.sps_bdpcm_enabled_flag and cu.w <= max_ts
-                    and cu.h <= max_ts):
-                self._bin("INTRA_BDPCM_LUMA_FLAG", 0, cu.bdpcm_l)
-            else:
-                assert not cu.bdpcm_l
-            if cu.bdpcm_l:
-                assert cu.luma_mode in (18, 50)
-                self._bin("INTRA_BDPCM_LUMA_DIR_FLAG", 0,
-                          int(cu.luma_mode == 50))
-                s_ = self.min_cb_log2
-                ys, xs = cu.y0 >> s_, cu.x0 >> s_
-                self.tab_ipm[ys:ys + (cu.h >> s_),
-                             xs:xs + (cu.w >> s_)] = cu.luma_mode
-                self.tab_cpm[ys:ys + (cu.h >> s_),
-                             xs:xs + (cu.w >> s_)] = MODE_INTRA
-            else:
-                # intra_mip_flag (vvc_ctu.c:967-980)
-                if sps.sps_mip_enabled_flag:
-                    inc = 3 if (cu.w > cu.h * 2 or cu.h > cu.w * 2) \
-                        else self._get_inc(self.tab_imf, cu.x0, cu.y0)
-                    self._bin("INTRA_MIP_FLAG", inc,
-                              int(cu.mip_mode >= 0))
+            if cu.tree != "chroma":
+                # intra_bdpcm_luma (vvc_ctu.c:962-966)
+                if (sps.sps_bdpcm_enabled_flag and cu.w <= max_ts
+                        and cu.h <= max_ts):
+                    self._bin("INTRA_BDPCM_LUMA_FLAG", 0, cu.bdpcm_l)
                 else:
-                    assert cu.mip_mode < 0
-                if cu.mip_mode >= 0:
-                    self.enc.bypass(cu.mip_transposed)
-                    c_max = 15 if (cu.w == 4 and cu.h == 4) else \
-                        7 if ((cu.w == 4 or cu.h == 4)
-                              or (cu.w == 8 and cu.h == 8)) else 5
-                    assert 0 <= cu.mip_mode <= c_max
-                    self._truncated_binary(cu.mip_mode, c_max)
-                    assert cu.luma_mode == cu.mip_mode
-                    self.tab_ipm[area] = cu.luma_mode
-                    self.tab_cpm[area] = MODE_INTRA
-                    self.tab_imf[area] = 1
+                    assert not cu.bdpcm_l
+                if cu.bdpcm_l:
+                    assert cu.luma_mode in (18, 50)
+                    self._bin("INTRA_BDPCM_LUMA_DIR_FLAG", 0,
+                              int(cu.luma_mode == 50))
+                    s_ = self.min_cb_log2
+                    ys, xs = cu.y0 >> s_, cu.x0 >> s_
+                    self.tab_ipm[ys:ys + (cu.h >> s_),
+                                 xs:xs + (cu.w >> s_)] = cu.luma_mode
+                    self.tab_cpm[ys:ys + (cu.h >> s_),
+                                 xs:xs + (cu.w >> s_)] = MODE_INTRA
                 else:
-                    self._encode_luma_intra_mode(cu)
-            if self.sps.sps_chroma_format_idc:
+                    # intra_mip_flag (vvc_ctu.c:967-980)
+                    if sps.sps_mip_enabled_flag:
+                        inc = 3 if (cu.w > cu.h * 2 or cu.h > cu.w * 2) \
+                            else self._get_inc(self.tab_imf, cu.x0, cu.y0)
+                        self._bin("INTRA_MIP_FLAG", inc,
+                                  int(cu.mip_mode >= 0))
+                    else:
+                        assert cu.mip_mode < 0
+                    if cu.mip_mode >= 0:
+                        self.enc.bypass(cu.mip_transposed)
+                        c_max = 15 if (cu.w == 4 and cu.h == 4) else \
+                            7 if ((cu.w == 4 or cu.h == 4)
+                                  or (cu.w == 8 and cu.h == 8)) else 5
+                        assert 0 <= cu.mip_mode <= c_max
+                        self._truncated_binary(cu.mip_mode, c_max)
+                        assert cu.luma_mode == cu.mip_mode
+                        self.tab_ipm[area] = cu.luma_mode
+                        self.tab_cpm[area] = MODE_INTRA
+                        self.tab_imf[area] = 1
+                    else:
+                        self._encode_luma_intra_mode(cu)
+            if cu.tree != "luma" and self.sps.sps_chroma_format_idc:
                 # intra_bdpcm_chroma (vvc_ctu.c:1008-1015)
                 if (sps.sps_bdpcm_enabled_flag and cu.w // 2 <= max_ts
                         and cu.h // 2 <= max_ts):
@@ -988,7 +1017,8 @@ class FrameSyntaxEncoder:
                 self.motion.set_intra(cu.x0, cu.y0, cu.w, cu.h)
             self._encode_transform_unit(cu)
             self._encode_lfnst_idx(cu)
-            self._encode_mts_idx(cu)
+            if cu.tree != "chroma":
+                self._encode_mts_idx(cu)
         else:
             self.tab_cpm[area] = MODE_INTER
             self._encode_inter_cu(cu)
@@ -1007,18 +1037,23 @@ class FrameSyntaxEncoder:
         top = tab[(y0 - 1) >> s, x0 >> s] if (self.ctb_up or y0b) else default
         return int(left), int(top)
 
-    def _encode_split(self, node, x0, y0, w, h, allowed) -> int:
+    def _encode_split(self, node, x0, y0, w, h, allowed,
+                      tree="single") -> int:
         """Encode split_cu_flag / split mode bins; returns chosen split.
         Mirrors ff_vvc_split_cu_flag/ff_vvc_split_mode (vvc_cabac.c:1086+)."""
         from .tree import (SPLIT_BT_HOR, SPLIT_BT_VER, SPLIT_NONE, SPLIT_QT,
                            SPLIT_TT_HOR, SPLIT_TT_VER)
 
+        ch = tree == "chroma"
+        tab_cbw = self.tab_cbw_c if ch else self.tab_cbw
+        tab_cbh = self.tab_cbh_c if ch else self.tab_cbh
+        tab_cqt = self.tab_cqt_c if ch else self.tab_cqt
         split = node["split"]
         any_split = any(allowed.values())
         is_inside = (x0 + w <= self.width) and (y0 + h <= self.height)
         if any_split and is_inside:
-            left_h, _ = self._left_top_tab(self.tab_cbh, x0, y0, h)
-            _, top_w = self._left_top_tab(self.tab_cbw, x0, y0, w)
+            left_h, _ = self._left_top_tab(tab_cbh, x0, y0, h)
+            _, top_w = self._left_top_tab(tab_cbw, x0, y0, w)
             inc = (left_h < h) + (top_w < w)
             na = (allowed["btv"] + allowed["bth"] + allowed["ttv"]
                   + allowed["tth"] + 2 * allowed["qt"])
@@ -1033,7 +1068,7 @@ class FrameSyntaxEncoder:
         allow_no_qt = (allowed["btv"] or allowed["bth"] or allowed["ttv"]
                        or allowed["tth"])
         if allow_no_qt and allowed["qt"]:
-            dl, dt = self._left_top_tab(self.tab_cqt, x0, y0, 0)
+            dl, dt = self._left_top_tab(tab_cqt, x0, y0, 0)
             cqt = node["cqt_depth"]
             inc = (dl > cqt) + (dt > cqt) + (cqt >= 2) * 3
             self._bin("SPLIT_QT_FLAG", inc, int(split == SPLIT_QT))
@@ -1056,8 +1091,8 @@ class FrameSyntaxEncoder:
                 y0b = y0 & (self.ctb_size - 1)
                 avail_a = self.ctb_up or y0b
                 avail_l = self.ctb_left or x0b
-                da = w // (int(self.tab_cbw[(y0 - 1) >> s, x0 >> s]) if avail_a else 1)
-                dl = h // (int(self.tab_cbh[y0 >> s, (x0 - 1) >> s]) if avail_l else 1)
+                da = w // (int(tab_cbw[(y0 - 1) >> s, x0 >> s]) if avail_a else 1)
+                dl = h // (int(tab_cbh[y0 >> s, (x0 - 1) >> s]) if avail_l else 1)
                 if da == dl or not avail_a or not avail_l:
                     inc = 0
                 elif da < dl:
@@ -1086,7 +1121,7 @@ class FrameSyntaxEncoder:
     def encode_tree(self, node: dict, x0: int, y0: int, w: int, h: int,
                     cqt_depth: int, mtt_depth: int, depth_offset: int,
                     part_idx: int, last_split: int, qg_on_y: bool = True,
-                    cb_sub_div: int = 0) -> None:
+                    cb_sub_div: int = 0, tree: str = "single") -> None:
         from .tree import SPLIT_NONE, can_split, split_children
 
         # new quantization group (vvc_ctu.c:2043-2046)
@@ -1095,20 +1130,24 @@ class FrameSyntaxEncoder:
             self.is_cu_qp_delta_coded = False
             if self.qp_delta_rng is not None:
                 self.qg_pending_delta = int(self.qp_delta_rng.integers(-6, 7))
-        allowed = can_split(self.pc, x0, y0, w, h, mtt_depth, depth_offset,
-                            part_idx, last_split)
+        ch = tree == "chroma"
+        allowed = can_split(self.pc_c if ch else self.pc, x0, y0, w, h,
+                            mtt_depth, depth_offset, part_idx, last_split,
+                            chroma=ch)
         node["cqt_depth"] = cqt_depth
         node["mtt_depth"] = mtt_depth
-        split = self._encode_split(node, x0, y0, w, h, allowed)
+        split = self._encode_split(node, x0, y0, w, h, allowed, tree)
         if split == SPLIT_NONE:
             cu = node["cu"]
             assert (cu.x0, cu.y0, cu.w, cu.h) == (x0, y0, w, h), (
                 (cu.x0, cu.y0, cu.w, cu.h), (x0, y0, w, h))
             s = self.min_cb_log2
             ys, xs = y0 >> s, x0 >> s
-            self.tab_cbw[ys:ys + (h >> s), xs:xs + (w >> s)] = w
-            self.tab_cbh[ys:ys + (h >> s), xs:xs + (w >> s)] = h
-            self.tab_cqt[ys:ys + (h >> s), xs:xs + (w >> s)] = cqt_depth
+            area = (slice(ys, ys + (h >> s)), slice(xs, xs + (w >> s)))
+            (self.tab_cbw_c if ch else self.tab_cbw)[area] = w
+            (self.tab_cbh_c if ch else self.tab_cbh)[area] = h
+            (self.tab_cqt_c if ch else self.tab_cqt)[area] = cqt_depth
+            assert cu.tree == tree, (cu.tree, tree)
             self.encode_cu(cu)
             return
         children = split_children(x0, y0, w, h, split, self.width, self.height)
@@ -1128,7 +1167,7 @@ class FrameSyntaxEncoder:
             self.encode_tree(child_node, cx, cy, cw, ch,
                              cqt_depth + dq, mtt_depth + dm,
                              depth_offset + doff, idx, split,
-                             child_qg, sd)
+                             child_qg, sd, tree)
 
     # -- ALF per-CTB decisions (alf_params, vvc_ctu.c; CABAC mirrors
     # ff_vvc_alf_* in vvc_cabac.c:1022-1082) ---------------------------
@@ -1275,8 +1314,20 @@ class FrameSyntaxEncoder:
                 "flag_cr": 0, "alt_cr": 0, "cc_idc": [0, 0]})
         x0 = rx << self.ctb_log2
         y0 = ry << self.ctb_log2
-        self.encode_tree(tree, x0, y0, self.ctb_size, self.ctb_size,
-                         0, 0, 0, 0, 0)
+        if "dualtree" in tree:
+            # dual-tree intra CTU (<= 64x64: no implicit QT needed):
+            # full luma tree, then full chroma tree
+            # (dual_tree_implicit_qt_split, vvc_ctu.c:2088-2145)
+            assert self.ctb_size <= 64
+            self.encode_tree(tree["luma"], x0, y0, self.ctb_size,
+                             self.ctb_size, 0, 0, 0, 0, 0,
+                             qg_on_y=True, tree="luma")
+            self.encode_tree(tree["chroma"], x0, y0, self.ctb_size,
+                             self.ctb_size, 0, 0, 0, 0, 0,
+                             qg_on_y=False, tree="chroma")
+        else:
+            self.encode_tree(tree, x0, y0, self.ctb_size, self.ctb_size,
+                             0, 0, 0, 0, 0)
         if is_last_in_slice:
             self.enc.terminate(1)
 

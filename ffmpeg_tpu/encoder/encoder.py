@@ -106,11 +106,18 @@ class EncoderConfig:
     # WPP (sps_entropy_coding_sync): one CABAC sub-stream per CTU row,
     # contexts inherited from the row above's first CTU
     wpp: bool = False
+    # dual-tree intra (sps_qtbtt_dual_tree_intra_flag): I-slice CTUs
+    # carry independent luma and chroma coding trees
+    dual_tree: bool = False
 
 
 def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
     min_qt_log2 = cfg.min_qt_size.bit_length() - 1
     tiled = bool(cfg.tile_cols or cfg.tile_rows)
+    # get_cclm_enabled is unconditional for CTBs < 64 (vvc_ctu.c:637);
+    # the generator does not model the 64x64 luma-split probe
+    assert not (cfg.dual_tree and cfg.cclm and cfg.ctu_log2 >= 6), \
+        "generator: dual_tree+cclm requires ctu_log2 < 6"
     sps = SPS(
         sps_entry_point_offsets_present_flag=1 if (tiled or cfg.wpp) else 0,
         sps_entropy_coding_sync_enabled_flag=1 if cfg.wpp else 0,
@@ -127,6 +134,17 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
         sps_log2_diff_max_tt_min_qt_intra_slice_luma=(
             cfg.max_tt_size.bit_length() - 1 - min_qt_log2
             if cfg.max_mtt_depth else 0),
+        sps_qtbtt_dual_tree_intra_flag=1 if cfg.dual_tree else 0,
+        sps_log2_diff_min_qt_min_cb_intra_slice_chroma=(
+            min_qt_log2 - 2 if cfg.dual_tree else 0),
+        sps_max_mtt_hierarchy_depth_intra_slice_chroma=(
+            cfg.max_mtt_depth if cfg.dual_tree else 0),
+        sps_log2_diff_max_bt_min_qt_intra_slice_chroma=(
+            cfg.max_bt_size.bit_length() - 1 - min_qt_log2
+            if cfg.dual_tree and cfg.max_mtt_depth else 0),
+        sps_log2_diff_max_tt_min_qt_intra_slice_chroma=(
+            cfg.max_tt_size.bit_length() - 1 - min_qt_log2
+            if cfg.dual_tree and cfg.max_mtt_depth else 0),
         sps_log2_diff_min_qt_min_cb_inter_slice=min_qt_log2 - 2,
         sps_max_mtt_hierarchy_depth_inter_slice=cfg.max_mtt_depth,
         sps_log2_diff_max_bt_min_qt_inter_slice=(
@@ -224,15 +242,31 @@ def _random_coeffs(cfg, rng, cw, ch):
     return c
 
 
-def _random_cu(cfg, rng, x0, y0, w, h, is_inter_slice=False):
+def _random_cu(cfg, rng, x0, y0, w, h, is_inter_slice=False,
+               tree="single"):
     cu = CuIntent(
-        x0=x0, y0=y0, w=w, h=h,
+        x0=x0, y0=y0, w=w, h=h, tree=tree,
         luma_mode=int(rng.integers(0, 67)),
         chroma_mode_idx=int(rng.choice([0, 1, 2, 3, 4])),
-        coeff_y=_random_coeffs(cfg, rng, w, h),
-        coeff_cb=_random_coeffs(cfg, rng, w // 2, h // 2),
-        coeff_cr=_random_coeffs(cfg, rng, w // 2, h // 2),
+        coeff_y=(_random_coeffs(cfg, rng, w, h)
+                 if tree != "chroma" else None),
+        coeff_cb=(_random_coeffs(cfg, rng, w // 2, h // 2)
+                  if tree != "luma" else None),
+        coeff_cr=(_random_coeffs(cfg, rng, w // 2, h // 2)
+                  if tree != "luma" else None),
     )
+    if tree == "chroma":
+        # chroma-only CU: chroma mode / BDPCM-C / CCLM choices apply,
+        # every luma-side tool stays off
+        if (cfg.bdpcm and (w // 2) <= cfg.ts_max_size
+                and (h // 2) <= cfg.ts_max_size and rng.random() < 0.5):
+            cu.bdpcm_c = 1
+            cu.bdpcm_dir_c = int(rng.random() < 0.5)
+        if cfg.cclm and not cu.bdpcm_c and rng.random() < 0.6:
+            cu.cclm_idx = int(rng.integers(0, 3))
+        return cu
+    if tree == "luma":
+        cu.chroma_mode_idx = 4
     if is_inter_slice and rng.random() < cfg.inter_prob:
         cu.pred_mode = "inter"
         if rng.random() < cfg.skip_prob:
@@ -308,12 +342,12 @@ def _random_cu(cfg, rng, x0, y0, w, h, is_inter_slice=False):
             and max(w, h) <= cfg.ts_max_size and rng.random() < 0.5):
         cu.bdpcm_l = 1
         cu.luma_mode = 50 if rng.random() < 0.5 else 18
-        if (w // 2) <= cfg.ts_max_size and (h // 2) <= cfg.ts_max_size \
-                and rng.random() < 0.7:
+        if (tree != "luma" and (w // 2) <= cfg.ts_max_size
+                and (h // 2) <= cfg.ts_max_size and rng.random() < 0.7):
             cu.bdpcm_c = 1
             cu.bdpcm_dir_c = int(rng.random() < 0.5)
-    if (cfg.cclm and cu.pred_mode == "intra" and not cu.bdpcm_c
-            and rng.random() < 0.6):
+    if (cfg.cclm and tree != "luma" and cu.pred_mode == "intra"
+            and not cu.bdpcm_c and rng.random() < 0.6):
         cu.cclm_idx = int(rng.integers(0, 3))  # 0 LT / 1 L / 2 T
     if (cfg.mrl and cu.pred_mode == "intra" and not cu.bdpcm_l
             and (y0 % (1 << cfg.ctu_log2)) and rng.random() < 0.5):
@@ -401,17 +435,22 @@ def _try_mts(cu, rng):
 
 
 def _random_tree(cfg, pc, rng, x0, y0, w, h, cqt_depth, mtt_depth,
-                 depth_offset, part_idx, last_split, is_inter_slice=False):
-    """Random legal, mode-type-safe coding tree node."""
+                 depth_offset, part_idx, last_split, is_inter_slice=False,
+                 tree="single"):
+    """Random legal coding tree node.  Single-tree nodes stay
+    mode-type-safe; dual-tree I-slice nodes have no modeTypeCondition
+    (vvc_ctu.c:1833-1835) so every legal split is available."""
     from .tree import (SPLIT_NONE, SPLIT_QT, can_split,
                        mode_type_condition_free, split_children)
 
+    chroma = tree == "chroma"
     allowed = can_split(pc, x0, y0, w, h, mtt_depth, depth_offset, part_idx,
-                        last_split)
+                        last_split, chroma=chroma)
     is_inside = (x0 + w <= cfg.width) and (y0 + h <= cfg.height)
     names = {"qt": SPLIT_QT, "btv": 4, "bth": 2, "ttv": 3, "tth": 1}
     choices = [s for k, s in names.items()
-               if allowed[k] and mode_type_condition_free(w, h, s)]
+               if allowed[k] and (tree != "single"
+                                  or mode_type_condition_free(w, h, s))]
     if not is_inside:
         # forced split: must pick an allowed split (qt preferred like real
         # encoders); safety filter can't apply (splitting is mandatory)
@@ -425,14 +464,15 @@ def _random_tree(cfg, pc, rng, x0, y0, w, h, cqt_depth, mtt_depth,
 
     if split == SPLIT_NONE:
         return {"split": SPLIT_NONE,
-                "cu": _random_cu(cfg, rng, x0, y0, w, h, is_inter_slice)}
+                "cu": _random_cu(cfg, rng, x0, y0, w, h, is_inter_slice,
+                                 tree=tree)}
     kids = []
     for (cx, cy, cw, ch, dq, dm, doff, idx) in split_children(
             x0, y0, w, h, split, cfg.width, cfg.height):
         kids.append(_random_tree(cfg, pc, rng, cx, cy, cw, ch,
                                  cqt_depth + dq, mtt_depth + dm,
                                  depth_offset + doff, idx, split,
-                                 is_inter_slice))
+                                 is_inter_slice, tree))
     return {"split": split, "children": kids}
 
 
@@ -448,11 +488,21 @@ def random_frame_intent(cfg: EncoderConfig, sps: SPS, pps: PPS,
                       max_mtt_depth=cfg.max_mtt_depth,
                       pic_width=cfg.width, pic_height=cfg.height)
     ctu = 1 << cfg.ctu_log2
+    dual = cfg.dual_tree and not is_inter_slice
     trees = []
     for y0 in range(0, cfg.height, ctu):
         for x0 in range(0, cfg.width, ctu):
-            trees.append(_random_tree(cfg, pc, rng, x0, y0, ctu, ctu,
-                                      0, 0, 0, 0, 0, is_inter_slice))
+            if dual:
+                trees.append({
+                    "dualtree": True,
+                    "luma": _random_tree(cfg, pc, rng, x0, y0, ctu, ctu,
+                                         0, 0, 0, 0, 0, tree="luma"),
+                    "chroma": _random_tree(cfg, pc, rng, x0, y0, ctu, ctu,
+                                           0, 0, 0, 0, 0, tree="chroma"),
+                })
+            else:
+                trees.append(_random_tree(cfg, pc, rng, x0, y0, ctu, ctu,
+                                          0, 0, 0, 0, 0, is_inter_slice))
     return trees
 
 
@@ -492,6 +542,8 @@ def _random_sao(cfg, rng, can_left: bool, can_up: bool) -> dict:
 def tree_leaves(node: dict) -> list[CuIntent]:
     if "cu" in node:
         return [node["cu"]]
+    if "dualtree" in node:
+        return tree_leaves(node["luma"]) + tree_leaves(node["chroma"])
     out = []
     for c in node["children"]:
         out.extend(tree_leaves(c))

@@ -30,13 +30,28 @@ class PartitionCtx:
 
 
 def can_split(pc: PartitionCtx, x0, y0, w, h, mtt_depth, depth_offset,
-              part_idx, last_split_mode) -> dict:
-    """Returns {'qt','btv','bth','ttv','tth'} -> bool (luma single tree)."""
+              part_idx, last_split_mode, chroma=False) -> dict:
+    """Returns {'qt','btv','bth','ttv','tth'} -> bool.  With chroma=True
+    applies the DUAL_TREE_CHROMA restrictions (4:2:0; vvc_ctu.c:548-566)
+    and pc must hold the chroma-tree constraint set."""
     qt = btv = bth = ttv = tth = True
     if mtt_depth:
         qt = False
     if w <= pc.min_qt_size:
         qt = False
+    if chroma:
+        chroma_area = (w >> 1) * (h >> 1)
+        chroma_width = w >> 1
+        if chroma_width == 8:
+            ttv = False
+        elif chroma_width <= 4:
+            if chroma_width == 4:
+                btv = False
+            qt = False
+        if chroma_area <= 32:
+            ttv = tth = False
+            if chroma_area <= 16:
+                btv = bth = False
     max_mtt_depth = pc.max_mtt_depth + depth_offset
     if w <= 2 * pc.min_cb_size:
         ttv = False

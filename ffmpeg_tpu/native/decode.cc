@@ -987,6 +987,14 @@ class Decoder {
   int mcb_w_ = 0, mcb_h_ = 0;  // min-cb grid dims
   std::vector<int32_t> tab_ipm_, tab_cpm_, tab_imf_;
   std::vector<int32_t> tab_cbw_, tab_cbh_, tab_cqt_;
+  // chroma-tree (ch_type 1) neighbour tables: written by dual-tree
+  // chroma CUs, read by the chroma tree's split/pred ctx derivations
+  // (the reference's tab.cb_width[1] etc., vvc_ctu.h:273)
+  std::vector<int32_t> tab_cbw_c_, tab_cbh_c_, tab_cqt_c_, tab_cpm_c_;
+  // MTT split modes at 32x32 granularity, mtt_depth 0 and 1 (TAB_MSM,
+  // get_cclm_enabled's 64x64 luma-split probe, vvc_ctu.c:2066-2068)
+  std::vector<int32_t> tab_msm_[2];
+  int msm_w_ = 0, msm_h_ = 0;
   bool ctb_left_ = false, ctb_up_ = false;
   // current tile bounds in luma samples (whole picture when no tiles)
   int tile_x0_ = 0, tile_y0_ = 0, tile_x1_ = 0, tile_y1_ = 0;
@@ -1003,10 +1011,16 @@ class Decoder {
   int is_cu_qp_delta_coded_ = 0;
   int cu_qp_delta_subdiv_ = 0;
   std::vector<int32_t> tab_qpy_;  // final QpY per min-CB (predictor tab)
-  // slice-level partition constraints (I-slice luma; spec 7.4.8)
-  struct {
+  // slice-level partition constraints (spec 7.4.8): [0] = luma (intra
+  // or inter per slice type), [1] = chroma tree (dual-tree intra)
+  struct PartConstraints {
     int min_qt, max_bt, max_tt, max_mtt;
-  } part_;
+  };
+  PartConstraints part_[2];
+
+  // tree/mode types (reference vvc_ctu.h VVCTreeType / VVCModeType)
+  enum { TREE_SINGLE = 0, TREE_LUMA = 1, TREE_CHROMA = 2 };
+  enum { MT_ALL = 0, MT_INTRA = 1, MT_INTER = 2 };
 
   // ---- motion state (mirror of ffmpeg_tpu/encoder/mvs.py) ----
   std::vector<MvF> mvf_;       // 4x4 plane
@@ -2259,7 +2273,6 @@ class Decoder {
   void decode_slice(const Nal& nal, BitReader& r) {
     sh_ = parse_slice_header(r, nal.type, sps_, pps_,
                              has_ph_ ? &ph_ : nullptr);
-    VVC_UNSUPPORTED(sps_.sps_qtbtt_dual_tree_intra_flag, "dual tree (todo)");
     VVC_UNSUPPORTED(pps_.num_tile_columns * pps_.num_tile_rows != 1 &&
                         !pps_.pps_loop_filter_across_tiles_enabled_flag,
                     "loop filter disabled across tiles (todo)");
@@ -2308,6 +2321,14 @@ class Decoder {
     tab_cbw_.assign((size_t)mcb_w_ * mcb_h_, 0);
     tab_cbh_.assign((size_t)mcb_w_ * mcb_h_, 0);
     tab_cqt_.assign((size_t)mcb_w_ * mcb_h_, 0);
+    tab_cpm_c_.assign((size_t)mcb_w_ * mcb_h_, MODE_INTER);
+    tab_cbw_c_.assign((size_t)mcb_w_ * mcb_h_, 0);
+    tab_cbh_c_.assign((size_t)mcb_w_ * mcb_h_, 0);
+    tab_cqt_c_.assign((size_t)mcb_w_ * mcb_h_, 0);
+    msm_w_ = (pps_.width + 31) >> 5;
+    msm_h_ = (pps_.height + 31) >> 5;
+    for (int d = 0; d < 2; d++)
+      tab_msm_[d].assign((size_t)msm_w_ * msm_h_, SPLIT_NONE);
     out.ipm.assign((size_t)mcb_w_ * mcb_h_, 0);
     out.mcb_w = mcb_w_;
     out.mcb_h = mcb_h_;
@@ -2319,17 +2340,31 @@ class Decoder {
 
     // partition constraints per slice type (no PH override)
     if (sh_.sh_slice_type == 2) {
-      part_.min_qt = 1 << (sps_.log2_diff_min_qt_min_cb_intra_luma +
-                           sps_.min_cb_log2_size_y);
-      part_.max_bt = part_.min_qt << sps_.log2_diff_max_bt_min_qt_intra_luma;
-      part_.max_tt = part_.min_qt << sps_.log2_diff_max_tt_min_qt_intra_luma;
-      part_.max_mtt = sps_.max_mtt_depth_intra_luma;
+      part_[0].min_qt = 1 << (sps_.log2_diff_min_qt_min_cb_intra_luma +
+                              sps_.min_cb_log2_size_y);
+      part_[0].max_bt =
+          part_[0].min_qt << sps_.log2_diff_max_bt_min_qt_intra_luma;
+      part_[0].max_tt =
+          part_[0].min_qt << sps_.log2_diff_max_tt_min_qt_intra_luma;
+      part_[0].max_mtt = sps_.max_mtt_depth_intra_luma;
+      // chroma-tree constraints, in LUMA sample units (sh->min_qt_size
+      // et al. with chroma=1; derived per spec 7.4.3.4)
+      part_[1].min_qt = 1 << (sps_.log2_diff_min_qt_min_cb_intra_chroma +
+                              sps_.min_cb_log2_size_y);
+      part_[1].max_bt =
+          part_[1].min_qt << sps_.log2_diff_max_bt_min_qt_intra_chroma;
+      part_[1].max_tt =
+          part_[1].min_qt << sps_.log2_diff_max_tt_min_qt_intra_chroma;
+      part_[1].max_mtt = sps_.max_mtt_depth_intra_chroma;
     } else {
-      part_.min_qt = 1 << (sps_.log2_diff_min_qt_min_cb_inter +
-                           sps_.min_cb_log2_size_y);
-      part_.max_bt = part_.min_qt << sps_.log2_diff_max_bt_min_qt_inter;
-      part_.max_tt = part_.min_qt << sps_.log2_diff_max_tt_min_qt_inter;
-      part_.max_mtt = sps_.max_mtt_depth_inter;
+      part_[0].min_qt = 1 << (sps_.log2_diff_min_qt_min_cb_inter +
+                              sps_.min_cb_log2_size_y);
+      part_[0].max_bt = part_[0].min_qt << sps_.log2_diff_max_bt_min_qt_inter;
+      part_[0].max_tt = part_[0].min_qt << sps_.log2_diff_max_tt_min_qt_inter;
+      part_[0].max_mtt = sps_.max_mtt_depth_inter;
+      part_[1] = part_[0];  // local dual tree in P/B uses ch-0 bounds?
+      // (reference sh->min_qt_size[1] is set from the intra-chroma SPS
+      // fields only for I slices; P/B chroma lookups use [1] == [0])
     }
 
     // motion state + reference POC lists
@@ -2627,8 +2662,42 @@ class Decoder {
       decode_alf(rx, ry);
     int x0 = rx << sps_.ctb_log2_size_y;
     int y0 = ry << sps_.ctb_log2_size_y;
-    coding_tree(x0, y0, sps_.ctb_size_y, sps_.ctb_size_y, 0, 0, 0, 0,
-                SPLIT_NONE, /*qg_on_y=*/1, /*cb_sub_div=*/0);
+    if (sh_.sh_slice_type == 2 && sps_.sps_qtbtt_dual_tree_intra_flag)
+      dual_tree_implicit_qt_split(x0, y0, sps_.ctb_size_y, 0);
+    else
+      coding_tree(x0, y0, sps_.ctb_size_y, sps_.ctb_size_y, 0, 0, 0, 0,
+                  SPLIT_NONE, /*qg_on_y=*/1, /*cb_sub_div=*/0);
+  }
+
+  // parity: vvc_ctu.c:2088-2145 (dual_tree_implicit_qt_split): the
+  // I-slice dual-tree CTU splits implicitly (no signalled bits) down
+  // to 64x64, then each node parses a full luma tree followed by a
+  // full chroma tree
+  void dual_tree_implicit_qt_split(int x0, int y0, int cb_size,
+                                   int cqt_depth) {
+    const int cb_subdiv = 2 * cqt_depth;
+    if (cb_size > 64) {
+      const int x1 = x0 + cb_size / 2;
+      const int y1 = y0 + cb_size / 2;
+      if (pps_.pps_cu_qp_delta_enabled_flag &&
+          cb_subdiv <= cu_qp_delta_subdiv_) {
+        is_cu_qp_delta_coded_ = 0;
+        qg_x_ = x0;
+        qg_y_ = y0;
+      }
+      dual_tree_implicit_qt_split(x0, y0, cb_size / 2, cqt_depth + 1);
+      if (x1 < pps_.width)
+        dual_tree_implicit_qt_split(x1, y0, cb_size / 2, cqt_depth + 1);
+      if (y1 < pps_.height)
+        dual_tree_implicit_qt_split(x0, y1, cb_size / 2, cqt_depth + 1);
+      if (x1 < pps_.width && y1 < pps_.height)
+        dual_tree_implicit_qt_split(x1, y1, cb_size / 2, cqt_depth + 1);
+    } else {
+      coding_tree(x0, y0, cb_size, cb_size, cqt_depth, 0, 0, 0, SPLIT_NONE,
+                  /*qg_on_y=*/1, cb_subdiv, TREE_LUMA, MT_ALL);
+      coding_tree(x0, y0, cb_size, cb_size, cqt_depth, 0, 0, 0, SPLIT_NONE,
+                  /*qg_on_y=*/0, cb_subdiv, TREE_CHROMA, MT_ALL);
+    }
   }
 
   // -- coding tree ----------------------------------------------------
@@ -2642,14 +2711,39 @@ class Decoder {
     bool any() const { return qt || any_mtt(); }
   };
 
-  // parity: vvc_ctu.c:521-620 (luma single tree)
+  // parity: vvc_ctu.c:521-620 (all tree/mode types)
   Allowed can_split(int x0, int y0, int w, int h, int mtt_depth,
-                    int depth_offset, int part_idx, int last_split) const {
+                    int depth_offset, int part_idx, int last_split,
+                    int tree, int mode) const {
     Allowed a{true, true, true, true, true};
+    const int chroma = tree == TREE_CHROMA;
+    const PartConstraints& pc = part_[chroma];
     int min_cb = 1 << sps_.min_cb_log2_size_y;
     if (mtt_depth) a.qt = false;
-    if (w <= part_.min_qt) a.qt = false;
-    int max_mtt = part_.max_mtt + depth_offset;
+    if (w <= pc.min_qt) a.qt = false;
+    if (chroma) {
+      const int chroma_area = (w >> sps_.hshift_c) * (h >> sps_.vshift_c);
+      const int chroma_width = w >> sps_.hshift_c;
+      if (chroma_width == 8) {
+        a.ttv = false;
+      } else if (chroma_width <= 4) {
+        if (chroma_width == 4) a.btv = false;
+        a.qt = false;
+      }
+      if (mode == MT_INTRA) a.qt = a.btv = a.bth = a.ttv = a.tth = false;
+      if (chroma_area <= 32) {
+        a.ttv = a.tth = false;
+        if (chroma_area <= 16) a.btv = a.bth = false;
+      }
+    }
+    int max_mtt = pc.max_mtt + depth_offset;
+    if (mode == MT_INTER) {
+      const int area = w * h;
+      if (area == 32)
+        a.btv = a.bth = false;
+      else if (area == 64)
+        a.ttv = a.tth = false;
+    }
     if (w <= 2 * min_cb) {
       a.ttv = false;
       if (w <= min_cb) a.btv = false;
@@ -2658,8 +2752,8 @@ class Decoder {
       a.tth = false;
       if (h <= min_cb) a.bth = false;
     }
-    if (w > part_.max_bt || h > part_.max_bt) a.btv = a.bth = false;
-    int max_tt = part_.max_tt < 64 ? part_.max_tt : 64;
+    if (w > pc.max_bt || h > pc.max_bt) a.btv = a.bth = false;
+    int max_tt = pc.max_tt < 64 ? pc.max_tt : 64;
     if (w > max_tt || h > max_tt) a.ttv = a.tth = false;
     if (mtt_depth >= max_mtt) a.btv = a.bth = a.ttv = a.tth = false;
     if (x0 + w > pps_.width) {
@@ -2667,7 +2761,7 @@ class Decoder {
       if (h > 64) a.btv = false;
       if (y0 + h <= pps_.height)
         a.bth = false;
-      else if (w > part_.min_qt)
+      else if (w > pc.min_qt)
         a.btv = a.bth = false;
     }
     if (y0 + h > pps_.height) {
@@ -2700,12 +2794,15 @@ class Decoder {
 
   // parity: ff_vvc_split_cu_flag / ff_vvc_split_mode (vvc_cabac.c:1086+)
   int decode_split(int x0, int y0, int w, int h, int cqt_depth, int mtt_depth,
-                   const Allowed& a) {
+                   const Allowed& a, int ch) {
+    const std::vector<int32_t>& cbw = ch ? tab_cbw_c_ : tab_cbw_;
+    const std::vector<int32_t>& cbh = ch ? tab_cbh_c_ : tab_cbh_;
+    const std::vector<int32_t>& cqt = ch ? tab_cqt_c_ : tab_cqt_;
     bool is_inside = (x0 + w <= pps_.width) && (y0 + h <= pps_.height);
     int split_flag;
     if (a.any() && is_inside) {
       int left_h, top_w;
-      left_top_tab(tab_cbh_, tab_cbw_, x0, y0, h, w, &left_h, &top_w);
+      left_top_tab(cbh, cbw, x0, y0, h, w, &left_h, &top_w);
       int inc = (left_h < h) + (top_w < w);
       int na = a.btv + a.bth + a.ttv + a.tth + 2 * a.qt;
       inc += (na - 1) / 2 * 3;
@@ -2719,7 +2816,7 @@ class Decoder {
     int qt_flag;
     if (allow_no_qt && a.qt) {
       int dl, dt;
-      left_top_tab(tab_cqt_, tab_cqt_, x0, y0, 0, 0, &dl, &dt);
+      left_top_tab(cqt, cqt, x0, y0, 0, 0, &dl, &dt);
       int inc = (dl > cqt_depth) + (dt > cqt_depth) + (cqt_depth >= 2) * 3;
       qt_flag = bin(SPLIT_QT_FLAG + inc);
     } else {
@@ -2740,10 +2837,10 @@ class Decoder {
         int y0b = y0 & (sps_.ctb_size_y - 1);
         bool avail_a = ctb_up_ || y0b;
         bool avail_l = ctb_left_ || x0b;
-        int cw_above = avail_a ? tab_cbw_[((size_t)((y0 - 1) >> min_cb_log2_))
-                                          * mcb_w_ + (x0 >> min_cb_log2_)] : 1;
-        int ch_left = avail_l ? tab_cbh_[((size_t)(y0 >> min_cb_log2_))
-                                         * mcb_w_ + ((x0 - 1) >> min_cb_log2_)]
+        int cw_above = avail_a ? cbw[((size_t)((y0 - 1) >> min_cb_log2_))
+                                     * mcb_w_ + (x0 >> min_cb_log2_)] : 1;
+        int ch_left = avail_l ? cbh[((size_t)(y0 >> min_cb_log2_))
+                                    * mcb_w_ + ((x0 - 1) >> min_cb_log2_)]
                               : 1;
         int da = w / (avail_a ? cw_above : 1);
         int dl = h / (avail_l ? ch_left : 1);
@@ -2773,23 +2870,48 @@ class Decoder {
     return modes[(vertical << 1) + binary];
   }
 
-  // parity: vvc_ctu.c:1826-1864 (derive_mode_type_condition, I-slice 4:2:0)
-  void check_mode_type(int w, int h, int split) const {
-    if (sps_.sps_chroma_format_idc != 1) return;
-    int area = w * h;
-    bool cond =
-        (area == 64 && (split == SPLIT_QT || split == SPLIT_TT_HOR ||
+  // parity: vvc_ctu.c:1826-1846 (derive_mode_type_condition)
+  int derive_mode_type_condition(int split, int w, int h,
+                                 int mode_curr) const {
+    const int area = w * h;
+    if ((sh_.sh_slice_type == 2 && sps_.sps_qtbtt_dual_tree_intra_flag) ||
+        mode_curr != MT_ALL || !sps_.sps_chroma_format_idc ||
+        sps_.sps_chroma_format_idc == 3)
+      return 0;
+    if ((area == 64 && (split == SPLIT_QT || split == SPLIT_TT_HOR ||
                         split == SPLIT_TT_VER)) ||
-        (area == 32 && (split == SPLIT_BT_HOR || split == SPLIT_BT_VER)) ||
-        (area == 64 && (split == SPLIT_BT_HOR || split == SPLIT_BT_VER)) ||
-        (area == 128 && (split == SPLIT_TT_HOR || split == SPLIT_TT_VER)) ||
-        (w == 8 && split == SPLIT_BT_VER) || (w == 16 && split == SPLIT_TT_VER);
-    VVC_UNSUPPORTED(cond, "local dual tree (modeTypeCondition) — todo");
+        (area == 32 && (split == SPLIT_BT_HOR || split == SPLIT_BT_VER)))
+      return 1;
+    if ((area == 64 && (split == SPLIT_BT_HOR || split == SPLIT_BT_VER) &&
+         sps_.sps_chroma_format_idc == 1) ||
+        (area == 128 && (split == SPLIT_TT_HOR || split == SPLIT_TT_VER) &&
+         sps_.sps_chroma_format_idc == 1) ||
+        (w == 8 && split == SPLIT_BT_VER) || (w == 16 && split == SPLIT_TT_VER))
+      return 1 + (sh_.sh_slice_type != 2);
+    return 0;
+  }
+
+  // parity: vvc_ctu.c:1849-1864 (mode_type_decode)
+  int mode_type_decode(int x0, int y0, int w, int h, int split, int ch,
+                       int mode_curr) {
+    const int cond = derive_mode_type_condition(split, w, h, mode_curr);
+    if (cond == 1) return MT_INTRA;
+    if (cond == 2) {
+      // ff_vvc_non_inter_flag (vvc_cabac.c:1196-1205)
+      const std::vector<int32_t>& cpm = ch ? tab_cpm_c_ : tab_cpm_;
+      int l, t;
+      left_top_tab(cpm, cpm, x0, y0, 0, 0, &l, &t);
+      return bin(NON_INTER_FLAG + ((l == MODE_INTRA || t == MODE_INTRA)
+                                   ? 1 : 0))
+                 ? MT_INTRA : MT_INTER;
+    }
+    return mode_curr;
   }
 
   void coding_tree(int x0, int y0, int cb_w, int cb_h, int cqt_depth,
                    int mtt_depth, int depth_offset, int part_idx,
-                   int last_split, int qg_on_y = 1, int cb_sub_div = 0) {
+                   int last_split, int qg_on_y = 1, int cb_sub_div = 0,
+                   int tree_curr = TREE_SINGLE, int mode_curr = MT_ALL) {
     // new quantization group (vvc_ctu.c:2043-2046)
     if (pps_.pps_cu_qp_delta_enabled_flag && qg_on_y &&
         cb_sub_div <= cu_qp_delta_subdiv_) {
@@ -2797,30 +2919,41 @@ class Decoder {
       qg_x_ = x0;
       qg_y_ = y0;
     }
+    const int ch = tree_curr == TREE_CHROMA;
     Allowed a = can_split(x0, y0, cb_w, cb_h, mtt_depth, depth_offset,
-                          part_idx, last_split);
-    int split = decode_split(x0, y0, cb_w, cb_h, cqt_depth, mtt_depth, a);
+                          part_idx, last_split, tree_curr, mode_curr);
+    int split = decode_split(x0, y0, cb_w, cb_h, cqt_depth, mtt_depth, a, ch);
     if (split == SPLIT_NONE) {
-      coding_unit(x0, y0, cb_w, cb_h, cqt_depth);
+      coding_unit(x0, y0, cb_w, cb_h, cqt_depth, tree_curr, mode_curr);
       return;
     }
-    check_mode_type(cb_w, cb_h, split);
+    const int mode = mode_type_decode(x0, y0, cb_w, cb_h, split, ch,
+                                      mode_curr);
+    // a MODE_TYPE_INTRA subtree parses luma-only; the chroma of the
+    // region follows as one implicit local-dual-tree pass below
+    const int tree = (mode == MT_INTRA && tree_curr != TREE_CHROMA)
+                         ? TREE_LUMA : tree_curr;
+    // TAB_MSM: MTT split modes at 32-aligned nodes, depths 0/1
+    // (vvc_ctu.c:2066-2068; read by get_cclm_enabled)
+    if (split != SPLIT_QT && !(x0 & 31) && !(y0 & 31) && mtt_depth <= 1)
+      msm_at(mtt_depth, x0, y0) = split;
+
     int W = pps_.width, H = pps_.height;
     switch (split) {
       case SPLIT_QT: {
         int x1 = x0 + cb_w / 2, y1 = y0 + cb_h / 2;
         int sd = cb_sub_div + 2;
         coding_tree(x0, y0, cb_w / 2, cb_h / 2, cqt_depth + 1, 0, 0, 0, split,
-                    qg_on_y, sd);
+                    qg_on_y, sd, tree, mode);
         if (x1 < W)
           coding_tree(x1, y0, cb_w / 2, cb_h / 2, cqt_depth + 1, 0, 0, 1,
-                      split, qg_on_y, sd);
+                      split, qg_on_y, sd, tree, mode);
         if (y1 < H)
           coding_tree(x0, y1, cb_w / 2, cb_h / 2, cqt_depth + 1, 0, 0, 2,
-                      split, qg_on_y, sd);
+                      split, qg_on_y, sd, tree, mode);
         if (x1 < W && y1 < H)
           coding_tree(x1, y1, cb_w / 2, cb_h / 2, cqt_depth + 1, 0, 0, 3,
-                      split, qg_on_y, sd);
+                      split, qg_on_y, sd, tree, mode);
         break;
       }
       case SPLIT_BT_VER: {
@@ -2828,10 +2961,10 @@ class Decoder {
         int x1 = x0 + cb_w / 2;
         int sd = cb_sub_div + 1;
         coding_tree(x0, y0, cb_w / 2, cb_h, cqt_depth, mtt_depth + 1, doff, 0,
-                    split, qg_on_y, sd);
+                    split, qg_on_y, sd, tree, mode);
         if (x1 < W)
           coding_tree(x1, y0, cb_w / 2, cb_h, cqt_depth, mtt_depth + 1, doff,
-                      1, split, qg_on_y, sd);
+                      1, split, qg_on_y, sd, tree, mode);
         break;
       }
       case SPLIT_BT_HOR: {
@@ -2839,33 +2972,47 @@ class Decoder {
         int y1 = y0 + cb_h / 2;
         int sd = cb_sub_div + 1;
         coding_tree(x0, y0, cb_w, cb_h / 2, cqt_depth, mtt_depth + 1, doff, 0,
-                    split, qg_on_y, sd);
+                    split, qg_on_y, sd, tree, mode);
         if (y1 < H)
           coding_tree(x0, y1, cb_w, cb_h / 2, cqt_depth, mtt_depth + 1, doff,
-                      1, split, qg_on_y, sd);
+                      1, split, qg_on_y, sd, tree, mode);
         break;
       }
       case SPLIT_TT_VER: {
         int qg = qg_on_y && (cb_sub_div + 2 <= cu_qp_delta_subdiv_);
         coding_tree(x0, y0, cb_w / 4, cb_h, cqt_depth, mtt_depth + 1,
-                    depth_offset, 0, split, qg, cb_sub_div + 2);
+                    depth_offset, 0, split, qg, cb_sub_div + 2, tree, mode);
         coding_tree(x0 + cb_w / 4, y0, cb_w / 2, cb_h, cqt_depth,
-                    mtt_depth + 1, depth_offset, 1, split, qg, cb_sub_div + 1);
+                    mtt_depth + 1, depth_offset, 1, split, qg, cb_sub_div + 1,
+                    tree, mode);
         coding_tree(x0 + 3 * cb_w / 4, y0, cb_w / 4, cb_h, cqt_depth,
-                    mtt_depth + 1, depth_offset, 2, split, qg, cb_sub_div + 2);
+                    mtt_depth + 1, depth_offset, 2, split, qg, cb_sub_div + 2,
+                    tree, mode);
         break;
       }
       case SPLIT_TT_HOR: {
         int qg = qg_on_y && (cb_sub_div + 2 <= cu_qp_delta_subdiv_);
         coding_tree(x0, y0, cb_w, cb_h / 4, cqt_depth, mtt_depth + 1,
-                    depth_offset, 0, split, qg, cb_sub_div + 2);
+                    depth_offset, 0, split, qg, cb_sub_div + 2, tree, mode);
         coding_tree(x0, y0 + cb_h / 4, cb_w, cb_h / 2, cqt_depth,
-                    mtt_depth + 1, depth_offset, 1, split, qg, cb_sub_div + 1);
+                    mtt_depth + 1, depth_offset, 1, split, qg, cb_sub_div + 1,
+                    tree, mode);
         coding_tree(x0, y0 + 3 * cb_h / 4, cb_w, cb_h / 4, cqt_depth,
-                    mtt_depth + 1, depth_offset, 2, split, qg, cb_sub_div + 2);
+                    mtt_depth + 1, depth_offset, 2, split, qg, cb_sub_div + 2,
+                    tree, mode);
         break;
       }
     }
+    // implicit local dual tree: the chroma of a MODE_TYPE_INTRA region
+    // parses as one DUAL_TREE_CHROMA pass (hls_coding_tree,
+    // vvc_ctu.c:2073-2078)
+    if (mode_curr == MT_ALL && mode == MT_INTRA)
+      coding_tree(x0, y0, cb_w, cb_h, cqt_depth, mtt_depth, 0, 0, split,
+                  0, cb_sub_div, TREE_CHROMA, mode);
+  }
+
+  int32_t& msm_at(int depth, int x0, int y0) {
+    return tab_msm_[depth][(size_t)(y0 >> 5) * msm_w_ + (x0 >> 5)];
   }
 
   int get_inc_tab(const std::vector<int32_t>& tab, int x0, int y0) {
@@ -2875,7 +3022,8 @@ class Decoder {
   }
 
   // -- CU -------------------------------------------------------------
-  void coding_unit(int x0, int y0, int cb_w, int cb_h, int cqt_depth) {
+  void coding_unit(int x0, int y0, int cb_w, int cb_h, int cqt_depth,
+                   int tree = TREE_SINGLE, int mode = MT_ALL) {
     CuRecord cu = {};
     cu.x0 = x0;
     cu.y0 = y0;
@@ -2883,6 +3031,7 @@ class Decoder {
     cu.h = cb_h;
     cu.ref_idx = -1;
     cu.mip = -1;
+    const int ch = tree == TREE_CHROMA;
 
     // pred_mode_decode (vvc_ctu.c:1032-1092), no IBC
     bool inter_slice = sh_.sh_slice_type != 2;
@@ -2890,63 +3039,76 @@ class Decoder {
     int skip = 0;
     int is_intra = 1;
     if (inter_slice) {
-      if (!is_4x4) skip = bin(CU_SKIP_FLAG + get_inc_tab(tab_skip_, x0, y0));
-      if (is_4x4)
+      if (tree != TREE_CHROMA && !is_4x4 && mode != MT_INTRA)
+        skip = bin(CU_SKIP_FLAG + get_inc_tab(tab_skip_, x0, y0));
+      if (is_4x4 || mode == MT_INTRA) {
         is_intra = 1;
-      else if (skip)
+      } else if (mode == MT_INTER || skip) {
         is_intra = 0;
-      else {
+      } else {
+        const std::vector<int32_t>& cpm = ch ? tab_cpm_c_ : tab_cpm_;
         int l, t;
-        left_top_tab(tab_cpm_, tab_cpm_, x0, y0, 0, 0, &l, &t);
+        left_top_tab(cpm, cpm, x0, y0, 0, 0, &l, &t);
         is_intra = bin(PRED_MODE_FLAG + ((l || t) ? 1 : 0));
       }
     }
     cu.skip = skip;
-    set_cb_tab(tab_skip_, x0, y0, cb_w, cb_h, skip);
-    set_cb_tab(tab_cbw_, x0, y0, cb_w, cb_h, cb_w);
-    set_cb_tab(tab_cbx_, x0, y0, cb_w, cb_h, x0);
-    set_cb_tab(tab_cby_, x0, y0, cb_w, cb_h, y0);
-    set_cb_tab(tab_cbh_, x0, y0, cb_w, cb_h, cb_h);
-    set_cb_tab(tab_cqt_, x0, y0, cb_w, cb_h, cqt_depth);
+    if (tree != TREE_CHROMA) {
+      set_cb_tab(tab_skip_, x0, y0, cb_w, cb_h, skip);
+      set_cb_tab(tab_cbx_, x0, y0, cb_w, cb_h, x0);
+      set_cb_tab(tab_cby_, x0, y0, cb_w, cb_h, y0);
+    }
+    set_cb_tab(ch ? tab_cbw_c_ : tab_cbw_, x0, y0, cb_w, cb_h, cb_w);
+    set_cb_tab(ch ? tab_cbh_c_ : tab_cbh_, x0, y0, cb_w, cb_h, cb_h);
+    set_cb_tab(ch ? tab_cqt_c_ : tab_cqt_, x0, y0, cb_w, cb_h, cqt_depth);
     cu.pred_mode = is_intra ? MODE_INTRA : MODE_INTER;
-    set_cb_tab(tab_cpm_, x0, y0, cb_w, cb_h, cu.pred_mode);
+    set_cb_tab(ch ? tab_cpm_c_ : tab_cpm_, x0, y0, cb_w, cb_h, cu.pred_mode);
+    if (tree == TREE_SINGLE)
+      set_cb_tab(tab_cpm_c_, x0, y0, cb_w, cb_h, cu.pred_mode);
 
     if (is_intra) {
-      // intra_bdpcm_luma (vvc_ctu.c:962-966)
-      if (sps_.sps_bdpcm_enabled_flag && cb_w <= sps_.max_ts_size &&
-          cb_h <= sps_.max_ts_size)
-        cu.bdpcm_l = bin(INTRA_BDPCM_LUMA_FLAG);
-      if (cu.bdpcm_l) {
-        cu.luma_mode = bin(INTRA_BDPCM_LUMA_DIR_FLAG) ? 50 : 18;
-      } else {
-        // intra_mip_flag (vvc_ctu.c:967-980, ff_vvc_intra_mip_flag)
-        if (sps_.sps_mip_enabled_flag) {
-          int inc = (cb_w > cb_h * 2 || cb_h > cb_w * 2)
-                        ? 3 : get_inc_tab(tab_imf_, x0, y0);
-          if (bin(INTRA_MIP_FLAG + inc)) {
-            cu.mip_t = (int)cd_->bypass();
-            int c_max = (cb_w == 4 && cb_h == 4) ? 15
-                        : ((cb_w == 4 || cb_h == 4) ||
-                           (cb_w == 8 && cb_h == 8)) ? 7 : 5;
-            cu.mip = truncated_binary(c_max);
+      if (tree != TREE_CHROMA) {
+        // intra_bdpcm_luma (vvc_ctu.c:962-966)
+        if (sps_.sps_bdpcm_enabled_flag && cb_w <= sps_.max_ts_size &&
+            cb_h <= sps_.max_ts_size)
+          cu.bdpcm_l = bin(INTRA_BDPCM_LUMA_FLAG);
+        if (cu.bdpcm_l) {
+          cu.luma_mode = bin(INTRA_BDPCM_LUMA_DIR_FLAG) ? 50 : 18;
+        } else {
+          // intra_mip_flag (vvc_ctu.c:967-980, ff_vvc_intra_mip_flag)
+          if (sps_.sps_mip_enabled_flag) {
+            int inc = (cb_w > cb_h * 2 || cb_h > cb_w * 2)
+                          ? 3 : get_inc_tab(tab_imf_, x0, y0);
+            if (bin(INTRA_MIP_FLAG + inc)) {
+              cu.mip_t = (int)cd_->bypass();
+              int c_max = (cb_w == 4 && cb_h == 4) ? 15
+                          : ((cb_w == 4 || cb_h == 4) ||
+                             (cb_w == 8 && cb_h == 8)) ? 7 : 5;
+              cu.mip = truncated_binary(c_max);
+            }
+          }
+          if (cu.mip >= 0) {
+            cu.luma_mode = cu.mip;  // tab.ipm stores the MIP mode
+          } else {
+            // intra_luma_ref_idx (MRL, vvc_ctu.c:984-985): unary, 2 ctx
+            if (sps_.sps_mrl_enabled_flag && (y0 & (sps_.ctb_size_y - 1))) {
+              if (bin(INTRA_LUMA_REF_IDX))
+                cu.mrl = bin(INTRA_LUMA_REF_IDX + 1) ? 2 : 1;
+            }
+            cu.luma_mode = decode_luma_intra_mode(x0, y0, cb_w, cb_h,
+                                                  cu.mrl);
           }
         }
-        if (cu.mip >= 0) {
-          cu.luma_mode = cu.mip;  // tab.ipm stores the MIP mode (ff parity)
-        } else {
-          // intra_luma_ref_idx (MRL, vvc_ctu.c:984-985): unary, 2 ctx
-          if (sps_.sps_mrl_enabled_flag && (y0 & (sps_.ctb_size_y - 1))) {
-            if (bin(INTRA_LUMA_REF_IDX))
-              cu.mrl = bin(INTRA_LUMA_REF_IDX + 1) ? 2 : 1;
-          }
-          cu.luma_mode = decode_luma_intra_mode(x0, y0, cb_w, cb_h, cu.mrl);
+        set_cb_tab(tab_imf_, x0, y0, cb_w, cb_h, cu.mip >= 0 ? 1 : 0);
+        set_cb_tab(tab_ipm_, x0, y0, cb_w, cb_h, cu.luma_mode);
+        set_cb_tab(out.ipm, x0, y0, cb_w, cb_h, cu.luma_mode);
+        if (inter_slice) {
+          MvF f;
+          f.pred_flag = PF_INTRA;
+          set_mvf(x0, y0, cb_w, cb_h, f);
         }
       }
-      set_cb_tab(tab_imf_, x0, y0, cb_w, cb_h, cu.mip >= 0 ? 1 : 0);
-      set_cb_tab(tab_ipm_, x0, y0, cb_w, cb_h, cu.luma_mode);
-      set_cb_tab(out.ipm, x0, y0, cb_w, cb_h, cu.luma_mode);
-      int chroma_mode_idx = 4;
-      if (sps_.sps_chroma_format_idc) {
+      if (tree != TREE_LUMA && sps_.sps_chroma_format_idc) {
         // intra_bdpcm_chroma (vvc_ctu.c:1008-1015)
         if (sps_.sps_bdpcm_enabled_flag &&
             (cb_w >> sps_.hshift_c) <= sps_.max_ts_size &&
@@ -2956,30 +3118,31 @@ class Decoder {
           cu.chroma_mode = bin(INTRA_BDPCM_CHROMA_DIR_FLAG) ? 50 : 18;
         } else {
           // cclm_mode_flag/idx (vvc_ctu.c:1016-1030; get_cclm_enabled
-          // is unconditional without dual tree, vvc_ctu.c:629-637)
+          // probes the 64x64 luma split under dual tree)
           int cclm_flag = 0;
-          if (sps_.sps_cclm_enabled_flag) cclm_flag = bin(CCLM_MODE_FLAG);
+          if (sps_.sps_cclm_enabled_flag && cclm_enabled_at(x0, y0))
+            cclm_flag = bin(CCLM_MODE_FLAG);
           if (cclm_flag) {
             int idx = bin(CCLM_MODE_IDX) ? (int)cd_->bypass() + 1 : 0;
             cu.chroma_mode = INTRA_LT_CCLM + idx;
           } else {
-            if (!bin(INTRA_CHROMA_PRED_MODE)) {
-              chroma_mode_idx = 4;
-            } else {
-              chroma_mode_idx = (int)cd_->bypass_bits(2);
-            }
+            int chroma_mode_idx =
+                bin(INTRA_CHROMA_PRED_MODE) ? (int)cd_->bypass_bits(2) : 4;
             cu.chroma_mode = derive_chroma_mode(chroma_mode_idx,
                                                 cu.luma_mode,
                                                 x0, y0, cb_w, cb_h);
           }
         }
       }
-      if (inter_slice) {
-        MvF f;
-        f.pred_flag = PF_INTRA;
-        set_mvf(x0, y0, cb_w, cb_h, f);
+      if (tree == TREE_CHROMA) {
+        // QpY of the luma CB covering the CU centre (set_qp_c,
+        // vvc_ctu.c:187-210: ff_vvc_get_qPy path)
+        int xc = (x0 + cb_w / 2) >> min_cb_log2_;
+        int yc = (y0 + cb_h / 2) >> min_cb_log2_;
+        cu.qp = tab_qpy_[(size_t)yc * mcb_w_ + xc];
+      } else {
+        cu.qp = qp_y_;
       }
-      cu.qp = qp_y_;
       derive_qp_c(cu);
       int cu_index = (int)out.cus.size();
       size_t tu_begin = out.tus.size();
@@ -2990,9 +3153,9 @@ class Decoder {
       lfnst_dc_only_ = 1;
       lfnst_zero_out_ = 1;
       transform_unit(cu, cu_index, /*is_intra=*/true, /*coded=*/true,
-                     /*merge_non_skip=*/false);
-      finish_cu_transforms(cu, /*coded=*/true, tu_begin);
-      finalize_cu_qp(cu, tu_begin);
+                     /*merge_non_skip=*/false, tree);
+      finish_cu_transforms(cu, /*coded=*/true, tu_begin, tree);
+      finalize_cu_qp(cu, tu_begin, tree);
       out.cus.push_back(cu);
     } else {
       inter_data(cu);
@@ -3479,9 +3642,12 @@ class Decoder {
     out.cus.push_back(cu);
   }
 
-  void finalize_cu_qp(CuRecord& cu, size_t tu_begin) {
-    cu.qp = qp_y_;
-    derive_qp_c(cu);
+  void finalize_cu_qp(CuRecord& cu, size_t tu_begin,
+                      int tree = TREE_SINGLE) {
+    if (tree != TREE_CHROMA) {
+      cu.qp = qp_y_;
+      derive_qp_c(cu);
+    }
     for (size_t j = tu_begin; j < out.tus.size(); j++) {
       TuRecord& tr = out.tus[j];
       if (tr.c_idx == 0) {
@@ -3500,33 +3666,44 @@ class Decoder {
         tr.qp_deq = tr.qp_deq < lo ? lo : (tr.qp_deq > hi ? hi : tr.qp_deq);
       }
     }
-    set_cb_tab(tab_qpy_, cu.x0, cu.y0, cu.w, cu.h, qp_y_);
+    if (tree != TREE_CHROMA)
+      set_cb_tab(tab_qpy_, cu.x0, cu.y0, cu.w, cu.h, qp_y_);
   }
 
   // mts_idx decode + per-TB transform kinds (vvc_ctu.c:842-860,
   // vvc_intra.c:130-164).  Runs after the CU's transform tree; patches
   // the luma TuRecords pushed since tu_begin.
   void finish_cu_transforms(const CuRecord& cu, bool coded,
-                            size_t tu_begin) {
+                            size_t tu_begin, int tree = TREE_SINGLE) {
     bool is_intra = cu.pred_mode == MODE_INTRA;
-    // lfnst_idx (vvc_ctu.c:791-839); single tree: luma only
+    // lfnst_idx (vvc_ctu.c:791-850): under a dual chroma tree the size
+    // gates use the CHROMA block dims and the kernels apply to the
+    // chroma TBs; the first-bin ctx shifts for any dual tree
+    const int lw = tree == TREE_CHROMA ? cu.w >> sps_.hshift_c : cu.w;
+    const int lh = tree == TREE_CHROMA ? cu.h >> sps_.vshift_c : cu.h;
     int lfnst_idx = 0;
     if (coded && sps_.sps_lfnst_enabled_flag && is_intra &&
         std::max(cu.w, cu.h) <= sps_.max_tb_size_y && !cu_any_coded_ts_ &&
-        std::min(cu.w, cu.h) >= 4 &&
-        !(cu.mip >= 0 && std::min(cu.w, cu.h) < 16)) {  // vvc_ctu.c:826
+        std::min(lw, lh) >= 4 &&
+        !(tree != TREE_CHROMA && cu.mip >= 0 &&
+          std::min(lw, lh) < 16)) {  // vvc_ctu.c:826
       if (!lfnst_dc_only_ && lfnst_zero_out_) {
-        if (bin(LFNST_IDX + 0))
+        if (bin(LFNST_IDX + (tree != TREE_SINGLE)))
           lfnst_idx = bin(LFNST_IDX + 2) ? 2 : 1;
       }
     }
     if (lfnst_idx) {
+      const int want_c = tree == TREE_CHROMA ? 1 : 0;
       for (size_t j = tu_begin; j < out.tus.size(); j++) {
         TuRecord& tr = out.tus[j];
-        if (tr.c_idx != 0 || !tr.coded) continue;
+        if ((want_c ? tr.c_idx == 0 : tr.c_idx != 0) || !tr.coded) continue;
         // derive_ilfnst_pred_mode_intra + wide angle (vvc_intra.c:380-417);
-        // MIP luma selects the planar transform set
-        int base_mode = cu.mip >= 0 ? 0 : cu.luma_mode;
+        // MIP luma / CCLM chroma select the planar transform set
+        int base_mode;
+        if (want_c)
+          base_mode = cu.chroma_mode >= INTRA_LT_CCLM ? 0 : cu.chroma_mode;
+        else
+          base_mode = cu.mip >= 0 ? 0 : cu.luma_mode;
         int mode = ctrl::wide_angle_map(base_mode, tr.w, tr.h);
         tr.lf_tr = mode > 34;
         int set = mode < 0 ? 1 : kLfnstTrSet[mode];
@@ -3534,7 +3711,8 @@ class Decoder {
       }
     }
     int mts_idx = 0;
-    if (coded && !lfnst_idx && sps_.sps_mts_enabled_flag) {
+    if (tree != TREE_CHROMA &&
+        coded && !lfnst_idx && sps_.sps_mts_enabled_flag) {
       bool explicit_on = is_intra
           ? sps_.sps_explicit_mts_intra_enabled_flag != 0
           : sps_.sps_explicit_mts_inter_enabled_flag != 0;
@@ -3662,6 +3840,42 @@ class Decoder {
     return pred;
   }
 
+  // parity: get_cclm_enabled (vvc_ctu.c:629-673): under dual-tree
+  // intra with 64+ CTBs, CCLM availability depends on the split
+  // structure probed at the covering 64x64 / 32x32 nodes
+  int cclm_enabled_at(int x0, int y0) {
+    if (!sps_.sps_qtbtt_dual_tree_intra_flag || sh_.sh_slice_type != 2 ||
+        sps_.ctb_log2_size_y < 6)
+      return 1;
+    const int x64 = (x0 >> 6) << 6, y64 = (y0 >> 6) << 6;
+    const int y32 = (y0 >> 5) << 5;
+    const int x64_cu = x64 >> min_cb_log2_, y64_cu = y64 >> min_cb_log2_;
+    const int y32_cu = y32 >> min_cb_log2_;
+    auto at = [&](const std::vector<int32_t>& t, int xc, int yc) {
+      return t[(size_t)yc * mcb_w_ + xc];
+    };
+    const int depth = at(tab_cqt_c_, x64_cu, y64_cu);
+    const int min_depth = sps_.ctb_log2_size_y - 6;
+    const int msm64 = msm_at(0, x64, y64);
+    const int msm32 = msm_at(1, x64, y32);
+    int enabled = at(tab_cbw_c_, x64_cu, y64_cu) == 64 &&
+                  at(tab_cbh_c_, x64_cu, y64_cu) == 64;
+    enabled |= (depth == min_depth && msm64 == SPLIT_BT_HOR &&
+                at(tab_cbw_c_, x64_cu, y32_cu) == 64 &&
+                at(tab_cbh_c_, x64_cu, y32_cu) == 32);
+    enabled |= depth > min_depth;
+    enabled |= (depth == min_depth && msm64 == SPLIT_BT_HOR &&
+                msm32 == SPLIT_BT_VER);
+    if (enabled) {
+      const int w = at(tab_cbw_, x64_cu, y64_cu);
+      const int h = at(tab_cbh_, x64_cu, y64_cu);
+      const int depth0 = at(tab_cqt_, x64_cu, y64_cu);
+      // (64x64 ISP term omitted: ISP is not parsed yet -> ispmf == 0)
+      if ((w < 64 || h < 64) && depth0 == min_depth) return 0;
+    }
+    return enabled;
+  }
+
   int derive_chroma_mode(int idx, int luma_mode, int x0, int y0, int cb_w,
                          int cb_h) {
     // center luma mode (single tree, no MIP yet -> CU's own mode works,
@@ -3777,7 +3991,7 @@ class Decoder {
   // transform size splits in half (wider dimension first) until every
   // TU fits; each TU carries its co-located chroma TBs (no ISP/SBT yet).
   void transform_unit(CuRecord& cu, int cu_index, bool is_intra, bool coded,
-                      bool merge_non_skip) {
+                      bool merge_non_skip, int tree = TREE_SINGLE) {
     bool chroma_avail = sps_.sps_chroma_format_idc != 0;
     (void)merge_non_skip;
     if (!coded) {
@@ -3801,29 +4015,34 @@ class Decoder {
     }
     bool is_large = cu.w > sps_.max_tb_size_y || cu.h > sps_.max_tb_size_y;
     transform_tree(cu, cu_index, is_intra, is_large, cu.x0, cu.y0, cu.w,
-                   cu.h);
+                   cu.h, tree);
   }
 
   void transform_tree(CuRecord& cu, int cu_index, bool is_intra,
-                      bool is_large, int x0, int y0, int tw, int th) {
+                      bool is_large, int x0, int y0, int tw, int th,
+                      int tree = TREE_SINGLE) {
     int mtb = sps_.max_tb_size_y;
     if (tw > mtb || th > mtb) {
       bool ver = tw > mtb && tw > th;
       int w2 = ver ? tw / 2 : tw;
       int h2 = ver ? th : th / 2;
-      transform_tree(cu, cu_index, is_intra, is_large, x0, y0, w2, h2);
+      transform_tree(cu, cu_index, is_intra, is_large, x0, y0, w2, h2, tree);
       if (ver)
-        transform_tree(cu, cu_index, is_intra, is_large, x0 + w2, y0, w2, h2);
+        transform_tree(cu, cu_index, is_intra, is_large, x0 + w2, y0, w2, h2,
+                       tree);
       else
-        transform_tree(cu, cu_index, is_intra, is_large, x0, y0 + h2, w2, h2);
+        transform_tree(cu, cu_index, is_intra, is_large, x0, y0 + h2, w2, h2,
+                       tree);
       return;
     }
-    transform_unit_leaf(cu, cu_index, is_intra, is_large, x0, y0, tw, th);
+    transform_unit_leaf(cu, cu_index, is_intra, is_large, x0, y0, tw, th,
+                        tree);
   }
 
   void transform_unit_leaf(CuRecord& cu, int cu_index, bool is_intra,
-                           bool is_large, int x0, int y0, int tw, int th) {
-    bool chroma_avail = sps_.sps_chroma_format_idc != 0;
+                           bool is_large, int x0, int y0, int tw, int th,
+                           int tree = TREE_SINGLE) {
+    bool chroma_avail = tree != TREE_LUMA && sps_.sps_chroma_format_idc != 0;
     int cb_coded = 0, cr_coded = 0;
     if (chroma_avail) {
       // cbf ctx shifts under BDPCM (vvc_cabac.c:1199-1216)
@@ -3831,21 +4050,23 @@ class Decoder {
       cr_coded = bin(TU_CR_CODED_FLAG + (cu.bdpcm_c ? 2 : cb_coded));
     }
     int is_chroma_coded = chroma_avail && (cb_coded || cr_coded);
-    // tu_y_coded_flag present for intra, chroma-coded, or split CUs;
-    // else inferred 1 (vvc_ctu.c:274-292)
-    int y_coded;
-    if (is_intra || is_chroma_coded || is_large)
-      y_coded = bin(TU_Y_CODED_FLAG + (cu.bdpcm_l ? 1 : 0));
-    else
-      y_coded = 1;
-    // qp_delta presence gates on is_128 (CbWidth/CbHeight > 64,
-    // vvc_ctu.c:323,356), NOT is_large (> max_tb_size) which only
-    // controls tu_y_coded_flag presence (vvc_ctu.c:283-284)
-    const bool is_128 = cu.w > 64 || cu.h > 64;
-    const int has_qp_delta = (is_128 || y_coded || is_chroma_coded) &&
-                             pps_.pps_cu_qp_delta_enabled_flag &&
-                             !is_cu_qp_delta_coded_;
-    set_qp_y(cu, x0, y0, has_qp_delta);
+    int y_coded = 0;
+    if (tree != TREE_CHROMA) {
+      // tu_y_coded_flag present for intra, chroma-coded, or split CUs;
+      // else inferred 1 (vvc_ctu.c:274-292)
+      if (is_intra || is_chroma_coded || is_large)
+        y_coded = bin(TU_Y_CODED_FLAG + (cu.bdpcm_l ? 1 : 0));
+      else
+        y_coded = 1;
+      // qp_delta presence gates on is_128 (CbWidth/CbHeight > 64,
+      // vvc_ctu.c:323,356), NOT is_large (> max_tb_size) which only
+      // controls tu_y_coded_flag presence (vvc_ctu.c:283-284)
+      const bool is_128 = cu.w > 64 || cu.h > 64;
+      const int has_qp_delta = (is_128 || y_coded || is_chroma_coded) &&
+                               pps_.pps_cu_qp_delta_enabled_flag &&
+                               !is_cu_qp_delta_coded_;
+      set_qp_y(cu, x0, y0, has_qp_delta);
+    }
 
     // tu_joint_cbcr_residual_flag (vvc_ctu.c:374-379)
     int joint = 0;
@@ -3875,15 +4096,17 @@ class Decoder {
         bdpcm_accumulate(rx0, ry0, w_, h_, c, cu.luma_mode, cu.chroma_mode);
     };
     int ts_y = 0;
-    if (y_coded) {
-      ts_y = ts_flag(tw, th, 0);
-      residual(x0, y0, tw, th, 0, ts_y);
+    if (tree != TREE_CHROMA) {
+      if (y_coded) {
+        ts_y = ts_flag(tw, th, 0);
+        residual(x0, y0, tw, th, 0, ts_y);
+      }
+      if (cu_first_tb_ts_ < 0) cu_first_tb_ts_ = ts_y;
+      TuRecord ty = {x0, y0, tw, th, 0, y_coded, cu.qp + sps_.qp_bd_offset,
+                     cu_index, 0, 0, y_coded, 0, 0, 0, ts_y, cu.bdpcm_l,
+                     -1, 0};
+      out.tus.push_back(ty);
     }
-    if (cu_first_tb_ts_ < 0) cu_first_tb_ts_ = ts_y;
-    TuRecord ty = {x0, y0, tw, th, 0, y_coded, cu.qp + sps_.qp_bd_offset,
-                   cu_index, 0, 0, y_coded, 0, 0, 0, ts_y, cu.bdpcm_l,
-                   -1, 0};
-    out.tus.push_back(ty);
     if (!chroma_avail) return;
 
     // which chroma TBs carry a parsed residual (tb->has_coeffs,
