@@ -109,6 +109,9 @@ class EncoderConfig:
     # dual-tree intra (sps_qtbtt_dual_tree_intra_flag): I-slice CTUs
     # carry independent luma and chroma coding trees
     dual_tree: bool = False
+    # conformance window (left, right, top, bottom) in chroma units:
+    # output cropping without changing the coded size (7.4.3.3)
+    conf_window: tuple = ()
 
 
 def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
@@ -118,6 +121,13 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
     # the generator does not model the 64x64 luma-split probe
     assert not (cfg.dual_tree and cfg.cclm and cfg.ctu_log2 >= 6), \
         "generator: dual_tree+cclm requires ctu_log2 < 6"
+    # the reference exports raw (unscaled) offsets and its default
+    # output path realigns odd left/top crops; right/bottom-even crops
+    # sidestep both quirks for bit-exact parity streams
+    if cfg.conf_window:
+        l, r_, t, b = cfg.conf_window
+        assert l == 0 and t == 0 and r_ % 2 == 0 and b % 2 == 0, \
+            "generator: conf_window must be (0, even, 0, even)"
     sps = SPS(
         sps_entry_point_offsets_present_flag=1 if (tiled or cfg.wpp) else 0,
         sps_entropy_coding_sync_enabled_flag=1 if cfg.wpp else 0,
@@ -134,6 +144,9 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
         sps_log2_diff_max_tt_min_qt_intra_slice_luma=(
             cfg.max_tt_size.bit_length() - 1 - min_qt_log2
             if cfg.max_mtt_depth else 0),
+        sps_conformance_window_flag=1 if cfg.conf_window else 0,
+        sps_conf_win=tuple(cfg.conf_window) if cfg.conf_window
+        else (0, 0, 0, 0),
         sps_qtbtt_dual_tree_intra_flag=1 if cfg.dual_tree else 0,
         sps_log2_diff_min_qt_min_cb_intra_slice_chroma=(
             min_qt_log2 - 2 if cfg.dual_tree else 0),

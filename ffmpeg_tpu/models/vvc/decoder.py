@@ -332,8 +332,10 @@ class VVCDecoder:
                     del self._dpb[poc]
             log.debug("decoded poc %d (%dx%d), dpb=%d", fs.poc, fs.width,
                       fs.height, len(self._dpb))
-            pending_out.append(Frame(poc=fs.poc, buf=packed, width=fs.width,
-                                     height=fs.height,
+            cl, cr2, ct, cb2 = getattr(fs, "crop", (0, 0, 0, 0))
+            pending_out.append(Frame(poc=fs.poc, buf=packed,
+                                     width=fs.width - cl - cr2,
+                                     height=fs.height - ct - cb2,
                                      bit_depth=fs.bit_depth))
             yield from bump()
         yield from bump(all_of_them=True)

@@ -176,6 +176,8 @@ class FrameSyntax:
     # "chroma_clipidx"(8,6), "num_chroma_alts", "cc_coeff"(2,4,7),
     # "ctb"(cbh,cbw,8)} (vvch_alf_* layout)
     alf: dict | None = None
+    # conformance-window crop (left, right, top, bottom) in luma samples
+    crop: tuple = (0, 0, 0, 0)
 
 
 class NativeFrame:
@@ -227,7 +229,7 @@ class HostDecoder:
         if ret != 0:
             raise RuntimeError(
                 f"native decode error: {self._lib.vvch_last_error().decode()}")
-        info = (ctypes.c_int32 * 21)()
+        info = (ctypes.c_int32 * 25)()
         self._lib.vvch_frame_info(self._h, info)
         if not info[0]:
             return None  # no frame in this AU (parameter sets only)
@@ -238,6 +240,7 @@ class HostDecoder:
         ctb_log2 = int(info[18])
         max_num_reorder = int(info[19])
         dep_quant = int(info[20])
+        crop = tuple(int(v) for v in info[21:25])
 
         def plane(c_idx, pw, ph):
             ptr = self._lib.vvch_coeffs(self._h, c_idx)
@@ -370,6 +373,7 @@ class HostDecoder:
             slots_c=tu_slots(True),
             lmcs=lmcs,
             alf=alf,
+            crop=crop,
             fo=NativeFrame(self._lib,
                            self._lib.vvch_detach(self._h)),
         )

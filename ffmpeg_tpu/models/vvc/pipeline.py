@@ -1220,12 +1220,18 @@ def _build_frame_program(shapes):
 
     # Pack the cropped output planes into one flat buffer in planar
     # YCbCr order — the exact byte layout of the rawvideo frame — so
-    # the host needs a single device->host fetch per frame.
+    # the host needs a single device->host fetch per frame.  The
+    # conformance window (cl, cr, ct, cb2) crops the OUTPUT only; the
+    # DPB planes keep the full coded area (vvcdec.c:666-677 exports
+    # cropping the same way).
+    cl, cr, ct, cb2 = shapes.get("crop", (0, 0, 0, 0))
     dt = jnp.uint8 if bd == 8 else jnp.uint16
     packed = jnp.concatenate([
-        planes[0][:H, :W].astype(dt).reshape(-1),
-        planes[1][:H >> 1, :W >> 1].astype(dt).reshape(-1),
-        planes[2][:H >> 1, :W >> 1].astype(dt).reshape(-1)])
+        planes[0][ct:H - cb2, cl:W - cr].astype(dt).reshape(-1),
+        planes[1][ct >> 1:(H - cb2) >> 1,
+                  cl >> 1:(W - cr) >> 1].astype(dt).reshape(-1),
+        planes[2][ct >> 1:(H - cb2) >> 1,
+                  cl >> 1:(W - cr) >> 1].astype(dt).reshape(-1)])
     return {"planes": planes, "packed": packed}
 
   return frame_program
@@ -1359,17 +1365,18 @@ _PROGRAM_CACHE: dict = {}
 
 
 def get_frame_program(W, H, ctb_log2, bit_depth, pallas=None,
-                      tile_bds=((), ())):
+                      tile_bds=((), ()), crop=(0, 0, 0, 0)):
   """tile_bds: interior tile boundary positions in luma samples
-  (static; only CCLM's cross-component stencils depend on them)."""
+  (static; only CCLM's cross-component stencils depend on them).
+  crop: conformance-window offsets (l, r, t, b) in luma samples."""
   _ensure_compile_cache()
   if pallas is None:
     pallas = _use_pallas()
-  key = (W, H, ctb_log2, bit_depth, pallas, tile_bds)
+  key = (W, H, ctb_log2, bit_depth, pallas, tile_bds, crop)
   if key not in _PROGRAM_CACHE:
     _PROGRAM_CACHE[key] = PackedProgram(_build_frame_program(
         dict(W=W, H=H, ctb_log2=ctb_log2, bit_depth=bit_depth,
-             pallas=pallas, tile_bds=tile_bds)))
+             pallas=pallas, tile_bds=tile_bds, crop=crop)))
   return _PROGRAM_CACHE[key]
 
 
@@ -1813,7 +1820,8 @@ def prepare_frame(fs: FrameSyntax):
   tile_bds = (tuple(v for v in fs.tile_bd[0] if 0 < v < fs.width),
               tuple(v for v in fs.tile_bd[1] if 0 < v < fs.height))
   prog = get_frame_program(fs.width, fs.height, fs.ctb_log2, fs.bit_depth,
-                           tile_bds=tile_bds)
+                           tile_bds=tile_bds,
+                           crop=tuple(getattr(fs, "crop", (0, 0, 0, 0))))
   return prog, prog.pack(build_host_inputs(fs, fs.ctb_log2))
 
 
@@ -1838,9 +1846,11 @@ def decode_frame_device(fs: FrameSyntax, refs_by_poc=None):
 
 
 def decode_frame(fs: FrameSyntax, refs_by_poc=None):
-  """Single-dispatch frame decode; returns [Y, Cb, Cr] numpy planes."""
+  """Single-dispatch frame decode; returns [Y, Cb, Cr] numpy planes
+  (conformance-window cropped)."""
   packed, _ = decode_frame_device(fs, refs_by_poc)
-  W, H = fs.width, fs.height
+  cl, cr, ct, cb = getattr(fs, "crop", (0, 0, 0, 0))
+  W, H = fs.width - cl - cr, fs.height - ct - cb
   buf = np.asarray(packed)
   return [buf[:W * H].reshape(H, W),
           buf[W * H:W * H + (W // 2) * (H // 2)].reshape(H // 2, W // 2),

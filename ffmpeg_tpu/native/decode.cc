@@ -182,6 +182,7 @@ struct FrameOut {
   int tc_offset[3] = {0, 0, 0};
   int slice_type = 2;  // 0=B 1=P 2=I
   int dep_quant = 0;   // sh_dep_quant_used_flag (drives dequant addin)
+  int crop[4] = {0, 0, 0, 0};  // conf window L/R/T/B in LUMA samples
   int cclm_vc = 0;     // sps_chroma_vertical_collocated_flag (CCLM dsy)
   int nb_refs[2] = {0, 0};
   int32_t ref_pocs[2][16] = {};
@@ -2295,6 +2296,10 @@ class Decoder {
     out.poc = sh_.ph.ph_pic_order_cnt_lsb;
     out.slice_qp = sh_.slice_qp_y;
     out.dep_quant = sh_.sh_dep_quant_used_flag;
+    // the reference exports the RAW signalled offsets as luma crop
+    // (vvc_refs.c:188-191 — without the spec's SubWidthC scaling);
+    // golden MD5s come from it, so mirror that observable behaviour
+    for (int i = 0; i < 4; i++) out.crop[i] = pps_.conf_win[i];
     out.cclm_vc = sps_.sps_chroma_vertical_collocated_flag;
     out.wpp = sps_.sps_entropy_coding_sync_enabled_flag;
     out.wp_active =
@@ -4714,6 +4719,7 @@ void vvch_frame_info(void* h, int32_t* info) {
   info[18] = o.ctb_log2;
   info[19] = o.max_num_reorder;
   info[20] = o.dep_quant;
+  for (int i = 0; i < 4; i++) info[21 + i] = o.crop[i];
 }
 
 // tile boundaries in luma samples: out[0]=n_cols+1, out[1]=n_rows+1,

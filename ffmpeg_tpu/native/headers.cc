@@ -270,7 +270,14 @@ Pps parse_pps(BitReader& r, const Sps& sps) {
   r.flag();  // mixed_nalu_types
   pps.width = r.ue();
   pps.height = r.ue();
-  VVC_UNSUPPORTED(r.flag(), "pps conformance window");
+  // conformance window (7.4.3.5): offsets in SubWidthC/SubHeightC
+  // units; when the PPS size equals the SPS max size the SPS window
+  // applies instead (the flag is then constrained to 0)
+  if (r.flag()) {
+    for (int i = 0; i < 4; i++) pps.conf_win[i] = r.ue();
+  } else if (pps.width == sps.width && pps.height == sps.height) {
+    for (int i = 0; i < 4; i++) pps.conf_win[i] = sps.conf_win[i];
+  }
   VVC_UNSUPPORTED(r.flag(), "scaling window");
   int output_flag_present = r.flag();
   VVC_UNSUPPORTED(output_flag_present, "pps_output_flag_present");

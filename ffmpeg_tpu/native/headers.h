@@ -117,6 +117,7 @@ struct Pps {
   int pps_pic_parameter_set_id = 0;
   int pps_seq_parameter_set_id = 0;
   int width = 0, height = 0;
+  int conf_win[4] = {0, 0, 0, 0};  // SubWidthC/SubHeightC units
   int pps_no_pic_partition_flag = 1;
   int num_tile_columns = 1, num_tile_rows = 1;
   std::vector<int> col_width, row_height;  // in CTBs
