@@ -126,6 +126,8 @@ class CuIntent:
     mrl_mpm_idx: int = 0
     # dual-tree membership: "single" | "luma" | "chroma"
     tree: str = "single"
+    # SBT (subblock transform): None off, else (quad, horizontal, pos)
+    sbt: tuple | None = None
 
 
 class FrameSyntaxEncoder:
@@ -415,9 +417,27 @@ class FrameSyntaxEncoder:
 
     # -- transform unit -------------------------------------------------
     def _encode_transform_unit(self, cu: CuIntent) -> None:
-        """Transform tree (vvc_ctu.c:406-434): CUs wider/taller than the
-        max transform size split in half (wider dimension first); each
-        leaf TU codes its own cbfs and co-located chroma TBs."""
+        """Transform tree (vvc_ctu.c:406-466): CUs wider/taller than the
+        max transform size split in half (wider dimension first); SBT
+        CUs split into two sub-TUs of which exactly one is coded."""
+        if cu.sbt is not None:
+            quad, hor, pos = cu.sbt
+            frac = (1 if pos == 0 else 3) if quad else 2
+            if not hor:
+                w0 = cu.w * frac // 4
+                self._transform_unit_leaf(cu, cu.x0, cu.y0, w0, cu.h,
+                                          False, sbt_idx=0)
+                self._transform_unit_leaf(cu, cu.x0 + w0, cu.y0,
+                                          cu.w - w0, cu.h, False,
+                                          sbt_idx=1)
+            else:
+                h0 = cu.h * frac // 4
+                self._transform_unit_leaf(cu, cu.x0, cu.y0, cu.w, h0,
+                                          False, sbt_idx=0)
+                self._transform_unit_leaf(cu, cu.x0, cu.y0 + h0,
+                                          cu.w, cu.h - h0, False,
+                                          sbt_idx=1)
+            return
         mtb = self.max_tb_size
         is_large = cu.w > mtb or cu.h > mtb
         self._transform_tree(cu, cu.x0, cu.y0, cu.w, cu.h, is_large)
@@ -440,9 +460,12 @@ class FrameSyntaxEncoder:
             return
         self._transform_unit_leaf(cu, x0, y0, tw, th, is_large)
 
-    def _transform_unit_leaf(self, cu, x0, y0, tw, th, is_large) -> None:
+    def _transform_unit_leaf(self, cu, x0, y0, tw, th, is_large,
+                             sbt_idx=-1) -> None:
         sps = self.sps
         is_intra = cu.pred_mode == "intra"
+        sbt_not_coded = sbt_idx >= 0 and (
+            (sbt_idx == 0 and cu.sbt[2]) or (sbt_idx == 1 and not cu.sbt[2]))
         chroma_available = (cu.tree != "luma"
                             and sps.sps_chroma_format_idc != 0)
         ry, rx = y0 - cu.y0, x0 - cu.x0
@@ -459,6 +482,10 @@ class FrameSyntaxEncoder:
         cb_coded = ccb is not None and np.any(ccb)
         cr_coded = ccr is not None and np.any(ccr)
         y_coded = cy is not None and np.any(cy)
+        if sbt_not_coded:
+            assert not (y_coded or cb_coded or cr_coded), \
+                "SBT not-coded sub-TU carries coefficients"
+            return
         if chroma_available:
             # cbf ctx shifts under BDPCM (vvc_cabac.c:1199-1216)
             self._bin("TU_CB_CODED_FLAG", cu.bdpcm_c, int(cb_coded))
@@ -493,10 +520,12 @@ class FrameSyntaxEncoder:
             self._bin("TU_JOINT_CBCR_RESIDUAL_FLAG",
                       2 * int(cb_coded) + int(cr_coded) - 1, joint)
         def ts_flag(c, w_, h_):
-            # transform_skip_flag (vvc_ctu.c:386-397; no SBT/ISP)
+            # transform_skip_flag (vvc_ctu.c:386-397; !cu->sbt_flag gate)
             if (cu.bdpcm_c if c else cu.bdpcm_l):
                 return 1  # forced, no flag
             if not sps.sps_transform_skip_enabled_flag:
+                return 0
+            if cu.sbt is not None:
                 return 0
             max_ts = 1 << (sps.sps_log2_transform_skip_max_size_minus2 + 2)
             if w_ > max_ts or h_ > max_ts:
@@ -899,8 +928,39 @@ class FrameSyntaxEncoder:
         else:
             assert has_coeff, "merge non-skip CU parses residual (cbf may " \
                 "be 0 but then luma cbf would be inferred 1)"
+        self._encode_sbt_info(cu)
         self._encode_transform_unit(cu)
-        self._encode_mts_idx(cu)
+        if cu.sbt is None:
+            self._encode_mts_idx(cu)
+
+    def _encode_sbt_info(self, cu: CuIntent) -> None:
+        """sbt_info bins (vvc_ctu.c:1092-1129 + vvc_cabac.c:2420-2446)."""
+        sps = self.sps
+        mtb = self.max_tb_size
+        if not (sps.sps_sbt_enabled_flag and not cu.ciip
+                and cu.w <= mtb and cu.h <= mtb):
+            assert cu.sbt is None
+            return
+        ver_h, hor_h = cu.w >= 8, cu.h >= 8
+        if not (ver_h or hor_h):
+            assert cu.sbt is None
+            return
+        self._bin("CU_SBT_FLAG", int(cu.w * cu.h <= 256),
+                  int(cu.sbt is not None))
+        if cu.sbt is None:
+            return
+        quad, hor, pos = cu.sbt
+        ver_q, hor_q = cu.w >= 16, cu.h >= 16
+        if ver_q or hor_q:
+            self._bin("CU_SBT_QUAD_FLAG", 0, quad)
+        else:
+            assert not quad
+        hor_inc = 0 if cu.w == cu.h else (1 if cu.w < cu.h else 2)
+        if (quad and ver_q and hor_q) or (not quad and ver_h and hor_h):
+            self._bin("CU_SBT_HORIZONTAL_FLAG", hor_inc, hor)
+        else:
+            assert hor == (hor_q if quad else hor_h)
+        self._bin("CU_SBT_POS_FLAG", 0, pos)
 
     def sps_max_gpm_cand(self) -> int:
         if self.sps_max_merge_cand() < 3:

@@ -93,6 +93,7 @@ class EncoderConfig:
     prof: bool = False    # affine prediction refinement w/ optical flow
     bdof: bool = False    # bi-directional optical flow
     dmvr: bool = False    # decoder-side motion vector refinement
+    sbt: bool = False     # subblock transform (inter CUs, one coded half)
     # intra toolset wave
     mip: bool = False     # matrix-based intra prediction
     cclm: bool = False    # cross-component linear model chroma
@@ -175,6 +176,7 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
         sps_6param_affine_enabled_flag=1 if cfg.affine else 0,
         sps_affine_prof_enabled_flag=1 if (cfg.affine and cfg.prof) else 0,
         sps_bdof_enabled_flag=1 if cfg.bdof else 0,
+        sps_sbt_enabled_flag=1 if cfg.sbt else 0,
         sps_dmvr_enabled_flag=1 if cfg.dmvr else 0,
         sps_mts_enabled_flag=1 if (cfg.mts or cfg.mts_implicit) else 0,
         sps_joint_cbcr_enabled_flag=1 if cfg.joint_cbcr else 0,
@@ -351,6 +353,73 @@ def _random_cu(cfg, rng, x0, y0, w, h, is_inter_slice=False,
                 c[int(rng.integers(0, h)), int(rng.integers(0, w))] = \
                     int(rng.integers(1, cfg.max_level + 1))
                 cu.coeff_y = c
+    if (cfg.sbt and cu.pred_mode == "inter" and not cu.skip and not cu.ciip
+            and max(w, h) <= 32 and (w >= 8 or h >= 8)
+            # the stream generator's residual coders do not model the
+            # 32-point SBT zero-out narrowing; with MTS on, keep the
+            # coded TB under 32 (the decoder handles the general case)
+            and not ((cfg.mts or cfg.mts_implicit) and max(w, h) > 16)
+            and rng.random() < 0.6):
+        ver_h, hor_h = w >= 8, h >= 8
+        ver_q, hor_q = w >= 16, h >= 16
+        quad = int((ver_q or hor_q) and rng.random() < 0.4)
+        if quad:
+            hor = int(hor_q) if not (ver_q and hor_q) \
+                else int(rng.integers(0, 2))
+        else:
+            hor = int(hor_h) if not (ver_h and hor_h) \
+                else int(rng.integers(0, 2))
+        pos = int(rng.integers(0, 2))
+        cu.sbt = (quad, hor, pos)
+        # residual lives only in the coded sub-TU; zero everything else
+        # and keep the 32-point implicit-DST7/DCT8 zero-out region
+        # (hls_residual_coding, vvc_cabac.c:2369-2377) when MTS is on
+        frac = (1 if pos == 0 else 3) if quad else 2
+        mts_on = cfg.mts or cfg.mts_implicit
+
+        def restrict(arr, shift):
+            if arr is None:
+                return None
+            hh, ww = arr.shape
+            # coded sub-TU span along the split axis (grid units)
+            dim = (h if hor else w) >> shift
+            split = (h * frac // 4 if hor else w * frac // 4) >> shift
+            a0, a1 = (0, split) if pos == 0 else (split, dim)
+            out_arr = np.zeros_like(arr)
+            if hor:
+                out_arr[a0:a1, :] = arr[a0:a1, :]
+            else:
+                out_arr[:, a0:a1] = arr[:, a0:a1]
+            if shift == 0 and mts_on:
+                # zero beyond 16 in any 32-long coded-TB dimension
+                tbw, tbh = (ww, a1 - a0) if hor else (a1 - a0, hh)
+                x0c, y0c = (0, a0) if hor else (a0, 0)
+                if tbw == 32:
+                    out_arr[:, x0c + 16:x0c + 32] = 0
+                if tbh == 32:
+                    out_arr[y0c + 16:y0c + 32, :] = 0
+            return out_arr
+
+        cu.coeff_y = restrict(cu.coeff_y, 0)
+        cu.coeff_cb = restrict(cu.coeff_cb, 1)
+        cu.coeff_cr = restrict(cu.coeff_cr, 1)
+        # the coded TU's luma cbf is inferred 1 when its chroma is
+        # uncoded -> guarantee a nonzero luma coefficient there
+        if cu.coeff_y is None or not np.any(cu.coeff_y):
+            c = cu.coeff_y if cu.coeff_y is not None \
+                else np.zeros((h, w), np.int32)
+            if hor:
+                ys = (0, h * frac // 4) if pos == 0 \
+                    else (h * frac // 4, h)
+                xs = (0, w)
+            else:
+                xs = (0, w * frac // 4) if pos == 0 \
+                    else (w * frac // 4, w)
+                ys = (0, h)
+            yy = int(rng.integers(ys[0], min(ys[1], ys[0] + 16)))
+            xx = int(rng.integers(xs[0], min(xs[1], xs[0] + 16)))
+            c[yy, xx] = int(rng.integers(1, cfg.max_level + 1))
+            cu.coeff_y = c
     if (cfg.bdpcm and cu.pred_mode == "intra"
             and max(w, h) <= cfg.ts_max_size and rng.random() < 0.5):
         cu.bdpcm_l = 1
@@ -381,7 +450,7 @@ def _random_cu(cfg, rng, x0, y0, w, h, is_inter_slice=False,
         cu.mip_transposed = int(rng.integers(0, 2))
         cu.luma_mode = cu.mip_mode  # tab.ipm parity (vvc_ctu.c:980)
     if (cfg.mts and max(w, h) <= 32 and not cu.bdpcm_l
-            and rng.random() < 0.5):
+            and cu.sbt is None and rng.random() < 0.5):
         _try_mts(cu, rng)
     if (cfg.lfnst and cu.pred_mode == "intra" and not cu.bdpcm_l
             and cu.mts_idx == 0 and min(w, h) >= 4 and max(w, h) <= 32

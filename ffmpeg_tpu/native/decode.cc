@@ -3157,6 +3157,7 @@ class Decoder {
       cu_any_coded_ts_ = 0;
       lfnst_dc_only_ = 1;
       lfnst_zero_out_ = 1;
+      sbt_flag_ = 0;
       transform_unit(cu, cu_index, /*is_intra=*/true, /*coded=*/true,
                      /*merge_non_skip=*/false, tree);
       finish_cu_transforms(cu, /*coded=*/true, tu_begin, tree);
@@ -3640,11 +3641,43 @@ class Decoder {
     cu_any_coded_ts_ = 0;
     lfnst_dc_only_ = 1;
     lfnst_zero_out_ = 1;
+    decode_sbt_info(cu, coded, is_ciip);
     transform_unit(cu, cu_index, /*is_intra=*/false, coded != 0,
                    /*merge_non_skip=*/general_merge && !cu.skip);
     finish_cu_transforms(cu, coded != 0, tu_begin);
     finalize_cu_qp(cu, tu_begin);
     out.cus.push_back(cu);
+  }
+
+  // SBT parse state, valid for the CU being parsed
+  int sbt_flag_ = 0, sbt_hor_ = 0, sbt_pos_ = 0, sbt_fourths_tb0_ = 2;
+
+  // parity: sbt_info (vvc_ctu.c:1092-1129) + ff_vvc_sbt_* ctx
+  // derivations (vvc_cabac.c:2420-2446)
+  void decode_sbt_info(const CuRecord& cu, int coded, int is_ciip) {
+    sbt_flag_ = 0;
+    if (!coded || cu.pred_mode != MODE_INTER ||
+        !sps_.sps_sbt_enabled_flag || is_ciip ||
+        cu.w > sps_.max_tb_size_y || cu.h > sps_.max_tb_size_y)
+      return;
+    const int ver_h = cu.w >= 8, hor_h = cu.h >= 8;
+    if (ver_h || hor_h)
+      sbt_flag_ = bin(CU_SBT_FLAG + (cu.w * cu.h <= 256));
+    if (!sbt_flag_) return;
+    const int ver_q = cu.w >= 16, hor_q = cu.h >= 16;
+    int quad = 0;
+    if ((ver_h || hor_h) && (ver_q || hor_q)) quad = bin(CU_SBT_QUAD_FLAG);
+    const int hor_inc = cu.w == cu.h ? 0 : (cu.w < cu.h ? 1 : 2);
+    if (quad) {
+      sbt_hor_ = hor_q;
+      if (ver_q && hor_q) sbt_hor_ = bin(CU_SBT_HORIZONTAL_FLAG + hor_inc);
+    } else {
+      sbt_hor_ = hor_h;
+      if (ver_h && hor_h) sbt_hor_ = bin(CU_SBT_HORIZONTAL_FLAG + hor_inc);
+    }
+    sbt_pos_ = bin(CU_SBT_POS_FLAG);
+    const int sbt_min = quad ? 1 : 2;
+    sbt_fourths_tb0_ = sbt_pos_ ? 4 - sbt_min : sbt_min;
   }
 
   void finalize_cu_qp(CuRecord& cu, size_t tu_begin,
@@ -3716,12 +3749,12 @@ class Decoder {
       }
     }
     int mts_idx = 0;
-    if (tree != TREE_CHROMA &&
+    if (tree != TREE_CHROMA && !sbt_flag_ &&
         coded && !lfnst_idx && sps_.sps_mts_enabled_flag) {
       bool explicit_on = is_intra
           ? sps_.sps_explicit_mts_intra_enabled_flag != 0
           : sps_.sps_explicit_mts_inter_enabled_flag != 0;
-      // no lfnst / transform-skip / ISP / SBT yet: those terms are 0
+      // no lfnst / transform-skip / ISP: those terms are 0
       if (explicit_on && std::max(cu.w, cu.h) <= 32 && mts_zero_out_ &&
           !mts_dc_only_ && cu_first_tb_ts_ <= 0) {
         while (mts_idx < 4 && bin(MTS_IDX + mts_idx)) mts_idx++;
@@ -3735,7 +3768,17 @@ class Decoder {
     for (size_t j = tu_begin; j < out.tus.size(); j++) {
       TuRecord& tr = out.tus[j];
       if (tr.c_idx != 0 || !tr.coded) continue;
-      if (implicit_on) {
+      if (sbt_flag_) {
+        // SBT implicit DST7/DCT8 selection by sub-TU position
+        // (derive_transform_type, vvc_intra.c:144-156); DCT2 when MTS
+        // is off or the TB exceeds the 32-point DST7/DCT8 sizes
+        if (sps_.sps_mts_enabled_flag && std::max(tr.w, tr.h) <= 32) {
+          tr.trh = (sbt_hor_ || sbt_pos_) ? 1 : 2;
+          tr.trv = (!sbt_hor_ || sbt_pos_) ? 1 : 2;
+        } else {
+          tr.trh = tr.trv = 0;
+        }
+      } else if (implicit_on) {
         tr.trh = (tr.w >= 4 && tr.w <= 16) ? 1 : 0;
         tr.trv = (tr.h >= 4 && tr.h <= 16) ? 1 : 0;
       } else {
@@ -4019,6 +4062,25 @@ class Decoder {
       return;
     }
     bool is_large = cu.w > sps_.max_tb_size_y || cu.h > sps_.max_tb_size_y;
+    if (sbt_flag_) {
+      // SBT: two TUs, only one carries residual (hls_transform_tree,
+      // vvc_ctu.c:437-466)
+      if (!sbt_hor_) {
+        const int w0 = cu.w * sbt_fourths_tb0_ / 4;
+        transform_unit_leaf(cu, cu_index, is_intra, is_large, cu.x0, cu.y0,
+                            w0, cu.h, tree, /*sbt_idx=*/0);
+        transform_unit_leaf(cu, cu_index, is_intra, is_large, cu.x0 + w0,
+                            cu.y0, cu.w - w0, cu.h, tree, /*sbt_idx=*/1);
+      } else {
+        const int h0 = cu.h * sbt_fourths_tb0_ / 4;
+        transform_unit_leaf(cu, cu_index, is_intra, is_large, cu.x0, cu.y0,
+                            cu.w, h0, tree, /*sbt_idx=*/0);
+        transform_unit_leaf(cu, cu_index, is_intra, is_large, cu.x0,
+                            cu.y0 + h0, cu.w, cu.h - h0, tree,
+                            /*sbt_idx=*/1);
+      }
+      return;
+    }
     transform_tree(cu, cu_index, is_intra, is_large, cu.x0, cu.y0, cu.w,
                    cu.h, tree);
   }
@@ -4046,10 +4108,15 @@ class Decoder {
 
   void transform_unit_leaf(CuRecord& cu, int cu_index, bool is_intra,
                            bool is_large, int x0, int y0, int tw, int th,
-                           int tree = TREE_SINGLE) {
+                           int tree = TREE_SINGLE, int sbt_idx = -1) {
+    // SBT: exactly one of the two TUs carries residual
+    // (is_sbt_not_coded, vvc_ctu.c:327-328)
+    const bool sbt_not_coded =
+        sbt_idx >= 0 && ((sbt_idx == 0 && sbt_pos_) ||
+                         (sbt_idx == 1 && !sbt_pos_));
     bool chroma_avail = tree != TREE_LUMA && sps_.sps_chroma_format_idc != 0;
     int cb_coded = 0, cr_coded = 0;
-    if (chroma_avail) {
+    if (chroma_avail && !sbt_not_coded) {
       // cbf ctx shifts under BDPCM (vvc_cabac.c:1199-1216)
       cb_coded = bin(TU_CB_CODED_FLAG + cu.bdpcm_c);
       cr_coded = bin(TU_CR_CODED_FLAG + (cu.bdpcm_c ? 2 : cb_coded));
@@ -4058,8 +4125,10 @@ class Decoder {
     int y_coded = 0;
     if (tree != TREE_CHROMA) {
       // tu_y_coded_flag present for intra, chroma-coded, or split CUs;
-      // else inferred 1 (vvc_ctu.c:274-292)
-      if (is_intra || is_chroma_coded || is_large)
+      // else inferred 1; SBT not-coded TUs infer 0 (vvc_ctu.c:274-292)
+      if (sbt_not_coded)
+        y_coded = 0;
+      else if (is_intra || is_chroma_coded || is_large)
         y_coded = bin(TU_Y_CODED_FLAG + (cu.bdpcm_l ? 1 : 0));
       else
         y_coded = 1;
@@ -4087,6 +4156,7 @@ class Decoder {
       int bdpcm = c ? cu.bdpcm_c : cu.bdpcm_l;
       if (bdpcm) return 1;  // forced, no flag (vvc_ctu.c:386)
       if (!sps_.sps_transform_skip_enabled_flag) return 0;
+      if (sbt_flag_) return 0;  // !cu->sbt_flag gate (vvc_ctu.c:391)
       if (w_ > sps_.max_ts_size || h_ > sps_.max_ts_size) return 0;
       return bin(TRANSFORM_SKIP_FLAG + (c ? 1 : 0));
     };
@@ -4282,6 +4352,12 @@ class Decoder {
     while ((1 << log2_h) < tb_h) log2_h++;
     int zo_w = log2_w < 5 ? log2_w : 5;
     int zo_h = log2_h < 5 ? log2_h : 5;
+    // SBT 32-point DST7/DCT8 zero-out (hls_residual_coding,
+    // vvc_cabac.c:2369-2377)
+    if (sps_.sps_mts_enabled_flag && sbt_flag_ && c_idx == 0) {
+      if (log2_w == 5 && log2_h < 6) zo_w = 4;
+      if (log2_h == 5 && log2_w < 6) zo_h = 4;
+    }
 
     RcCtx& rc = rc_scratch_;  // reused: .assign() below never reallocs
     rc.qstate = 0;            // dep-quant state restarts per TB
