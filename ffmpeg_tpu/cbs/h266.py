@@ -66,10 +66,13 @@ class ProfileTierLevel:
 
 @dataclass
 class RefPicListStruct:
-    """One candidate reference picture list (spec 7.3.10)."""
-    # per-entry: (st_ref_pic_flag, abs_delta_poc_st, strp_entry_sign_flag)
-    # only short-term entries supported for now
-    entries: list = field(default_factory=list)  # list[(abs_delta_poc, sign)]
+    """One candidate reference picture list (spec 7.3.10).
+
+    entries: ST entries are (abs_delta_poc, sign); LT entries are
+    ("lt", poc_lsb, delta_poc_msb_cycle).  Inline slice-header structs
+    have ltrp_in_header inferred 1, so the LT POC info is written in
+    the ref_pic_lists() post-amble (write_lt_info)."""
+    entries: list = field(default_factory=list)
 
     @property
     def num_ref_entries(self) -> int:
@@ -77,16 +80,33 @@ class RefPicListStruct:
 
     def write(self, w: BitWriter, sps: "SPS", list_idx: int, rpls_idx: int) -> None:
         w.ue(self.num_ref_entries)
-        assert not sps.sps_long_term_ref_pics_flag, "LT ref pics not implemented"
         assert not sps.sps_inter_layer_prediction_enabled_flag
-        for i, (abs_delta_poc, sign) in enumerate(self.entries):
-            # st_ref_pic_flag inferred 1 (no LT), inter_layer inferred 0
-            wp = sps.sps_weighted_pred_flag or sps.sps_weighted_bipred_flag
+        st_count = sum(1 for e in self.entries if e[0] != "lt")
+        if not sps.sps_long_term_ref_pics_flag:
+            assert st_count == len(self.entries), "LT needs the SPS flag"
+        wp = sps.sps_weighted_pred_flag or sps.sps_weighted_bipred_flag
+        for i, e in enumerate(self.entries):
+            is_lt = e[0] == "lt"
+            if sps.sps_long_term_ref_pics_flag:
+                w.flag(0 if is_lt else 1)  # st_ref_pic_flag
+            if is_lt:
+                continue  # POC LSB + MSB cycle follow in the post-amble
+            abs_delta_poc, sign = e
             coded = abs_delta_poc if (wp and i != 0) else abs_delta_poc - 1
             assert coded >= 0
             w.ue(coded)
             if abs_delta_poc > 0:
                 w.flag(sign)
+
+    def write_lt_info(self, w: BitWriter, sps: "SPS") -> None:
+        """ref_pic_lists() LT post-amble (spec 7.3.9)."""
+        for e in self.entries:
+            if e[0] != "lt":
+                continue
+            _, poc_lsb, msb_cycle = e
+            w.u(sps.sps_log2_max_pic_order_cnt_lsb_minus4 + 4, poc_lsb)
+            w.flag(1)  # delta_poc_msb_cycle_present_flag
+            w.ue(msb_cycle)
 
 
 @dataclass
@@ -883,6 +903,7 @@ class SliceHeader:
                 # write the list structure inline
                 assert len(sps.sps_ref_pic_lists[i]) == 0, "sps rpl not implemented"
                 rpl[i].write(w, sps, i, 0)
+                rpl[i].write_lt_info(w, sps)
                 # no LT entries supported
         if rpl is None and self.sh_slice_type != 2:
             raise NotImplementedError("inter slices need rpl")

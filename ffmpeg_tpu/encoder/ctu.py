@@ -30,15 +30,30 @@ def _sao_off() -> dict:
             "band_position": [0, 0, 0], "eo_class": [0, 0, 0]}
 
 
-def _rpl_deltas(rpls) -> list[int]:
-    """Cumulative POC deltas (current - ref) from a RefPicListStruct."""
+def rpl_pocs(poc: int, rpls, max_poc_lsb: int = 256) -> list[int]:
+    """Reference POCs from a RefPicListStruct (ST delta chain + LT
+    entries resolved via the MSB-cycle formula, spec 8.3.2)."""
     out = []
-    acc = 0
-    for abs_delta, sign in rpls.entries:
+    base = poc
+    prev_delta = 0
+    for e in rpls.entries:
+        if e[0] == "lt":
+            _, lsb, msb_cycle = e
+            delta = msb_cycle + prev_delta
+            out.append(lsb + poc - delta * max_poc_lsb
+                       - (poc & (max_poc_lsb - 1)))
+            prev_delta = delta
+            continue
+        abs_delta, sign = e
         d = -abs_delta if sign else abs_delta
-        acc += -d  # poc = base + d; delta-from-current accumulates
-        out.append(acc)
+        base += d
+        out.append(base)
     return out
+
+
+def _rpl_deltas(rpls) -> list[int]:
+    """Cumulative POC deltas (current - ref); ST-only lists."""
+    return [-d for d in rpl_pocs(0, rpls)]
 
 
 def mpm_candidates(a: int, b: int) -> list[int]:
@@ -213,7 +228,7 @@ class FrameSyntaxEncoder:
             from .mvs import MotionState
 
             poc = sh.ph.ph_pic_order_cnt_lsb
-            rpls = [[poc - d for d in _rpl_deltas(sh.sh_ref_pic_lists[i])]
+            rpls = [rpl_pocs(poc, sh.sh_ref_pic_lists[i])
                     for i in range(2)]
             self.num_ref_idx_active = sh.num_ref_idx_active(
                 pps, sh.sh_ref_pic_lists)

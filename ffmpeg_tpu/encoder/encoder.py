@@ -94,6 +94,9 @@ class EncoderConfig:
     bdof: bool = False    # bi-directional optical flow
     dmvr: bool = False    # decoder-side motion vector refinement
     sbt: bool = False     # subblock transform (inter CUs, one coded half)
+    # long-term reference: keep the IDR (poc 0) as an LT entry in L0 of
+    # every inter frame (POC LSB + MSB-cycle syntax, vvc_refs.c:415-466)
+    ltr: bool = False
     # intra toolset wave
     mip: bool = False     # matrix-based intra prediction
     cclm: bool = False    # cross-component linear model chroma
@@ -177,6 +180,7 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
         sps_affine_prof_enabled_flag=1 if (cfg.affine and cfg.prof) else 0,
         sps_bdof_enabled_flag=1 if cfg.bdof else 0,
         sps_sbt_enabled_flag=1 if cfg.sbt else 0,
+        sps_long_term_ref_pics_flag=1 if cfg.ltr else 0,
         sps_dmvr_enabled_flag=1 if cfg.dmvr else 0,
         sps_mts_enabled_flag=1 if (cfg.mts or cfg.mts_implicit) else 0,
         sps_joint_cbcr_enabled_flag=1 if cfg.joint_cbcr else 0,
@@ -797,10 +801,20 @@ def encode_stream(cfg: EncoderConfig):
         entries = []
         prev = cur
         for r in refs:
+            if isinstance(r, tuple) and r[0] == "lt":
+                # LT entry: POC LSB + MSB cycle resolving to r[1]
+                ltpoc = r[1]
+                lsb = ltpoc & 255
+                delta = ((cur - (cur & 255)) - (ltpoc - lsb)) // 256
+                entries.append(("lt", lsb, delta))
+                continue
             d = r - prev
             entries.append((abs(d), 1 if d < 0 else 0))
             prev = r
         return RefPicListStruct(entries=entries)
+
+    def poc_of(r):
+        return r[1] if isinstance(r, tuple) else r
 
     if cfg.ra:
         # GOP-4 pyramid in decode order (poc, l0_refs, l1_refs)
@@ -818,6 +832,15 @@ def encode_stream(cfg: EncoderConfig):
         frame_plan = schedule
     else:
         frame_plan = [(poc, None, None) for poc in range(cfg.n_frames)]
+    if cfg.ltr:
+        # keep the IDR (poc 0) alive as a long-term reference appended
+        # to L0 of every inter frame
+        frame_plan = [
+            (poc,
+             ([*(l0 or [poc - 1]), ("lt", 0)] if poc > 0 else l0),
+             ((l1 or ([poc - 1] if cfg.b_slices else None))
+              if poc > 0 else l1))
+            for poc, l0, l1 in frame_plan]
 
     for poc, l0_refs, l1_refs in frame_plan:
         is_p = cfg.inter and poc > 0
@@ -835,11 +858,11 @@ def encode_stream(cfg: EncoderConfig):
             sh.ph.ph_intra_slice_allowed_flag = 1
             if l0_refs is not None:
                 sh.sh_ref_pic_lists = (rpl_from_pocs(poc, l0_refs),
-                                       rpl_from_pocs(poc, l1_refs))
-                if max(len(l0_refs), len(l1_refs)) > 1:
+                                       rpl_from_pocs(poc, l1_refs or []))
+                if max(len(l0_refs), len(l1_refs or [])) > 1:
                     sh.sh_num_ref_idx_active_override_flag = 1
                     sh.sh_num_ref_idx_active_minus1 = (
-                        len(l0_refs) - 1, len(l1_refs) - 1)
+                        len(l0_refs) - 1, max(len(l1_refs or []) - 1, 0))
             else:
                 # short-term ref(s): the previous frame (delta_poc -1)
                 l1 = (RefPicListStruct(entries=[(1, 1)]) if cfg.b_slices
@@ -936,7 +959,7 @@ def encode_stream(cfg: EncoderConfig):
             refs_all = (l0_refs or [poc - 1]) + (l1_refs or
                                                  ([poc - 1]
                                                   if cfg.b_slices else []))
-            fse.no_backward_pred = all(r < poc for r in refs_all)
+            fse.no_backward_pred = all(poc_of(r) < poc for r in refs_all)
         if cfg.mmvd_fullpel:
             sh.ph.ph_mmvd_fullpel_only_flag = int(rng.integers(0, 2))
         if cfg.weighted_pred and is_p:

@@ -2390,7 +2390,20 @@ class Decoder {
       const RefPicListStruct& rpl = sh_.rpl[lx];
       out.nb_refs[lx] = rpl.num_ref_entries;
       int poc_base = out.poc;
+      const int max_lsb = 1 << sps_.log2_max_poc_lsb;
+      int prev_delta_msb = 0, j = 0;
       for (int i = 0; i < rpl.num_ref_entries && i < 16; i++) {
+        if (i < (int)rpl.is_lt.size() && rpl.is_lt[i]) {
+          // FullPocLt (poc_lt, vvc_refs.c:401-414); the parser
+          // requires the MSB cycle so full POCs resolve up front
+          const int delta = rpl.lt_msb_cycle[j] + prev_delta_msb;
+          int lt_poc = rpl.lt_poc_lsb[j] + out.poc - delta * max_lsb -
+                       (out.poc & (max_lsb - 1));
+          prev_delta_msb = delta;
+          out.ref_pocs[lx][i] = lt_poc;
+          j++;
+          continue;
+        }
         int d = rpl.sign[i] ? -rpl.abs_delta_poc_st[i]
                             : rpl.abs_delta_poc_st[i];
         poc_base += d;
@@ -2415,6 +2428,10 @@ class Decoder {
         int idx = -1, old_diff = 0;
         for (int i = 0; i < sh_.num_ref_idx_active[lx] &&
                         i < out.nb_refs[lx]; i++) {
+          // SMVD considers short-term refs only (smvd_ref_idx,
+          // vvcdec.c:363-375)
+          if (i < (int)sh_.rpl[lx].is_lt.size() && sh_.rpl[lx].is_lt[i])
+            continue;
           int diff = out.poc - out.ref_pocs[lx][i];
           bool better = positive ? (diff > 0 && (idx < 0 || diff < old_diff))
                                  : (diff < 0 && (idx < 0 || diff > old_diff));

@@ -76,15 +76,41 @@ void derive_chroma_qp_table(Sps& sps, int num_tables, int same_for_all,
 void parse_rpl_struct(BitReader& r, const Sps& sps, RefPicListStruct& rpl,
                       int /*list_idx*/) {
   rpl.num_ref_entries = r.ue();
-  VVC_UNSUPPORTED(sps.sps_long_term_ref_pics_flag, "long-term ref pics");
+  // inline rpl structs (rplsIdx == sps_num_ref_pic_lists): the
+  // ltrp_in_header_flag is inferred 1, so LT POC info follows in the
+  // ref_pic_lists() post-amble (cbs_h266_syntax_template.c:445-450)
   int wp = sps.sps_weighted_pred_flag || sps.sps_weighted_bipred_flag;
   for (int i = 0; i < rpl.num_ref_entries; i++) {
-    int coded = r.ue();
-    int abs_delta = (wp && i != 0) ? coded : coded + 1;
-    int sign = 0;
-    if (abs_delta > 0) sign = r.flag();
-    rpl.abs_delta_poc_st.push_back(abs_delta);
-    rpl.sign.push_back(sign);
+    int is_st = 1;
+    if (sps.sps_long_term_ref_pics_flag) is_st = r.flag();
+    rpl.is_lt.push_back(!is_st);
+    if (is_st) {
+      int coded = r.ue();
+      int abs_delta = (wp && i != 0) ? coded : coded + 1;
+      int sign = 0;
+      if (abs_delta > 0) sign = r.flag();
+      rpl.abs_delta_poc_st.push_back(abs_delta);
+      rpl.sign.push_back(sign);
+    } else {
+      rpl.abs_delta_poc_st.push_back(0);
+      rpl.sign.push_back(0);
+    }
+  }
+}
+
+// LT post-amble of ref_pic_lists() (spec 7.3.9): per LT entry the POC
+// LSB (inline structs only) and the optional MSB cycle
+void parse_rpl_lt_info(BitReader& r, const Sps& sps, RefPicListStruct& rpl) {
+  for (int j = 0; j < rpl.num_lt(); j++) {
+    rpl.lt_poc_lsb.push_back(r.u(sps.log2_max_poc_lsb));
+    if (r.flag()) {
+      rpl.lt_msb_cycle.push_back((int)r.ue());
+    } else {
+      // without the MSB cycle the LT picture resolves by LSB match
+      // against the DPB (add_candidate_ref use_msb=0) — the parser
+      // computes full POCs up front, so require the cycle
+      VVC_UNSUPPORTED(1, "LT ref without delta_poc_msb_cycle");
+    }
   }
 }
 
@@ -639,7 +665,10 @@ SliceHeader parse_slice_header(BitReader& r, int nal_type, const Sps& sps,
   bool has_rpl = !pps.pps_rpl_info_in_ph_flag &&
                  (!is_idr || sps.sps_idr_rpl_present_flag);
   if (has_rpl) {
-    for (int i = 0; i < 2; i++) parse_rpl_struct(r, sps, sh.rpl[i], i);
+    for (int i = 0; i < 2; i++) {
+      parse_rpl_struct(r, sps, sh.rpl[i], i);
+      parse_rpl_lt_info(r, sps, sh.rpl[i]);
+    }
   }
   if ((sh.sh_slice_type != 2 && sh.rpl[0].num_ref_entries > 1) ||
       (sh.sh_slice_type == 0 && sh.rpl[1].num_ref_entries > 1)) {

@@ -152,9 +152,19 @@ struct Pps {
 
 struct RefPicListStruct {
   int num_ref_entries = 0;
-  // short-term only for now
-  std::vector<int> abs_delta_poc_st;
+  // per-entry: ST delta chain or long-term reference (spec 7.3.10;
+  // inline rpl structs have ltrp_in_header inferred 1, so LT POC LSBs
+  // and MSB cycles arrive in the ref_pic_lists() post-amble)
+  std::vector<int> abs_delta_poc_st;  // 0 for LT entries
   std::vector<int> sign;
+  std::vector<int> is_lt;
+  std::vector<int> lt_poc_lsb;     // per LT entry (j-indexed)
+  std::vector<int> lt_msb_cycle;   // per LT entry; -1 = not present
+  int num_lt() const {
+    int n = 0;
+    for (int v : is_lt) n += v;
+    return n;
+  }
 };
 
 // Adaptation parameter set (spec 7.3.2.5; reference cbs template aps()
