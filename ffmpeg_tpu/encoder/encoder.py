@@ -97,6 +97,12 @@ class EncoderConfig:
     # long-term reference: keep the IDR (poc 0) as an LT entry in L0 of
     # every inter frame (POC LSB + MSB-cycle syntax, vvc_refs.c:415-466)
     ltr: bool = False
+    # open GOP: a mid-stream CRA with RASL leading pictures that
+    # reference across it (seek-into-CRA drops the RASL output)
+    cra: bool = False
+    # gradual decoding refresh: a mid-stream GDR picture with
+    # ph_recovery_poc_cnt (start-at-GDR suppresses pre-recovery output)
+    gdr: bool = False
     # intra toolset wave
     mip: bool = False     # matrix-based intra prediction
     cclm: bool = False    # cross-component linear model chroma
@@ -171,7 +177,7 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
             cfg.max_tt_size.bit_length() - 1 - min_qt_log2
             if cfg.max_mtt_depth else 0),
         sps_sao_enabled_flag=1 if cfg.sao else 0,
-        dpb_max_num_reorder_pics=2 if cfg.ra else 0,
+        dpb_max_num_reorder_pics=2 if (cfg.ra or cfg.cra) else 0,
         sps_temporal_mvp_enabled_flag=1 if (cfg.tmvp or cfg.sbtmvp) else 0,
         sps_sbtmvp_enabled_flag=1 if cfg.sbtmvp else 0,
         sps_affine_enabled_flag=1 if cfg.affine else 0,
@@ -181,6 +187,7 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
         sps_bdof_enabled_flag=1 if cfg.bdof else 0,
         sps_sbt_enabled_flag=1 if cfg.sbt else 0,
         sps_long_term_ref_pics_flag=1 if cfg.ltr else 0,
+        sps_gdr_enabled_flag=1 if cfg.gdr else 0,
         sps_dmvr_enabled_flag=1 if cfg.dmvr else 0,
         sps_mts_enabled_flag=1 if (cfg.mts or cfg.mts_implicit) else 0,
         sps_joint_cbcr_enabled_flag=1 if cfg.joint_cbcr else 0,
@@ -816,7 +823,35 @@ def encode_stream(cfg: EncoderConfig):
     def poc_of(r):
         return r[1] if isinstance(r, tuple) else r
 
-    if cfg.ra:
+    if cfg.cra:
+        # open GOP in decode order: trailing P/B frames, a CRA, then
+        # RASL leading pictures referencing across the CRA
+        assert cfg.inter and cfg.b_slices and not cfg.ra
+        n = cfg.n_frames_total()
+        assert n >= 6, "cra streams need >= 6 frames"
+        k = n // 2  # CRA at poc k+1, RASL at poc k
+        from ..bitstream.bits import NAL_CRA, NAL_RASL
+        frame_plan = [(0, None, None, None)]
+        frame_plan += [(p, [p - 1], [p - 1], None) for p in range(1, k)]
+        frame_plan += [(k + 1, None, None, NAL_CRA),
+                       (k, [k - 1], [k + 1], NAL_RASL)]
+        frame_plan += [(p, [p - 1], [p - 1], None)
+                       for p in range(k + 2, n + 1)]
+    elif cfg.gdr:
+        # a mid-stream GDR picture (intra slice here; the reference
+        # does not verify refresh areas) with a 2-frame recovery period
+        assert cfg.inter
+        from ..bitstream.bits import NAL_GDR
+        n = cfg.n_frames_total()
+        assert n >= 5, "gdr streams need >= 5 frames"
+        k = n // 2
+        frame_plan = [(0, None, None, None)]
+        frame_plan += [(p, [p - 1], [p - 1] if cfg.b_slices else None,
+                        None) for p in range(1, k)]
+        frame_plan += [(k, None, None, NAL_GDR)]
+        frame_plan += [(p, [p - 1], [p - 1] if cfg.b_slices else None,
+                        None) for p in range(k + 1, n)]
+    elif cfg.ra:
         # GOP-4 pyramid in decode order (poc, l0_refs, l1_refs)
         assert cfg.inter and cfg.b_slices, "ra implies inter B slices"
         schedule = [(0, None, None)]
@@ -842,11 +877,20 @@ def encode_stream(cfg: EncoderConfig):
               if poc > 0 else l1))
             for poc, l0, l1 in frame_plan]
 
-    for poc, l0_refs, l1_refs in frame_plan:
-        is_p = cfg.inter and poc > 0
-        nal_type = NAL_TRAIL if is_p else NAL_IDR_N_LP
+    from ..bitstream.bits import NAL_CRA, NAL_GDR
+    for entry in frame_plan:
+        poc, l0_refs, l1_refs = entry[:3]
+        nal_override = entry[3] if len(entry) > 3 else None
+        # CRA/GDR pictures are generated as intra frames here
+        is_p = cfg.inter and poc > 0 and nal_override not in (NAL_CRA,
+                                                              NAL_GDR)
+        nal_type = nal_override if nal_override is not None else (
+            NAL_TRAIL if is_p else NAL_IDR_N_LP)
         sh = SliceHeader(nal_unit_type=nal_type)
         sh.ph.ph_pic_order_cnt_lsb = poc & 0xFFFF
+        if nal_override == NAL_GDR:
+            sh.ph.ph_gdr_pic_flag = 1
+            sh.ph.ph_recovery_poc_cnt = 2
         if cfg.dep_quant:
             sh.sh_dep_quant_used_flag = 1
         elif cfg.sign_hiding:

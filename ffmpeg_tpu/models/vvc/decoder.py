@@ -127,6 +127,14 @@ class VVCDecoder:
         self._parse_ahead = 2 * cfg.host_threads
         self._dpb: dict[int, list] = {}  # poc -> [Y, Cb, Cr] device planes
         self._epoch_base = 0  # monotone across decode() calls (TMVP keys)
+        # open-GOP / gradual-recovery output state (decode_recovery_flag
+        # + decode_recovery_poc, vvc_ps.c:745-762; suppression rule
+        # vvc_refs.c:178): a CRA/GDR that STARTS decoding (after
+        # construction or flush) suppresses output of its RASL leading
+        # pictures / pre-recovery-point pictures
+        self._last_eos = True
+        self._no_out_before_rec = False
+        self._recovery_poc = None  # GDR recovery point (None = recovered)
 
     def flush(self) -> None:
         """Drop all inter-frame stream state (avcodec_flush_buffers /
@@ -138,6 +146,9 @@ class VVCDecoder:
         self._dpb.clear()
         self._colstore = ColStore()
         self._epoch_base = 0
+        self._last_eos = True
+        self._no_out_before_rec = False
+        self._recovery_poc = None
         # re-bind the pooled host parsers to the fresh colstore
         hosts = []
         while not self._hosts.empty():
@@ -182,7 +193,7 @@ class VVCDecoder:
             return fs, prepare_frame(fs)
 
     def _split_aus(self, data: bytes):
-        """[(is_idr, epoch, au_bytes)] where each AU is self-contained:
+        """[(nal_type, epoch, au_bytes)] where each AU is self-contained:
         the parameter sets seen so far are prepended, so any worker can
         parse any AU without shared state.  `epoch` counts IDRs so the
         TMVP store can disambiguate restarted POCs under parse-ahead."""
@@ -201,10 +212,9 @@ class VVCDecoder:
                 continue
             cur.append(raw)
             if t <= 10:  # slice NAL closes an AU (v1: one slice per frame)
-                is_idr = t in (7, 8)
-                if is_idr:
+                if t in (7, 8):  # IDR resets the POC sequence
                     epoch += 1
-                aus.append((is_idr, max(epoch, base),
+                aus.append((t, max(epoch, base),
                             b"".join(params) + b"".join(cur)))
                 cur = []
         self._epoch_base = epoch + 1
@@ -233,7 +243,7 @@ class VVCDecoder:
             window.clear()
             return out
 
-        inflight: deque = deque()  # (is_idr, epoch, future), decode order
+        inflight: deque = deque()  # (nal_type, epoch, future), decode order
         next_submit = 0
         # output reordering (DPB bumping): frames leave in POC order,
         # held back by at most sps_dpb_max_num_reorder_pics
@@ -244,8 +254,8 @@ class VVCDecoder:
             nonlocal next_submit
             while (next_submit < len(aus)
                    and len(inflight) < self._parse_ahead):
-                is_idr, epoch, au = aus[next_submit]
-                inflight.append((is_idr, epoch,
+                nal_type, epoch, au = aus[next_submit]
+                inflight.append((nal_type, epoch,
                                  self._exec.submit(self._parse_au, au, epoch)))
                 next_submit += 1
 
@@ -269,7 +279,8 @@ class VVCDecoder:
         top_up()
         first = True
         while inflight:
-            is_idr, epoch, fut = inflight.popleft()
+            nal_type, epoch, fut = inflight.popleft()
+            is_idr = nal_type in (7, 8)
             try:
                 parsed = fut.result()
             except Exception as e:
@@ -332,11 +343,29 @@ class VVCDecoder:
                     del self._dpb[poc]
             log.debug("decoded poc %d (%dx%d), dpb=%d", fs.poc, fs.width,
                       fs.height, len(self._dpb))
-            cl, cr2, ct, cb2 = getattr(fs, "crop", (0, 0, 0, 0))
-            pending_out.append(Frame(poc=fs.poc, buf=packed,
-                                     width=fs.width - cl - cr2,
-                                     height=fs.height - ct - cb2,
-                                     bit_depth=fs.bit_depth))
+            # recovery-output model (vvc_ps.c:745-762, vvc_refs.c:178):
+            # IDR clears it; CRA/GDR only suppress when they start the
+            # CLVS (session start / post-flush)
+            if is_idr:
+                self._no_out_before_rec = False
+                self._recovery_poc = None
+            elif nal_type in (9, 10):  # CRA / GDR
+                self._no_out_before_rec = self._last_eos
+                if self._no_out_before_rec and nal_type == 10:
+                    self._recovery_poc = fs.poc + fs.recovery_poc_cnt
+            self._last_eos = False
+            recovered = (self._recovery_poc is None
+                         or self._recovery_poc <= fs.poc)
+            if recovered:
+                self._recovery_poc = None
+            suppress = self._no_out_before_rec and (nal_type == 3
+                                                    or not recovered)
+            if not suppress:
+                cl, cr2, ct, cb2 = getattr(fs, "crop", (0, 0, 0, 0))
+                pending_out.append(Frame(poc=fs.poc, buf=packed,
+                                         width=fs.width - cl - cr2,
+                                         height=fs.height - ct - cb2,
+                                         bit_depth=fs.bit_depth))
             yield from bump()
         yield from bump(all_of_them=True)
         if window:

@@ -178,6 +178,8 @@ class FrameSyntax:
     alf: dict | None = None
     # conformance-window crop (left, right, top, bottom) in luma samples
     crop: tuple = (0, 0, 0, 0)
+    gdr_pic: int = 0           # ph_gdr_pic_flag
+    recovery_poc_cnt: int = 0  # ph_recovery_poc_cnt
 
 
 class NativeFrame:
@@ -229,7 +231,7 @@ class HostDecoder:
         if ret != 0:
             raise RuntimeError(
                 f"native decode error: {self._lib.vvch_last_error().decode()}")
-        info = (ctypes.c_int32 * 25)()
+        info = (ctypes.c_int32 * 27)()
         self._lib.vvch_frame_info(self._h, info)
         if not info[0]:
             return None  # no frame in this AU (parameter sets only)
@@ -241,6 +243,7 @@ class HostDecoder:
         max_num_reorder = int(info[19])
         dep_quant = int(info[20])
         crop = tuple(int(v) for v in info[21:25])
+        gdr_pic, recovery_poc_cnt = int(info[25]), int(info[26])
 
         def plane(c_idx, pw, ph):
             ptr = self._lib.vvch_coeffs(self._h, c_idx)
@@ -374,6 +377,8 @@ class HostDecoder:
             lmcs=lmcs,
             alf=alf,
             crop=crop,
+            gdr_pic=gdr_pic,
+            recovery_poc_cnt=recovery_poc_cnt,
             fo=NativeFrame(self._lib,
                            self._lib.vvch_detach(self._h)),
         )

@@ -183,6 +183,8 @@ struct FrameOut {
   int slice_type = 2;  // 0=B 1=P 2=I
   int dep_quant = 0;   // sh_dep_quant_used_flag (drives dequant addin)
   int crop[4] = {0, 0, 0, 0};  // conf window L/R/T/B in LUMA samples
+  int gdr_pic = 0;             // ph_gdr_pic_flag
+  int recovery_poc_cnt = 0;    // ph_recovery_poc_cnt (GDR pictures)
   int cclm_vc = 0;     // sps_chroma_vertical_collocated_flag (CCLM dsy)
   int nb_refs[2] = {0, 0};
   int32_t ref_pocs[2][16] = {};
@@ -2300,6 +2302,8 @@ class Decoder {
     // (vvc_refs.c:188-191 — without the spec's SubWidthC scaling);
     // golden MD5s come from it, so mirror that observable behaviour
     for (int i = 0; i < 4; i++) out.crop[i] = pps_.conf_win[i];
+    out.gdr_pic = sh_.ph.ph_gdr_pic_flag;
+    out.recovery_poc_cnt = sh_.ph.ph_recovery_poc_cnt;
     out.cclm_vc = sps_.sps_chroma_vertical_collocated_flag;
     out.wpp = sps_.sps_entropy_coding_sync_enabled_flag;
     out.wp_active =
@@ -4813,6 +4817,8 @@ void vvch_frame_info(void* h, int32_t* info) {
   info[19] = o.max_num_reorder;
   info[20] = o.dep_quant;
   for (int i = 0; i < 4; i++) info[21 + i] = o.crop[i];
+  info[25] = o.gdr_pic;
+  info[26] = o.recovery_poc_cnt;
 }
 
 // tile boundaries in luma samples: out[0]=n_cols+1, out[1]=n_rows+1,

@@ -2,12 +2,17 @@
 synthesis, flush/seek restart, truncated input (VERDICT r1 item 9;
 reference behaviours: vvc_refs.c:316-347 gray refs, vvc_thread.c:605
 per-frame error containment, vvcdec.c:894 flush)."""
+import os
+
 import numpy as np
 import pytest
 
 from ffmpeg_tpu.bitstream.bits import split_annexb_raw
 from ffmpeg_tpu.encoder.encoder import EncoderConfig, encode_stream
 from ffmpeg_tpu.models.vvc.decoder import DecoderConfig, VVCDecoder
+
+REF_FFMPEG = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".refbuild", "ffmpeg")
 
 
 def _gen(**kw):
@@ -78,3 +83,51 @@ def test_garbage_input_contained():
                                                     dtype=np.uint8))
     frames = list(VVCDecoder().decode(junk))
     assert frames == []
+
+
+def _truncate_at(data: bytes, nal_keep: int) -> bytes:
+    """Parameter sets + every NAL from the first `nal_keep` NAL on."""
+    from ffmpeg_tpu.bitstream.bits import split_annexb_raw
+
+    params, keep, found = [], [], False
+    for t, _l, _tid, raw in split_annexb_raw(data):
+        if t in (12, 13, 14, 15, 16, 17, 18):
+            params.append(raw)
+            continue
+        if t == nal_keep:
+            found = True
+        if found:
+            keep.append(raw)
+    return b"".join(params + keep)
+
+
+@pytest.mark.parametrize("kind,nal", [("cra", 9), ("gdr", 10)])
+def test_seek_into_recovery_point(tmp_path, kind, nal):
+    """Decoding from a mid-stream CRA drops its RASL leading pictures;
+    decoding from a GDR suppresses output before the recovery point
+    (decode_recovery_flag/poc, vvc_ps.c:745-762; vvc_refs.c:178).
+    Output must match the reference decoder on the truncated stream."""
+    import subprocess
+    import sys
+
+    from ffmpeg_tpu.encoder.encoder import EncoderConfig, encode_stream
+    from ffmpeg_tpu.models.vvc.decoder import VVCDecoder
+
+    if not os.path.exists(REF_FFMPEG):
+        pytest.skip("reference ffmpeg not built")
+    kw = dict(width=96, height=64, qp=30, inter=True, deblock=True)
+    if kind == "cra":
+        kw.update(b_slices=True, n_frames=8, cra=True, seed=911)
+    else:
+        kw.update(n_frames=7, gdr=True, seed=912)
+    data, _ = encode_stream(EncoderConfig(**kw))
+    sub = _truncate_at(data, nal)
+    path = tmp_path / "sub.vvc"
+    path.write_bytes(sub)
+    out = subprocess.run(
+        [REF_FFMPEG, "-hide_banner", "-loglevel", "error", "-i", str(path),
+         "-f", "framemd5", "-"], capture_output=True, text=True, check=True)
+    ref = [ln.split(",")[-1].strip() for ln in out.stdout.splitlines()
+           if ln and not ln.startswith("#")]
+    got = [f.md5() for f in VVCDecoder().decode(sub)]
+    assert got == ref
