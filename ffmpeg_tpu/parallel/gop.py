@@ -142,11 +142,18 @@ def decode_gop_mesh(data: bytes, mesh=None):
 
     shape_y, shape_c = PL._padded_plane_shapes(W, H, ctb_log2)
     mid = 1 << (frames[0].bit_depth - 1)
-    pools = [jnp.full((POOL_SLOTS + 2,) + shp, mid, jnp.int32)
-             for shp in (shape_y, shape_c, shape_c)]
-
+    # DPB pool SHARDED across the frame axis (slot i lives on device
+    # i*F/slots): resident HBM per device is pool/F, and a wave's
+    # reference reads become XLA cross-shard gathers — the collective
+    # replacing the reference's progress/listener machinery
+    # (vvc_refs.c:492-565).  Slot count padded to a multiple of F.
+    n_slots = ((POOL_SLOTS + 2 + F - 1) // F) * F
     sh_frame = NamedSharding(mesh, P("frame"))
+    sh_slot = NamedSharding(mesh, P("frame"))
     sh_rep = NamedSharding(mesh, P())
+    pools = [jax.device_put(
+        jnp.full((n_slots,) + shp, mid, jnp.int32), sh_slot)
+        for shp in (shape_y, shape_c, shape_c)]
 
     def wave_fn(bufs_w, slot_ids_w, out_slots_w, *pools_w):
         def one(buf, sl):
@@ -161,8 +168,9 @@ def decode_gop_mesh(data: bytes, mesh=None):
 
     wave_jit = jax.jit(
         wave_fn,
-        in_shardings=(sh_frame, sh_frame, sh_rep, sh_rep, sh_rep, sh_rep),
-        out_shardings=(sh_frame, (sh_rep, sh_rep, sh_rep)))
+        in_shardings=(sh_frame, sh_frame, sh_rep,
+                      sh_slot, sh_slot, sh_slot),
+        out_shardings=(sh_frame, (sh_slot, sh_slot, sh_slot)))
 
     results = {}
     with mesh:
@@ -185,3 +193,36 @@ def decode_gop_mesh(data: bytes, mesh=None):
     return [(poc, hashlib.md5(results[poc].tobytes()).hexdigest(),
              results[poc])
             for poc in sorted(results)]
+
+
+def measure_scaling(data: bytes, device_counts, reps: int = 2):
+    """Frames/s vs mesh width for one GOP (VERDICT r3 item 7): decodes
+    the same buffer at each frame-axis width, timing warm repetitions,
+    and checks MD5 equality across widths.  Returns
+    {F: {"fps": .., "efficiency": ..}, "md5_equal": bool}."""
+    import time
+
+    import jax
+
+    from .mesh import make_mesh
+
+    out = {}
+    md5s = {}
+    for F in device_counts:
+        if F > len(jax.devices()):
+            continue
+        mesh = make_mesh(F, frame_axis=F)
+        decode_gop_mesh(data, mesh)  # warm (compile)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            gop = decode_gop_mesh(data, mesh)
+        dt = (time.perf_counter() - t0) / reps
+        md5s[F] = [m for _, m, _ in gop]
+        out[F] = {"fps": round(len(gop) / dt, 3)}
+    base = min(out)
+    for F in out:
+        out[F]["efficiency"] = round(
+            out[F]["fps"] / (out[base]["fps"] * F / base), 3)
+    ref = next(iter(md5s.values()))
+    out["md5_equal"] = all(v == ref for v in md5s.values())
+    return out
