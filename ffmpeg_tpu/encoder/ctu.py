@@ -1410,26 +1410,32 @@ class FrameSyntaxEncoder:
         payload, _bits = self.enc.finish()
         return payload
 
-    def encode_slice_data(self, trees: list) -> tuple[bytes, list]:
-        """Tile-major slice_data() encode (spec 6.5.1 CTB scan): each
-        tile is an independent CABAC sub-stream with re-initialised
-        contexts, separated by end_of_tile_one_bit terminates.  Returns
+    def encode_slice_data(self, trees: list, t_lo: int = 0,
+                          t_hi: int | None = None) -> tuple[bytes, list]:
+        """Tile-major slice_data() encode (spec 6.5.1 CTB scan) for the
+        tile range [t_lo, t_hi): each tile is an independent CABAC
+        sub-stream with re-initialised contexts, separated by
+        end_of_tile_one_bit terminates.  A raster slice is exactly such
+        a range; the last CTU emits end_of_slice_one_bit.  Returns
         (payload, sh_entry_point_offset_minus1 values in escaped-byte
         units, 7.4.8.1 / ep carving vvcdec.c:426-451)."""
         segs = []
         wpp = bool(self.sps.sps_entropy_coding_sync_enabled_flag)
         n_tile_cols = len(self.tile_col_w)
         n_tiles = n_tile_cols * len(self.tile_row_h)
+        if t_hi is None:
+            t_hi = n_tiles
         col_bd, row_bd = [0], [0]
         for tw in self.tile_col_w:
             col_bd.append(col_bd[-1] + tw)
         for th in self.tile_row_h:
             row_bd.append(row_bd[-1] + th)
         saved = None
-        for t in range(n_tiles):
+        self._new_engine()
+        for t in range(t_lo, t_hi):
             tx, ty = t % n_tile_cols, t // n_tile_cols
             for ry in range(row_bd[ty], row_bd[ty + 1]):
-                new_tile = t > 0 and ry == row_bd[ty]
+                new_tile = t > t_lo and ry == row_bd[ty]
                 new_row = wpp and ry > row_bd[ty]
                 if new_tile or new_row:
                     # end_of_tile_one_bit / end_of_subset_one_bit, flush
@@ -1437,7 +1443,7 @@ class FrameSyntaxEncoder:
                     segs.append(self.enc.finish()[0])
                     self._new_engine(restore=saved if new_row else None)
                 for rx in range(col_bd[tx], col_bd[tx + 1]):
-                    last = (t == n_tiles - 1 and ry == row_bd[ty + 1] - 1
+                    last = (t == t_hi - 1 and ry == row_bd[ty + 1] - 1
                             and rx == col_bd[tx + 1] - 1)
                     self.encode_ctu(rx, ry, trees[ry * self.ctb_w + rx],
                                     last)

@@ -97,6 +97,9 @@ class EncoderConfig:
     # long-term reference: keep the IDR (poc 0) as an LT entry in L0 of
     # every inter frame (POC LSB + MSB-cycle syntax, vvc_refs.c:415-466)
     ltr: bool = False
+    # raster multi-slice: number of slices per picture (each slice a
+    # contiguous tile range; needs tiles and a separate PH NAL)
+    n_slices: int = 1
     # open GOP: a mid-stream CRA with RASL leading pictures that
     # reference across it (seek-into-CRA drops the RASL output)
     cra: bool = False
@@ -1020,12 +1023,26 @@ def encode_stream(cfg: EncoderConfig):
                 .alf_cc_cr_filters_signalled_minus1 + 1)
         fse.qp_delta_rng = rng
         fse.tool_rng = rng
-        payload, ep_offsets = fse.encode_slice_data(trees)
-        sh.sh_entry_point_offsets = tuple(ep_offsets)
         n_tiles = len(fse.tile_col_w) * len(fse.tile_row_h)
-        if n_tiles > 1:  # raster slice covering every tile
-            sh.sh_slice_address = 0
-            sh.sh_num_tiles_in_slice_minus1 = n_tiles - 1
+        if cfg.n_slices > 1:
+            # raster multi-slice: split the tile range into contiguous
+            # per-slice chunks; each slice is its own NAL after a
+            # separate PH NAL (7.4.8 requires the PH NAL when a picture
+            # has more than one slice)
+            assert 1 < cfg.n_slices <= n_tiles, \
+                "n_slices needs at least that many tiles"
+            bounds = [round(k * n_tiles / cfg.n_slices)
+                      for k in range(cfg.n_slices + 1)]
+            slice_payloads = []
+            for lo, hi in zip(bounds, bounds[1:]):
+                payload, eps = fse.encode_slice_data(trees, lo, hi)
+                slice_payloads.append((lo, hi - lo, payload, eps))
+        else:
+            payload, ep_offsets = fse.encode_slice_data(trees)
+            sh.sh_entry_point_offsets = tuple(ep_offsets)
+            if n_tiles > 1:  # raster slice covering every tile
+                sh.sh_slice_address = 0
+                sh.sh_num_tiles_in_slice_minus1 = n_tiles - 1
         # snapshot this frame's motion for TMVP readers
         if cfg.tmvp:
             import numpy as _np
@@ -1041,16 +1058,33 @@ def encode_stream(cfg: EncoderConfig):
                                   _np.full((2, ph4, pw4), -1, _np.int32),
                                   ((), ()))
 
-        if cfg.separate_ph:
+        if cfg.n_slices > 1:
+            import copy
             sh.sh_picture_header_in_slice_header_flag = 0
             if cfg.lmcs:
                 sh.sh_lmcs_used_flag = 1
             out += sh.ph.to_nal(sps, pps)
-        w = BitWriter()
-        sh.write(w, sps, pps, num_tiles_in_pic=n_tiles)
-        assert w.bit_length % 8 == 0
-        rbsp = w.to_bytes() + payload + b"\x80"  # rbsp stop bit byte
-        out += make_nal(nal_type, rbsp)
+            for addr, cnt, payload_k, eps in slice_payloads:
+                sk = copy.deepcopy(sh)
+                sk.sh_slice_address = addr
+                sk.sh_num_tiles_in_slice_minus1 = cnt - 1
+                sk.sh_entry_point_offsets = tuple(eps)
+                w = BitWriter()
+                sk.write(w, sps, pps, num_tiles_in_pic=n_tiles)
+                assert w.bit_length % 8 == 0
+                out += make_nal(nal_type,
+                                w.to_bytes() + payload_k + b"\x80")
+        else:
+            if cfg.separate_ph:
+                sh.sh_picture_header_in_slice_header_flag = 0
+                if cfg.lmcs:
+                    sh.sh_lmcs_used_flag = 1
+                out += sh.ph.to_nal(sps, pps)
+            w = BitWriter()
+            sh.write(w, sps, pps, num_tiles_in_pic=n_tiles)
+            assert w.bit_length % 8 == 0
+            rbsp = w.to_bytes() + payload + b"\x80"  # rbsp stop bit byte
+            out += make_nal(nal_type, rbsp)
 
         intent["frames"].append({
             "poc": poc,

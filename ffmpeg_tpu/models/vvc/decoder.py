@@ -201,22 +201,43 @@ class VVCDecoder:
 
         params: list[bytes] = []
         cur: list[bytes] = []
+        cur_slice_type: int | None = None
+        cur_has_ph = False
         aus = []
         # epochs are monotone across decode() calls on this session so
         # restarted POCs never alias older TMVP entries
         base = self._epoch_base
         epoch = base - 1
+
+        def close():
+            nonlocal cur, cur_slice_type, cur_has_ph, epoch
+            if cur_slice_type is not None:
+                if cur_slice_type in (7, 8):  # IDR resets POC sequence
+                    epoch += 1
+                aus.append((cur_slice_type, max(epoch, base),
+                            b"".join(params) + b"".join(cur)))
+            cur, cur_slice_type, cur_has_ph = [], None, False
+
         for t, _layer, _tid, raw in split_annexb_raw(data):
             if t in _PARAM_NAL_TYPES:
                 params.append(raw)
                 continue
+            if t == 19:  # PH NAL opens a new AU (multi-slice pictures
+                #          carry the picture header in its own NAL —
+                #          7.4.8 requires it when a picture has more
+                #          than one slice; find_frame_end analog)
+                close()
+                cur.append(raw)
+                cur_has_ph = True
+                continue
             cur.append(raw)
-            if t <= 10:  # slice NAL closes an AU (v1: one slice per frame)
-                if t in (7, 8):  # IDR resets the POC sequence
-                    epoch += 1
-                aus.append((t, max(epoch, base),
-                            b"".join(params) + b"".join(cur)))
-                cur = []
+            if t <= 10:  # coded slice
+                if cur_slice_type is None:
+                    cur_slice_type = t
+                if not cur_has_ph:
+                    # in-slice picture header => exactly one slice/AU
+                    close()
+        close()
         self._epoch_base = epoch + 1
         return aus
 

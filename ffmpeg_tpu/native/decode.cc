@@ -2280,8 +2280,22 @@ class Decoder {
                         !pps_.pps_loop_filter_across_tiles_enabled_flag,
                     "loop filter disabled across tiles (todo)");
 
-    // frame setup
-  out.width = pps_.width;
+    // multi-slice pictures: frame state initializes on the first slice
+    // only; later slices parse their tile ranges into the same FrameOut
+    // (the decode_slice/frame_start split, vvcdec.c:598-723)
+    if (!frame_in_progress_) {
+      frame_in_progress_ = true;
+      tiles_done_ = 0;
+      frame_setup();
+    }
+    decode_slice_data(nal, r);
+  }
+
+  bool frame_in_progress_ = false;
+  int tiles_done_ = 0;
+
+  void frame_setup() {
+    out.width = pps_.width;
     out.height = pps_.height;
     out.bit_depth = sps_.bit_depth;
     out.chroma_format_idc = sps_.sps_chroma_format_idc;
@@ -2459,6 +2473,15 @@ class Decoder {
         throw std::runtime_error("tmvp: collocated picture unavailable");
     }
 
+    tab_qpy_.assign((size_t)mcb_w_ * mcb_h_, sh_.slice_qp_y);
+    {
+      int ctb_w = (pps_.width + sps_.ctb_size_y - 1) >> sps_.ctb_log2_size_y;
+      int ctb_h = (pps_.height + sps_.ctb_size_y - 1) >> sps_.ctb_log2_size_y;
+      out.sao.assign((size_t)ctb_w * ctb_h * SAO_N, 0);
+    }
+  }
+
+  void decode_slice_data(const Nal& nal, BitReader& r) {
     int init_type = 2 - sh_.sh_slice_type;
     if (sh_.sh_cabac_init_flag && sh_.sh_slice_type != 2) init_type ^= 3;
     int qp = sh_.slice_qp_y < 0 ? 0 : (sh_.slice_qp_y > 63 ? 63 : sh_.slice_qp_y);
@@ -2467,15 +2490,12 @@ class Decoder {
     cu_qp_delta_subdiv_ = sh_.sh_slice_type == 2
         ? sh_.ph.ph_cu_qp_delta_subdiv_intra_slice
         : sh_.ph.ph_cu_qp_delta_subdiv_inter_slice;
-    tab_qpy_.assign((size_t)mcb_w_ * mcb_h_, sh_.slice_qp_y);
 
     CabacDecoder cd(r.data(), r.size(), sh_.data_bitpos);
     cd_ = &cd;
 
     int ctb_w = (pps_.width + sps_.ctb_size_y - 1) >> sps_.ctb_log2_size_y;
     int ctb_h = (pps_.height + sps_.ctb_size_y - 1) >> sps_.ctb_log2_size_y;
-    int n_ctus = ctb_w * ctb_h;
-    out.sao.assign((size_t)n_ctus * SAO_N, 0);
 
     // entry-point rbsp byte starts: signaled escaped offsets adjusted
     // by the NAL's emulation-byte positions (ep_init_cabac_decoder,
@@ -2545,6 +2565,10 @@ class Decoder {
     if (!cd.terminate())
       throw std::runtime_error("end_of_slice_one_bit != 1");
     cd_ = nullptr;
+    // the frame completes when every tile has been covered by a slice
+    tiles_done_ += t_cnt;
+    if (tiles_done_ < n_tiles) return;
+    frame_in_progress_ = false;
     // publish this picture's motion field for later TMVP readers;
     // DMVR frames defer publication to vvch_dmvr_apply (the refined
     // subblock MVs must land in the collocated store first)
