@@ -37,13 +37,13 @@ BUDGET_S = float(os.environ.get("FFMPEG_TPU_BENCH_BUDGET_S", "540"))
 T_START = time.perf_counter()
 
 # config 1 (headline, BASELINE.md): all-intra 8-bit 4:2:0 720p
-AI_KW = dict(width=1280, height=720, n_frames=8, seed=7, qp=30)
+AI_KW = dict(width=1280, height=720, n_frames=16, seed=7, qp=30)
 # config 2: random-access 1080p (translational MC, SAO, DPB mgmt)
-RA_KW = dict(width=1920, height=1080, n_frames=9, seed=11, qp=32,
+RA_KW = dict(width=1920, height=1080, n_frames=17, seed=11, qp=32,
              inter=True, b_slices=True, ra=True, tmvp=True,
              deblock=True, sao=True, max_mv=200)
 # config 3: full inter toolset 1080p (affine/BDOF/CIIP/GPM/MMVD/ALF/LMCS)
-FULL_KW = dict(width=1920, height=1080, n_frames=9, seed=23, qp=32,
+FULL_KW = dict(width=1920, height=1080, n_frames=17, seed=23, qp=32,
                inter=True, b_slices=True, ra=True, tmvp=True,
                deblock=True, sao=True, alf=True, ccalf=True, lmcs=True,
                affine=True, prof=True, bdof=True, ciip=True, gpm=True,

@@ -66,6 +66,17 @@ CASES = [
     ("mip-cclm-10bit", dict(width=128, height=128, seed=2703, qp=30,
                             cclm=True, mip=True, ctu_log2=6, max_bt_size=64,
                             min_qt_size=16, bit_depth=10)),
+    ("dualtree-tools", dict(width=96, height=64, seed=3210, qp=28,
+                            dual_tree=True, cclm=True, mip=True, mrl=True,
+                            deblock=True, sao=True)),
+    ("sbt-ra", dict(width=96, height=64, seed=3410, qp=30, inter=True,
+                    b_slices=True, ra=True, n_frames=9, sbt=True, mts=True,
+                    deblock=True, sao=True)),
+    ("slices-wpp", dict(width=96, height=64, seed=3710, qp=30,
+                        tile_cols=(2, 1), tile_rows=(1, 1), n_slices=2,
+                        wpp=True, deblock=True, sao=True)),
+    ("cra-ltr", dict(width=96, height=64, seed=3610, qp=30, inter=True,
+                     b_slices=True, n_frames=8, cra=True, deblock=True)),
 ]
 
 
