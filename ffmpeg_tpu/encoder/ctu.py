@@ -133,6 +133,9 @@ class CuIntent:
     lfnst_idx: int = 0
     # MIP (matrix-based intra prediction): mode (-1 = off) + transpose
     mip_mode: int = -1
+    # ISP (intra sub-partitions): 0 none, 1 HOR, 2 VER + part count
+    isp: int = 0
+    isp_parts: int = 1
     mip_transposed: int = 0
     # CCLM chroma mode: -1 off, 0 LT / 1 L / 2 T
     cclm_idx: int = -1
@@ -166,6 +169,8 @@ class FrameSyntaxEncoder:
         self.tool_rng = None      # rng for per-TU tool choices
         self.cu_first_tb_ts = -1  # ts of the CU's first luma TB
         self.cu_any_coded_ts = False
+        self.prev_tu_cbf_y = 0    # ISP cbf ctx chain
+        self.infer_tu_cbf_luma = 1
         self.pps = pps
         self.sh = sh
         self.width = pps.pps_pic_width_in_luma_samples
@@ -361,6 +366,16 @@ class FrameSyntaxEncoder:
                 self._bin("INTRA_LUMA_REF_IDX", 1, int(cu.mrl_idx == 2))
         else:
             assert cu.mrl_idx == 0
+        # intra_subpartitions_mode_flag + split dir (vvc_ctu.c:985-993)
+        if (self.sps.sps_isp_enabled_flag and cu.mrl_idx == 0
+                and cu.w <= self.max_tb_size and cu.h <= self.max_tb_size
+                and cu.w * cu.h > 16):
+            self._bin("INTRA_SUBPARTITIONS_MODE_FLAG", 0, int(cu.isp > 0))
+            if cu.isp:
+                self._bin("INTRA_SUBPARTITIONS_SPLIT_FLAG", 0,
+                          int(cu.isp == 2))
+        else:
+            assert cu.isp == 0, "ISP chosen for ineligible CU"
         a, b = self._left_top_ipm(cu)
         cand = mpm_candidates(a, b)
         if cu.mrl_idx > 0:
@@ -380,13 +395,14 @@ class FrameSyntaxEncoder:
                 MODE_INTRA
             return
         mode = cu.luma_mode
+        np_inc = int(cu.isp == 0)  # ctx inc = !ispmf
         if mode == INTRA_PLANAR:
             self._bin("INTRA_LUMA_MPM_FLAG", 0, 1)
-            self._bin("INTRA_LUMA_NOT_PLANAR_FLAG", 1, 0)  # +1: no ISP
+            self._bin("INTRA_LUMA_NOT_PLANAR_FLAG", np_inc, 0)
         elif mode in cand:
             idx = cand.index(mode)
             self._bin("INTRA_LUMA_MPM_FLAG", 0, 1)
-            self._bin("INTRA_LUMA_NOT_PLANAR_FLAG", 1, 1)
+            self._bin("INTRA_LUMA_NOT_PLANAR_FLAG", np_inc, 1)
             # mpm_idx: bypass unary, max 4
             for i in range(idx):
                 self.enc.bypass(1)
@@ -435,6 +451,23 @@ class FrameSyntaxEncoder:
         """Transform tree (vvc_ctu.c:406-466): CUs wider/taller than the
         max transform size split in half (wider dimension first); SBT
         CUs split into two sub-TUs of which exactly one is coded."""
+        if cu.isp:
+            # ISP: 2/4 sub-TUs along the split axis; chroma rides the
+            # last one (hls_transform_tree, vvc_ctu.c:463-476)
+            self.prev_tu_cbf_y = 0
+            self.infer_tu_cbf_luma = 1
+            n = cu.isp_parts
+            if cu.isp == 1:  # HOR
+                hh = cu.h // n
+                for i in range(n):
+                    self._transform_unit_leaf(cu, cu.x0, cu.y0 + hh * i,
+                                              cu.w, hh, False, isp_idx=i)
+            else:            # VER
+                ww = cu.w // n
+                for i in range(n):
+                    self._transform_unit_leaf(cu, cu.x0 + ww * i, cu.y0,
+                                              ww, cu.h, False, isp_idx=i)
+            return
         if cu.sbt is not None:
             quad, hor, pos = cu.sbt
             frac = (1 if pos == 0 else 3) if quad else 2
@@ -476,13 +509,16 @@ class FrameSyntaxEncoder:
         self._transform_unit_leaf(cu, x0, y0, tw, th, is_large)
 
     def _transform_unit_leaf(self, cu, x0, y0, tw, th, is_large,
-                             sbt_idx=-1) -> None:
+                             sbt_idx=-1, isp_idx=-1) -> None:
         sps = self.sps
         is_intra = cu.pred_mode == "intra"
         sbt_not_coded = sbt_idx >= 0 and (
             (sbt_idx == 0 and cu.sbt[2]) or (sbt_idx == 1 and not cu.sbt[2]))
+        is_isp = cu.isp > 0
+        is_isp_last = is_isp and isp_idx == cu.isp_parts - 1
         chroma_available = (cu.tree != "luma"
-                            and sps.sps_chroma_format_idc != 0)
+                            and sps.sps_chroma_format_idc != 0
+                            and (not is_isp or is_isp_last))
         ry, rx = y0 - cu.y0, x0 - cu.x0
 
         def sub(c, shift):
@@ -492,8 +528,11 @@ class FrameSyntaxEncoder:
                      rx >> shift:(rx + tw) >> shift]
 
         cy = sub(cu.coeff_y, 0)
-        ccb = sub(cu.coeff_cb, 1)
-        ccr = sub(cu.coeff_cr, 1)
+        # ISP: the last sub-TU carries the whole CU's chroma TBs
+        ccb = cu.coeff_cb if is_isp else sub(cu.coeff_cb, 1)
+        ccr = cu.coeff_cr if is_isp else sub(cu.coeff_cr, 1)
+        if is_isp and not is_isp_last:
+            ccb = ccr = None
         cb_coded = ccb is not None and np.any(ccb)
         cr_coded = ccr is not None and np.any(ccr)
         y_coded = cy is not None and np.any(cy)
@@ -509,10 +548,25 @@ class FrameSyntaxEncoder:
         is_chroma_coded = chroma_available and (cb_coded or cr_coded)
         if cu.tree != "chroma":
             # tu_y_coded_flag: present for intra, chroma-coded, or split
-            # CUs; else inferred 1 (vvc_ctu.c:274-292)
-            if is_intra or is_chroma_coded or is_large:
+            # CUs; else inferred 1 (vvc_ctu.c:274-292); for ISP the last
+            # sub-TU's cbf is inferred 1 when all previous were 0, and
+            # the ctx is 2 + prev_tu_cbf_y (ff_vvc_tu_y_coded_flag)
+            if is_isp:
+                has_flag = (isp_idx < cu.isp_parts - 1
+                            or not self.infer_tu_cbf_luma)
+                if has_flag:
+                    self._bin("TU_Y_CODED_FLAG", 2 + self.prev_tu_cbf_y,
+                              int(y_coded))
+                    self.prev_tu_cbf_y = int(y_coded)
+                else:
+                    assert y_coded, \
+                        "all-zero ISP CU: last sub-TU cbf inferred 1"
+                self.infer_tu_cbf_luma = (self.infer_tu_cbf_luma
+                                          and not y_coded)
+            elif is_intra or is_chroma_coded or is_large:
                 self._bin("TU_Y_CODED_FLAG", 1 if cu.bdpcm_l else 0,
                           int(y_coded))
+                self.prev_tu_cbf_y = int(y_coded)
             else:
                 assert y_coded, \
                     "inter TU with no chroma must have luma coeffs"
@@ -542,6 +596,8 @@ class FrameSyntaxEncoder:
                 return 0
             if cu.sbt is not None:
                 return 0
+            if c == 0 and cu.isp:
+                return 0  # (is_chroma || !is_isp) gate (vvc_ctu.c:389)
             max_ts = 1 << (sps.sps_log2_transform_skip_max_size_minus2 + 2)
             if w_ > max_ts or h_ > max_ts:
                 return 0
@@ -572,9 +628,14 @@ class FrameSyntaxEncoder:
             if self.cu_first_tb_ts < 0:
                 self.cu_first_tb_ts = ts_y
         if cb_coded:
-            encode_res(1, ccb, ts_flag(1, tw >> 1, th >> 1))
+            # ISP: the chroma TBs span the whole CU (vvc_ctu.c:335-346)
+            cwc = (cu.w if is_isp else tw) >> 1
+            chc = (cu.h if is_isp else th) >> 1
+            encode_res(1, ccb, ts_flag(1, cwc, chc))
         if cr_coded and not (cb_coded and joint):
-            encode_res(2, ccr, ts_flag(2, tw >> 1, th >> 1))
+            cwc = (cu.w if is_isp else tw) >> 1
+            chc = (cu.h if is_isp else th) >> 1
+            encode_res(2, ccr, ts_flag(2, cwc, chc))
 
     def _encode_cu_qp_delta(self, delta: int) -> None:
         """cu_qp_delta_abs + sign (vvc_cabac.c:1625-1656): ctx bin for
@@ -611,6 +672,13 @@ class FrameSyntaxEncoder:
             return
         lw = cu.w // 2 if cu.tree == "chroma" else cu.w
         lh = cu.h // 2 if cu.tree == "chroma" else cu.h
+        if cu.tree != "chroma" and cu.isp:
+            # ISP: size gate uses the sub-partition dims, dc-only
+            # tracker bypassed (vvc_ctu.c:818-831)
+            if cu.isp == 2:
+                lw = cu.w // cu.isp_parts
+            else:
+                lh = cu.h // cu.isp_parts
         eligible = (cu.pred_mode == "intra"
                     and max(cu.w, cu.h) <= (64 if
                         sps.sps_max_luma_transform_size_64_flag else 32)
@@ -618,7 +686,7 @@ class FrameSyntaxEncoder:
                     and min(lw, lh) >= 4
                     and not (cu.tree != "chroma" and cu.mip_mode >= 0
                              and min(lw, lh) < 16)
-                    and not self.res.lfnst_dc_only
+                    and (cu.isp > 0 or not self.res.lfnst_dc_only)
                     and self.res.lfnst_zero_out_sig_coeff_flag)
         if not eligible:
             assert cu.lfnst_idx == 0, "lfnst chosen for ineligible CU"
@@ -640,6 +708,7 @@ class FrameSyntaxEncoder:
                     else sps.sps_explicit_mts_inter_enabled_flag)
         eligible = (explicit and cu.lfnst_idx == 0
                     and max(cu.w, cu.h) <= 32
+                    and cu.isp == 0 and cu.sbt is None
                     and self.res.mts_zero_out_sig_coeff_flag
                     and not self.res.mts_dc_only
                     and self.cu_first_tb_ts <= 0)

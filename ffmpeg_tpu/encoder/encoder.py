@@ -108,6 +108,7 @@ class EncoderConfig:
     gdr: bool = False
     # intra toolset wave
     mip: bool = False     # matrix-based intra prediction
+    isp: bool = False     # intra sub-partitions (2/4-way 1-D TU split)
     cclm: bool = False    # cross-component linear model chroma
     # sps_chroma_vertical_collocated_flag (CCLM luma downsampler shape)
     cclm_vertical_collocated: bool = True
@@ -202,6 +203,7 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
         sps_bdpcm_enabled_flag=1 if cfg.bdpcm else 0,
         sps_lfnst_enabled_flag=1 if cfg.lfnst else 0,
         sps_mip_enabled_flag=1 if cfg.mip else 0,
+        sps_isp_enabled_flag=1 if cfg.isp else 0,
         sps_mrl_enabled_flag=1 if cfg.mrl else 0,
         sps_cclm_enabled_flag=1 if cfg.cclm else 0,
         sps_chroma_vertical_collocated_flag=(
@@ -463,15 +465,63 @@ def _random_cu(cfg, rng, x0, y0, w, h, is_inter_slice=False,
         cu.mip_mode = int(rng.integers(0, c_max + 1))
         cu.mip_transposed = int(rng.integers(0, 2))
         cu.luma_mode = cu.mip_mode  # tab.ipm parity (vvc_ctu.c:980)
+    if (cfg.isp and cu.pred_mode == "intra" and tree != "chroma"
+            and not cu.bdpcm_l and cu.mrl_idx == 0 and cu.mip_mode < 0
+            and max(w, h) <= 32 and w * h > 16 and rng.random() < 0.6):
+        cu.isp = 2 if rng.random() < 0.5 else 1  # 1 HOR / 2 VER
+        cu.isp_parts = 2 if (w, h) in ((4, 8), (8, 4)) else 4
+        # the last sub-partition's luma cbf is inferred 1 when all the
+        # previous ones are 0: make sure it carries a coefficient then
+        if cu.coeff_y is None:
+            cu.coeff_y = np.zeros((h, w), np.int32)
+        n = cu.isp_parts
+        if cu.isp == 1:
+            pre, last = cu.coeff_y[:h - h // n], cu.coeff_y[h - h // n:]
+        else:
+            pre, last = (cu.coeff_y[:, :w - w // n],
+                         cu.coeff_y[:, w - w // n:])
+        if not np.any(pre) and not np.any(last):
+            last[int(rng.integers(0, last.shape[0])),
+                 int(rng.integers(0, last.shape[1]))] = \
+                int(rng.integers(1, cfg.max_level + 1))
     if (cfg.mts and max(w, h) <= 32 and not cu.bdpcm_l
-            and cu.sbt is None and rng.random() < 0.5):
+            and cu.sbt is None and cu.isp == 0 and rng.random() < 0.5):
         _try_mts(cu, rng)
     if (cfg.lfnst and cu.pred_mode == "intra" and not cu.bdpcm_l
             and cu.mts_idx == 0 and min(w, h) >= 4 and max(w, h) <= 32
             and not (cu.mip_mode >= 0 and min(w, h) < 16)
             and rng.random() < 0.5):
-        _try_lfnst(cu, rng)
+        if cu.isp:
+            _try_lfnst_isp(cu, rng)
+        else:
+            _try_lfnst(cu, rng)
     return cu
+
+
+def _try_lfnst_isp(cu, rng):
+    """LFNST under ISP: the size gate uses the sub-partition dims and
+    the dc-only tracker is bypassed (vvc_ctu.c:818-831); each sub-TB's
+    coefficients must stay in the LFNST-legal region."""
+    n = cu.isp_parts
+    sw = cu.w // n if cu.isp == 2 else cu.w
+    sh = cu.h // n if cu.isp == 1 else cu.h
+    if min(sw, sh) < 4 or cu.coeff_y is None or not np.any(cu.coeff_y):
+        return
+    c = cu.coeff_y.copy()
+    for i in range(n):
+        if cu.isp == 1:
+            c[sh * i:sh * (i + 1)] = _lfnst_restrict(
+                c[sh * i:sh * (i + 1)], sw, sh)
+        else:
+            c[:, sw * i:sw * (i + 1)] = _lfnst_restrict(
+                c[:, sw * i:sw * (i + 1)], sw, sh)
+    if not np.any(c):
+        return  # restriction emptied the CU; keep lfnst off
+    cu.coeff_y = c
+    # the chroma TBs feed the same zero-out tracker
+    cu.coeff_cb = _lfnst_restrict(cu.coeff_cb, cu.w // 2, cu.h // 2)
+    cu.coeff_cr = _lfnst_restrict(cu.coeff_cr, cu.w // 2, cu.h // 2)
+    cu.lfnst_idx = int(rng.integers(1, 3))
 
 
 def _lfnst_restrict(c, w, h):

@@ -29,10 +29,10 @@ CU_FIELDS = ["x0", "y0", "w", "h", "pred_mode", "luma_mode", "chroma_mode",
              "gpm_part", "gpm_lx0", "gpm_lx1", "sbtmvp", "affine",
              "prof", "pdhx0", "pdhy0", "pdvx0", "pdvy0",
              "pdhx1", "pdhy1", "pdvx1", "pdvy1", "bdof", "dmvr",
-             "mip", "mip_t", "mrl"]
+             "mip", "mip_t", "mrl", "isp", "isp_parts"]
 TU_FIELDS = ["x0", "y0", "w", "h", "c_idx", "coded", "qp", "cu_index",
              "trh", "trv", "res", "jop", "qsel", "qp_deq", "ts", "pcmf",
-             "lf_sel", "lf_tr"]
+             "lf_sel", "lf_tr", "slid"]
 
 
 def _build() -> None:
@@ -180,6 +180,7 @@ class FrameSyntax:
     crop: tuple = (0, 0, 0, 0)
     gdr_pic: int = 0           # ph_gdr_pic_flag
     recovery_poc_cnt: int = 0  # ph_recovery_poc_cnt
+    has_isp: int = 0           # any ISP CU (extends the residual sizes)
 
 
 class NativeFrame:
@@ -231,7 +232,7 @@ class HostDecoder:
         if ret != 0:
             raise RuntimeError(
                 f"native decode error: {self._lib.vvch_last_error().decode()}")
-        info = (ctypes.c_int32 * 27)()
+        info = (ctypes.c_int32 * 28)()
         self._lib.vvch_frame_info(self._h, info)
         if not info[0]:
             return None  # no frame in this AU (parameter sets only)
@@ -244,6 +245,7 @@ class HostDecoder:
         dep_quant = int(info[20])
         crop = tuple(int(v) for v in info[21:25])
         gdr_pic, recovery_poc_cnt = int(info[25]), int(info[26])
+        has_isp = int(info[27])
 
         def plane(c_idx, pw, ph):
             ptr = self._lib.vvch_coeffs(self._h, c_idx)
@@ -379,6 +381,7 @@ class HostDecoder:
             crop=crop,
             gdr_pic=gdr_pic,
             recovery_poc_cnt=recovery_poc_cnt,
+            has_isp=has_isp,
             fo=NativeFrame(self._lib,
                            self._lib.vvch_detach(self._h)),
         )

@@ -94,6 +94,10 @@ from .recon import _round_up, derive_cu_controls, CTRL_KEYS, MC_MIP
 # mode-type-safe generator, but keep 4-wide for future tools
 LUMA_SIZES = [(w, h) for w in (4, 8, 16, 32) for h in (4, 8, 16, 32)]
 CHROMA_SIZES = [(w, h) for w in (2, 4, 8, 16, 32) for h in (2, 4, 8, 16, 32)]
+# ISP sub-partition TB shapes (1-2 wide/high); only frames that carry
+# ISP CUs pay for these extra size classes (program variant keyed on it)
+ISP_EXTRA_SIZES = [(1, 16), (1, 32), (2, 8), (2, 16), (2, 32),
+                   (8, 2), (16, 2), (32, 2), (16, 1), (32, 1)]
 
 MC_CTRL_KEYS = ("pf", "m0x", "m0y", "m1x", "m1y")
 
@@ -441,6 +445,39 @@ def _bucket_residuals(bm, w, h, bit_depth, is_chroma, chroma_scale=None):
     deq = jnp.where(levels == 0, 0, jnp.clip(deq, -(1 << 15), (1 << 15) - 1))
     if not is_chroma and w >= 4 and h >= 4:
       deq = _apply_lfnst(deq, b, w, h, bit_depth)
+    if w == 1 or h == 1:
+      # 1-D TBs (ISP sub-partitions): a single transform pass with
+      # shift 6 + range - bd and no intermediate clip (itx_1d,
+      # vvcdsp.c:119-138)
+      if h == 1:
+        if 4 <= w <= 16:
+          mh_stack = jnp.asarray(np.stack([itx_matrix("dct2", w),
+                                           itx_matrix("dst7", w),
+                                           itx_matrix("dct8", w)]))
+          mh = mh_stack[b["trh"]]
+          out = jnp.einsum("nyk,nxk->nyx", deq, mh,
+                           preferred_element_type=jnp.int32)
+        else:
+          mh = jnp.asarray(itx_matrix("dct2", w))
+          out = jnp.einsum("nyk,xk->nyx", deq, mh,
+                           preferred_element_type=jnp.int32)
+      else:
+        if 4 <= h <= 16:
+          mv_stack = jnp.asarray(np.stack([itx_matrix("dct2", h),
+                                           itx_matrix("dst7", h),
+                                           itx_matrix("dct8", h)]))
+          mv = mv_stack[b["trv"]]
+          out = jnp.einsum("nyk,nkx->nyx", mv, deq,
+                           preferred_element_type=jnp.int32)
+        else:
+          mv = jnp.asarray(itx_matrix("dct2", h))
+          out = jnp.einsum("yk,nkx->nyx", mv, deq,
+                           preferred_element_type=jnp.int32)
+      shift1 = 6 + 15 - bit_depth
+      out = (out + (1 << (shift1 - 1))) >> shift1
+      out = jnp.where(b["ts"][:, None, None] > 0, deq, out)
+      mask = (jnp.arange(cap) < n)[:, None, None]
+      return out, mask
     # per-TU transform kind (0=DCT2 1=DST7 2=DCT8, spec 8.7.4 / MTS);
     # DST7/DCT8 exist for 4..32 only — other sizes are always DCT2
     if 4 <= h <= 32:
@@ -1151,8 +1188,10 @@ def _build_frame_program(shapes):
       planes = []
       scale = None
       cclm = None
+      luma_sizes = (LUMA_SIZES + ISP_EXTRA_SIZES if shapes.get("isp")
+                    else LUMA_SIZES)
       for c_idx, (maxs, Hp, Wp, sizes) in enumerate((
-          (maxs_y, Hp_y, Wp_y, LUMA_SIZES),
+          (maxs_y, Hp_y, Wp_y, luma_sizes),
           (maxs_c, Hp_c, Wp_c, CHROMA_SIZES),
           (maxs_c, Hp_c, Wp_c, CHROMA_SIZES))):
         p = inp["planes"][c_idx]
@@ -1365,18 +1404,21 @@ _PROGRAM_CACHE: dict = {}
 
 
 def get_frame_program(W, H, ctb_log2, bit_depth, pallas=None,
-                      tile_bds=((), ()), crop=(0, 0, 0, 0)):
+                      tile_bds=((), ()), crop=(0, 0, 0, 0), isp=False):
   """tile_bds: interior tile boundary positions in luma samples
   (static; only CCLM's cross-component stencils depend on them).
-  crop: conformance-window offsets (l, r, t, b) in luma samples."""
+  crop: conformance-window offsets (l, r, t, b) in luma samples.
+  isp: frame carries ISP CUs (extends the luma residual size set)."""
   _ensure_compile_cache()
   if pallas is None:
     pallas = _use_pallas()
-  key = (W, H, ctb_log2, bit_depth, pallas, tile_bds, crop)
+  if isp:
+    pallas = False  # the Pallas recon path has no ISP size classes
+  key = (W, H, ctb_log2, bit_depth, pallas, tile_bds, crop, bool(isp))
   if key not in _PROGRAM_CACHE:
     _PROGRAM_CACHE[key] = PackedProgram(_build_frame_program(
         dict(W=W, H=H, ctb_log2=ctb_log2, bit_depth=bit_depth,
-             pallas=pallas, tile_bds=tile_bds, crop=crop)))
+             pallas=pallas, tile_bds=tile_bds, crop=crop, isp=bool(isp))))
   return _PROGRAM_CACHE[key]
 
 
@@ -1691,13 +1733,17 @@ def resolve_refs(fs: FrameSyntax, refs_by_poc, ctb_log2=5, ref_slots=None):
 
 
 def build_host_inputs(fs: FrameSyntax, ctb_log2=5, ref_slots=None,
-                      pallas=None, force_sao=False):
+                      pallas=None, force_sao=False, force_isp=None):
   """Heavy host half of input assembly (no device handles touched):
   safe to run ahead of time on a parse worker thread.  ref_slots /
   pallas / force_sao pin the input signature for GOP-batch mode, where
   every frame of a wave must share one program variant."""
   if pallas is None:
     pallas = _use_pallas()
+  isp = bool(getattr(fs, "has_isp", 0)) if force_isp is None \
+      else bool(force_isp)
+  if isp:
+    pallas = False
   W, H = fs.width, fs.height
   inp = {"planes": []}
   if fs.lmcs is not None:
@@ -1744,7 +1790,8 @@ def build_host_inputs(fs: FrameSyntax, ctb_log2=5, ref_slots=None,
     c["r1slot"] = c["r1slot"] + np.int32(n_l0) * c["hyp1lx"]
 
   for c_idx in range(3):
-    sizes = LUMA_SIZES if c_idx == 0 else CHROMA_SIZES
+    sizes = ((LUMA_SIZES + ISP_EXTRA_SIZES if isp else LUMA_SIZES)
+             if c_idx == 0 else CHROMA_SIZES)
     luma = c_idx == 0
     p = {"buckets": _bucket_inputs(fs, c_idx, sizes, W, H)}
     if pallas:
@@ -1821,7 +1868,8 @@ def prepare_frame(fs: FrameSyntax):
               tuple(v for v in fs.tile_bd[1] if 0 < v < fs.height))
   prog = get_frame_program(fs.width, fs.height, fs.ctb_log2, fs.bit_depth,
                            tile_bds=tile_bds,
-                           crop=tuple(getattr(fs, "crop", (0, 0, 0, 0))))
+                           crop=tuple(getattr(fs, "crop", (0, 0, 0, 0))),
+                           isp=bool(getattr(fs, "has_isp", 0)))
   return prog, prog.pack(build_host_inputs(fs, fs.ctb_log2))
 
 

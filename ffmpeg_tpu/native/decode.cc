@@ -95,6 +95,9 @@ struct CuRecord {
   int32_t mip;                 // MIP mode (-1 = not MIP; vvc_ctu.c:967-980)
   int32_t mip_t;               // intra_mip_transposed_flag
   int32_t mrl;                 // intra_luma_ref_idx (0/1/2, MRL)
+  int32_t isp;                 // IntraSubPartitionsSplitType: 0 none,
+                               // 1 HOR, 2 VER (vvc_ctu.c:985-993)
+  int32_t isp_parts;           // NumIntraSubPartitions (1/2/4)
 };
 struct TuRecord {
   int32_t x0, y0, w, h;  // component coords
@@ -111,6 +114,7 @@ struct TuRecord {
   int32_t pcmf;          // BDPCM marker for deblock (luma / CB-as-chroma)
   int32_t lf_sel;        // LFNST kernel: -1 none, else set*2 + (idx-1)
   int32_t lf_tr;         // LFNST transpose (pred mode > 34)
+  int32_t slid = -1;     // scaling-matrix id (Table 38; -1 = flat 16)
 };
 #pragma pack(pop)
 
@@ -185,6 +189,12 @@ struct FrameOut {
   int crop[4] = {0, 0, 0, 0};  // conf window L/R/T/B in LUMA samples
   int gdr_pic = 0;             // ph_gdr_pic_flag
   int recovery_poc_cnt = 0;    // ph_recovery_poc_cnt (GDR pictures)
+  int has_isp = 0;             // any ISP CU in the frame (drives the
+                               // fine-grained recon-bitmap granularity
+                               // and the extended residual size set)
+  int has_sl = 0;              // sh_explicit_scaling_list_used_flag
+  uint8_t sl_rec[28][64] = {};  // ScalingMatrixRec (active APS)
+  uint8_t sl_dc_rec[14] = {};   // ScalingMatrixDcRec
   int cclm_vc = 0;     // sps_chroma_vertical_collocated_flag (CCLM dsy)
   int nb_refs[2] = {0, 0};
   int32_t ref_pocs[2][16] = {};
@@ -391,6 +401,23 @@ inline std::vector<Unit> predict_units(const FrameOut& fr, bool is_chroma,
         (*slots)[j] = cb_slot;
       continue;
     }
+    // ISP_VER sub-partitions narrower than 4 merge into 4-wide predict
+    // units (get_luma_predict_unit, vvc_intra.c:220-228): only the
+    // first TB of each 4-wide group emits a unit; later TBs map their
+    // residual slot onto it
+    const CuRecord& cu0 = fr.cus[tu.cu_index];
+    if (want_c == 0 && cu0.isp == 2 && tu.w < 4) {
+      const int group = 4 / tu.w;
+      const int k = ((tu.x0 - cu0.x0) / tu.w) % group;
+      if (k != 0) {
+        if (slots) (*slots)[j] = (int)units.size() - 1;
+        continue;
+      }
+      if (slots) (*slots)[j] = (int)units.size();
+      units.push_back({tu.cu_index, tu.x0, tu.y0, 4, tu.h,
+                       tu.x0 << ss, tu.y0 << ss});
+      continue;
+    }
     const bool single = tu.w <= 32 && tu.h <= 32;
     if (slots && single) (*slots)[j] = (int)units.size();
     if (want_c == 1 && single) {
@@ -447,7 +474,9 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
   const int ctb = 1 << ctb_log2;
   const int pic_w = fr.width >> ss;
   const int pic_h = fr.height >> ss;
-  const int g = 2;  // recon bitmap granularity (min block dim)
+  // recon bitmap granularity (min block dim); ISP sub-TUs can be one
+  // sample high/wide, so ISP frames track at sample granularity
+  const int g = fr.has_isp ? 1 : 2;
   const int bw = pic_w / g, bh = pic_h / g;
   std::vector<uint8_t> recon((size_t)bw * bh, 0);
   auto rec = [&](int by, int bx) -> uint8_t& {
@@ -635,7 +664,13 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
     const bool is_cclm = is_chroma && !unit_ciip && raw_mode >= INTRA_LT_CCLM;
     const int mrl = (!is_chroma && !unit_ciip && !is_mip && !bdpcm)
                         ? cu.mrl : 0;
-    const int mode = (is_mip || is_cclm) ? 0 : wide_angle_map(raw_mode, w, h);
+    // ISP luma: wide-angle mapping uses the CU dims, the reference
+    // filter/smoothing is off, and angular edges extend to cb+tb
+    // (prepare_intra_edge_params, vvc_intra_template.c:478-517;
+    // ff_vvc_wide_angle_mode_mapping, vvc_intra.c:692-714)
+    const bool isp_u = !is_chroma && !unit_ciip && cu.isp != 0;
+    const int mode = (is_mip || is_cclm)
+        ? 0 : wide_angle_map(raw_mode, isp_u ? cu.w : w, isp_u ? cu.h : h);
     const int mc = is_mip ? MC_MIP : is_cclm ? MC_CCLM : classify_mode(mode);
     int angle = 0, inv = 0, filter_flag = 0, ns = 0;
     const bool pdpc = !is_mip && !is_cclm && !bdpcm && !mrl &&
@@ -643,7 +678,7 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
     if (mc == MC_ANG_V || mc == MC_ANG_H) {
       angle = intra_pred_angle(mode);
       inv = angle ? intra_inv_angle(angle) : 0;
-      if (!is_chroma && !mrl) {  // MRL: edge->filter_flag = 0
+      if (!is_chroma && !mrl && !isp_u) {  // MRL/ISP: filter_flag = 0
         if (ref_filter_flag(mode)) {
           filter_flag = 0;
         } else {
@@ -656,7 +691,7 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
       if (pdpc) ns = nscale(w, h, mode);
     }
     const int smooth =
-        (!is_mip && !mrl && !is_chroma && w * h > 32 &&
+        (!is_mip && !mrl && !isp_u && !is_chroma && w * h > 32 &&
          ref_filter_flag(mode)) ? 1 : 0;
     int left_size, top_size, unfilter_last, need_l, need_t;
     if (mc == MC_MIP) {
@@ -686,8 +721,11 @@ inline void derive(const FrameOut& fr, bool is_chroma, int ctb_log2,
       left_size = h; top_size = pdpc ? w : 1; unfilter_last = 1;
       need_l = h; need_t = top_size;
     } else {
-      left_size = 2 * h; top_size = 2 * w; unfilter_last = 1;
-      need_l = 2 * h; need_t = 2 * w;
+      // angular: refw/refh = 2*tb, or cb+tb under ISP
+      const int refw = isp_u ? cu.w + w : 2 * w;
+      const int refh = isp_u ? cu.h + h : 2 * h;
+      left_size = refh; top_size = refw; unfilter_last = 1;
+      need_l = refh; need_t = refw;
     }
 
     // availability (parity ff_vvc_get_left/top_available, vvc_intra.c);
@@ -946,6 +984,8 @@ class Decoder {
               aps_lmcs_[aps.id & 3] = aps;
             else if (aps.aps_params_type == 0)  // ALF
               aps_alf_[aps.id & 7] = aps;
+            else if (aps.aps_params_type == 2)  // SCALING
+              aps_sl_[aps.id & 7] = aps;
             break;
           }
           default:
@@ -978,6 +1018,7 @@ class Decoder {
   Pps pps_;
   Aps aps_lmcs_[4];
   Aps aps_alf_[8];
+  Aps aps_sl_[8];
   bool has_sps_ = false, has_pps_ = false;
   PictureHeader ph_;  // active header from a separate PH NAL
   bool has_ph_ = false;
@@ -998,6 +1039,10 @@ class Decoder {
   // get_cclm_enabled's 64x64 luma-split probe, vvc_ctu.c:2066-2068)
   std::vector<int32_t> tab_msm_[2];
   int msm_w_ = 0, msm_h_ = 0;
+  std::vector<int32_t> tab_ispmf_;  // 64-aligned ISP markers (TAB_ISPMF)
+  int ispmf_w_ = 0;
+  int prev_tu_cbf_y_ = 0;      // lc->parse.prev_tu_cbf_y (ISP cbf ctx)
+  int infer_tu_cbf_luma_ = 1;  // lc->parse.infer_tu_cbf_luma
   bool ctb_left_ = false, ctb_up_ = false;
   // current tile bounds in luma samples (whole picture when no tiles)
   int tile_x0_ = 0, tile_y0_ = 0, tile_x1_ = 0, tile_y1_ = 0;
@@ -2326,6 +2371,13 @@ class Decoder {
     out.pwt = sh_.pwt;
     derive_lmcs();
     derive_alf();
+    out.has_sl = sh_.sh_explicit_scaling_list_used_flag;
+    if (out.has_sl) {
+      const Aps& aps = aps_sl_[sh_.ph.ph_scaling_list_aps_id & 7];
+      VVC_UNSUPPORTED(aps.aps_params_type != 2, "scaling-list APS missing");
+      std::memcpy(out.sl_rec, aps.sl_rec, sizeof(out.sl_rec));
+      std::memcpy(out.sl_dc_rec, aps.sl_dc_rec, sizeof(out.sl_dc_rec));
+    }
     out.coeff[0].assign((size_t)pps_.width * pps_.height, 0);
     int cw = pps_.width >> sps_.hshift_c, ch = pps_.height >> sps_.vshift_c;
     if (sps_.sps_chroma_format_idc) {
@@ -2352,6 +2404,8 @@ class Decoder {
     msm_h_ = (pps_.height + 31) >> 5;
     for (int d = 0; d < 2; d++)
       tab_msm_[d].assign((size_t)msm_w_ * msm_h_, SPLIT_NONE);
+    ispmf_w_ = (pps_.width + 63) >> 6;
+    tab_ispmf_.assign((size_t)ispmf_w_ * ((pps_.height + 63) >> 6), 0);
     out.ipm.assign((size_t)mcb_w_ * mcb_h_, 0);
     out.mcb_w = mcb_w_;
     out.mcb_h = mcb_h_;
@@ -3081,6 +3135,8 @@ class Decoder {
     cu.h = cb_h;
     cu.ref_idx = -1;
     cu.mip = -1;
+    cu.isp_parts = 1;
+    prev_tu_cbf_y_ = 0;  // per-CU reset (add_cu, vvc_ctu.c:1205)
     const int ch = tree == TREE_CHROMA;
 
     // pred_mode_decode (vvc_ctu.c:1032-1092), no IBC
@@ -3145,8 +3201,26 @@ class Decoder {
               if (bin(INTRA_LUMA_REF_IDX))
                 cu.mrl = bin(INTRA_LUMA_REF_IDX + 1) ? 2 : 1;
             }
+            // intra_subpartitions_mode_flag + split dir
+            // (vvc_ctu.c:985-993, ff_vvc_isp_split_type)
+            int ispmf = 0;
+            if (sps_.sps_isp_enabled_flag && !cu.mrl &&
+                cb_w <= sps_.max_tb_size_y && cb_h <= sps_.max_tb_size_y &&
+                cb_w * cb_h > 16)
+              ispmf = bin(INTRA_SUBPARTITIONS_MODE_FLAG);
+            if (!(x0 & 63) && !(y0 & 63) && !tab_ispmf_.empty())
+              tab_ispmf_[(size_t)(y0 >> 6) * ispmf_w_ + (x0 >> 6)] = ispmf;
+            if (ispmf) {
+              cu.isp = 1 + bin(INTRA_SUBPARTITIONS_SPLIT_FLAG);
+              cu.isp_parts =
+                  ((cb_w == 4 && cb_h == 8) || (cb_w == 8 && cb_h == 4))
+                      ? 2 : 4;
+              out.has_isp = 1;
+            } else {
+              cu.isp_parts = 1;
+            }
             cu.luma_mode = decode_luma_intra_mode(x0, y0, cb_w, cb_h,
-                                                  cu.mrl);
+                                                  cu.mrl, ispmf);
           }
         }
         set_cb_tab(tab_imf_, x0, y0, cb_w, cb_h, cu.mip >= 0 ? 1 : 0);
@@ -3762,15 +3836,21 @@ class Decoder {
     // lfnst_idx (vvc_ctu.c:791-850): under a dual chroma tree the size
     // gates use the CHROMA block dims and the kernels apply to the
     // chroma TBs; the first-bin ctx shifts for any dual tree
-    const int lw = tree == TREE_CHROMA ? cu.w >> sps_.hshift_c : cu.w;
-    const int lh = tree == TREE_CHROMA ? cu.h >> sps_.vshift_c : cu.h;
+    // ISP: the size gate uses the sub-partition dims and the dc-only
+    // tracker is bypassed (vvc_ctu.c:818-831)
+    int lw = tree == TREE_CHROMA ? cu.w >> sps_.hshift_c : cu.w;
+    int lh = tree == TREE_CHROMA ? cu.h >> sps_.vshift_c : cu.h;
+    if (tree != TREE_CHROMA && cu.isp) {
+      if (cu.isp == 2) lw = cu.w / cu.isp_parts;
+      if (cu.isp == 1) lh = cu.h / cu.isp_parts;
+    }
     int lfnst_idx = 0;
     if (coded && sps_.sps_lfnst_enabled_flag && is_intra &&
         std::max(cu.w, cu.h) <= sps_.max_tb_size_y && !cu_any_coded_ts_ &&
         std::min(lw, lh) >= 4 &&
         !(tree != TREE_CHROMA && cu.mip >= 0 &&
           std::min(lw, lh) < 16)) {  // vvc_ctu.c:826
-      if (!lfnst_dc_only_ && lfnst_zero_out_) {
+      if ((cu.isp || !lfnst_dc_only_) && lfnst_zero_out_) {
         if (bin(LFNST_IDX + (tree != TREE_SINGLE)))
           lfnst_idx = bin(LFNST_IDX + 2) ? 2 : 1;
       }
@@ -3787,19 +3867,22 @@ class Decoder {
           base_mode = cu.chroma_mode >= INTRA_LT_CCLM ? 0 : cu.chroma_mode;
         else
           base_mode = cu.mip >= 0 ? 0 : cu.luma_mode;
-        int mode = ctrl::wide_angle_map(base_mode, tr.w, tr.h);
+        // ISP luma uses the CU dims for the wide-angle mapping
+        // (ff_vvc_wide_angle_mode_mapping, vvc_intra.c:692-714)
+        int mw = tr.w, mh = tr.h;
+        if (!want_c && cu.isp) { mw = cu.w; mh = cu.h; }
+        int mode = ctrl::wide_angle_map(base_mode, mw, mh);
         tr.lf_tr = mode > 34;
         int set = mode < 0 ? 1 : kLfnstTrSet[mode];
         tr.lf_sel = set * 2 + (lfnst_idx - 1);
       }
     }
     int mts_idx = 0;
-    if (tree != TREE_CHROMA && !sbt_flag_ &&
+    if (tree != TREE_CHROMA && !sbt_flag_ && !cu.isp &&
         coded && !lfnst_idx && sps_.sps_mts_enabled_flag) {
       bool explicit_on = is_intra
           ? sps_.sps_explicit_mts_intra_enabled_flag != 0
           : sps_.sps_explicit_mts_inter_enabled_flag != 0;
-      // no lfnst / transform-skip / ISP: those terms are 0
       if (explicit_on && std::max(cu.w, cu.h) <= 32 && mts_zero_out_ &&
           !mts_dc_only_ && cu_first_tb_ts_ <= 0) {
         while (mts_idx < 4 && bin(MTS_IDX + mts_idx)) mts_idx++;
@@ -3807,12 +3890,17 @@ class Decoder {
     }
     static const int32_t mts_to_trh[] = {0, 1, 2, 1, 2};  // DCT2/DST7/DCT8
     static const int32_t mts_to_trv[] = {0, 1, 1, 2, 2};
-    bool implicit_on = sps_.sps_mts_enabled_flag && is_intra &&
-                       !sps_.sps_explicit_mts_intra_enabled_flag &&
-                       !lfnst_idx && cu.mip < 0;  // derive_transform_type
+    // derive_transform_type (vvc_intra.c:130-165): ISP selects the
+    // implicit DST7/DCT2 rule whenever SPS MTS is on (DCT2 with LFNST)
+    bool implicit_on = sps_.sps_mts_enabled_flag &&
+                       ((cu.isp && !lfnst_idx) ||
+                        (!cu.isp && is_intra &&
+                         !sps_.sps_explicit_mts_intra_enabled_flag &&
+                         !lfnst_idx && cu.mip < 0));
     for (size_t j = tu_begin; j < out.tus.size(); j++) {
       TuRecord& tr = out.tus[j];
       if (tr.c_idx != 0 || !tr.coded) continue;
+      if (cu.isp && lfnst_idx) { tr.trh = tr.trv = 0; continue; }
       if (sbt_flag_) {
         // SBT implicit DST7/DCT8 selection by sub-TU position
         // (derive_transform_type, vvc_intra.c:144-156); DCT2 when MTS
@@ -3850,14 +3938,14 @@ class Decoder {
   }
 
   int decode_luma_intra_mode(int x0, int y0, int cb_w, int cb_h,
-                             int ref_idx = 0) {
+                             int ref_idx = 0, int ispmf = 0) {
     // parity: vvc_ctu.c:680-789 (luma_intra_pred_mode + MPM list);
     // with MRL (ref_idx > 0) mpm_flag and not_planar are inferred 1
     int mpm_flag = ref_idx ? 1 : bin(INTRA_LUMA_MPM_FLAG);
     int not_planar = 1, mpm_idx = 0, remainder = 0;
     if (mpm_flag) {
-      if (!ref_idx)
-        not_planar = bin(INTRA_LUMA_NOT_PLANAR_FLAG + 1);  // +1: no ISP
+      if (!ref_idx)  // ctx inc = !ispmf (ff_vvc_intra_luma_not_planar_flag)
+        not_planar = bin(INTRA_LUMA_NOT_PLANAR_FLAG + !ispmf);
       if (not_planar)
         while (mpm_idx < 4 && cd_->bypass()) mpm_idx++;
     } else {
@@ -3963,8 +4051,11 @@ class Decoder {
       const int w = at(tab_cbw_, x64_cu, y64_cu);
       const int h = at(tab_cbh_, x64_cu, y64_cu);
       const int depth0 = at(tab_cqt_, x64_cu, y64_cu);
-      // (64x64 ISP term omitted: ISP is not parsed yet -> ispmf == 0)
-      if ((w < 64 || h < 64) && depth0 == min_depth) return 0;
+      const int ispmf64 =
+          tab_ispmf_[(size_t)(y64 >> 6) * ispmf_w_ + (x64 >> 6)];
+      if ((w == 64 && h == 64 && ispmf64) ||
+          ((w < 64 || h < 64) && depth0 == min_depth))
+        return 0;
     }
     return enabled;
   }
@@ -4107,6 +4198,24 @@ class Decoder {
       return;
     }
     bool is_large = cu.w > sps_.max_tb_size_y || cu.h > sps_.max_tb_size_y;
+    infer_tu_cbf_luma_ = 1;  // hls_transform_tree, vvc_ctu.c:412
+    if (cu.isp) {
+      // ISP: 2 or 4 sub-TUs along the split axis; chroma rides the
+      // last one (hls_transform_tree, vvc_ctu.c:463-476)
+      const int n = cu.isp_parts;
+      if (cu.isp == 1) {  // ISP_HOR_SPLIT
+        const int hh = cu.h / n;
+        for (int i = 0; i < n; i++)
+          transform_unit_leaf(cu, cu_index, is_intra, is_large, cu.x0,
+                              cu.y0 + hh * i, cu.w, hh, tree, -1, i);
+      } else {            // ISP_VER_SPLIT
+        const int ww = cu.w / n;
+        for (int i = 0; i < n; i++)
+          transform_unit_leaf(cu, cu_index, is_intra, is_large,
+                              cu.x0 + ww * i, cu.y0, ww, cu.h, tree, -1, i);
+      }
+      return;
+    }
     if (sbt_flag_) {
       // SBT: two TUs, only one carries residual (hls_transform_tree,
       // vvc_ctu.c:437-466)
@@ -4153,13 +4262,18 @@ class Decoder {
 
   void transform_unit_leaf(CuRecord& cu, int cu_index, bool is_intra,
                            bool is_large, int x0, int y0, int tw, int th,
-                           int tree = TREE_SINGLE, int sbt_idx = -1) {
+                           int tree = TREE_SINGLE, int sbt_idx = -1,
+                           int isp_idx = -1) {
     // SBT: exactly one of the two TUs carries residual
     // (is_sbt_not_coded, vvc_ctu.c:327-328)
     const bool sbt_not_coded =
         sbt_idx >= 0 && ((sbt_idx == 0 && sbt_pos_) ||
                          (sbt_idx == 1 && !sbt_pos_));
-    bool chroma_avail = tree != TREE_LUMA && sps_.sps_chroma_format_idc != 0;
+    const bool is_isp = cu.isp != 0;
+    const bool is_isp_last = is_isp && isp_idx == cu.isp_parts - 1;
+    bool chroma_avail = tree != TREE_LUMA &&
+                        sps_.sps_chroma_format_idc != 0 &&
+                        (!is_isp || is_isp_last);
     int cb_coded = 0, cr_coded = 0;
     if (chroma_avail && !sbt_not_coded) {
       // cbf ctx shifts under BDPCM (vvc_cabac.c:1199-1216)
@@ -4170,13 +4284,28 @@ class Decoder {
     int y_coded = 0;
     if (tree != TREE_CHROMA) {
       // tu_y_coded_flag present for intra, chroma-coded, or split CUs;
-      // else inferred 1; SBT not-coded TUs infer 0 (vvc_ctu.c:274-292)
-      if (sbt_not_coded)
+      // else inferred 1; SBT not-coded TUs infer 0; for ISP the last
+      // sub-TU's cbf is inferred 1 when all previous were 0
+      // (tu_y_coded_flag_decode, vvc_ctu.c:273-292)
+      if (sbt_not_coded) {
         y_coded = 0;
-      else if (is_intra || is_chroma_coded || is_large)
+      } else if (is_isp) {
+        const bool has_flag =
+            isp_idx < cu.isp_parts - 1 || !infer_tu_cbf_luma_;
+        if (has_flag) {
+          // ctx inc = 2 + prev_tu_cbf_y (ff_vvc_tu_y_coded_flag)
+          y_coded = bin(TU_Y_CODED_FLAG + 2 + prev_tu_cbf_y_);
+          prev_tu_cbf_y_ = y_coded;
+        } else {
+          y_coded = 1;
+        }
+        infer_tu_cbf_luma_ = infer_tu_cbf_luma_ && !y_coded;
+      } else if (is_intra || is_chroma_coded || is_large) {
         y_coded = bin(TU_Y_CODED_FLAG + (cu.bdpcm_l ? 1 : 0));
-      else
+        prev_tu_cbf_y_ = y_coded;
+      } else {
         y_coded = 1;
+      }
       // qp_delta presence gates on is_128 (CbWidth/CbHeight > 64,
       // vvc_ctu.c:323,356), NOT is_large (> max_tb_size) which only
       // controls tu_y_coded_flag presence (vvc_ctu.c:283-284)
@@ -4194,14 +4323,18 @@ class Decoder {
       joint = bin(TU_JOINT_CBCR_RESIDUAL_FLAG + 2 * cb_coded + cr_coded - 1);
 
     int hs = sps_.hshift_c, vs = sps_.vshift_c;
-    int xc = x0 >> hs, yc = y0 >> vs, wc = tw >> hs, hc = th >> vs;
+    // ISP: the last sub-TU carries the whole CU's chroma TBs
+    // (hls_transform_unit, vvc_ctu.c:335-346)
+    int xc = (is_isp ? cu.x0 : x0) >> hs, yc = (is_isp ? cu.y0 : y0) >> vs;
+    int wc = (is_isp ? cu.w : tw) >> hs, hc = (is_isp ? cu.h : th) >> vs;
 
-    // transform_skip_flag (vvc_ctu.c:394-397; no BDPCM/SBT/ISP yet)
+    // transform_skip_flag (vvc_ctu.c:386-397)
     auto ts_flag = [&](int w_, int h_, int c) -> int {
       int bdpcm = c ? cu.bdpcm_c : cu.bdpcm_l;
       if (bdpcm) return 1;  // forced, no flag (vvc_ctu.c:386)
       if (!sps_.sps_transform_skip_enabled_flag) return 0;
       if (sbt_flag_) return 0;  // !cu->sbt_flag gate (vvc_ctu.c:391)
+      if (!c && is_isp) return 0;  // (is_chroma || !is_isp) gate
       if (w_ > sps_.max_ts_size || h_ > sps_.max_ts_size) return 0;
       return bin(TRANSFORM_SKIP_FLAG + (c ? 1 : 0));
     };
@@ -4843,6 +4976,7 @@ void vvch_frame_info(void* h, int32_t* info) {
   for (int i = 0; i < 4; i++) info[21 + i] = o.crop[i];
   info[25] = o.gdr_pic;
   info[26] = o.recovery_poc_cnt;
+  info[27] = o.has_isp;
 }
 
 // tile boundaries in luma samples: out[0]=n_cols+1, out[1]=n_rows+1,

@@ -274,7 +274,13 @@ Sps parse_sps(BitReader& r) {
   if (sps.sps_transform_skip_enabled_flag) sps.sps_min_qp_prime_ts = r.ue();
   VVC_UNSUPPORTED(r.flag(), "IBC");
   VVC_UNSUPPORTED(r.flag(), "LADF");
-  VVC_UNSUPPORTED(r.flag(), "explicit scaling lists");
+  // explicit scaling lists (7.4.3.4; consumed via derive_scale_m)
+  sps.sps_explicit_scaling_list_enabled_flag = r.flag();
+  if (sps.sps_lfnst_enabled_flag &&
+      sps.sps_explicit_scaling_list_enabled_flag)
+    sps.sps_scaling_matrix_for_lfnst_disabled_flag = r.flag();
+  // ACT is unsupported above -> the alternative-colour-space branch
+  // never parses
   sps.sps_dep_quant_enabled_flag = r.flag();
   sps.sps_sign_data_hiding_enabled_flag = r.flag();
   VVC_UNSUPPORTED(r.flag(), "virtual boundaries");
@@ -463,6 +469,11 @@ static PictureHeader parse_picture_header(BitReader& r, const Sps& sps,
         ph.ph_chroma_residual_scale_flag = r.flag();
     }
   }
+  if (sps.sps_explicit_scaling_list_enabled_flag) {
+    ph.ph_explicit_scaling_list_enabled_flag = r.flag();
+    if (ph.ph_explicit_scaling_list_enabled_flag)
+      ph.ph_scaling_list_aps_id = r.u(3);
+  }
   VVC_UNSUPPORTED(pps.pps_rpl_info_in_ph_flag, "rpl in ph");
   if (sps.sps_partition_constraints_override_enabled_flag)
     VVC_UNSUPPORTED(r.flag(), "partition constraints override");
@@ -590,8 +601,77 @@ Aps parse_aps(BitReader& r) {
           aps.alf_cc_coeff[cc][k][j] = (int16_t)c;
         }
     }
+  } else if (aps.aps_params_type == 2) {
+    // scaling_list_data (7.3.2.21) parsed and immediately derived to
+    // ScalingMatrixRec / ScalingMatrixDcRec (scaling_derive,
+    // vvc_ps.c:903-960).  The delta accumulation always walks the
+    // 8x8 diagonal scan; placement uses the matrix's own scan.
+    uint8_t d8x[64], d8y[64];
+    {
+      int i = 0;
+      for (int s = 0; s < 15; s++)
+        for (int y = std::min(s, 7); y >= 0 && s - y < 8; y--) {
+          d8x[i] = (uint8_t)(s - y);
+          d8y[i] = (uint8_t)y;
+          i++;
+        }
+    }
+    for (int id = 0; id < 28; id++) {
+      const int msize = id < 2 ? 2 : (id < 8 ? 4 : 8);
+      const int lsize = msize * msize;
+      int copy = 1, pred = 0, pred_delta = 0;
+      int coeff[64] = {};
+      int dc = 0;
+      bool present = aps.chroma_present || id % 3 == 2 || id == 27;
+      if (present) {
+        copy = (int)r.flag();
+        if (!copy) pred = (int)r.flag();
+        if ((copy || pred) && id != 0 && id != 2 && id != 8)
+          pred_delta = (int)r.ue();
+        if (!copy) {
+          int next = 0;
+          if (id > 13) {
+            dc = next = r.se();
+            VVC_UNSUPPORTED(dc < -128 || dc > 127, "scaling dc range");
+          }
+          for (int i = 0; i < lsize; i++) {
+            if (!(id > 25 && d8x[i] >= 4 && d8y[i] >= 4)) next += r.se();
+            coeff[i] = next;
+          }
+        }
+      }
+      // dc reconstruction (id >= 14)
+      if (id >= 14) {
+        if (!copy && !pred) {
+          aps.sl_dc_rec[id - 14] = 8;
+        } else if (!pred_delta) {
+          aps.sl_dc_rec[id - 14] = 16;
+        } else {
+          const int ref_id = id - pred_delta;
+          int base = ref_id >= 14 ? aps.sl_dc_rec[ref_id - 14]
+                                  : aps.sl_rec[ref_id][0];
+          aps.sl_dc_rec[id - 14] = (uint8_t)((dc + base) & 255);
+        }
+      }
+      // ac reconstruction: predictor + (copy ? 0 : coeff), diag order
+      const int pred8 = (!copy && !pred) ? 8 : 16;
+      const uint8_t* refm =
+          (copy || pred) && pred_delta ? aps.sl_rec[id - pred_delta]
+                                       : nullptr;
+      // diag scan of the matrix's own size
+      int i = 0;
+      for (int s = 0; s < 2 * msize - 1 && i < lsize; s++)
+        for (int y = std::min(s, msize - 1); y >= 0 && s - y < msize; y--) {
+          const int x = s - y;
+          const int off = y * msize + x;
+          const int p = refm ? refm[off] : pred8;
+          const int v = copy ? 0 : coeff[i];
+          aps.sl_rec[id][off] = (uint8_t)((p + v) & 255);
+          i++;
+        }
+    }
   } else {
-    VVC_UNSUPPORTED(true, "scaling-list APS");
+    VVC_UNSUPPORTED(true, "unknown APS type");
   }
   VVC_UNSUPPORTED(r.flag(), "aps extension");
   return aps;
@@ -617,6 +697,8 @@ SliceHeader parse_slice_header(BitReader& r, int nal_type, const Sps& sps,
   // inferred value when PH is in SH (7.4.8.1); overridden below when a
   // separate PH carries the picture header
   sh.sh_lmcs_used_flag = sh.ph.ph_lmcs_enabled_flag;
+  sh.sh_explicit_scaling_list_used_flag =
+      sh.ph.ph_explicit_scaling_list_enabled_flag;
   const PictureHeader& ph = sh.ph;
 
   // no subpics; slice address (single slice per pic supported so far)
@@ -657,9 +739,12 @@ SliceHeader parse_slice_header(BitReader& r, int nal_type, const Sps& sps,
     }
   }
 
-  if (!sh.sh_picture_header_in_slice_header_flag &&
-      ph.ph_lmcs_enabled_flag)
-    sh.sh_lmcs_used_flag = r.flag();
+  if (!sh.sh_picture_header_in_slice_header_flag) {
+    if (ph.ph_lmcs_enabled_flag)
+      sh.sh_lmcs_used_flag = r.flag();
+    sh.sh_explicit_scaling_list_used_flag =
+        ph.ph_explicit_scaling_list_enabled_flag ? (int)r.flag() : 0;
+  }
 
   bool is_idr = nal_is_idr(nal_type);
   bool has_rpl = !pps.pps_rpl_info_in_ph_flag &&

@@ -60,6 +60,8 @@ struct Sps {
   int sps_explicit_mts_intra_enabled_flag = 0;
   int sps_explicit_mts_inter_enabled_flag = 0;
   int sps_lfnst_enabled_flag = 0;
+  int sps_explicit_scaling_list_enabled_flag = 0;
+  int sps_scaling_matrix_for_lfnst_disabled_flag = 0;
   int sps_joint_cbcr_enabled_flag = 0;
   int sps_same_qp_table_for_chroma_flag = 1;
   int8_t chroma_qp_table[3][112];  // [cb/cr/jcbcr][qp + qp_bd_offset]
@@ -193,6 +195,10 @@ struct Aps {
   uint8_t alf_chroma_clipidx[8][6] = {};
   int num_cc_filters[2] = {1, 1};
   int16_t alf_cc_coeff[2][4][7] = {};
+  // scaling_list_data, already derived to ScalingMatrixRec /
+  // ScalingMatrixDcRec (scaling_derive, vvc_ps.c:903-960)
+  uint8_t sl_rec[28][64] = {};
+  uint8_t sl_dc_rec[14] = {};
 };
 
 struct PictureHeader {
@@ -216,6 +222,8 @@ struct PictureHeader {
   int ph_lmcs_enabled_flag = 0;
   int ph_lmcs_aps_id = 0;
   int ph_chroma_residual_scale_flag = 0;
+  int ph_explicit_scaling_list_enabled_flag = 0;
+  int ph_scaling_list_aps_id = 0;
   int ph_sao_luma_enabled_flag = 0;
   int ph_sao_chroma_enabled_flag = 0;
   int ph_deblocking_filter_disabled_flag = 0;
@@ -265,6 +273,7 @@ struct SliceHeader {
   int sh_ts_residual_coding_disabled_flag = 0;
   int sh_ts_residual_coding_rice_idx_minus1 = 0;
   int sh_lmcs_used_flag = 0;  // inferred = ph_lmcs_enabled when PH in SH
+  int sh_explicit_scaling_list_used_flag = 0;  // same inference rule
   std::vector<uint32_t> entry_point_offsets;
   size_t data_bitpos = 0;  // byte-aligned start of slice_data()
 };

@@ -109,17 +109,19 @@ def decode_gop_mesh(data: bytes, mesh=None):
     n1 = max(1, max(len(fs.ref_pocs[1]) for fs in frames))
     nref = n0 + n1
     force_sao = any(fs.sao is not None for fs in frames)
+    force_isp = any(getattr(fs, "has_isp", 0) for fs in frames)
 
     def build(fs):
         return PL.build_host_inputs(fs, ctb_log2, ref_slots=(n0, n1),
-                                    pallas=False, force_sao=force_sao)
+                                    pallas=False, force_sao=force_sao,
+                                    force_isp=force_isp)
 
     for fs in frames:
         build(fs)          # settle the capacity ratchet
     inputs = [build(fs) for fs in frames]
 
     prog = PL.get_frame_program(W, H, ctb_log2, frames[0].bit_depth,
-                                pallas=False)
+                                pallas=False, isp=force_isp)
     leaves0, treedef0 = jax.tree_util.tree_flatten(inputs[0])
     var = prog._variant(leaves0, treedef0)
     _, offs, total, _, run = var

@@ -51,7 +51,8 @@ CORE_IDS = {
     "bdof-affine-ra", "dmvr-bdof-tmvp", "gpm-tools-ra", "mip-lfnst",
     "cclm-lmcs-ra", "mrl-tools-ra", "tiles-tools-ra", "wpp-tools-ra",
     "separate-ph-tools-ra", "dualtree-cclm-mip-mrl",
-    "dualtree-ctu64-lfnst", "sbt-tools-ra", "slices-wpp",
+    "dualtree-ctu64-lfnst", "sbt-tools-ra", "isp-lfnst", "isp-dualtree",
+    "isp-inter", "slices-wpp",
     "slices-tools-ra", "cra-rasl", "gdr", "ltr-ra", "crop-ra",
 }
 
@@ -299,6 +300,17 @@ CORE_IDS = {
          sao=True),
     dict(width=96, height=64, seed=3403, qp=30, inter=True, n_frames=3,
          sbt=True, deblock=True, sao=True),
+    # ISP (intra sub-partitions): 2/4-way 1-D TU splits with chained
+    # sub-partition prediction, implicit DST7, 1/2-wide residual TBs
+    dict(width=96, height=96, seed=3501, qp=30, isp=True, split_prob=0.8),
+    dict(width=96, height=64, seed=3504, qp=30, isp=True, lfnst=True,
+         mts_implicit=True),
+    dict(width=96, height=64, seed=3506, qp=30, isp=True, dual_tree=True,
+         cclm=True, mip=True, mrl=True),
+    dict(width=96, height=64, seed=3508, qp=32, isp=True, bit_depth=10,
+         deblock=True, sao=True),
+    dict(width=96, height=64, seed=3509, qp=30, isp=True, inter=True,
+         b_slices=True, n_frames=4, deblock=True),
     # raster multi-slice pictures (PH NAL + per-slice tile ranges)
     dict(width=96, height=64, seed=3701, qp=30, tile_cols=(2, 1),
          tile_rows=(1, 1), n_slices=2, deblock=True, sao=True),
@@ -361,6 +373,8 @@ CORE_IDS = {
         "dualtree", "dualtree-cclm-mip-mrl", "dualtree-ts-tools",
         "dualtree-ctu64-lfnst", "dualtree-10bit-filters",
         "sbt", "sbt-tools-ra", "sbt-p",
+        "isp", "isp-lfnst", "isp-dualtree", "isp-10bit-filters",
+        "isp-inter",
         "slices", "slices-wpp", "slices-tools-ra", "cra-rasl", "gdr",
         "ltr-p", "ltr-ra",
         "crop", "crop-ra"])
