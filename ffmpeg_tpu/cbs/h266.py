@@ -617,6 +617,12 @@ class APS:
     lmcs_delta_sign_cw_flag: tuple = ()
     lmcs_delta_abs_crs: int = 0
     lmcs_delta_sign_crs_flag: int = 0
+    # scaling_list_data (7.3.2.21): per-id syntax (28 ids)
+    sl_copy_mode_flag: tuple = (1,) * 28
+    sl_pred_mode_flag: tuple = (0,) * 28
+    sl_pred_id_delta: tuple = (0,) * 28
+    sl_dc_coef: tuple = (0,) * 14        # ids 14..27, se(v)
+    sl_delta_coef: tuple = ()            # (28, 64) se(v) deltas
 
     def write(self, w: BitWriter) -> None:
         w.u(3, self.aps_params_type)
@@ -690,6 +696,34 @@ class APS:
                 w.u(3, self.lmcs_delta_abs_crs)
                 if self.lmcs_delta_abs_crs > 0:
                     w.flag(self.lmcs_delta_sign_crs_flag)
+        elif self.aps_params_type == APS_TYPE_SCALING:
+            # scaling_list_data (7.3.2.21); the delta loop walks the
+            # 8x8 diagonal scan (only the 64x64 skip needs x/y)
+            diag = []
+            for s in range(15):
+                for y in range(min(s, 7), -1, -1):
+                    if s - y < 8:
+                        diag.append((s - y, y))
+            for sid in range(28):
+                if not (self.aps_chroma_present_flag or sid % 3 == 2
+                        or sid == 27):
+                    assert self.sl_copy_mode_flag[sid] == 1
+                    continue
+                copy = self.sl_copy_mode_flag[sid]
+                w.flag(copy)
+                if not copy:
+                    w.flag(self.sl_pred_mode_flag[sid])
+                if ((copy or self.sl_pred_mode_flag[sid])
+                        and sid not in (0, 2, 8)):
+                    w.ue(self.sl_pred_id_delta[sid])
+                if not copy:
+                    msize = 2 if sid < 2 else (4 if sid < 8 else 8)
+                    if sid > 13:
+                        w.se(self.sl_dc_coef[sid - 14])
+                    for i in range(msize * msize):
+                        x, y = diag[i]
+                        if not (sid > 25 and x >= 4 and y >= 4):
+                            w.se(self.sl_delta_coef[sid][i])
         else:
             raise NotImplementedError("APS type not implemented yet")
         w.flag(0)  # aps_extension_flag
@@ -734,6 +768,8 @@ class PictureHeader:
     ph_alf_enabled_flag: int = 0
     ph_deblocking_params_present_flag: int = 0
     ph_deblocking_filter_disabled_flag: int = 0
+    ph_explicit_scaling_list_enabled_flag: int = 0
+    ph_scaling_list_aps_id: int = 0
 
     def write(self, w: BitWriter, sps: SPS, pps: PPS) -> None:
         w.flag(self.ph_gdr_or_irap_pic_flag)
@@ -756,7 +792,9 @@ class PictureHeader:
                 if sps.sps_chroma_format_idc != 0:
                     w.flag(self.ph_chroma_residual_scale_flag)
         if sps.sps_explicit_scaling_list_enabled_flag:
-            raise NotImplementedError("scaling lists")
+            w.flag(self.ph_explicit_scaling_list_enabled_flag)
+            if self.ph_explicit_scaling_list_enabled_flag:
+                w.u(3, self.ph_scaling_list_aps_id)
         if pps.pps_output_flag_present_flag and not self.ph_non_ref_pic_flag:
             w.flag(self.ph_pic_output_flag)
         if pps.pps_rpl_info_in_ph_flag:
@@ -827,6 +865,7 @@ class SliceHeader:
     sh_alf_cc_cr_enabled_flag: int = 0
     sh_alf_cc_cr_aps_id: int = 0
     sh_lmcs_used_flag: int = 0
+    sh_explicit_scaling_list_used_flag: int = 0
     sh_pred_weight_table: dict | None = None
     sh_num_ref_idx_active_override_flag: int = 0
     sh_num_ref_idx_active_minus1: tuple = (0, 0)
@@ -892,7 +931,8 @@ class SliceHeader:
         if not self.sh_picture_header_in_slice_header_flag:
             if ph.ph_lmcs_enabled_flag:
                 w.flag(self.sh_lmcs_used_flag)
-            # explicit scaling list unsupported
+            if ph.ph_explicit_scaling_list_enabled_flag:
+                w.flag(self.sh_explicit_scaling_list_used_flag)
         is_idr = self.nal_unit_type in (NAL_IDR_W_RADL, NAL_IDR_N_LP)
         rpl = None
         if not pps.pps_rpl_info_in_ph_flag and \

@@ -68,6 +68,8 @@ class EncoderConfig:
     bdpcm: bool = False
     # LFNST secondary transform
     lfnst: bool = False
+    # explicit scaling lists (APS-carried dequant matrices, 7.3.2.21)
+    scaling_lists: bool = False
     # LMCS (luma mapping with chroma scaling): random APS model
     lmcs: bool = False
     # ALF / CC-ALF: random APS filters + per-CTB flags
@@ -202,6 +204,9 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
             if (cfg.transform_skip or cfg.bdpcm) else 0),
         sps_bdpcm_enabled_flag=1 if cfg.bdpcm else 0,
         sps_lfnst_enabled_flag=1 if cfg.lfnst else 0,
+        sps_explicit_scaling_list_enabled_flag=1 if cfg.scaling_lists else 0,
+        sps_scaling_matrix_for_lfnst_disabled_flag=(
+            1 if (cfg.scaling_lists and cfg.lfnst) else 0),
         sps_mip_enabled_flag=1 if cfg.mip else 0,
         sps_isp_enabled_flag=1 if cfg.isp else 0,
         sps_mrl_enabled_flag=1 if cfg.mrl else 0,
@@ -696,6 +701,47 @@ def tree_leaves(node: dict) -> list[CuIntent]:
     return out
 
 
+def _random_scaling_aps(cfg, rng):
+    """Random scaling-list APS exercising all three per-id modes:
+    copy (with/without pred_id_delta), prediction + deltas, and
+    explicit-from-8 (scaling_derive, vvc_ps.c:903-960)."""
+    from ..cbs.h266 import APS, APS_TYPE_SCALING
+
+    copy_f, pred_f, pred_d = [], [], []
+    dc = []
+    deltas = []
+    for sid in range(28):
+        max_d = sid if sid < 2 else (sid - 2 if sid < 8 else sid - 8)
+        r = rng.random()
+        if r < 0.3:
+            c, p = 1, 0
+        elif r < 0.6:
+            c, p = 0, 1
+        else:
+            c, p = 0, 0
+        d = 0
+        if (c or p) and sid not in (0, 2, 8) and max_d > 0:
+            d = int(rng.integers(0, max_d + 1))
+        copy_f.append(c)
+        pred_f.append(p)
+        pred_d.append(d)
+        if sid > 13:
+            dc.append(0 if c else int(rng.integers(-8, 9)))
+        deltas.append(tuple(int(v) for v in rng.integers(-6, 7, size=64)))
+    while len(dc) < 14:
+        dc.append(0)
+    return APS(
+        aps_params_type=APS_TYPE_SCALING,
+        aps_adaptation_parameter_set_id=int(rng.integers(0, 8)),
+        aps_chroma_present_flag=1,
+        sl_copy_mode_flag=tuple(copy_f),
+        sl_pred_mode_flag=tuple(pred_f),
+        sl_pred_id_delta=tuple(pred_d),
+        sl_dc_coef=tuple(dc),
+        sl_delta_coef=tuple(deltas),
+    )
+
+
 def _random_lmcs_aps(cfg, rng):
     """Random conforming LMCS model (7.3.2.18 / 7.4.3.18 constraints).
 
@@ -838,6 +884,10 @@ def encode_stream(cfg: EncoderConfig):
         for k in range(n_aps):
             alf_apss.append(_random_alf_aps(cfg, rng, k))
             out += alf_apss[-1].to_nal()
+    sl_aps = None
+    if cfg.scaling_lists:
+        sl_aps = _random_scaling_aps(cfg, rng)
+        out += sl_aps.to_nal()
     lmcs_aps = None
     lmcs_crs_flag = 0
     if cfg.lmcs:
@@ -1002,6 +1052,10 @@ def encode_stream(cfg: EncoderConfig):
             sh.ph.ph_lmcs_enabled_flag = 1
             sh.ph.ph_lmcs_aps_id = lmcs_aps.aps_adaptation_parameter_set_id
             sh.ph.ph_chroma_residual_scale_flag = lmcs_crs_flag
+        if cfg.scaling_lists:
+            sh.ph.ph_explicit_scaling_list_enabled_flag = 1
+            sh.ph.ph_scaling_list_aps_id = \
+                sl_aps.aps_adaptation_parameter_set_id
         trees = random_frame_intent(cfg, sps, pps, rng, is_inter_slice=is_p)
         if cfg.sao:
             # merge-left/up candidates never cross a tile boundary
@@ -1113,6 +1167,8 @@ def encode_stream(cfg: EncoderConfig):
             sh.sh_picture_header_in_slice_header_flag = 0
             if cfg.lmcs:
                 sh.sh_lmcs_used_flag = 1
+            if cfg.scaling_lists:
+                sh.sh_explicit_scaling_list_used_flag = 1
             out += sh.ph.to_nal(sps, pps)
             for addr, cnt, payload_k, eps in slice_payloads:
                 sk = copy.deepcopy(sh)
@@ -1129,6 +1185,8 @@ def encode_stream(cfg: EncoderConfig):
                 sh.sh_picture_header_in_slice_header_flag = 0
                 if cfg.lmcs:
                     sh.sh_lmcs_used_flag = 1
+                if cfg.scaling_lists:
+                    sh.sh_explicit_scaling_list_used_flag = 1
                 out += sh.ph.to_nal(sps, pps)
             w = BitWriter()
             sh.write(w, sps, pps, num_tiles_in_pic=n_tiles)

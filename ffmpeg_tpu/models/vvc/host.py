@@ -99,6 +99,9 @@ def _get_lib():
         lib.vvch_lmcs.restype = None
         lib.vvch_lmcs.argtypes = [ctypes.c_void_p,
                                   ctypes.POINTER(ctypes.c_int32)]
+        lib.vvch_sl.restype = None
+        lib.vvch_sl.argtypes = [ctypes.c_void_p,
+                                ctypes.POINTER(ctypes.c_int32)]
         lib.vvch_fo_cu_ctrl.restype = ctypes.POINTER(ctypes.c_int32)
         lib.vvch_fo_cu_ctrl.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                         ctypes.c_int, ctypes.c_int,
@@ -181,6 +184,9 @@ class FrameSyntax:
     gdr_pic: int = 0           # ph_gdr_pic_flag
     recovery_poc_cnt: int = 0  # ph_recovery_poc_cnt
     has_isp: int = 0           # any ISP CU (extends the residual sizes)
+    # explicit scaling lists (None = flat): {"rec": (28, 8, 8) int32
+    # ScalingMatrixRec, "dc": (14,) ScalingMatrixDcRec}
+    sl: dict | None = None
 
 
 class NativeFrame:
@@ -232,7 +238,7 @@ class HostDecoder:
         if ret != 0:
             raise RuntimeError(
                 f"native decode error: {self._lib.vvch_last_error().decode()}")
-        info = (ctypes.c_int32 * 28)()
+        info = (ctypes.c_int32 * 29)()
         self._lib.vvch_frame_info(self._h, info)
         if not info[0]:
             return None  # no frame in this AU (parameter sets only)
@@ -246,6 +252,13 @@ class HostDecoder:
         crop = tuple(int(v) for v in info[21:25])
         gdr_pic, recovery_poc_cnt = int(info[25]), int(info[26])
         has_isp = int(info[27])
+        sl = None
+        if info[28]:
+            buf = np.zeros(28 * 64 + 14, np.int32)
+            self._lib.vvch_sl(self._h, buf.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int32)))
+            sl = {"rec": buf[:28 * 64].reshape(28, 8, 8).copy(),
+                  "dc": buf[28 * 64:].copy()}
 
         def plane(c_idx, pw, ph):
             ptr = self._lib.vvch_coeffs(self._h, c_idx)
@@ -382,6 +395,7 @@ class HostDecoder:
             gdr_pic=gdr_pic,
             recovery_poc_cnt=recovery_poc_cnt,
             has_isp=has_isp,
+            sl=sl,
             fo=NativeFrame(self._lib,
                            self._lib.vvch_detach(self._h)),
         )

@@ -426,7 +426,8 @@ def _bucket_view(b):
     return d
 
 
-def _bucket_residuals(bm, w, h, bit_depth, is_chroma, chroma_scale=None):
+def _bucket_residuals(bm, w, h, bit_depth, is_chroma, chroma_scale=None,
+                      sl=None):
     """Dequant + inverse transform for one (w, h) bucket -> (cap, h, w)
     plus the validity mask.  Levels arrive host-gathered per bucket
     (b["lv"]): shipping compact blocks instead of whole coeff planes
@@ -438,7 +439,26 @@ def _bucket_residuals(bm, w, h, bit_depth, is_chroma, chroma_scale=None):
     n = b["n"]  # traced scalar
     cap = b["x0"].shape[0]
     levels = b["lv"]
-    scale16 = (b["scale"] * 16)[:, None, None]
+    if sl is not None:
+      # explicit scaling lists (derive_scale_m, vvc_intra.c:340-385):
+      # per-coefficient m from the TB's Table-38 matrix id, upsampled
+      # from the 2/4/8 ScalingMatrixRec by index shifts; DC position
+      # overridden by ScalingMatrixDcRec for ids >= 14; -1 = flat 16
+      slid = b["slid"]
+      mx = max(w, h)
+      l2m = 1 if mx == 2 else (2 if mx == 4 else 3)
+      log2w, log2h = w.bit_length() - 1, h.bit_length() - 1
+      iy = np.minimum((np.arange(h) << l2m) >> log2h, (1 << l2m) - 1)
+      ix = np.minimum((np.arange(w) << l2m) >> log2w, (1 << l2m) - 1)
+      base = sl["rec"][jnp.maximum(slid, 0)]        # (cap, 8, 8)
+      m = base[:, iy][:, :, ix]                     # (cap, h, w)
+      if mx >= 16:
+        dc = sl["dc"][jnp.clip(slid - 14, 0, 13)]
+        m = m.at[:, 0, 0].set(jnp.where(slid >= 14, dc, m[:, 0, 0]))
+      m = jnp.where(slid[:, None, None] < 0, 16, m)
+      scale16 = b["scale"][:, None, None] * m
+    else:
+      scale16 = (b["scale"] * 16)[:, None, None]
     off = (jnp.int32(1) << b["shift"] >> 1)[:, None, None]
     sh = b["shift"][:, None, None]
     deq = (levels * scale16 + off) >> sh
@@ -528,12 +548,12 @@ def _bucket_residuals(bm, w, h, bit_depth, is_chroma, chroma_scale=None):
 
 
 def _residual_from_buckets(buckets, Hp, Wp, bit_depth, sizes, is_chroma,
-                           chroma_scale=None):
+                           chroma_scale=None, sl=None):
   res = jnp.zeros((Hp, Wp), jnp.int32)
   for (w, h) in sizes:
     b = _bucket_view(buckets[(w, h)])
     out, mask = _bucket_residuals(buckets[(w, h)], w, h, bit_depth,
-                                  is_chroma, chroma_scale)
+                                  is_chroma, chroma_scale, sl)
     yy = b["y0"][:, None, None] + jnp.arange(h)[None, :, None]
     xx = b["x0"][:, None, None] + jnp.arange(w)[None, None, :]
     res = res.at[yy, xx].add(out * mask)
@@ -1197,7 +1217,8 @@ def _build_frame_program(shapes):
         p = inp["planes"][c_idx]
         res = _residual_from_buckets(p["buckets"], Hp, Wp, bd, sizes,
                                      c_idx > 0,
-                                     scale if c_idx > 0 else None)
+                                     scale if c_idx > 0 else None,
+                                     inp.get("sl"))
         refs = _cropped_refs(refs_in, c_idx)
         plane = _recon_plane(res, p["inter"], p["n_inter"], p["intra"],
                              p["n_chunks"], refs,
@@ -1469,7 +1490,7 @@ def _scale_shift_tables(lw, lh, bit_depth, dep_quant=False):
 
 # row order of the per-bucket scalar matrix (decode.cc BucketRow)
 BUCKET_ROWS = ("x0", "y0", "scale", "shift", "slot", "trh", "trv", "jop",
-               "ts", "lf_sel", "lf_tr", "vpdu", "sbs")
+               "ts", "lf_sel", "lf_tr", "vpdu", "sbs", "slid")
 
 _SCSH_CACHE: dict = {}
 
@@ -1742,10 +1763,14 @@ def build_host_inputs(fs: FrameSyntax, ctb_log2=5, ref_slots=None,
     pallas = _use_pallas()
   isp = bool(getattr(fs, "has_isp", 0)) if force_isp is None \
       else bool(force_isp)
-  if isp:
+  if isp or getattr(fs, "sl", None) is not None:
     pallas = False
   W, H = fs.width, fs.height
   inp = {"planes": []}
+  if getattr(fs, "sl", None) is not None:
+    # explicit scaling lists: the active APS's ScalingMatrixRec (8x8
+    # grid per id) + ScalingMatrixDcRec, consumed by _bucket_residuals
+    inp["sl"] = {"rec": fs.sl["rec"], "dc": fs.sl["dc"]}
   if fs.lmcs is not None:
     # LMCS piecewise-segment tables (device evaluates the mapping
     # arithmetically); chroma_scale is present only when the PH enables
@@ -1867,6 +1892,8 @@ def prepare_frame(fs: FrameSyntax):
   tile_bds = (tuple(v for v in fs.tile_bd[0] if 0 < v < fs.width),
               tuple(v for v in fs.tile_bd[1] if 0 < v < fs.height))
   prog = get_frame_program(fs.width, fs.height, fs.ctb_log2, fs.bit_depth,
+                           pallas=(False if getattr(fs, "sl", None)
+                                   is not None else None),
                            tile_bds=tile_bds,
                            crop=tuple(getattr(fs, "crop", (0, 0, 0, 0))),
                            isp=bool(getattr(fs, "has_isp", 0)))

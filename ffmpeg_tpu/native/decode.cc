@@ -3919,6 +3919,32 @@ class Decoder {
         tr.trv = mts_to_trv[mts_idx];
       }
     }
+    // scaling-matrix id per residual-carrying TB (derive_scale_m,
+    // vvc_intra.c:340-385, Table 38); -1 selects the flat default
+    if (out.has_sl) {
+      static const int ids[2][3][6] = {
+          {{0, 2, 8, 14, 20, 26},
+           {0, 3, 9, 15, 21, 21},
+           {0, 4, 10, 16, 22, 22}},
+          {{0, 5, 11, 17, 23, 27},
+           {0, 6, 12, 18, 24, 24},
+           {1, 7, 13, 19, 25, 25}}};
+      const int inter = cu.pred_mode != MODE_INTRA;
+      for (size_t j = tu_begin; j < out.tus.size(); j++) {
+        TuRecord& tr = out.tus[j];
+        if (!tr.res || tr.ts) continue;
+        if (sps_.sps_scaling_matrix_for_lfnst_disabled_flag &&
+            tr.lf_sel >= 0)
+          continue;
+        // joint-CbCr derived TBs dequant the parsed component's
+        // coefficients -> use the parsed component's matrix
+        int eff_c = tr.c_idx;
+        if (tr.jop > 0) eff_c = tr.c_idx == 2 ? 1 : 2;
+        const int ml2 =
+            ctrl::bitlen(std::max(tr.w, tr.h)) - 1;
+        tr.slid = ids[inter][eff_c][ml2 - 1];
+      }
+    }
   }
 
   int egk_decode(int k, int max_pre, int trunc_len) {
@@ -4977,6 +5003,23 @@ void vvch_frame_info(void* h, int32_t* info) {
   info[25] = o.gdr_pic;
   info[26] = o.recovery_poc_cnt;
   info[27] = o.has_isp;
+  info[28] = o.has_sl;
+}
+
+// active scaling-list matrices: 28 matrices expanded to an 8x8 grid
+// (top-left msize x msize occupied), then 14 dc values.  sl_rec stores
+// each matrix with its own row stride (2/4/8).
+void vvch_sl(void* h, int32_t* out_buf) {
+  const FrameOut& o = ((Decoder*)h)->out;
+  int k = 0;
+  for (int id = 0; id < 28; id++) {
+    const int msize = id < 2 ? 2 : (id < 8 ? 4 : 8);
+    for (int y = 0; y < 8; y++)
+      for (int x = 0; x < 8; x++)
+        out_buf[k++] = (y < msize && x < msize)
+                           ? o.sl_rec[id][y * msize + x] : 0;
+  }
+  for (int i = 0; i < 14; i++) out_buf[k++] = o.sl_dc_rec[i];
 }
 
 // tile boundaries in luma samples: out[0]=n_cols+1, out[1]=n_rows+1,
@@ -5189,6 +5232,8 @@ enum BucketRow {
   // redistributed across the consecutive per-subblock predict-unit
   // slots starting at kBSlot (SbTMVP units are 8x8 luma / 4x4 chroma)
   kBSbs,
+  // kBSlId: scaling-matrix id (Table 38; -1 = flat default 16)
+  kBSlId,
   kBucketRows
 };
 
@@ -5289,6 +5334,8 @@ int vvch_fo_fill_buckets(void* fo_, int c_idx, int n_sizes,
     std::fill(m + (size_t)kBSlot * cap, m + (size_t)(kBSlot + 1) * cap, -1);
     std::fill(m + (size_t)kBLfSel * cap, m + (size_t)(kBLfSel + 1) * cap,
               -1);
+    std::fill(m + (size_t)kBSlId * cap, m + (size_t)(kBSlId + 1) * cap,
+              -1);
     std::memset(lvs[k], 0,
                 sizeof(int32_t) * (size_t)cap * sizes[2 * k] *
                     sizes[2 * k + 1]);
@@ -5338,6 +5385,7 @@ int vvch_fo_fill_buckets(void* fo_, int c_idx, int n_sizes,
     m[(size_t)kBTs * cap + n] = tu.ts;
     m[(size_t)kBLfSel * cap + n] = tu.lf_sel;
     m[(size_t)kBLfTr * cap + n] = tu.lf_tr;
+    m[(size_t)kBSlId * cap + n] = tu.slid;
     const CuRecord& cu = fo.cus[tu.cu_index];
     m[(size_t)kBVpdu * cap + n] = (cu.y0 / vsz) * nvx + (cu.x0 / vsz);
     int32_t* lv = (int32_t*)lvs[k] + (size_t)n * tu.w * tu.h;

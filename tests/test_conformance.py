@@ -52,7 +52,7 @@ CORE_IDS = {
     "cclm-lmcs-ra", "mrl-tools-ra", "tiles-tools-ra", "wpp-tools-ra",
     "separate-ph-tools-ra", "dualtree-cclm-mip-mrl",
     "dualtree-ctu64-lfnst", "sbt-tools-ra", "isp-lfnst", "isp-dualtree",
-    "isp-inter", "slices-wpp",
+    "isp-inter", "scaling-lfnst-ts", "scaling-inter", "slices-wpp",
     "slices-tools-ra", "cra-rasl", "gdr", "ltr-ra", "crop-ra",
 }
 
@@ -311,6 +311,13 @@ CORE_IDS = {
          deblock=True, sao=True),
     dict(width=96, height=64, seed=3509, qp=30, isp=True, inter=True,
          b_slices=True, n_frames=4, deblock=True),
+    # explicit scaling lists (APS dequant matrices, derive_scale_m)
+    dict(width=96, height=96, seed=7002, qp=28, scaling_lists=True,
+         mts=True, joint_cbcr=True),
+    dict(width=96, height=64, seed=7003, qp=30, scaling_lists=True,
+         lfnst=True, transform_skip=True),
+    dict(width=96, height=64, seed=7005, qp=30, scaling_lists=True,
+         inter=True, b_slices=True, n_frames=4, deblock=True),
     # raster multi-slice pictures (PH NAL + per-slice tile ranges)
     dict(width=96, height=64, seed=3701, qp=30, tile_cols=(2, 1),
          tile_rows=(1, 1), n_slices=2, deblock=True, sao=True),
@@ -375,6 +382,7 @@ CORE_IDS = {
         "sbt", "sbt-tools-ra", "sbt-p",
         "isp", "isp-lfnst", "isp-dualtree", "isp-10bit-filters",
         "isp-inter",
+        "scaling-mts-jcbcr", "scaling-lfnst-ts", "scaling-inter",
         "slices", "slices-wpp", "slices-tools-ra", "cra-rasl", "gdr",
         "ltr-p", "ltr-ra",
         "crop", "crop-ra"])
