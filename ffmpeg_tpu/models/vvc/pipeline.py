@@ -1019,15 +1019,20 @@ def _recon_plane(res_plane, inter, n_inter, intra, n_chunks, refs, *,
   plane = jax.lax.fori_loop(0, n_ichunks, inter_chunk, plane0)
 
   def intra_chunk(s, plane):
-    off = s * CHUNK_CAP
+    off = intra["ioff"][s]
+    end = intra["iend"][s]
     c = {k: jax.lax.dynamic_slice(intra[k], (off,), (CHUNK_CAP,))
          for k in INTRA_KEYS}
     blks = jax.vmap(lambda cc: _intra_unit(
         plane, res_plane, cc, maxs=maxs_intra, is_chroma=is_chroma,
         bit_depth=bit_depth, maxv=maxv, mid=mid, OFF=OFF,
         refs=refs, lmcs=lmcs, cclm=cclm))(c)
+    # the slice window is CHUNK_CAP wide but only [off, end) belongs to
+    # chunk s; the overlap prefix of chunk s+1 is masked off here and
+    # reconstructed (correctly) on the next iteration
+    valid = (off + jnp.arange(CHUNK_CAP) < end) & (c["w"] > 0)
     return _scatter_blocks(plane, blks, c["x0"], c["y0"], c["w"], c["h"],
-                           c["w"] > 0, maxs_intra)
+                           valid, maxs_intra)
 
   return jax.lax.fori_loop(0, n_chunks, intra_chunk, plane)
 
@@ -1076,16 +1081,16 @@ def _build_frame_program(shapes):
     S = 32
     if "has_inter" not in inp:
       return jnp.zeros((1, S, S), jnp.int32)
-    p = inp["planes"][c_idx]
+    ct = inp["ctrl"]["y" if c_idx == 0 else "c"]
     refs = _cropped_refs(refs_in, c_idx)
     is_c = c_idx > 0
-    cc = {k: p["inter"][k] for k in INTER_KEYS}
+    cc = {k: ct["inter"][k] for k in INTER_KEYS}
     if c_idx == 2:
       # Cr uses the second weight set of the shared chroma controls
       for a, b in (("w0", "w0b"), ("w1", "w1b"),
                    ("wo0", "wo0b"), ("wo1", "wo1b")):
-        cc[a] = p["inter"][b]
-    wb_all = p["inter"]["gwt"][p["inter"]["gslot"]]
+        cc[a] = ct["inter"][b]
+    wb_all = ct["inter"]["gwt"][ct["inter"]["gslot"]]
     return jax.vmap(lambda c1, wb1: _inter_pred_unit(
         refs, c1, maxs=S, taps=4 if is_c else 8,
         before=1 if is_c else 3, frac_bits=5 if is_c else 4,
@@ -1215,13 +1220,14 @@ def _build_frame_program(shapes):
           (maxs_c, Hp_c, Wp_c, CHROMA_SIZES),
           (maxs_c, Hp_c, Wp_c, CHROMA_SIZES))):
         p = inp["planes"][c_idx]
+        ct = inp["ctrl"]["y" if c_idx == 0 else "c"]
         res = _residual_from_buckets(p["buckets"], Hp, Wp, bd, sizes,
                                      c_idx > 0,
                                      scale if c_idx > 0 else None,
                                      inp.get("sl"))
         refs = _cropped_refs(refs_in, c_idx)
-        plane = _recon_plane(res, p["inter"], p["n_inter"], p["intra"],
-                             p["n_chunks"], refs,
+        plane = _recon_plane(res, ct["inter"], ct["n_inter"], ct["intra"],
+                             ct["n_chunks"], refs,
                              maxs_inter=min(32, maxs),
                              maxs_intra=min(32, maxs),
                              is_chroma=c_idx > 0, bit_depth=bd,
@@ -1302,11 +1308,12 @@ _PACK_POOL_LOCK = None
 
 
 def _pack_scratch(total):
-  """Rotating pool of pack buffers.  A fresh 18-40 MB allocation per
-  frame costs 40-80 ms of page faults under the GIL; reusing warm
-  buffers makes the pack a plain memcpy.  The pool depth exceeds the
-  decoder's dispatch-ahead window, so a buffer is never rewritten
-  while its host->device copy may still be in flight."""
+  """Rotating pool of pack buffers (uint8, `total` bytes).  A fresh
+  18-40 MB allocation per frame costs 40-80 ms of page faults under the
+  GIL; reusing warm buffers makes the pack a plain memcpy.  The pool
+  depth exceeds the decoder's dispatch-ahead window, so a buffer is
+  never rewritten while its host->device copy may still be in
+  flight."""
   global _PACK_POOL_LOCK
   if _PACK_POOL_LOCK is None:
     import threading
@@ -1315,14 +1322,14 @@ def _pack_scratch(total):
     # XLA:CPU device_put may alias host memory zero-copy; a reused
     # buffer would mutate frames still in flight.  CPU runs (tests)
     # allocate fresh.
-    return np.empty(total, np.int32)
+    return np.empty(total, np.uint8)
   with _PACK_POOL_LOCK:
     ring, idx = _PACK_POOL.setdefault("ring", ([], [0]))
     depth = 12  # > dispatch-ahead window (8) + margin
     def fresh(n):
       # explicit fill pre-faults the pages once at ring-build time;
       # cold first-touch of a 45 MB buffer costs ~450 ms at 1080p
-      buf = np.empty(n, np.int32)
+      buf = np.empty(n, np.uint8)
       buf.fill(0)
       return buf
 
@@ -1336,21 +1343,38 @@ def _pack_scratch(total):
     return ring[idx[0]][:total]
 
 
+# dtypes allowed in the packed input buffer; the host ships each leaf
+# at its natural width (coefficient levels int16, deblock/SAO grids
+# int8, GPM weights uint8...) and the device widens to int32 at unpack
+# — host->device transport is the throughput floor (measured ~225 MB/s
+# on this tunnel), so input bytes ARE frame time.
+_PACK_DTYPES = (np.dtype(np.int32), np.dtype(np.int16),
+                np.dtype(np.int8), np.dtype(np.uint8))
+
+
+def _leaf_nbytes(a):
+  """Padded byte size of a leaf in the pack buffer (4-byte aligned so
+  every leaf's offset stays aligned for its dtype view)."""
+  return (a.nbytes + 3) & ~3
+
+
 def _pack_leaves(leaves, total):
-  """Flatten host leaves into one contiguous int32 buffer with a single
+  """Flatten host leaves into one contiguous byte buffer with a single
   C-level copy pass (a per-leaf python assignment loop costs ~50ms per
-  frame at ~700 leaves)."""
+  frame at ~700 leaves).  Leaves keep their own dtypes (int8/int16/
+  int32); the device unpacks with bitcasts."""
   buf = _pack_scratch(total)
   off = 0
   for l in leaves:
-    a = np.asarray(l, np.int32)
-    n = a.size
-    dst = buf[off:off + n]
+    a = np.asarray(l)
+    if a.dtype not in _PACK_DTYPES:
+      a = a.astype(np.int32)
+    dst = buf[off:off + a.nbytes].view(a.dtype)
     if a.ndim == 1 or a.flags.c_contiguous:
       dst[:] = a.reshape(-1)
     else:
       np.copyto(dst.reshape(a.shape), a)
-    off += n
+    off += _leaf_nbytes(a)
   assert off == total
   return buf
 
@@ -1376,18 +1400,30 @@ class PackedProgram:
     self._variants: dict = {}  # leaf-shape signature -> (treedef, offs, total, jit)
 
   def _variant(self, leaves, treedef):
-    sig = tuple(np.shape(leaf) for leaf in leaves)
+    sig = tuple((np.shape(leaf), np.asarray(leaf).dtype.str)
+                for leaf in leaves)
     with self._lock:
       var = self._variants.get(sig)
       if var is None:
         offs, off = [], 0
         for leaf in leaves:
           a = np.asarray(leaf)
-          offs.append((off, a.size, a.shape))
-          off += a.size
+          dt = a.dtype if a.dtype in _PACK_DTYPES else np.dtype(np.int32)
+          offs.append((off, a.nbytes if a.dtype in _PACK_DTYPES
+                       else a.size * 4, a.shape, dt))
+          off += _leaf_nbytes(a if a.dtype in _PACK_DTYPES
+                              else a.astype(np.int32))
 
         def run(buf, refs, offs=offs, treedef=treedef):
-          ls = [buf[o:o + s].reshape(shape) for o, s, shape in offs]
+          ls = []
+          for o, nb, shape, dt in offs:
+            seg = jax.lax.slice(buf, (o,), (o + nb,))
+            if dt.itemsize > 1:
+              seg = jax.lax.bitcast_convert_type(
+                  seg.reshape(-1, dt.itemsize), dt)
+            elif dt == np.int8:
+              seg = jax.lax.bitcast_convert_type(seg, jnp.int8)
+            ls.append(seg.astype(jnp.int32).reshape(shape))
           return self._body(jax.tree_util.tree_unflatten(treedef, ls), refs)
 
         var = (treedef, offs, off, jax.jit(run), run)
@@ -1535,7 +1571,9 @@ def _bucket_inputs(fs: FrameSyntax, c_idx: int, sizes, W, H):
        for k, (w, h) in enumerate(sizes)], np.int32)
   scsh = _scsh_blob(sizes, fs.bit_depth, bool(fs.dep_quant))
   mats = [np.empty((len(BUCKET_ROWS), cap), np.int32) for cap in caps]
-  lvs = [np.empty((cap, h, w), np.int32)
+  # levels ship int16: coefficient levels are spec-clamped to
+  # [-2^15, 2^15-1] (log2TransformRange = 15), exact at half the bytes
+  lvs = [np.empty((cap, h, w), np.int16)
          for cap, (w, h) in zip(caps, sizes)]
   slots = fs.slots_y if c_idx == 0 else fs.slots_c
   has_slots = slots is not None and len(slots)
@@ -1626,7 +1664,23 @@ def _deblock_grids(fs: FrameSyntax, Hp_y, Wp_y, Hp_c, Wp_c, ctb_log2):
          pos_y.T, th.T, qpc.T, motion_t, cbf_c.T, Sh, Eh,
          ctu_edge_cols=ctu_cols,
          pcmf=pcmf_c.T if pcmf_c is not None else None)
-  return d
+  # every grid value is tiny (bs 0-2, max filter lengths <= 7, averaged
+  # qp in [-32, 63], CTU-edge flags): ship int8, 1/4 the bytes
+  return {k: v.astype(np.int8) for k, v in d.items()}
+
+
+# control keys that must travel int32: motion vectors are 18-bit
+# (1/16-pel) and PROF per-subblock deltas are unbounded cp-mv diffs;
+# everything else (coords <= 2^14, modes, flags, sizes, weights) ships
+# int16 — half the host->device bytes of the control layouts
+_CTRL32_KEYS = frozenset((
+    "m0x", "m0y", "m1x", "m1y", "om0x", "om0y", "om1x", "om1y",
+    "pdhx0", "pdhy0", "pdvx0", "pdvy0", "pdhx1", "pdhy1", "pdvx1",
+    "pdvy1"))
+
+
+def _ctrl_dtype(key):
+  return np.int32 if key in _CTRL32_KEYS else np.int16
 
 
 _ZERO_PLANE_CACHE: dict = {}
@@ -1666,37 +1720,53 @@ def _layout_ctrl(mat, geom_key, tag):
   n_mc = len(inter_idx)
   icap = _round_up(_ratchet(geom_key, (tag, "inter"), max(n_mc, 1),
                             unit_cap, floor=INTER_CHUNK), INTER_CHUNK)
-  inter = {k: np.zeros(icap, np.int32) for k in INTER_KEYS}
+  inter = {k: np.zeros(icap, _ctrl_dtype(k)) for k in INTER_KEYS}
   for k in INTER_KEYS:
     inter[k][:n_mc] = keys[k][inter_idx]
   # GPM blend-weight tiles + per-row index into them
   ss = 0 if tag == "y" else 1
   gwt, gslot = _gpm_weight_blocks(inter, icap, ss, geom_key, tag)
-  inter["gwt"] = gwt
-  gs = np.zeros(icap, np.int32)
+  inter["gwt"] = gwt.astype(np.uint8)  # blend weights 0..8
+  gs = np.zeros(icap, np.int16)
   gs[:len(gslot)] = gslot
   inter["gslot"] = gs
 
-  if len(intra_idx):
+  # Compacted intra layout: units contiguous in chunk order + a
+  # per-chunk offset table.  Chunk s's units live at
+  # [ioff[s], ioff[s] + count_s) with count_s <= CHUNK_CAP; the device
+  # slices a full CHUNK_CAP window from ioff[s] and masks writes to
+  # the chunk's real extent (the overlap prefix of chunk s+1 computes
+  # garbage that is never written).  vs the old chunk*CHUNK_CAP slot
+  # padding this is ~5-12x fewer bytes on the wire (measured 8.5%
+  # slot occupancy at RA 1080p).
+  n_iu = len(intra_idx)
+  if n_iu:
     c = chunk[intra_idx]
     n_chunks = int(c.max()) + 1
-    # within-chunk rank via stable sort (chunks stay in ascending order)
     order = np.argsort(c, kind="stable")
     cs = c[order]
-    starts = np.r_[0, np.flatnonzero(np.diff(cs)) + 1]
-    grp = np.repeat(np.arange(len(starts)),
-                    np.diff(np.r_[starts, len(cs)]))
-    rank_sorted = np.arange(len(cs)) - starts[grp]
-    slots = np.empty(len(cs), np.int64)
-    slots[order] = cs * CHUNK_CAP + rank_sorted
+    counts = np.bincount(cs, minlength=n_chunks)
+    assert counts.max() <= CHUNK_CAP
+    offs = np.zeros(n_chunks + 1, np.int64)
+    np.cumsum(counts, out=offs[1:])
   else:
     n_chunks = 0
-    slots = np.zeros(0, np.int64)
+    order = np.zeros(0, np.int64)
+    offs = np.zeros(1, np.int64)
   ccap = _ratchet(geom_key, (tag, "chunks"), max(n_chunks, 1), unit_cap,
                   floor=8)
-  intra = {k: np.zeros(ccap * CHUNK_CAP, np.int32) for k in INTRA_KEYS}
+  ucap = _ratchet(geom_key, (tag, "iunits"), n_iu + CHUNK_CAP,
+                  unit_cap + CHUNK_CAP, floor=4 * CHUNK_CAP)
+  intra = {k: np.zeros(ucap, _ctrl_dtype(k)) for k in INTRA_KEYS}
+  src = intra_idx[order]
   for k in INTRA_KEYS:
-    intra[k][slots] = keys[k][intra_idx]
+    intra[k][:n_iu] = keys[k][src]
+  ioff = np.zeros(ccap, np.int32)
+  iend = np.zeros(ccap, np.int32)
+  ioff[:n_chunks] = offs[:-1]
+  iend[:n_chunks] = offs[1:]
+  intra["ioff"] = ioff
+  intra["iend"] = iend
   return np.int32(n_inter), inter, np.int32(n_chunks), intra
 
 
@@ -1810,29 +1880,32 @@ def build_host_inputs(fs: FrameSyntax, ctb_log2=5, ref_slots=None,
   # after the L0 block
   n_l0 = (ref_slots or (max(1, len(fs.ref_pocs[0])),))[0]
   for c in (inter_y, inter_c, intra_y, intra_c):
-    # slot = ref_idx + n_l0 * list (GPM hypotheses can sit on either)
-    c["r0slot"] = c["r0slot"] + np.int32(n_l0) * c.get("hyp0lx", 0)
-    c["r1slot"] = c["r1slot"] + np.int32(n_l0) * c["hyp1lx"]
+    # slot = ref_idx + n_l0 * list (GPM hypotheses can sit on either);
+    # in-place so the int16 control dtype survives
+    c["r0slot"] += (np.int16(n_l0) * c.get("hyp0lx", 0)).astype(np.int16)
+    c["r1slot"] += (np.int16(n_l0) * c["hyp1lx"]).astype(np.int16)
 
   for c_idx in range(3):
     sizes = ((LUMA_SIZES + ISP_EXTRA_SIZES if isp else LUMA_SIZES)
              if c_idx == 0 else CHROMA_SIZES)
-    luma = c_idx == 0
-    p = {"buckets": _bucket_inputs(fs, c_idx, sizes, W, H)}
-    if pallas:
-      # the Pallas recon path consumes only buckets + (when present)
-      # the compacted inter-MC batch; the chunked wavefront layouts
-      # would be dead weight on the host->device transfer
-      if "has_inter" in inp:
-        p["inter"] = inter_y if luma else inter_c
-    else:
-      p.update({
-          "inter": inter_y if luma else inter_c,
-          "n_inter": n_inter_y if luma else n_inter_c,
-          "intra": intra_y if luma else intra_c,
-          "n_chunks": n_ch_y if luma else n_ch_c,
-      })
-    inp["planes"].append(p)
+    inp["planes"].append(
+        {"buckets": _bucket_inputs(fs, c_idx, sizes, W, H)})
+  # control layouts ship ONCE per plane kind (Cb and Cr consume the
+  # same chroma controls; duplicating them in the tree would double
+  # their share of the host->device transfer)
+  if pallas:
+    # the Pallas recon path consumes only buckets + (when present)
+    # the compacted inter-MC batch; the chunked wavefront layouts
+    # would be dead weight on the host->device transfer
+    if "has_inter" in inp:
+      inp["ctrl"] = {"y": {"inter": inter_y}, "c": {"inter": inter_c}}
+  else:
+    inp["ctrl"] = {
+        "y": {"inter": inter_y, "n_inter": n_inter_y,
+              "intra": intra_y, "n_chunks": n_ch_y},
+        "c": {"inter": inter_c, "n_inter": n_inter_c,
+              "intra": intra_c, "n_chunks": n_ch_c},
+    }
   if not fs.deblock_disabled:
     inp["deblock"] = _deblock_grids(fs, Hp_y, Wp_y, Hp_c, Wp_c, ctb_log2)
 
@@ -1860,17 +1933,21 @@ def build_host_inputs(fs: FrameSyntax, ctb_log2=5, ref_slots=None,
          clipv(a["luma_clipidx"])], axis=0)
     cc_ext = np.concatenate(
         [np.zeros((2, 1, 7), np.int32), a["cc_coeff"]], axis=1)
+    # narrow wire dtypes: ctb fields are flags/indices < 32 (int8),
+    # coeffs |c| < 2^7 and clip values <= 1 << bd <= 4096 (int16)
     inp["alf"] = {
-        "ctb": a["ctb"].astype(np.int32),
-        "banks_coeff": banks_coeff,
-        "banks_clipv": banks_clipv,
-        "chroma_coeff": a["chroma_coeff"].astype(np.int32),
-        "chroma_clipv": clipv(a["chroma_clipidx"]),
-        "cc_coeff": cc_ext,
+        "ctb": a["ctb"].astype(np.int8),
+        "banks_coeff": banks_coeff.astype(np.int16),
+        "banks_clipv": banks_clipv.astype(np.int16),
+        "chroma_coeff": a["chroma_coeff"].astype(np.int16),
+        "chroma_clipv": clipv(a["chroma_clipidx"]).astype(np.int16),
+        "cc_coeff": cc_ext.astype(np.int16),
     }
 
   if fs.sao is not None and (force_sao or np.any(fs.sao[..., 0:3])):
-    sao = fs.sao
+    # per-CTB params are all small ints (types 0-2, band pos 0-28,
+    # offsets |v| <= 31): int8 on the wire
+    sao = fs.sao.astype(np.int8)
     inp["sao"] = {
         "type": sao[..., 0:3],
         "band": sao[..., 3:6],

@@ -5311,7 +5311,10 @@ void vvch_fo_bucket_counts(void* fo_, int c_idx, int n_sizes,
 //   slots:  per-TuRecord predict-unit slot for this plane kind
 //           (vvch_tu_slots output; may be null -> slot stays -1)
 //   mats:   n_sizes pointers to (11, cap) int32 (fully initialized here)
-//   lvs:    n_sizes pointers to (cap, h, w) int32 (fully initialized)
+//   lvs:    n_sizes pointers to (cap, h, w) int16 (fully initialized);
+//           transform coefficient levels are spec-clamped to
+//           [-2^15, 2^15-1] (log2TransformRange = 15), so int16 is
+//           exact and halves the host->device bytes
 // Returns 0, or -1 if any bucket overflows its capacity (caller must
 // treat this as fatal: silent truncation would corrupt frames).
 int vvch_fo_fill_buckets(void* fo_, int c_idx, int n_sizes,
@@ -5337,7 +5340,7 @@ int vvch_fo_fill_buckets(void* fo_, int c_idx, int n_sizes,
     std::fill(m + (size_t)kBSlId * cap, m + (size_t)(kBSlId + 1) * cap,
               -1);
     std::memset(lvs[k], 0,
-                sizeof(int32_t) * (size_t)cap * sizes[2 * k] *
+                sizeof(int16_t) * (size_t)cap * sizes[2 * k] *
                     sizes[2 * k + 1]);
   }
 
@@ -5388,11 +5391,12 @@ int vvch_fo_fill_buckets(void* fo_, int c_idx, int n_sizes,
     m[(size_t)kBSlId * cap + n] = tu.slid;
     const CuRecord& cu = fo.cus[tu.cu_index];
     m[(size_t)kBVpdu * cap + n] = (cu.y0 / vsz) * nvx + (cu.x0 / vsz);
-    int32_t* lv = (int32_t*)lvs[k] + (size_t)n * tu.w * tu.h;
-    for (int yy = 0; yy < tu.h; yy++)
-      std::memcpy(lv + (size_t)yy * tu.w,
-                  plane + (size_t)(tu.y0 + yy) * pw + tu.x0,
-                  sizeof(int32_t) * tu.w);
+    int16_t* lv = (int16_t*)lvs[k] + (size_t)n * tu.w * tu.h;
+    for (int yy = 0; yy < tu.h; yy++) {
+      const int32_t* src = plane + (size_t)(tu.y0 + yy) * pw + tu.x0;
+      int16_t* dst = lv + (size_t)yy * tu.w;
+      for (int xx = 0; xx < tu.w; xx++) dst[xx] = (int16_t)src[xx];
+    }
   }
   return 0;
 }

@@ -70,14 +70,14 @@ def profile(path: str, repeats: int = 2) -> dict:
             stats["pack_ms"].append((t3 - t2) * 1e3)
             stats["dispatch_ms"].append((t4 - t3) * 1e3)
             stats["execute_ms"].append((t5 - t4) * 1e3)
-            for c_idx, tag in ((0, "y"), (1, "c")):
-                p = inp["planes"][c_idx]
+            for tag in ("y", "c"):
+                p = inp.get("ctrl", {}).get(tag, {})
                 if "n_chunks" in p:
                     stats[f"n_chunks_{tag}"].append(int(p["n_chunks"]))
                     w = p["intra"]["w"]
                     stats[f"units_{tag}"].append(int((w > 0).sum()))
-            if "n_inter" in inp["planes"][0]:
-                stats["n_inter_y"].append(int(inp["planes"][0]["n_inter"]))
+            if "n_inter" in inp.get("ctrl", {}).get("y", {}):
+                stats["n_inter_y"].append(int(inp["ctrl"]["y"]["n_inter"]))
 
     out = {}
     for k, v in stats.items():
