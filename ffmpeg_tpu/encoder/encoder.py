@@ -45,6 +45,10 @@ class EncoderConfig:
     max_mtt_depth: int = 2
     max_bt_size: int = 32
     max_tt_size: int = 32
+    # 64-sample transform blocks (sps_max_luma_transform_size_64_flag;
+    # requires ctu_log2 >= 6).  Real encoders (VTM/vvenc) default to
+    # CTU-128 + TB-64, so this is the wild-stream configuration.
+    tb64: bool = False
     split_prob: float = 0.6  # chance of splitting at each eligible node
     # transform tools
     mts: bool = False           # explicit MTS (intra + inter mts_idx)
@@ -152,6 +156,7 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
         sps_pic_width_max_in_luma_samples=cfg.width,
         sps_pic_height_max_in_luma_samples=cfg.height,
         sps_bitdepth_minus8=cfg.bit_depth - 8,
+        sps_max_luma_transform_size_64_flag=1 if cfg.tb64 else 0,
         sps_log2_diff_min_qt_min_cb_intra_slice_luma=min_qt_log2 - 2,
         sps_max_mtt_hierarchy_depth_intra_slice_luma=cfg.max_mtt_depth,
         sps_log2_diff_max_bt_min_qt_intra_slice_luma=(
@@ -266,15 +271,27 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
     return sps, pps
 
 
-def _random_coeffs(cfg, rng, cw, ch):
+def _random_coeffs(cfg, rng, cw, ch, luma=True):
     if rng.random() < 0.15:
         return None  # uncoded
     mask = rng.random((ch, cw)) < cfg.coeff_density
     mag = rng.integers(1, cfg.max_level + 1, size=(ch, cw))
     sign = rng.choice([-1, 1], size=(ch, cw))
     c = (mask * mag * sign).astype(np.int32)
+    # 64-point zero-out: a 64-sample TB dimension codes only its low 32
+    # coefficients (residual_coding log2_zo = min(log2, 5)), so zero
+    # every position whose TB-local coordinate is >= 32.  The CU's
+    # transform-tree leaves tile it by (min(w, mtb), min(h, mtb)); this
+    # conservative per-leaf clamp also covers ISP sub-partitions (their
+    # coded regions are subsets of the leaf's).
+    if luma and cfg.tb64:
+        lw, lh = min(cw, 64), min(ch, 64)
+        if lw > 32:
+            c[:, np.arange(cw) % lw >= 32] = 0
+        if lh > 32:
+            c[np.arange(ch) % lh >= 32, :] = 0
     if not np.any(c):
-        c[rng.integers(0, ch), rng.integers(0, cw)] = 1
+        c[rng.integers(0, min(ch, 32)), rng.integers(0, min(cw, 32))] = 1
     return c
 
 
@@ -286,9 +303,9 @@ def _random_cu(cfg, rng, x0, y0, w, h, is_inter_slice=False,
         chroma_mode_idx=int(rng.choice([0, 1, 2, 3, 4])),
         coeff_y=(_random_coeffs(cfg, rng, w, h)
                  if tree != "chroma" else None),
-        coeff_cb=(_random_coeffs(cfg, rng, w // 2, h // 2)
+        coeff_cb=(_random_coeffs(cfg, rng, w // 2, h // 2, luma=False)
                   if tree != "luma" else None),
-        coeff_cr=(_random_coeffs(cfg, rng, w // 2, h // 2)
+        coeff_cr=(_random_coeffs(cfg, rng, w // 2, h // 2, luma=False)
                   if tree != "luma" else None),
     )
     if tree == "chroma":
@@ -368,10 +385,12 @@ def _random_cu(cfg, rng, x0, y0, w, h, is_inter_slice=False,
             pass
         if cu.merge and not cu.skip:
             # merge non-skip parses residual; luma cbf inferred 1 when
-            # chroma uncoded -> guarantee coefficients exist
+            # chroma uncoded -> guarantee coefficients exist (within
+            # the first TB leaf's zero-out region for 64-dim CUs)
             if cu.coeff_y is None or not np.any(cu.coeff_y):
                 c = np.zeros((h, w), np.int32)
-                c[int(rng.integers(0, h)), int(rng.integers(0, w))] = \
+                c[int(rng.integers(0, min(h, 32))),
+                  int(rng.integers(0, min(w, 32)))] = \
                     int(rng.integers(1, cfg.max_level + 1))
                 cu.coeff_y = c
     if (cfg.sbt and cu.pred_mode == "inter" and not cu.skip and not cu.ciip

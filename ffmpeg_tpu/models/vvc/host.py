@@ -184,6 +184,8 @@ class FrameSyntax:
     gdr_pic: int = 0           # ph_gdr_pic_flag
     recovery_poc_cnt: int = 0  # ph_recovery_poc_cnt
     has_isp: int = 0           # any ISP CU (extends the residual sizes)
+    has_tb64: int = 0          # any 64-sample luma TB (64-size residual
+    #                            classes + 64-wide intra predict units)
     # explicit scaling lists (None = flat): {"rec": (28, 8, 8) int32
     # ScalingMatrixRec, "dc": (14,) ScalingMatrixDcRec}
     sl: dict | None = None
@@ -238,7 +240,7 @@ class HostDecoder:
         if ret != 0:
             raise RuntimeError(
                 f"native decode error: {self._lib.vvch_last_error().decode()}")
-        info = (ctypes.c_int32 * 29)()
+        info = (ctypes.c_int32 * 30)()
         self._lib.vvch_frame_info(self._h, info)
         if not info[0]:
             return None  # no frame in this AU (parameter sets only)
@@ -252,6 +254,7 @@ class HostDecoder:
         crop = tuple(int(v) for v in info[21:25])
         gdr_pic, recovery_poc_cnt = int(info[25]), int(info[26])
         has_isp = int(info[27])
+        has_tb64 = int(info[29])
         sl = None
         if info[28]:
             buf = np.zeros(28 * 64 + 14, np.int32)
@@ -395,6 +398,7 @@ class HostDecoder:
             gdr_pic=gdr_pic,
             recovery_poc_cnt=recovery_poc_cnt,
             has_isp=has_isp,
+            has_tb64=has_tb64,
             sl=sl,
             fo=NativeFrame(self._lib,
                            self._lib.vvch_detach(self._h)),

@@ -98,6 +98,20 @@ CHROMA_SIZES = [(w, h) for w in (2, 4, 8, 16, 32) for h in (2, 4, 8, 16, 32)]
 # ISP CUs pay for these extra size classes (program variant keyed on it)
 ISP_EXTRA_SIZES = [(1, 16), (1, 32), (2, 8), (2, 16), (2, 32),
                    (8, 2), (16, 2), (32, 2), (16, 1), (32, 1)]
+# 64-sample luma TBs (sps_max_luma_transform_size_64_flag): DCT2-only
+# with high-frequency zero-out — the coded region is the low
+# min(d, 32) x min(d, 32) corner, so 64-dim buckets carry (zh, zw)
+# level blocks (ff_vvc_inv_dct2_64 zero-out, vvc_itx_1d.c:375-655)
+TB64_EXTRA_SIZES = [(w, 64) for w in (4, 8, 16, 32, 64)] + \
+                   [(64, h) for h in (4, 8, 16, 32)]
+# ISP sub-partitions of 64-dim CUs (1-2 wide/high x 64)
+ISP64_EXTRA_SIZES = [(1, 64), (2, 64), (64, 1), (64, 2)]
+
+
+def _zo(d):
+  """Coded (zero-out) extent of a transform dimension (min(d, 32) for
+  the 64-point DCT2; identity below)."""
+  return min(d, 32)
 
 MC_CTRL_KEYS = ("pf", "m0x", "m0y", "m1x", "m1y")
 
@@ -439,6 +453,7 @@ def _bucket_residuals(bm, w, h, bit_depth, is_chroma, chroma_scale=None,
     n = b["n"]  # traced scalar
     cap = b["x0"].shape[0]
     levels = b["lv"]
+    zw, zh = _zo(w), _zo(h)  # coded region (64-point zero-out)
     if sl is not None:
       # explicit scaling lists (derive_scale_m, vvc_intra.c:340-385):
       # per-coefficient m from the TB's Table-38 matrix id, upsampled
@@ -448,8 +463,8 @@ def _bucket_residuals(bm, w, h, bit_depth, is_chroma, chroma_scale=None,
       mx = max(w, h)
       l2m = 1 if mx == 2 else (2 if mx == 4 else 3)
       log2w, log2h = w.bit_length() - 1, h.bit_length() - 1
-      iy = np.minimum((np.arange(h) << l2m) >> log2h, (1 << l2m) - 1)
-      ix = np.minimum((np.arange(w) << l2m) >> log2w, (1 << l2m) - 1)
+      iy = np.minimum((np.arange(zh) << l2m) >> log2h, (1 << l2m) - 1)
+      ix = np.minimum((np.arange(zw) << l2m) >> log2w, (1 << l2m) - 1)
       base = sl["rec"][jnp.maximum(slid, 0)]        # (cap, 8, 8)
       m = base[:, iy][:, :, ix]                     # (cap, h, w)
       if mx >= 16:
@@ -478,7 +493,7 @@ def _bucket_residuals(bm, w, h, bit_depth, is_chroma, chroma_scale=None,
           out = jnp.einsum("nyk,nxk->nyx", deq, mh,
                            preferred_element_type=jnp.int32)
         else:
-          mh = jnp.asarray(itx_matrix("dct2", w))
+          mh = jnp.asarray(itx_matrix("dct2", w)[:, :zw])
           out = jnp.einsum("nyk,xk->nyx", deq, mh,
                            preferred_element_type=jnp.int32)
       else:
@@ -490,16 +505,18 @@ def _bucket_residuals(bm, w, h, bit_depth, is_chroma, chroma_scale=None,
           out = jnp.einsum("nyk,nkx->nyx", mv, deq,
                            preferred_element_type=jnp.int32)
         else:
-          mv = jnp.asarray(itx_matrix("dct2", h))
+          mv = jnp.asarray(itx_matrix("dct2", h)[:, :zh])
           out = jnp.einsum("yk,nkx->nyx", mv, deq,
                            preferred_element_type=jnp.int32)
       shift1 = 6 + 15 - bit_depth
       out = (out + (1 << (shift1 - 1))) >> shift1
-      out = jnp.where(b["ts"][:, None, None] > 0, deq, out)
+      if (zw, zh) == (w, h):
+        out = jnp.where(b["ts"][:, None, None] > 0, deq, out)
       mask = (jnp.arange(cap) < n)[:, None, None]
       return out, mask
     # per-TU transform kind (0=DCT2 1=DST7 2=DCT8, spec 8.7.4 / MTS);
     # DST7/DCT8 exist for 4..32 only — other sizes are always DCT2
+    # (64-point is DCT2-only, columns sliced to the coded zh/zw region)
     if 4 <= h <= 32:
       mv_stack = jnp.asarray(np.stack([itx_matrix("dct2", h),
                                        itx_matrix("dst7", h),
@@ -508,7 +525,7 @@ def _bucket_residuals(bm, w, h, bit_depth, is_chroma, chroma_scale=None,
       tmp = jnp.einsum("nyk,nkx->nyx", mv, deq,
                        preferred_element_type=jnp.int32)
     else:
-      mv = jnp.asarray(itx_matrix("dct2", h))
+      mv = jnp.asarray(itx_matrix("dct2", h)[:, :zh])
       tmp = jnp.einsum("yk,nkx->nyx", mv, deq,
                        preferred_element_type=jnp.int32)
     tmp = jnp.clip((tmp + 64) >> 7, -(1 << 15), (1 << 15) - 1)
@@ -520,13 +537,15 @@ def _bucket_residuals(bm, w, h, bit_depth, is_chroma, chroma_scale=None,
       out = jnp.einsum("nyk,nxk->nyx", tmp, mh,
                        preferred_element_type=jnp.int32)
     else:
-      mh = jnp.asarray(itx_matrix("dct2", w))
+      mh = jnp.asarray(itx_matrix("dct2", w)[:, :zw])
       out = jnp.einsum("nyk,xk->nyx", tmp, mh,
                        preferred_element_type=jnp.int32)
     shift2 = 5 + 15 - bit_depth
     out = (out + (1 << (shift2 - 1))) >> shift2
-    # transform skip: the dequantized levels ARE the residual
-    out = jnp.where(b["ts"][:, None, None] > 0, deq, out)
+    if (zw, zh) == (w, h):
+      # transform skip: the dequantized levels ARE the residual
+      # (never signalled for 64-point TBs — max_ts_size <= 32)
+      out = jnp.where(b["ts"][:, None, None] > 0, deq, out)
     if is_chroma:
       # joint-CbCr derived residual: (r * c_sign) >> shift applied to
       # the post-ITX samples (add_residual_joint, vvcdsp_template.c:48)
@@ -1061,8 +1080,13 @@ def _build_frame_program(shapes):
   ctb_log2 = shapes["ctb_log2"]
   use_pallas = shapes["pallas"]
   tile_bds = shapes.get("tile_bds", ((), ()))
+  tb64 = shapes.get("tb64", False)
   maxs_y = 1 << ctb_log2
   maxs_c = maxs_y >> 1
+  # intra predict units are transform blocks: <= 32 normally, <= 64 on
+  # sps_max_luma_transform_size_64_flag streams (luma only; 4:2:0
+  # chroma TBs stay <= 32).  Inter MC units always tile to <= 32.
+  maxs_intra_y = min(64 if tb64 else 32, maxs_y)
   Hp_y = _round_up(H, 128) + maxs_y
   Wp_y = _round_up(W, 128) + maxs_y
   Hp_c = _round_up(H >> 1, 64) + maxs_c
@@ -1215,6 +1239,10 @@ def _build_frame_program(shapes):
       cclm = None
       luma_sizes = (LUMA_SIZES + ISP_EXTRA_SIZES if shapes.get("isp")
                     else LUMA_SIZES)
+      if tb64:
+        luma_sizes = luma_sizes + TB64_EXTRA_SIZES
+        if shapes.get("isp"):
+          luma_sizes = luma_sizes + ISP64_EXTRA_SIZES
       for c_idx, (maxs, Hp, Wp, sizes) in enumerate((
           (maxs_y, Hp_y, Wp_y, luma_sizes),
           (maxs_c, Hp_c, Wp_c, CHROMA_SIZES),
@@ -1229,7 +1257,8 @@ def _build_frame_program(shapes):
         plane = _recon_plane(res, ct["inter"], ct["n_inter"], ct["intra"],
                              ct["n_chunks"], refs,
                              maxs_inter=min(32, maxs),
-                             maxs_intra=min(32, maxs),
+                             maxs_intra=(maxs_intra_y if c_idx == 0
+                                         else min(32, maxs)),
                              is_chroma=c_idx > 0, bit_depth=bd,
                              lmcs=lm if c_idx == 0 else None,
                              cr_weights=c_idx == 2, cclm=cclm)
@@ -1461,21 +1490,26 @@ _PROGRAM_CACHE: dict = {}
 
 
 def get_frame_program(W, H, ctb_log2, bit_depth, pallas=None,
-                      tile_bds=((), ()), crop=(0, 0, 0, 0), isp=False):
+                      tile_bds=((), ()), crop=(0, 0, 0, 0), isp=False,
+                      tb64=False):
   """tile_bds: interior tile boundary positions in luma samples
   (static; only CCLM's cross-component stencils depend on them).
   crop: conformance-window offsets (l, r, t, b) in luma samples.
-  isp: frame carries ISP CUs (extends the luma residual size set)."""
+  isp: frame carries ISP CUs (extends the luma residual size set).
+  tb64: frame carries 64-sample luma TBs (64-size residual classes +
+  64-wide intra units)."""
   _ensure_compile_cache()
   if pallas is None:
     pallas = _use_pallas()
-  if isp:
-    pallas = False  # the Pallas recon path has no ISP size classes
-  key = (W, H, ctb_log2, bit_depth, pallas, tile_bds, crop, bool(isp))
+  if isp or tb64:
+    pallas = False  # the Pallas recon path has no ISP/64 size classes
+  key = (W, H, ctb_log2, bit_depth, pallas, tile_bds, crop, bool(isp),
+         bool(tb64))
   if key not in _PROGRAM_CACHE:
     _PROGRAM_CACHE[key] = PackedProgram(_build_frame_program(
         dict(W=W, H=H, ctb_log2=ctb_log2, bit_depth=bit_depth,
-             pallas=pallas, tile_bds=tile_bds, crop=crop, isp=bool(isp))))
+             pallas=pallas, tile_bds=tile_bds, crop=crop, isp=bool(isp),
+             tb64=bool(tb64))))
   return _PROGRAM_CACHE[key]
 
 
@@ -1572,8 +1606,9 @@ def _bucket_inputs(fs: FrameSyntax, c_idx: int, sizes, W, H):
   scsh = _scsh_blob(sizes, fs.bit_depth, bool(fs.dep_quant))
   mats = [np.empty((len(BUCKET_ROWS), cap), np.int32) for cap in caps]
   # levels ship int16: coefficient levels are spec-clamped to
-  # [-2^15, 2^15-1] (log2TransformRange = 15), exact at half the bytes
-  lvs = [np.empty((cap, h, w), np.int16)
+  # [-2^15, 2^15-1] (log2TransformRange = 15), exact at half the bytes;
+  # 64-dim TBs store only the coded zero-out corner (_zo)
+  lvs = [np.empty((cap, _zo(h), _zo(w)), np.int16)
          for cap, (w, h) in zip(caps, sizes)]
   slots = fs.slots_y if c_idx == 0 else fs.slots_c
   has_slots = slots is not None and len(slots)
@@ -1824,7 +1859,8 @@ def resolve_refs(fs: FrameSyntax, refs_by_poc, ctb_log2=5, ref_slots=None):
 
 
 def build_host_inputs(fs: FrameSyntax, ctb_log2=5, ref_slots=None,
-                      pallas=None, force_sao=False, force_isp=None):
+                      pallas=None, force_sao=False, force_isp=None,
+                      force_tb64=None):
   """Heavy host half of input assembly (no device handles touched):
   safe to run ahead of time on a parse worker thread.  ref_slots /
   pallas / force_sao pin the input signature for GOP-batch mode, where
@@ -1833,7 +1869,9 @@ def build_host_inputs(fs: FrameSyntax, ctb_log2=5, ref_slots=None,
     pallas = _use_pallas()
   isp = bool(getattr(fs, "has_isp", 0)) if force_isp is None \
       else bool(force_isp)
-  if isp or getattr(fs, "sl", None) is not None:
+  tb64 = bool(getattr(fs, "has_tb64", 0)) if force_tb64 is None \
+      else bool(force_tb64)
+  if isp or tb64 or getattr(fs, "sl", None) is not None:
     pallas = False
   W, H = fs.width, fs.height
   inp = {"planes": []}
@@ -1885,9 +1923,13 @@ def build_host_inputs(fs: FrameSyntax, ctb_log2=5, ref_slots=None,
     c["r0slot"] += (np.int16(n_l0) * c.get("hyp0lx", 0)).astype(np.int16)
     c["r1slot"] += (np.int16(n_l0) * c["hyp1lx"]).astype(np.int16)
 
+  luma_sizes = LUMA_SIZES + ISP_EXTRA_SIZES if isp else list(LUMA_SIZES)
+  if tb64:
+    luma_sizes = luma_sizes + TB64_EXTRA_SIZES
+    if isp:
+      luma_sizes = luma_sizes + ISP64_EXTRA_SIZES
   for c_idx in range(3):
-    sizes = ((LUMA_SIZES + ISP_EXTRA_SIZES if isp else LUMA_SIZES)
-             if c_idx == 0 else CHROMA_SIZES)
+    sizes = luma_sizes if c_idx == 0 else CHROMA_SIZES
     inp["planes"].append(
         {"buckets": _bucket_inputs(fs, c_idx, sizes, W, H)})
   # control layouts ship ONCE per plane kind (Cb and Cr consume the
@@ -1973,7 +2015,8 @@ def prepare_frame(fs: FrameSyntax):
                                    is not None else None),
                            tile_bds=tile_bds,
                            crop=tuple(getattr(fs, "crop", (0, 0, 0, 0))),
-                           isp=bool(getattr(fs, "has_isp", 0)))
+                           isp=bool(getattr(fs, "has_isp", 0)),
+                           tb64=bool(getattr(fs, "has_tb64", 0)))
   return prog, prog.pack(build_host_inputs(fs, fs.ctb_log2))
 
 

@@ -192,6 +192,10 @@ struct FrameOut {
   int has_isp = 0;             // any ISP CU in the frame (drives the
                                // fine-grained recon-bitmap granularity
                                // and the extended residual size set)
+  int has_tb64 = 0;            // any luma TB with a 64-sample dimension
+                               // (sps_max_luma_transform_size_64_flag
+                               // streams: drives the 64-size residual
+                               // classes + 64-wide intra predict units)
   int has_sl = 0;              // sh_explicit_scaling_list_used_flag
   uint8_t sl_rec[28][64] = {};  // ScalingMatrixRec (active APS)
   uint8_t sl_dc_rec[14] = {};   // ScalingMatrixDcRec
@@ -418,7 +422,14 @@ inline std::vector<Unit> predict_units(const FrameOut& fr, bool is_chroma,
                        tu.x0 << ss, tu.y0 << ss});
       continue;
     }
-    const bool single = tu.w <= 32 && tu.h <= 32;
+    // intra prediction is per-TB (predict_intra runs on the whole TB
+    // from its own neighbours, vvc_intra.c:480-496), so a 64-sample
+    // intra TB must stay ONE unit (splitting it would read interior
+    // "reference" samples the spec never uses); inter MC is linear and
+    // splits exactly, so inter TBs tile into <=32 MC units below
+    const CuRecord& ucu = fr.cus[tu.cu_index];
+    const int umax = ucu.pred_mode != 0 ? 64 : 32;
+    const bool single = tu.w <= umax && tu.h <= umax;
     if (slots && single) (*slots)[j] = (int)units.size();
     if (want_c == 1 && single) {
       cb_slot = (int)units.size();
@@ -429,8 +440,7 @@ inline std::vector<Unit> predict_units(const FrameOut& fr, bool is_chroma,
     // (pred_regular_blk num_sb loop, vvc_inter.c:782-811): emit one MC
     // unit per subblock, row-major so the residual scatter can place a
     // TU across consecutive unit slots
-    const CuRecord& ucu = fr.cus[tu.cu_index];
-    int step = 32;
+    int step = umax;  // one tile for single TBs (incl. 64-wide intra)
     if (ucu.pred_mode == 0) {
       if (ucu.affine)
         step = want_c ? (8 >> ss) : 4;  // 4x4 affine subblocks
@@ -4385,6 +4395,10 @@ class Decoder {
                      cu_index, 0, 0, y_coded, 0, 0, 0, ts_y, cu.bdpcm_l,
                      -1, 0};
       out.tus.push_back(ty);
+      // a 64-sample luma TB (intra predict unit or coded residual)
+      // switches the frame to the 64-size residual classes + 64-wide
+      // intra units (sps_max_luma_transform_size_64_flag streams)
+      if ((tw > 32 || th > 32) && (is_intra || y_coded)) out.has_tb64 = 1;
     }
     if (!chroma_avail) return;
 
@@ -5004,6 +5018,7 @@ void vvch_frame_info(void* h, int32_t* info) {
   info[26] = o.recovery_poc_cnt;
   info[27] = o.has_isp;
   info[28] = o.has_sl;
+  info[29] = o.has_tb64;
 }
 
 // active scaling-list matrices: 28 matrices expanded to an 8x8 grid
@@ -5339,9 +5354,13 @@ int vvch_fo_fill_buckets(void* fo_, int c_idx, int n_sizes,
               -1);
     std::fill(m + (size_t)kBSlId * cap, m + (size_t)(kBSlId + 1) * cap,
               -1);
-    std::memset(lvs[k], 0,
-                sizeof(int16_t) * (size_t)cap * sizes[2 * k] *
-                    sizes[2 * k + 1]);
+    // 64-point DCT2 high-frequency zero-out: coefficients beyond the
+    // low 32x32 region are never coded (log2_zo = min(log2, 5), spec
+    // residual_coding; ff_vvc_inv_dct2_64 zero-out in vvc_itx_1d.c:375-
+    // 655), so 64-dim buckets store only the coded (zh, zw) corner
+    const int zw_k = sizes[2 * k] > 32 ? 32 : sizes[2 * k];
+    const int zh_k = sizes[2 * k + 1] > 32 ? 32 : sizes[2 * k + 1];
+    std::memset(lvs[k], 0, sizeof(int16_t) * (size_t)cap * zw_k * zh_k);
   }
 
   int32_t counts[64] = {};
@@ -5391,11 +5410,13 @@ int vvch_fo_fill_buckets(void* fo_, int c_idx, int n_sizes,
     m[(size_t)kBSlId * cap + n] = tu.slid;
     const CuRecord& cu = fo.cus[tu.cu_index];
     m[(size_t)kBVpdu * cap + n] = (cu.y0 / vsz) * nvx + (cu.x0 / vsz);
-    int16_t* lv = (int16_t*)lvs[k] + (size_t)n * tu.w * tu.h;
-    for (int yy = 0; yy < tu.h; yy++) {
+    const int zw = tu.w > 32 ? 32 : tu.w;   // 64-point zero-out region
+    const int zh = tu.h > 32 ? 32 : tu.h;
+    int16_t* lv = (int16_t*)lvs[k] + (size_t)n * zw * zh;
+    for (int yy = 0; yy < zh; yy++) {
       const int32_t* src = plane + (size_t)(tu.y0 + yy) * pw + tu.x0;
-      int16_t* dst = lv + (size_t)yy * tu.w;
-      for (int xx = 0; xx < tu.w; xx++) dst[xx] = (int16_t)src[xx];
+      int16_t* dst = lv + (size_t)yy * zw;
+      for (int xx = 0; xx < zw; xx++) dst[xx] = (int16_t)src[xx];
     }
   }
   return 0;

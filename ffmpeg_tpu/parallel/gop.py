@@ -110,18 +110,21 @@ def decode_gop_mesh(data: bytes, mesh=None):
     nref = n0 + n1
     force_sao = any(fs.sao is not None for fs in frames)
     force_isp = any(getattr(fs, "has_isp", 0) for fs in frames)
+    force_tb64 = any(getattr(fs, "has_tb64", 0) for fs in frames)
 
     def build(fs):
         return PL.build_host_inputs(fs, ctb_log2, ref_slots=(n0, n1),
                                     pallas=False, force_sao=force_sao,
-                                    force_isp=force_isp)
+                                    force_isp=force_isp,
+                                    force_tb64=force_tb64)
 
     for fs in frames:
         build(fs)          # settle the capacity ratchet
     inputs = [build(fs) for fs in frames]
 
     prog = PL.get_frame_program(W, H, ctb_log2, frames[0].bit_depth,
-                                pallas=False, isp=force_isp)
+                                pallas=False, isp=force_isp,
+                                tb64=force_tb64)
     leaves0, treedef0 = jax.tree_util.tree_flatten(inputs[0])
     var = prog._variant(leaves0, treedef0)
     _, offs, total, _, run = var
