@@ -78,8 +78,11 @@ class RefPicListStruct:
     def num_ref_entries(self) -> int:
         return len(self.entries)
 
-    def write(self, w: BitWriter, sps: "SPS", list_idx: int, rpls_idx: int) -> None:
+    def write(self, w: BitWriter, sps: "SPS", list_idx: int, rpls_idx: int,
+              in_sps: bool = False) -> None:
         w.ue(self.num_ref_entries)
+        if in_sps and sps.sps_long_term_ref_pics_flag and self.num_ref_entries:
+            w.flag(1)  # ltrp_in_header_flag: LT POC info in ref_pic_lists()
         assert not sps.sps_inter_layer_prediction_enabled_flag
         st_count = sum(1 for e in self.entries if e[0] != "lt")
         if not sps.sps_long_term_ref_pics_flag:
@@ -107,6 +110,34 @@ class RefPicListStruct:
             w.u(sps.sps_log2_max_pic_order_cnt_lsb_minus4 + 4, poc_lsb)
             w.flag(1)  # delta_poc_msb_cycle_present_flag
             w.ue(msb_cycle)
+
+
+def write_ref_pic_lists(w: BitWriter, sps: "SPS", pps: "PPS", rpl,
+                        sps_idx=()) -> None:
+    """ref_pic_lists() (spec 7.3.9): per list, either select an SPS
+    candidate struct (rpl_sps_flag + rpl_idx; sps_idx gives the two
+    indices and the selected structs must equal rpl[i]) or write the
+    struct inline, then the LT post-amble."""
+    for i in range(2):
+        n = len(sps.sps_ref_pic_lists[i])
+        use_sps = bool(sps_idx) and sps_idx[i] is not None
+        if n > 0 and (i == 0 or pps.pps_rpl1_idx_present_flag):
+            w.flag(1 if use_sps else 0)
+        else:
+            assert use_sps == (False if n == 0 else bool(sps_idx)
+                               and sps_idx[0] is not None), \
+                "inferred rpl_sps_flag mismatch"
+        if use_sps:
+            idx = sps_idx[i]
+            if n > 1 and (i == 0 or pps.pps_rpl1_idx_present_flag):
+                bits = max((n - 1).bit_length(), 1)
+                w.u(bits, idx)
+            sel = sps.sps_ref_pic_lists[i][idx]
+            assert sel.entries == rpl[i].entries, \
+                f"selected SPS rpl {i}[{idx}] != slice rpl"
+        else:
+            rpl[i].write(w, sps, i, n)
+        rpl[i].write_lt_info(w, sps)
 
 
 @dataclass
@@ -324,7 +355,7 @@ class SPS:
             lists = self.sps_ref_pic_lists[i]
             w.ue(len(lists))
             for j, rpls in enumerate(lists):
-                rpls.write(w, self, i, j)
+                rpls.write(w, self, i, j, in_sps=True)
         w.flag(self.sps_ref_wraparound_enabled_flag)
         w.flag(self.sps_temporal_mvp_enabled_flag)
         if self.sps_temporal_mvp_enabled_flag:
@@ -768,6 +799,23 @@ class PictureHeader:
     ph_alf_enabled_flag: int = 0
     ph_deblocking_params_present_flag: int = 0
     ph_deblocking_filter_disabled_flag: int = 0
+    ph_luma_beta_offset_div2: int = 0
+    ph_luma_tc_offset_div2: int = 0
+    # RPL in PH (pps_rpl_info_in_ph_flag)
+    ph_ref_pic_lists: tuple = ()      # (RefPicListStruct, RefPicListStruct)
+    ph_rpl_sps_idx: tuple = ()        # SPS-candidate selection per list
+    ph_collocated_from_l0_flag: int = 1
+    ph_collocated_ref_idx: int = 0
+    # ALF in PH (pps_alf_info_in_ph_flag)
+    ph_alf_enabled_flag: int = 0
+    ph_alf_aps_id_luma: tuple = ()
+    ph_alf_cb_enabled_flag: int = 0
+    ph_alf_cr_enabled_flag: int = 0
+    ph_alf_aps_id_chroma: int = 0
+    ph_alf_cc_cb_enabled_flag: int = 0
+    ph_alf_cc_cb_aps_id: int = 0
+    ph_alf_cc_cr_enabled_flag: int = 0
+    ph_alf_cc_cr_aps_id: int = 0
     ph_explicit_scaling_list_enabled_flag: int = 0
     ph_scaling_list_aps_id: int = 0
 
@@ -784,7 +832,23 @@ class PictureHeader:
         if self.ph_gdr_pic_flag:
             w.ue(self.ph_recovery_poc_cnt)
         if sps.sps_alf_enabled_flag and pps.pps_alf_info_in_ph_flag:
-            raise NotImplementedError("alf info in ph")
+            w.flag(self.ph_alf_enabled_flag)
+            if self.ph_alf_enabled_flag:
+                w.u(3, len(self.ph_alf_aps_id_luma))
+                for a in self.ph_alf_aps_id_luma:
+                    w.u(3, a)
+                if sps.sps_chroma_format_idc != 0:
+                    w.flag(self.ph_alf_cb_enabled_flag)
+                    w.flag(self.ph_alf_cr_enabled_flag)
+                if self.ph_alf_cb_enabled_flag or self.ph_alf_cr_enabled_flag:
+                    w.u(3, self.ph_alf_aps_id_chroma)
+                if sps.sps_ccalf_enabled_flag:
+                    w.flag(self.ph_alf_cc_cb_enabled_flag)
+                    if self.ph_alf_cc_cb_enabled_flag:
+                        w.u(3, self.ph_alf_cc_cb_aps_id)
+                    w.flag(self.ph_alf_cc_cr_enabled_flag)
+                    if self.ph_alf_cc_cr_enabled_flag:
+                        w.u(3, self.ph_alf_cc_cr_aps_id)
         if sps.sps_lmcs_enabled_flag:
             w.flag(self.ph_lmcs_enabled_flag)
             if self.ph_lmcs_enabled_flag:
@@ -798,7 +862,8 @@ class PictureHeader:
         if pps.pps_output_flag_present_flag and not self.ph_non_ref_pic_flag:
             w.flag(self.ph_pic_output_flag)
         if pps.pps_rpl_info_in_ph_flag:
-            raise NotImplementedError("rpl in ph")
+            write_ref_pic_lists(w, sps, pps, self.ph_ref_pic_lists,
+                                self.ph_rpl_sps_idx)
         if sps.sps_partition_constraints_override_enabled_flag:
             w.flag(self.ph_partition_constraints_override_flag)
             assert not self.ph_partition_constraints_override_flag
@@ -810,11 +875,20 @@ class PictureHeader:
                 w.ue(self.ph_cu_qp_delta_subdiv_inter_slice)
             if sps.sps_temporal_mvp_enabled_flag:
                 w.flag(self.ph_temporal_mvp_enabled_flag)
-                assert not (self.ph_temporal_mvp_enabled_flag and pps.pps_rpl_info_in_ph_flag)
+                if self.ph_temporal_mvp_enabled_flag and \
+                        pps.pps_rpl_info_in_ph_flag:
+                    rpl = self.ph_ref_pic_lists
+                    if rpl[1].num_ref_entries > 0:
+                        w.flag(self.ph_collocated_from_l0_flag)
+                    nsel = (rpl[0] if self.ph_collocated_from_l0_flag
+                            else rpl[1]).num_ref_entries
+                    if nsel > 1:
+                        w.ue(self.ph_collocated_ref_idx)
             if sps.sps_mmvd_fullpel_only_enabled_flag:
                 w.flag(self.ph_mmvd_fullpel_only_flag)
-            # rpl not in ph -> mvd_l1_zero branch always present
-            w.flag(self.ph_mvd_l1_zero_flag)
+            if not pps.pps_rpl_info_in_ph_flag or \
+                    self.ph_ref_pic_lists[1].num_ref_entries > 0:
+                w.flag(self.ph_mvd_l1_zero_flag)
             if sps.sps_bdof_control_present_in_ph_flag:
                 w.flag(self.ph_bdof_disabled_flag)
             if sps.sps_dmvr_control_present_in_ph_flag:
@@ -832,7 +906,13 @@ class PictureHeader:
                 w.flag(self.ph_sao_chroma_enabled_flag)
         if pps.pps_dbf_info_in_ph_flag:
             w.flag(self.ph_deblocking_params_present_flag)
-            assert not self.ph_deblocking_params_present_flag
+        if self.ph_deblocking_params_present_flag:
+            if not pps.pps_deblocking_filter_disabled_flag:
+                w.flag(self.ph_deblocking_filter_disabled_flag)
+            if not self.ph_deblocking_filter_disabled_flag:
+                w.se(self.ph_luma_beta_offset_div2)
+                w.se(self.ph_luma_tc_offset_div2)
+                assert not pps.pps_chroma_tool_offsets_present_flag
 
     def to_nal(self, sps: SPS, pps: PPS) -> bytes:
         """Standalone PH_NUT (7.3.2.8: picture_header_structure +
@@ -880,6 +960,7 @@ class SliceHeader:
     sh_sao_luma_used_flag: int = 0
     sh_sao_chroma_used_flag: int = 0
     sh_deblocking_params_present_flag: int = 0
+    sh_rpl_sps_idx: tuple = ()  # SPS-candidate rpl selection per list
     sh_deblocking_filter_disabled_flag: int = 0
     sh_luma_beta_offset_div2: int = 0
     sh_luma_tc_offset_div2: int = 0
@@ -935,16 +1016,11 @@ class SliceHeader:
                 w.flag(self.sh_explicit_scaling_list_used_flag)
         is_idr = self.nal_unit_type in (NAL_IDR_W_RADL, NAL_IDR_N_LP)
         rpl = None
-        if not pps.pps_rpl_info_in_ph_flag and \
-                (not is_idr or sps.sps_idr_rpl_present_flag):
+        if pps.pps_rpl_info_in_ph_flag:
+            rpl = ph.ph_ref_pic_lists
+        elif not is_idr or sps.sps_idr_rpl_present_flag:
             rpl = self.sh_ref_pic_lists or (RefPicListStruct(), RefPicListStruct())
-            for i in range(2):
-                # sps_num_ref_pic_lists == 0 -> rpl_sps_flag inferred 0,
-                # write the list structure inline
-                assert len(sps.sps_ref_pic_lists[i]) == 0, "sps rpl not implemented"
-                rpl[i].write(w, sps, i, 0)
-                rpl[i].write_lt_info(w, sps)
-                # no LT entries supported
+            write_ref_pic_lists(w, sps, pps, rpl, self.sh_rpl_sps_idx)
         if rpl is None and self.sh_slice_type != 2:
             raise NotImplementedError("inter slices need rpl")
         num_ref_entries = [rpl[i].num_ref_entries if rpl else 0 for i in range(2)]

@@ -49,6 +49,12 @@ class EncoderConfig:
     # requires ctu_log2 >= 6).  Real encoders (VTM/vvenc) default to
     # CTU-128 + TB-64, so this is the wild-stream configuration.
     tb64: bool = False
+    # header-layout variants real encoders emit (VERDICT r4 item 4)
+    rpl_in_sps: bool = False   # candidate RPLs in the SPS, slices select
+    rpl_in_ph: bool = False    # ref_pic_lists() in the picture header
+    alf_in_ph: bool = False    # ALF on/off + APS ids in the PH
+    deblock_override: bool = False  # per-slice deblock offset override
+    deblock_in_ph: bool = False     # deblock params in the PH
     split_prob: float = 0.6  # chance of splitting at each eligible node
     # transform tools
     mts: bool = False           # explicit MTS (intra + inter mts_idx)
@@ -137,6 +143,18 @@ class EncoderConfig:
 def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
     min_qt_log2 = cfg.min_qt_size.bit_length() - 1
     tiled = bool(cfg.tile_cols or cfg.tile_rows)
+    # SPS candidate ref pic lists covering the generator's ST patterns
+    # (P chains + the RA GOP-4 pyramid); slices whose lists match select
+    # by index, others fall back to inline structs — both paths of
+    # ref_pic_lists() (spec 7.3.9) get exercised
+    sps_rpls = ((), ())
+    if cfg.rpl_in_sps:
+        from ..cbs.h266 import RefPicListStruct as _R
+        L0 = [[(1, 1)], [(4, 1)], [(4, 1), (4, 1)], [(2, 1)],
+              [(1, 1), (2, 0)], [(1, 1), (2, 1)]]
+        L1 = [[(1, 1)], [(2, 0)], [(1, 0), (2, 0)], [(1, 0), (2, 1)]]
+        sps_rpls = (tuple(_R(entries=[tuple(e) for e in l]) for l in L0),
+                    tuple(_R(entries=[tuple(e) for e in l]) for l in L1))
     # get_cclm_enabled is unconditional for CTBs < 64 (vvc_ctu.c:637);
     # the generator does not model the 64x64 luma-split probe
     assert not (cfg.dual_tree and cfg.cclm and cfg.ctu_log2 >= 6), \
@@ -234,6 +252,7 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
         sps_weighted_pred_flag=1 if cfg.weighted_pred else 0,
         sps_weighted_bipred_flag=1 if (cfg.weighted_pred and
                                        cfg.b_slices) else 0,
+        sps_ref_pic_lists=sps_rpls,
     )
     ctb = 1 << cfg.ctu_log2
     pic_w_ctbs = (cfg.width + ctb - 1) >> cfg.ctu_log2
@@ -244,6 +263,8 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
         assert sum(tile_cols) == pic_w_ctbs and sum(tile_rows) == pic_h_ctbs
         assert len(tile_cols) * len(tile_rows) > 1, \
             "tiled configs need >1 tile (rect_slice inference differs)"
+    deblock_ctl = bool(cfg.deblock and (cfg.deblock_override
+                                        or cfg.deblock_in_ph))
     pps = PPS(
         pps_no_pic_partition_flag=0 if tiled else 1,
         pps_num_exp_tile_columns_minus1=len(tile_cols) - 1,
@@ -254,15 +275,24 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
         pps_loop_filter_across_slices_enabled_flag=1 if tiled else 0,
         # raster (tile-scan) slices: the reference CBS only derives
         # NumEntryPoints correctly for this layout (its rect
-        # single-slice-per-subpic path never fills slice_width_in_tiles)
+        # single-slice-per-subpic path never fills slice_width_in_tiles);
+        # the 1x1-tile info-in-PH layout keeps the inferred rect slice
         pps_rect_slice_flag=0 if tiled else 1,
+        pps_single_slice_per_subpic_flag=0 if tiled else 1,
         pps_pic_width_in_luma_samples=cfg.width,
         pps_pic_height_in_luma_samples=cfg.height,
         pps_init_qp_minus26=cfg.qp - 26,
         # deblocking defaults ON in VVC; disable until the deblock stage
         # exists (configurable once implemented)
-        pps_deblocking_filter_control_present_flag=0 if cfg.deblock else 1,
+        pps_deblocking_filter_control_present_flag=(
+            1 if (not cfg.deblock or deblock_ctl) else 0),
         pps_deblocking_filter_disabled_flag=0 if cfg.deblock else 1,
+        pps_deblocking_filter_override_enabled_flag=1 if deblock_ctl else 0,
+        pps_dbf_info_in_ph_flag=1 if (cfg.deblock and cfg.deblock_in_ph)
+        else 0,
+        pps_rpl1_idx_present_flag=1 if cfg.rpl_in_sps else 0,
+        pps_rpl_info_in_ph_flag=1 if cfg.rpl_in_ph else 0,
+        pps_alf_info_in_ph_flag=1 if cfg.alf_in_ph else 0,
         pps_cu_qp_delta_enabled_flag=1 if cfg.cu_qp_delta else 0,
         pps_weighted_pred_flag=1 if cfg.weighted_pred else 0,
         pps_weighted_bipred_flag=1 if (cfg.weighted_pred and
@@ -892,6 +922,19 @@ def encode_stream(cfg: EncoderConfig):
     """Returns (annexb_bytes, intent_dict)."""
     assert not (cfg.weighted_pred and cfg.bcw), \
         "generator keeps wp and bcw streams disjoint"
+    if (cfg.rpl_in_ph or cfg.alf_in_ph or cfg.deblock_in_ph) and \
+            not (cfg.tile_cols or cfg.tile_rows):
+        # info-in-PH syntax requires pps_no_pic_partition_flag == 0:
+        # use the proven 2-tile raster-slice layout (the reference's
+        # rect single-slice-per-subpic path corrupts its slice maps)
+        ctb = 1 << cfg.ctu_log2
+        ctb_w = (cfg.width + ctb - 1) >> cfg.ctu_log2
+        ctb_h = (cfg.height + ctb - 1) >> cfg.ctu_log2
+        if ctb_w > 1:
+            cfg.tile_cols, cfg.tile_rows = (1, ctb_w - 1), (ctb_h,)
+        else:
+            assert ctb_h > 1, "info-in-PH streams need >= 2 CTUs"
+            cfg.tile_cols, cfg.tile_rows = (ctb_w,), (1, ctb_h - 1)
     rng = np.random.default_rng(cfg.seed)
     sps, pps = build_sps_pps(cfg)
     out = bytearray()
@@ -1039,6 +1082,18 @@ def encode_stream(cfg: EncoderConfig):
                 sh.ph.ph_mvd_l1_zero_flag = 0
             if cfg.tmvp or cfg.sbtmvp:
                 sh.ph.ph_temporal_mvp_enabled_flag = 1
+            if cfg.rpl_in_sps:
+                # select matching SPS candidate structs by index;
+                # non-matching lists (LT entries, odd patterns) fall
+                # back to inline coding — both 7.3.9 paths exercised
+                idxs = []
+                for i in range(2):
+                    ent = list(sh.sh_ref_pic_lists[i].entries)
+                    hit = [k for k, st in
+                           enumerate(sps.sps_ref_pic_lists[i])
+                           if list(st.entries) == ent]
+                    idxs.append(hit[0] if hit else None)
+                sh.sh_rpl_sps_idx = tuple(idxs)
         if cfg.sao:
             sh.sh_sao_luma_used_flag = 1
             sh.sh_sao_chroma_used_flag = 1
@@ -1075,6 +1130,43 @@ def encode_stream(cfg: EncoderConfig):
             sh.ph.ph_explicit_scaling_list_enabled_flag = 1
             sh.ph.ph_scaling_list_aps_id = \
                 sl_aps.aps_adaptation_parameter_set_id
+        if cfg.rpl_in_ph:
+            # ref_pic_lists() moves to the PH (written for every
+            # picture, IDRs carry empty lists); collocated selection
+            # rides along when TMVP is on.  ph_collocated_from_l0 is
+            # kept 0: the reference's CBS never applies the 7.4.8
+            # inference (sh_collocated_* inherit from the PH) and
+            # leaves the raw SH fields zero, so 0 is the only value
+            # both a spec decoder and the reference agree on.
+            sh.ph.ph_ref_pic_lists = sh.sh_ref_pic_lists if is_p else (
+                RefPicListStruct(), RefPicListStruct())
+            if cfg.rpl_in_sps:
+                sh.ph.ph_rpl_sps_idx = sh.sh_rpl_sps_idx
+            has_l1 = is_p and sh.sh_ref_pic_lists[1].num_ref_entries > 0
+            sh.ph.ph_collocated_from_l0_flag = 0 if has_l1 else 1
+            sh.ph.ph_collocated_ref_idx = 0
+        if cfg.alf_in_ph and (cfg.alf or cfg.ccalf):
+            sh.ph.ph_alf_enabled_flag = sh.sh_alf_enabled_flag
+            sh.ph.ph_alf_aps_id_luma = tuple(
+                sh.sh_alf_aps_id_luma[:sh.sh_num_alf_aps_ids_luma])
+            sh.ph.ph_alf_cb_enabled_flag = sh.sh_alf_cb_enabled_flag
+            sh.ph.ph_alf_cr_enabled_flag = sh.sh_alf_cr_enabled_flag
+            sh.ph.ph_alf_aps_id_chroma = sh.sh_alf_aps_id_chroma
+            sh.ph.ph_alf_cc_cb_enabled_flag = sh.sh_alf_cc_cb_enabled_flag
+            sh.ph.ph_alf_cc_cb_aps_id = sh.sh_alf_cc_cb_aps_id
+            sh.ph.ph_alf_cc_cr_enabled_flag = sh.sh_alf_cc_cr_enabled_flag
+            sh.ph.ph_alf_cc_cr_aps_id = sh.sh_alf_cc_cr_aps_id
+        if cfg.deblock and cfg.deblock_in_ph:
+            # PH-level offset override, fixed per stream (the decode
+            # program treats deblock offsets as frame constants)
+            sh.ph.ph_deblocking_params_present_flag = 1
+            sh.ph.ph_luma_beta_offset_div2 = int(cfg.seed % 5) - 2
+            sh.ph.ph_luma_tc_offset_div2 = int(cfg.seed % 7) - 3
+        elif cfg.deblock and cfg.deblock_override:
+            sh.sh_deblocking_params_present_flag = 1
+            sh.sh_deblocking_filter_disabled_flag = 0
+            sh.sh_luma_beta_offset_div2 = int(cfg.seed % 5) - 2
+            sh.sh_luma_tc_offset_div2 = int(cfg.seed % 7) - 3
         trees = random_frame_intent(cfg, sps, pps, rng, is_inter_slice=is_p)
         if cfg.sao:
             # merge-left/up candidates never cross a tile boundary

@@ -278,7 +278,9 @@ def deblock_frame(fs: FrameSyntax, planes, ctb_log2: int, beta_off, tc_off):
   hor0 = np.zeros((Sv, Ev), np.int32)
   out[0] = deblock_vertical_luma(out[0], jnp.asarray(bs), jnp.asarray(qpa),
                                  jnp.asarray(mp), jnp.asarray(mq),
-                                 jnp.asarray(hor0), bit_depth=bd)
+                                 jnp.asarray(hor0), bit_depth=bd,
+                                 beta_off=int(beta_off[0]),
+                                 tc_off=int(tc_off[0]))
   # horizontal: transpose geometry
   Sh, Eh = Wp // 4, Hp // 4
   motion_t = {k: m.T for k, m in motion.items()}
@@ -291,7 +293,9 @@ def deblock_frame(fs: FrameSyntax, planes, ctb_log2: int, beta_off, tc_off):
   hor[:, :] = ((edge_y % ctb) == 0)[None, :]
   out[0] = deblock_vertical_luma(out[0].T, jnp.asarray(bs), jnp.asarray(qpa),
                                  jnp.asarray(mp), jnp.asarray(mq),
-                                 jnp.asarray(hor), bit_depth=bd).T
+                                 jnp.asarray(hor), bit_depth=bd,
+                                 beta_off=int(beta_off[0]),
+                                 tc_off=int(tc_off[0])).T
 
   # ---- chroma -------------------------------------------------------
   if fs.chroma_format_idc:
@@ -303,7 +307,8 @@ def deblock_frame(fs: FrameSyntax, planes, ctb_log2: int, beta_off, tc_off):
                                             Sv, Ev)
       out[c_idx] = deblock_vertical_chroma(
           out[c_idx], jnp.asarray(bs), jnp.asarray(qpa), jnp.asarray(mp),
-          jnp.asarray(mq), bit_depth=bd)
+          jnp.asarray(mq), bit_depth=bd, beta_off=int(beta_off[c_idx]),
+          tc_off=int(tc_off[c_idx]))
       Sh, Eh = Wc // 2, Hc // 8
       ctu_cols = ((np.arange(Eh) * 8 * 2) % ctb) == 0  # chroma y -> luma y
       bs, qpa, mp, mq = _chroma_edge_params(pos_y.T, th.T, qpc.T, motion_t,
@@ -311,5 +316,6 @@ def deblock_frame(fs: FrameSyntax, planes, ctb_log2: int, beta_off, tc_off):
                                             ctu_edge_cols=ctu_cols)
       out[c_idx] = deblock_vertical_chroma(
           out[c_idx].T, jnp.asarray(bs), jnp.asarray(qpa), jnp.asarray(mp),
-          jnp.asarray(mq), bit_depth=bd).T
+          jnp.asarray(mq), bit_depth=bd, beta_off=int(beta_off[c_idx]),
+          tc_off=int(tc_off[c_idx])).T
   return out

@@ -1277,21 +1277,30 @@ def _build_frame_program(shapes):
         # filters (ff_vvc_lmcs_filter, vvc_filter.c:1322-1331)
         planes[0] = _lmcs_inv(planes[0], lm, bd)
 
+    # effective deblock offsets (SH/PH override or PPS), static per
+    # program variant (spec 8.8.3.6; slice overrides are uniform per
+    # frame in generated streams)
+    dbo, dto = shapes.get("dbo", (0, 0, 0)), shapes.get("dto", (0, 0, 0))
+
     def loopfilters(planes, d):
       out = list(planes)
       out[0] = deblock_vertical_luma(out[0], d["ybs_v"], d["yqp_v"],
                                      d["ymp_v"], d["ymq_v"], d["yhor0"],
-                                     bit_depth=bd)
+                                     bit_depth=bd, beta_off=dbo[0],
+                                     tc_off=dto[0])
       out[0] = deblock_vertical_luma(out[0].T, d["ybs_h"], d["yqp_h"],
                                      d["ymp_h"], d["ymq_h"], d["yhor"],
-                                     bit_depth=bd).T
+                                     bit_depth=bd, beta_off=dbo[0],
+                                     tc_off=dto[0]).T
       for c in (1, 2):
         out[c] = deblock_vertical_chroma(out[c], d[f"c{c}bs_v"],
                                          d[f"c{c}qp_v"], d[f"c{c}mp_v"],
-                                         d[f"c{c}mq_v"], bit_depth=bd)
+                                         d[f"c{c}mq_v"], bit_depth=bd,
+                                         beta_off=dbo[c], tc_off=dto[c])
         out[c] = deblock_vertical_chroma(out[c].T, d[f"c{c}bs_h"],
                                          d[f"c{c}qp_h"], d[f"c{c}mp_h"],
-                                         d[f"c{c}mq_h"], bit_depth=bd).T
+                                         d[f"c{c}mq_h"], bit_depth=bd,
+                                         beta_off=dbo[c], tc_off=dto[c]).T
       return out
 
     # filter stages are statically present/absent: disabled filters are
@@ -1491,7 +1500,7 @@ _PROGRAM_CACHE: dict = {}
 
 def get_frame_program(W, H, ctb_log2, bit_depth, pallas=None,
                       tile_bds=((), ()), crop=(0, 0, 0, 0), isp=False,
-                      tb64=False):
+                      tb64=False, dbo=(0, 0, 0), dto=(0, 0, 0)):
   """tile_bds: interior tile boundary positions in luma samples
   (static; only CCLM's cross-component stencils depend on them).
   crop: conformance-window offsets (l, r, t, b) in luma samples.
@@ -1503,13 +1512,14 @@ def get_frame_program(W, H, ctb_log2, bit_depth, pallas=None,
     pallas = _use_pallas()
   if isp or tb64:
     pallas = False  # the Pallas recon path has no ISP/64 size classes
+  dbo, dto = tuple(dbo), tuple(dto)
   key = (W, H, ctb_log2, bit_depth, pallas, tile_bds, crop, bool(isp),
-         bool(tb64))
+         bool(tb64), dbo, dto)
   if key not in _PROGRAM_CACHE:
     _PROGRAM_CACHE[key] = PackedProgram(_build_frame_program(
         dict(W=W, H=H, ctb_log2=ctb_log2, bit_depth=bit_depth,
              pallas=pallas, tile_bds=tile_bds, crop=crop, isp=bool(isp),
-             tb64=bool(tb64))))
+             tb64=bool(tb64), dbo=dbo, dto=dto)))
   return _PROGRAM_CACHE[key]
 
 
@@ -2016,7 +2026,9 @@ def prepare_frame(fs: FrameSyntax):
                            tile_bds=tile_bds,
                            crop=tuple(getattr(fs, "crop", (0, 0, 0, 0))),
                            isp=bool(getattr(fs, "has_isp", 0)),
-                           tb64=bool(getattr(fs, "has_tb64", 0)))
+                           tb64=bool(getattr(fs, "has_tb64", 0)),
+                           dbo=tuple(fs.beta_offset),
+                           dto=tuple(fs.tc_offset))
   return prog, prog.pack(build_host_inputs(fs, fs.ctb_log2))
 
 

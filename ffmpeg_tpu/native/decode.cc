@@ -2421,8 +2421,10 @@ class Decoder {
     out.mcb_h = mcb_h_;
     out.deblock_disabled = sh_.sh_deblocking_filter_disabled_flag;
     for (int i = 0; i < 3; i++) {
-      out.beta_offset[i] = pps_.beta_offset[i];
-      out.tc_offset[i] = pps_.tc_offset[i];
+      // effective offsets: SH override when present, else PH, else PPS
+      // (resolved in parse_slice_header)
+      out.beta_offset[i] = sh_.beta_offset[i];
+      out.tc_offset[i] = sh_.tc_offset[i];
     }
 
     // partition constraints per slice type (no PH override)

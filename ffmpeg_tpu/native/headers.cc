@@ -74,11 +74,16 @@ void derive_chroma_qp_table(Sps& sps, int num_tables, int same_for_all,
 }
 
 void parse_rpl_struct(BitReader& r, const Sps& sps, RefPicListStruct& rpl,
-                      int /*list_idx*/) {
+                      bool in_sps) {
   rpl.num_ref_entries = r.ue();
-  // inline rpl structs (rplsIdx == sps_num_ref_pic_lists): the
-  // ltrp_in_header_flag is inferred 1, so LT POC info follows in the
-  // ref_pic_lists() post-amble (cbs_h266_syntax_template.c:445-450)
+  // inline rpl structs (rplsIdx == sps_num_ref_pic_lists) have
+  // ltrp_in_header_flag inferred 1, so LT POC info follows in the
+  // ref_pic_lists() post-amble (cbs_h266_syntax_template.c:445-450);
+  // SPS structs carry the flag explicitly and, when 0, the LT POC
+  // LSBs inline (rpls_poc_lsb_lt)
+  rpl.ltrp_in_header = 1;
+  if (in_sps && sps.sps_long_term_ref_pics_flag && rpl.num_ref_entries > 0)
+    rpl.ltrp_in_header = r.flag();
   int wp = sps.sps_weighted_pred_flag || sps.sps_weighted_bipred_flag;
   for (int i = 0; i < rpl.num_ref_entries; i++) {
     int is_st = 1;
@@ -94,6 +99,8 @@ void parse_rpl_struct(BitReader& r, const Sps& sps, RefPicListStruct& rpl,
     } else {
       rpl.abs_delta_poc_st.push_back(0);
       rpl.sign.push_back(0);
+      if (!rpl.ltrp_in_header)
+        rpl.lt_poc_lsb.push_back((int)r.u(sps.log2_max_poc_lsb));
     }
   }
 }
@@ -102,7 +109,9 @@ void parse_rpl_struct(BitReader& r, const Sps& sps, RefPicListStruct& rpl,
 // LSB (inline structs only) and the optional MSB cycle
 void parse_rpl_lt_info(BitReader& r, const Sps& sps, RefPicListStruct& rpl) {
   for (int j = 0; j < rpl.num_lt(); j++) {
-    rpl.lt_poc_lsb.push_back(r.u(sps.log2_max_poc_lsb));
+    // SPS structs with ltrp_in_header == 0 already carry the LSBs
+    if (rpl.ltrp_in_header)
+      rpl.lt_poc_lsb.push_back(r.u(sps.log2_max_poc_lsb));
     if (r.flag()) {
       rpl.lt_msb_cycle.push_back((int)r.ue());
     } else {
@@ -111,6 +120,34 @@ void parse_rpl_lt_info(BitReader& r, const Sps& sps, RefPicListStruct& rpl) {
       // computes full POCs up front, so require the cycle
       VVC_UNSUPPORTED(1, "LT ref without delta_poc_msb_cycle");
     }
+  }
+}
+
+// ref_pic_lists() (spec 7.3.9): per list either select an SPS struct
+// (rpl_sps_flag + rpl_idx) or parse one inline, then the LT post-amble
+void parse_ref_pic_lists(BitReader& r, const Sps& sps, const Pps& pps,
+                         RefPicListStruct* rpl) {
+  int sps_flag[2] = {0, 0};
+  int idx[2] = {0, 0};
+  for (int i = 0; i < 2; i++) {
+    const int n = (int)sps.rpl_lists[i].size();
+    if (n > 0 && (i == 0 || pps.pps_rpl1_idx_present_flag))
+      sps_flag[i] = r.flag();
+    else
+      sps_flag[i] = n == 0 ? 0 : sps_flag[0];
+    if (sps_flag[i]) {
+      if (n > 1 && (i == 0 || pps.pps_rpl1_idx_present_flag)) {
+        idx[i] = (int)r.u(ceil_log2(n));
+      } else {
+        idx[i] = (i == 1 && !pps.pps_rpl1_idx_present_flag) ? idx[0] : 0;
+      }
+      VVC_UNSUPPORTED(idx[i] >= n, "rpl_idx out of range");
+      rpl[i] = sps.rpl_lists[i][idx[i]];
+    } else {
+      rpl[i] = RefPicListStruct();
+      parse_rpl_struct(r, sps, rpl[i], /*in_sps=*/false);
+    }
+    parse_rpl_lt_info(r, sps, rpl[i]);
   }
 }
 
@@ -221,8 +258,14 @@ Sps parse_sps(BitReader& r) {
   int rpl1_same = r.flag();
   for (int i = 0; i < (rpl1_same ? 1 : 2); i++) {
     int num_lists = r.ue();
-    VVC_UNSUPPORTED(num_lists != 0, "sps ref pic lists");
+    VVC_UNSUPPORTED(num_lists > 64, "sps_num_ref_pic_lists > 64");
+    for (int k = 0; k < num_lists; k++) {
+      RefPicListStruct st;
+      parse_rpl_struct(r, sps, st, /*in_sps=*/true);
+      sps.rpl_lists[i].push_back(st);
+    }
   }
+  if (rpl1_same) sps.rpl_lists[1] = sps.rpl_lists[0];
   int wraparound = r.flag();
   VVC_UNSUPPORTED(wraparound, "reference wraparound");
   sps.sps_temporal_mvp_enabled_flag = r.flag();
@@ -459,8 +502,29 @@ static PictureHeader parse_picture_header(BitReader& r, const Sps& sps,
   ph.ph_pic_parameter_set_id = r.ue();
   ph.ph_pic_order_cnt_lsb = r.u(sps.log2_max_poc_lsb);
   if (ph.ph_gdr_pic_flag) ph.ph_recovery_poc_cnt = r.ue();
-  VVC_UNSUPPORTED(sps.sps_alf_enabled_flag && pps.pps_alf_info_in_ph_flag,
-                  "alf info in ph");
+  if (sps.sps_alf_enabled_flag && pps.pps_alf_info_in_ph_flag) {
+    // ALF coded once in the PH; slices inherit (spec 7.3.2.8)
+    ph.ph_alf_enabled_flag = r.flag();
+    if (ph.ph_alf_enabled_flag) {
+      ph.ph_num_alf_aps_ids_luma = r.u(3);
+      for (int i = 0; i < ph.ph_num_alf_aps_ids_luma; i++)
+        ph.ph_alf_aps_id_luma[i] = r.u(3);
+      if (sps.sps_chroma_format_idc) {
+        ph.ph_alf_cb_enabled_flag = r.flag();
+        ph.ph_alf_cr_enabled_flag = r.flag();
+      }
+      if (ph.ph_alf_cb_enabled_flag || ph.ph_alf_cr_enabled_flag)
+        ph.ph_alf_aps_id_chroma = r.u(3);
+      if (sps.sps_ccalf_enabled_flag) {
+        ph.ph_alf_cc_cb_enabled_flag = r.flag();
+        if (ph.ph_alf_cc_cb_enabled_flag)
+          ph.ph_alf_cc_cb_aps_id = r.u(3);
+        ph.ph_alf_cc_cr_enabled_flag = r.flag();
+        if (ph.ph_alf_cc_cr_enabled_flag)
+          ph.ph_alf_cc_cr_aps_id = r.u(3);
+      }
+    }
+  }
   if (sps.sps_lmcs_enabled_flag) {
     ph.ph_lmcs_enabled_flag = r.flag();
     if (ph.ph_lmcs_enabled_flag) {
@@ -474,7 +538,10 @@ static PictureHeader parse_picture_header(BitReader& r, const Sps& sps,
     if (ph.ph_explicit_scaling_list_enabled_flag)
       ph.ph_scaling_list_aps_id = r.u(3);
   }
-  VVC_UNSUPPORTED(pps.pps_rpl_info_in_ph_flag, "rpl in ph");
+  if (pps.pps_rpl_info_in_ph_flag) {
+    ph.ph_rpl_present = 1;
+    parse_ref_pic_lists(r, sps, pps, ph.rpl);
+  }
   if (sps.sps_partition_constraints_override_enabled_flag)
     VVC_UNSUPPORTED(r.flag(), "partition constraints override");
   if (ph.ph_intra_slice_allowed_flag && pps.pps_cu_qp_delta_enabled_flag)
@@ -484,10 +551,21 @@ static PictureHeader parse_picture_header(BitReader& r, const Sps& sps,
       ph.ph_cu_qp_delta_subdiv_inter_slice = r.ue();
     if (sps.sps_temporal_mvp_enabled_flag) {
       ph.ph_temporal_mvp_enabled_flag = r.flag();
+      if (ph.ph_temporal_mvp_enabled_flag && pps.pps_rpl_info_in_ph_flag) {
+        // collocated picture selection lives in the PH when the RPL
+        // does (spec 7.3.2.8)
+        ph.ph_collocated_from_l0_flag =
+            ph.rpl[1].num_ref_entries > 0 ? (int)r.flag() : 1;
+        const int nsel = ph.ph_collocated_from_l0_flag
+                             ? ph.rpl[0].num_ref_entries
+                             : ph.rpl[1].num_ref_entries;
+        if (nsel > 1) ph.ph_collocated_ref_idx = (int)r.ue();
+      }
     }
     if (sps.sps_mmvd_fullpel_only_flag)
       ph.ph_mmvd_fullpel_only_flag = r.flag();
-    ph.ph_mvd_l1_zero_flag = r.flag();
+    if (!pps.pps_rpl_info_in_ph_flag || ph.rpl[1].num_ref_entries > 0)
+      ph.ph_mvd_l1_zero_flag = r.flag();
     if (sps.sps_prof_control_present_in_ph_flag)
       ph.ph_prof_disabled_flag = r.flag();
     else
@@ -499,9 +577,30 @@ static PictureHeader parse_picture_header(BitReader& r, const Sps& sps,
     ph.ph_sao_luma_enabled_flag = r.flag();
     if (sps.sps_chroma_format_idc) ph.ph_sao_chroma_enabled_flag = r.flag();
   }
-  if (pps.pps_dbf_info_in_ph_flag)
-    VVC_UNSUPPORTED(r.flag(), "deblock params in ph");
-  ph.ph_deblocking_filter_disabled_flag = pps.pps_deblocking_filter_disabled_flag;
+  ph.ph_deblocking_filter_disabled_flag =
+      pps.pps_deblocking_filter_disabled_flag;
+  for (int i = 0; i < 3; i++) {
+    ph.beta_offset[i] = pps.beta_offset[i];
+    ph.tc_offset[i] = pps.tc_offset[i];
+  }
+  if (pps.pps_dbf_info_in_ph_flag && r.flag()) {
+    // ph_deblocking_params_present_flag: PH-level override
+    ph.ph_deblocking_filter_disabled_flag =
+        pps.pps_deblocking_filter_disabled_flag ? 0 : (int)r.flag();
+    if (!ph.ph_deblocking_filter_disabled_flag) {
+      ph.beta_offset[0] = r.se() * 2;
+      ph.tc_offset[0] = r.se() * 2;
+      if (pps.pps_chroma_tool_offsets_present_flag) {
+        ph.beta_offset[1] = r.se() * 2;
+        ph.tc_offset[1] = r.se() * 2;
+        ph.beta_offset[2] = r.se() * 2;
+        ph.tc_offset[2] = r.se() * 2;
+      } else {
+        ph.beta_offset[1] = ph.beta_offset[2] = ph.beta_offset[0];
+        ph.tc_offset[1] = ph.tc_offset[2] = ph.tc_offset[0];
+      }
+    }
+  }
   return ph;
 }
 
@@ -715,6 +814,20 @@ SliceHeader parse_slice_header(BitReader& r, int nal_type, const Sps& sps,
   if (ph.ph_inter_slice_allowed_flag) sh.sh_slice_type = r.ue();
   if (nal_is_irap(nal_type) || nal_type == NAL_GDR)
     sh.sh_no_output_of_prior_pics_flag = r.flag();
+  if (sps.sps_alf_enabled_flag && pps.pps_alf_info_in_ph_flag) {
+    // ALF signalled in the PH: slices inherit every field (7.4.8)
+    sh.sh_alf_enabled_flag = ph.ph_alf_enabled_flag;
+    sh.sh_num_alf_aps_ids_luma = ph.ph_num_alf_aps_ids_luma;
+    for (int i = 0; i < 8; i++)
+      sh.sh_alf_aps_id_luma[i] = ph.ph_alf_aps_id_luma[i];
+    sh.sh_alf_cb_enabled_flag = ph.ph_alf_cb_enabled_flag;
+    sh.sh_alf_cr_enabled_flag = ph.ph_alf_cr_enabled_flag;
+    sh.sh_alf_aps_id_chroma = ph.ph_alf_aps_id_chroma;
+    sh.sh_alf_cc_cb_enabled_flag = ph.ph_alf_cc_cb_enabled_flag;
+    sh.sh_alf_cc_cb_aps_id = ph.ph_alf_cc_cb_aps_id;
+    sh.sh_alf_cc_cr_enabled_flag = ph.ph_alf_cc_cr_enabled_flag;
+    sh.sh_alf_cc_cr_aps_id = ph.ph_alf_cc_cr_aps_id;
+  }
   if (sps.sps_alf_enabled_flag && !pps.pps_alf_info_in_ph_flag)
   {
     sh.sh_alf_enabled_flag = r.flag();
@@ -747,13 +860,14 @@ SliceHeader parse_slice_header(BitReader& r, int nal_type, const Sps& sps,
   }
 
   bool is_idr = nal_is_idr(nal_type);
-  bool has_rpl = !pps.pps_rpl_info_in_ph_flag &&
-                 (!is_idr || sps.sps_idr_rpl_present_flag);
-  if (has_rpl) {
-    for (int i = 0; i < 2; i++) {
-      parse_rpl_struct(r, sps, sh.rpl[i], i);
-      parse_rpl_lt_info(r, sps, sh.rpl[i]);
-    }
+  if (pps.pps_rpl_info_in_ph_flag) {
+    // RPL signalled in the PH: slices inherit (7.4.8)
+    sh.rpl[0] = ph.rpl[0];
+    sh.rpl[1] = ph.rpl[1];
+    sh.sh_collocated_from_l0_flag = ph.ph_collocated_from_l0_flag;
+    sh.sh_collocated_ref_idx = ph.ph_collocated_ref_idx;
+  } else if (!is_idr || sps.sps_idr_rpl_present_flag) {
+    parse_ref_pic_lists(r, sps, pps, sh.rpl);
   }
   if ((sh.sh_slice_type != 2 && sh.rpl[0].num_ref_entries > 1) ||
       (sh.sh_slice_type == 0 && sh.rpl[1].num_ref_entries > 1)) {
@@ -850,11 +964,31 @@ SliceHeader parse_slice_header(BitReader& r, int nal_type, const Sps& sps,
     sh.sh_sao_luma_used_flag = ph.ph_sao_luma_enabled_flag;
     sh.sh_sao_chroma_used_flag = ph.ph_sao_chroma_enabled_flag;
   }
-  if (pps.pps_deblocking_filter_override_enabled_flag &&
-      !pps.pps_dbf_info_in_ph_flag) {
-    VVC_UNSUPPORTED(r.flag(), "slice deblock params (todo)");
+  sh.sh_deblocking_filter_disabled_flag =
+      ph.ph_deblocking_filter_disabled_flag;
+  for (int i = 0; i < 3; i++) {
+    sh.beta_offset[i] = ph.beta_offset[i];
+    sh.tc_offset[i] = ph.tc_offset[i];
   }
-  sh.sh_deblocking_filter_disabled_flag = ph.ph_deblocking_filter_disabled_flag;
+  if (pps.pps_deblocking_filter_override_enabled_flag &&
+      !pps.pps_dbf_info_in_ph_flag && r.flag()) {
+    // sh_deblocking_params_present_flag: slice-level override (7.3.8)
+    sh.sh_deblocking_filter_disabled_flag =
+        pps.pps_deblocking_filter_disabled_flag ? 0 : (int)r.flag();
+    if (!sh.sh_deblocking_filter_disabled_flag) {
+      sh.beta_offset[0] = r.se() * 2;
+      sh.tc_offset[0] = r.se() * 2;
+      if (pps.pps_chroma_tool_offsets_present_flag) {
+        sh.beta_offset[1] = r.se() * 2;
+        sh.tc_offset[1] = r.se() * 2;
+        sh.beta_offset[2] = r.se() * 2;
+        sh.tc_offset[2] = r.se() * 2;
+      } else {
+        sh.beta_offset[1] = sh.beta_offset[2] = sh.beta_offset[0];
+        sh.tc_offset[1] = sh.tc_offset[2] = sh.tc_offset[0];
+      }
+    }
+  }
   if (sps.sps_dep_quant_enabled_flag) sh.sh_dep_quant_used_flag = r.flag();
   if (sps.sps_sign_data_hiding_enabled_flag && !sh.sh_dep_quant_used_flag)
     sh.sh_sign_data_hiding_used_flag = r.flag();

@@ -22,6 +22,26 @@ struct UnsupportedError : std::runtime_error {
 #define VVC_UNSUPPORTED(cond, what) \
   do { if (cond) throw UnsupportedError(what); } while (0)
 
+struct RefPicListStruct {
+  int num_ref_entries = 0;
+  // per-entry: ST delta chain or long-term reference (spec 7.3.10;
+  // inline rpl structs have ltrp_in_header inferred 1, so LT POC LSBs
+  // and MSB cycles arrive in the ref_pic_lists() post-amble; SPS
+  // structs carry an explicit ltrp_in_header_flag and, when 0, the
+  // LT POC LSBs inline)
+  int ltrp_in_header = 1;
+  std::vector<int> abs_delta_poc_st;  // 0 for LT entries
+  std::vector<int> sign;
+  std::vector<int> is_lt;
+  std::vector<int> lt_poc_lsb;     // per LT entry (j-indexed)
+  std::vector<int> lt_msb_cycle;   // per LT entry; -1 = not present
+  int num_lt() const {
+    int n = 0;
+    for (int v : is_lt) n += v;
+    return n;
+  }
+};
+
 struct Sps {
   int sps_seq_parameter_set_id = 0;
   int sps_chroma_format_idc = 1;
@@ -102,6 +122,9 @@ struct Sps {
   int sps_chroma_vertical_collocated_flag = 1;
   int sps_dep_quant_enabled_flag = 0;
   int sps_sign_data_hiding_enabled_flag = 0;
+  // candidate ref pic list structs coded in the SPS (spec 7.3.10;
+  // slices select one with rpl_sps_flag + rpl_idx)
+  std::vector<RefPicListStruct> rpl_lists[2];
 
   // derived
   int qp_bd_offset = 0;
@@ -152,22 +175,6 @@ struct Pps {
   std::vector<int> ctb_to_col_bd, ctb_to_row_bd;  // per-CTB tile boundary start
 };
 
-struct RefPicListStruct {
-  int num_ref_entries = 0;
-  // per-entry: ST delta chain or long-term reference (spec 7.3.10;
-  // inline rpl structs have ltrp_in_header inferred 1, so LT POC LSBs
-  // and MSB cycles arrive in the ref_pic_lists() post-amble)
-  std::vector<int> abs_delta_poc_st;  // 0 for LT entries
-  std::vector<int> sign;
-  std::vector<int> is_lt;
-  std::vector<int> lt_poc_lsb;     // per LT entry (j-indexed)
-  std::vector<int> lt_msb_cycle;   // per LT entry; -1 = not present
-  int num_lt() const {
-    int n = 0;
-    for (int v : is_lt) n += v;
-    return n;
-  }
-};
 
 // Adaptation parameter set (spec 7.3.2.5; reference cbs template aps()
 // + lmcs_data()).  Only the LMCS payload is stored for now; ALF comes
@@ -226,7 +233,26 @@ struct PictureHeader {
   int ph_scaling_list_aps_id = 0;
   int ph_sao_luma_enabled_flag = 0;
   int ph_sao_chroma_enabled_flag = 0;
+  // RPL coded in the PH (pps_rpl_info_in_ph_flag); slices inherit
+  int ph_rpl_present = 0;
+  RefPicListStruct rpl[2];
+  int ph_collocated_from_l0_flag = 1;
+  int ph_collocated_ref_idx = 0;
+  // ALF coded in the PH (pps_alf_info_in_ph_flag); slices inherit
+  int ph_alf_enabled_flag = 0;
+  int ph_num_alf_aps_ids_luma = 0;
+  int ph_alf_aps_id_luma[8] = {};
+  int ph_alf_cb_enabled_flag = 0;
+  int ph_alf_cr_enabled_flag = 0;
+  int ph_alf_aps_id_chroma = 0;
+  int ph_alf_cc_cb_enabled_flag = 0;
+  int ph_alf_cc_cb_aps_id = 0;
+  int ph_alf_cc_cr_enabled_flag = 0;
+  int ph_alf_cc_cr_aps_id = 0;
+  // deblock params coded in the PH (pps_dbf_info_in_ph_flag)
   int ph_deblocking_filter_disabled_flag = 0;
+  int beta_offset[3] = {0, 0, 0};  // effective (PH override or PPS)
+  int tc_offset[3] = {0, 0, 0};
 };
 
 // explicit weighted prediction table, derived (pred_weight_table,
@@ -267,6 +293,8 @@ struct SliceHeader {
   int sh_sao_luma_used_flag = 0;
   int sh_sao_chroma_used_flag = 0;
   int sh_deblocking_filter_disabled_flag = 0;
+  int beta_offset[3] = {0, 0, 0};  // effective (SH override, PH, or PPS)
+  int tc_offset[3] = {0, 0, 0};
   PredWeight pwt;
   int sh_dep_quant_used_flag = 0;
   int sh_sign_data_hiding_used_flag = 0;

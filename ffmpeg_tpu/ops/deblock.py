@@ -62,25 +62,29 @@ def _len_to_idx(ml):
     return jnp.clip((ml - 3) >> 1, 0, 2)
 
 
-@functools.partial(jax.jit, static_argnames=("grid", "bit_depth"))
+@functools.partial(jax.jit, static_argnames=("grid", "bit_depth",
+                                              "beta_off", "tc_off"))
 def deblock_vertical_luma(plane, bs, qp, maxp, maxq, hor_ctu_edge, *,
-                          grid: int = 4, bit_depth: int = 8):
+                          grid: int = 4, bit_depth: int = 8,
+                          beta_off: int = 0, tc_off: int = 0):
   """One luma deblock pass over vertical edges.
 
   plane: (H, W) int32, H % 4 == 0, W % grid == 0.
   bs/qp/maxp/maxq/hor_ctu_edge: (S, E) int32, S = H//4 segments,
     E = W//grid edges (edge e at x = grid*e; edge 0 must have bs 0).
-    qp already includes beta/tc offsets? No: raw avg qp; offsets are 0
-    for now (pps/sh offsets TODO when streams use them).
+    qp is the raw averaged QP; beta_off/tc_off are the effective
+    slice/PH/PPS deblock offsets (already x2), applied to the table
+    indices per spec 8.8.3.6.
   Returns filtered plane.
   """
   H, W = plane.shape
   S, E = bs.shape
   maxv = (1 << bit_depth) - 1
 
-  beta = jnp.asarray(BETATABLE)[jnp.clip(qp, 0, MAX_QP)] << (bit_depth - 8)
+  beta = jnp.asarray(BETATABLE)[jnp.clip(qp + beta_off, 0, MAX_QP)] \
+      << (bit_depth - 8)
   tc10 = jnp.asarray(TCTABLE)[jnp.clip(
-      qp + DEFAULT_INTRA_TC_OFFSET * (bs - 1), 0,
+      qp + DEFAULT_INTRA_TC_OFFSET * (bs - 1) + tc_off, 0,
       MAX_QP + DEFAULT_INTRA_TC_OFFSET)]
   if bit_depth < 10:
     tc = (tc10 + (1 << (9 - bit_depth))) >> (10 - bit_depth)
@@ -291,8 +295,10 @@ def deblock_vertical_luma(plane, bs, qp, maxp, maxq, hor_ctu_edge, *,
   return out
 
 
-@functools.partial(jax.jit, static_argnames=("bit_depth",))
-def deblock_vertical_chroma(plane, bs, qp, maxp, maxq, *, bit_depth: int = 8):
+@functools.partial(jax.jit, static_argnames=("bit_depth", "beta_off",
+                                              "tc_off"))
+def deblock_vertical_chroma(plane, bs, qp, maxp, maxq, *, bit_depth: int = 8,
+                            beta_off: int = 0, tc_off: int = 0):
   """One 4:2:0 chroma deblock pass over vertical edges.
 
   plane: (H, W) int32 chroma plane, H % 2 == 0, W % 8 == 0.
@@ -304,9 +310,10 @@ def deblock_vertical_chroma(plane, bs, qp, maxp, maxq, *, bit_depth: int = 8):
   S, E = bs.shape
   maxv = (1 << bit_depth) - 1
 
-  beta = jnp.asarray(BETATABLE)[jnp.clip(qp, 0, MAX_QP)] << (bit_depth - 8)
+  beta = jnp.asarray(BETATABLE)[jnp.clip(qp + beta_off, 0, MAX_QP)] \
+      << (bit_depth - 8)
   tc10 = jnp.asarray(TCTABLE)[jnp.clip(
-      qp + DEFAULT_INTRA_TC_OFFSET * (bs - 1), 0,
+      qp + DEFAULT_INTRA_TC_OFFSET * (bs - 1) + tc_off, 0,
       MAX_QP + DEFAULT_INTRA_TC_OFFSET)]
   if bit_depth < 10:
     tc = (tc10 + (1 << (9 - bit_depth))) >> (10 - bit_depth)

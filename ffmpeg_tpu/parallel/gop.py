@@ -124,7 +124,9 @@ def decode_gop_mesh(data: bytes, mesh=None):
 
     prog = PL.get_frame_program(W, H, ctb_log2, frames[0].bit_depth,
                                 pallas=False, isp=force_isp,
-                                tb64=force_tb64)
+                                tb64=force_tb64,
+                                dbo=tuple(frames[0].beta_offset),
+                                dto=tuple(frames[0].tc_offset))
     leaves0, treedef0 = jax.tree_util.tree_flatten(inputs[0])
     var = prog._variant(leaves0, treedef0)
     _, offs, total, _, run = var
