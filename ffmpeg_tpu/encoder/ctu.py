@@ -533,8 +533,8 @@ class FrameSyntaxEncoder:
         ccr = cu.coeff_cr if is_isp else sub(cu.coeff_cr, 1)
         if is_isp and not is_isp_last:
             ccb = ccr = None
-        cb_coded = ccb is not None and np.any(ccb)
-        cr_coded = ccr is not None and np.any(ccr)
+        cb_coded = chroma_available and ccb is not None and np.any(ccb)
+        cr_coded = chroma_available and ccr is not None and np.any(ccr)
         y_coded = cy is not None and np.any(cy)
         if sbt_not_coded:
             assert not (y_coded or cb_coded or cr_coded), \

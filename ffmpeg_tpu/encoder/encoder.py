@@ -334,9 +334,9 @@ def _random_cu(cfg, rng, x0, y0, w, h, is_inter_slice=False,
         coeff_y=(_random_coeffs(cfg, rng, w, h)
                  if tree != "chroma" else None),
         coeff_cb=(_random_coeffs(cfg, rng, w // 2, h // 2, luma=False)
-                  if tree != "luma" else None),
+                  if tree != "luma" and cfg.chroma_format_idc else None),
         coeff_cr=(_random_coeffs(cfg, rng, w // 2, h // 2, luma=False)
-                  if tree != "luma" else None),
+                  if tree != "luma" and cfg.chroma_format_idc else None),
     )
     if tree == "chroma":
         # chroma-only CU: chroma mode / BDPCM-C / CCLM choices apply,

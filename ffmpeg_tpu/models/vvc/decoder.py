@@ -67,8 +67,11 @@ class Frame:
 
     @property
     def planes(self) -> list:
-        """[Y, Cb, Cr] numpy views into the packed buffer."""
+        """[Y, Cb, Cr] numpy views into the packed buffer ([Y] for
+        4:0:0 monochrome frames)."""
         buf, w, h = self._host_buf(), self.width, self.height
+        if buf.size == w * h:  # monochrome
+            return [buf.reshape(h, w)]
         cs = (w // 2) * (h // 2)
         return [buf[:w * h].reshape(h, w),
                 buf[w * h:w * h + cs].reshape(h // 2, w // 2),
@@ -165,6 +168,8 @@ class VVCDecoder:
 
         sy, sc = _padded_plane_shapes(fs.width, fs.height, fs.ctb_log2)
         gray = 1 << (fs.bit_depth - 1)
+        if fs.chroma_format_idc == 0:
+            return [jnp.full(sy, gray, jnp.int32)]
         return [jnp.full(sy, gray, jnp.int32),
                 jnp.full(sc, gray, jnp.int32),
                 jnp.full(sc, gray, jnp.int32)]

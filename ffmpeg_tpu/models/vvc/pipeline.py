@@ -1081,6 +1081,7 @@ def _build_frame_program(shapes):
   use_pallas = shapes["pallas"]
   tile_bds = shapes.get("tile_bds", ((), ()))
   tb64 = shapes.get("tb64", False)
+  mono = shapes.get("mono", False)   # 4:0:0: luma plane only
   maxs_y = 1 << ctb_log2
   maxs_c = maxs_y >> 1
   # intra predict units are transform blocks: <= 32 normally, <= 64 on
@@ -1204,6 +1205,8 @@ def _build_frame_program(shapes):
     ly1 = alf_filter_luma(ly0, coeff12, clip12, ctb_sz,
                           ctb_blk[..., 0] > 0, bd)
     out = [planes[0].at[:H, :W].set(ly1)]
+    if mono:
+      return out
     Hc, Wc = H >> 1, W >> 1
     yc = jnp.arange(Hc) >> (ctb_log2 - 1)
     xc = jnp.arange(Wc) >> (ctb_log2 - 1)
@@ -1243,10 +1246,11 @@ def _build_frame_program(shapes):
         luma_sizes = luma_sizes + TB64_EXTRA_SIZES
         if shapes.get("isp"):
           luma_sizes = luma_sizes + ISP64_EXTRA_SIZES
-      for c_idx, (maxs, Hp, Wp, sizes) in enumerate((
-          (maxs_y, Hp_y, Wp_y, luma_sizes),
-          (maxs_c, Hp_c, Wp_c, CHROMA_SIZES),
-          (maxs_c, Hp_c, Wp_c, CHROMA_SIZES))):
+      plane_geoms = ((maxs_y, Hp_y, Wp_y, luma_sizes),
+                     (maxs_c, Hp_c, Wp_c, CHROMA_SIZES),
+                     (maxs_c, Hp_c, Wp_c, CHROMA_SIZES))
+      for c_idx, (maxs, Hp, Wp, sizes) in enumerate(
+          plane_geoms[:1] if mono else plane_geoms):
         p = inp["planes"][c_idx]
         ct = inp["ctrl"]["y" if c_idx == 0 else "c"]
         res = _residual_from_buckets(p["buckets"], Hp, Wp, bd, sizes,
@@ -1292,7 +1296,7 @@ def _build_frame_program(shapes):
                                      d["ymp_h"], d["ymq_h"], d["yhor"],
                                      bit_depth=bd, beta_off=dbo[0],
                                      tc_off=dto[0]).T
-      for c in (1, 2):
+      for c in () if mono else (1, 2):
         out[c] = deblock_vertical_chroma(out[c], d[f"c{c}bs_v"],
                                          d[f"c{c}qp_v"], d[f"c{c}mp_v"],
                                          d[f"c{c}mq_v"], bit_depth=bd,
@@ -1312,7 +1316,7 @@ def _build_frame_program(shapes):
     if "sao" in inp:
       s = inp["sao"]
       out = []
-      for c_idx in range(3):
+      for c_idx in range(1 if mono else 3):
         ss = 0 if c_idx == 0 else 1
         out.append(sao_plane(
             planes[c_idx], s["type"][..., c_idx], s["band"][..., c_idx],
@@ -1330,12 +1334,12 @@ def _build_frame_program(shapes):
     # cropping the same way).
     cl, cr, ct, cb2 = shapes.get("crop", (0, 0, 0, 0))
     dt = jnp.uint8 if bd == 8 else jnp.uint16
-    packed = jnp.concatenate([
-        planes[0][ct:H - cb2, cl:W - cr].astype(dt).reshape(-1),
-        planes[1][ct >> 1:(H - cb2) >> 1,
-                  cl >> 1:(W - cr) >> 1].astype(dt).reshape(-1),
-        planes[2][ct >> 1:(H - cb2) >> 1,
-                  cl >> 1:(W - cr) >> 1].astype(dt).reshape(-1)])
+    parts = [planes[0][ct:H - cb2, cl:W - cr].astype(dt).reshape(-1)]
+    if not mono:
+      parts += [planes[c][ct >> 1:(H - cb2) >> 1,
+                          cl >> 1:(W - cr) >> 1].astype(dt).reshape(-1)
+                for c in (1, 2)]
+    packed = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
     return {"planes": planes, "packed": packed}
 
   return frame_program
@@ -1500,7 +1504,8 @@ _PROGRAM_CACHE: dict = {}
 
 def get_frame_program(W, H, ctb_log2, bit_depth, pallas=None,
                       tile_bds=((), ()), crop=(0, 0, 0, 0), isp=False,
-                      tb64=False, dbo=(0, 0, 0), dto=(0, 0, 0)):
+                      tb64=False, dbo=(0, 0, 0), dto=(0, 0, 0),
+                      mono=False):
   """tile_bds: interior tile boundary positions in luma samples
   (static; only CCLM's cross-component stencils depend on them).
   crop: conformance-window offsets (l, r, t, b) in luma samples.
@@ -1513,13 +1518,15 @@ def get_frame_program(W, H, ctb_log2, bit_depth, pallas=None,
   if isp or tb64:
     pallas = False  # the Pallas recon path has no ISP/64 size classes
   dbo, dto = tuple(dbo), tuple(dto)
+  if mono:
+    pallas = False  # the Pallas recon kernel is 3-plane
   key = (W, H, ctb_log2, bit_depth, pallas, tile_bds, crop, bool(isp),
-         bool(tb64), dbo, dto)
+         bool(tb64), dbo, dto, bool(mono))
   if key not in _PROGRAM_CACHE:
     _PROGRAM_CACHE[key] = PackedProgram(_build_frame_program(
         dict(W=W, H=H, ctb_log2=ctb_log2, bit_depth=bit_depth,
              pallas=pallas, tile_bds=tile_bds, crop=crop, isp=bool(isp),
-             tb64=bool(tb64), dbo=dbo, dto=dto)))
+             tb64=bool(tb64), dbo=dbo, dto=dto, mono=bool(mono))))
   return _PROGRAM_CACHE[key]
 
 
@@ -1695,7 +1702,7 @@ def _deblock_grids(fs: FrameSyntax, Hp_y, Wp_y, Hp_c, Wp_c, ctb_log2):
   hor = np.zeros((Sh, Eh), np.int32)
   hor[:, :] = (((np.arange(Eh) * 4) % ctb) == 0)[None, :]
   d["yhor"] = hor
-  for c_idx in (1, 2):
+  for c_idx in () if fs.chroma_format_idc == 0 else (1, 2):
     pos_x, pos_y, tw, th, qpc, cbf_c = D._tu_grids_cbf(fs, c_idx, 2)
     Sv, Ev = Hp_c // 2, Wp_c // 8
     (d[f"c{c_idx}bs_v"], d[f"c{c_idx}qp_v"], d[f"c{c_idx}mp_v"],
@@ -1850,6 +1857,7 @@ def resolve_refs(fs: FrameSyntax, refs_by_poc, ctb_log2=5, ref_slots=None):
   ref_slots overrides the (n_l0, n_l1) slot counts (GOP-batch mode
   needs a uniform reference layout across frames)."""
   shape_y, shape_c = _padded_plane_shapes(fs.width, fs.height, ctb_log2)
+  n_comp = 1 if fs.chroma_format_idc == 0 else 3
   n_l0, n_l1 = ref_slots or (max(1, len(fs.ref_pocs[0])),
                              max(1, len(fs.ref_pocs[1])))
 
@@ -1865,7 +1873,7 @@ def resolve_refs(fs: FrameSyntax, refs_by_poc, ctb_log2=5, ref_slots=None):
 
   return [tuple(ref_for(c_idx, 0, k) for k in range(n_l0))
           + tuple(ref_for(c_idx, 1, k) for k in range(n_l1))
-          for c_idx in range(3)]
+          for c_idx in range(n_comp)]
 
 
 def build_host_inputs(fs: FrameSyntax, ctb_log2=5, ref_slots=None,
@@ -1938,7 +1946,8 @@ def build_host_inputs(fs: FrameSyntax, ctb_log2=5, ref_slots=None,
     luma_sizes = luma_sizes + TB64_EXTRA_SIZES
     if isp:
       luma_sizes = luma_sizes + ISP64_EXTRA_SIZES
-  for c_idx in range(3):
+  mono = fs.chroma_format_idc == 0
+  for c_idx in range(1 if mono else 3):
     sizes = luma_sizes if c_idx == 0 else CHROMA_SIZES
     inp["planes"].append(
         {"buckets": _bucket_inputs(fs, c_idx, sizes, W, H)})
@@ -2017,7 +2026,7 @@ def build_frame_inputs(fs: FrameSyntax, refs_by_poc, ctb_log2=5):
 def prepare_frame(fs: FrameSyntax):
   """Worker-thread half of a frame dispatch: build + pack the host
   inputs.  Returns a ticket for submit_frame()."""
-  assert fs.chroma_format_idc == 1, "4:2:0 only for now"
+  assert fs.chroma_format_idc in (0, 1), "4:2:0 / 4:0:0 only for now"
   tile_bds = (tuple(v for v in fs.tile_bd[0] if 0 < v < fs.width),
               tuple(v for v in fs.tile_bd[1] if 0 < v < fs.height))
   prog = get_frame_program(fs.width, fs.height, fs.ctb_log2, fs.bit_depth,
@@ -2028,7 +2037,8 @@ def prepare_frame(fs: FrameSyntax):
                            isp=bool(getattr(fs, "has_isp", 0)),
                            tb64=bool(getattr(fs, "has_tb64", 0)),
                            dbo=tuple(fs.beta_offset),
-                           dto=tuple(fs.tc_offset))
+                           dto=tuple(fs.tc_offset),
+                           mono=fs.chroma_format_idc == 0)
   return prog, prog.pack(build_host_inputs(fs, fs.ctb_log2))
 
 
@@ -2054,11 +2064,13 @@ def decode_frame_device(fs: FrameSyntax, refs_by_poc=None):
 
 def decode_frame(fs: FrameSyntax, refs_by_poc=None):
   """Single-dispatch frame decode; returns [Y, Cb, Cr] numpy planes
-  (conformance-window cropped)."""
+  ([Y] for 4:0:0), conformance-window cropped."""
   packed, _ = decode_frame_device(fs, refs_by_poc)
   cl, cr, ct, cb = getattr(fs, "crop", (0, 0, 0, 0))
   W, H = fs.width - cl - cr, fs.height - ct - cb
   buf = np.asarray(packed)
+  if fs.chroma_format_idc == 0:
+    return [buf[:W * H].reshape(H, W)]
   return [buf[:W * H].reshape(H, W),
           buf[W * H:W * H + (W // 2) * (H // 2)].reshape(H // 2, W // 2),
           buf[W * H + (W // 2) * (H // 2):].reshape(H // 2, W // 2)]

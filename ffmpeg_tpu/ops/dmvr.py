@@ -192,18 +192,29 @@ def refine_frame_device(fs, dpb):
   padded[9, :n] += n_l0  # s1 indexes the L1 block
   dmv_x, dmv_y, nobdof = _refine_jit(tuple(refs), padded,
                                      fs.bit_depth, fs.height, fs.width)
-  dmv_x = np.asarray(dmv_x)[:n]
-  dmv_y = np.asarray(dmv_y)[:n]
+  dmv_x = np.asarray(dmv_x)[:n].astype(np.int64)
+  dmv_y = np.asarray(dmv_y)[:n].astype(np.int64)
   nobdof = np.asarray(nobdof)[:n]
   clip17 = lambda v: np.clip(v, -(1 << 17), (1 << 17) - 1)  # noqa: E731
   rx0, ry0, rx1, ry1, valid, nob = out
-  for i in range(n):
-    sx, sy, sbw, sbh, mx0, my0, mx1, my1 = (int(v) for v in ctrl[:8, i])
-    cs = (slice(sy >> 2, (sy + sbh) >> 2), slice(sx >> 2, (sx + sbw) >> 2))
-    rx0[cs] = clip17(mx0 + int(dmv_x[i]))
-    ry0[cs] = clip17(my0 + int(dmv_y[i]))
-    rx1[cs] = clip17(mx1 - int(dmv_x[i]))
-    ry1[cs] = clip17(my1 - int(dmv_y[i]))
-    valid[cs] = 1
-    nob[cs] = int(nobdof[i])
+  # vectorized subblock scatter (was a per-subblock python loop: ~8k
+  # iterations and ~30 ms on a DMVR-heavy 1080p frame)
+  x0q, y0q = ctrl[0] >> 2, ctrl[1] >> 2
+  wq, hq = ctrl[2] >> 2, ctrl[3] >> 2
+  reps = (wq * hq).astype(np.int64)
+  total = int(reps.sum())
+  if total:
+    start = np.cumsum(reps) - reps
+    pos = np.arange(total, dtype=np.int64) - np.repeat(start, reps)
+    w_i = np.repeat(wq.astype(np.int64), reps)
+    yy = np.repeat(y0q.astype(np.int64), reps) + pos // w_i
+    xx = np.repeat(x0q.astype(np.int64), reps) + pos % w_i
+    flat = yy * pw + xx
+    for plane, vals in ((rx0, clip17(ctrl[4] + dmv_x)),
+                        (ry0, clip17(ctrl[5] + dmv_y)),
+                        (rx1, clip17(ctrl[6] - dmv_x)),
+                        (ry1, clip17(ctrl[7] - dmv_y)),
+                        (valid, np.ones(n, np.int64)),
+                        (nob, nobdof.astype(np.int64))):
+      plane.reshape(-1)[flat] = np.repeat(vals.astype(np.int32), reps)
   return rx0, ry0, rx1, ry1, valid, nob
