@@ -457,6 +457,9 @@ class PPS:
     pps_cabac_init_present_flag: int = 0
     pps_num_ref_idx_default_active_minus1: tuple = (0, 0)
     pps_rpl1_idx_present_flag: int = 0
+    # explicit tile-aligned rect slices: per-slice (tx0, ty0, w_tiles,
+    # h_tiles) following the no-delta raster advance (spec 6.5.1)
+    pps_slice_rects: tuple = ()
     pps_weighted_pred_flag: int = 0
     pps_weighted_bipred_flag: int = 0
     pps_ref_wraparound_enabled_flag: int = 0
@@ -517,12 +520,52 @@ class PPS:
                 w.flag(self.pps_rect_slice_flag)
             if self.pps_rect_slice_flag:
                 w.flag(self.pps_single_slice_per_subpic_flag)
-            # raster slices (rect=0) or one-rect-slice-per-subpic only;
-            # explicit rect slice layouts are not implemented
-            assert (not self.pps_rect_slice_flag) or \
-                self.pps_single_slice_per_subpic_flag, \
-                "explicit slice layouts not implemented yet"
-            # pps_num_slices_in_pic inferred = num subpics (=1)
+            if self.pps_rect_slice_flag and \
+                    not self.pps_single_slice_per_subpic_flag:
+                # explicit tile-aligned rect slice layout (7.3.2.4);
+                # pps_slice_rects must follow the no-delta raster
+                # advance so every width/height presence condition and
+                # inference reproduces the given rectangles
+                ctb = sps.ctb_log2_size_y
+                w_ctbs = (self.pps_pic_width_in_luma_samples
+                          + (1 << ctb) - 1) >> ctb
+                h_ctbs = (self.pps_pic_height_in_luma_samples
+                          + (1 << ctb) - 1) >> ctb
+                cols = tile_partition(self.pps_tile_column_width_minus1,
+                                      w_ctbs)
+                rows = tile_partition(self.pps_tile_row_height_minus1,
+                                      h_ctbs)
+                n_cols, n_rows = len(cols), len(rows)
+                rects = self.pps_slice_rects
+                assert rects, "explicit layout needs pps_slice_rects"
+                w.ue(len(rects) - 1)
+                if len(rects) > 2:  # minus1 > 1 (7.3.2.4)
+                    w.flag(0)  # pps_tile_idx_delta_present_flag
+                tile_idx = 0
+                prev_h = None
+                for i, (tx0, ty0, wt, ht) in enumerate(rects):
+                    assert tile_idx == ty0 * n_cols + tx0, \
+                        "rects must follow the no-delta raster advance"
+                    if i < len(rects) - 1:
+                        if tx0 < n_cols - 1:
+                            w.ue(wt - 1)
+                        else:
+                            assert wt == 1
+                        if ty0 < n_rows - 1 and tx0 == 0:
+                            w.ue(ht - 1)
+                        elif ty0 == n_rows - 1:
+                            assert ht == 1
+                        else:
+                            assert ht == prev_h, "inferred height chain"
+                        if wt == 1 and ht == 1 and rows[ty0] > 1:
+                            w.ue(0)  # pps_num_exp_slices_in_tile
+                    else:
+                        assert wt == n_cols - tx0 and ht == n_rows - ty0, \
+                            "last slice covers the remaining rectangle"
+                    prev_h = ht
+                    tile_idx += wt
+                    if tile_idx % n_cols == 0:
+                        tile_idx += (ht - 1) * n_cols
             w.flag(self.pps_loop_filter_across_slices_enabled_flag)
         w.flag(self.pps_cabac_init_present_flag)
         for v in self.pps_num_ref_idx_default_active_minus1:

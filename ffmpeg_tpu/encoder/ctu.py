@@ -1480,7 +1480,8 @@ class FrameSyntaxEncoder:
         return payload
 
     def encode_slice_data(self, trees: list, t_lo: int = 0,
-                          t_hi: int | None = None) -> tuple[bytes, list]:
+                          t_hi: int | None = None,
+                          tiles: list | None = None) -> tuple[bytes, list]:
         """Tile-major slice_data() encode (spec 6.5.1 CTB scan) for the
         tile range [t_lo, t_hi): each tile is an independent CABAC
         sub-stream with re-initialised contexts, separated by
@@ -1501,10 +1502,11 @@ class FrameSyntaxEncoder:
             row_bd.append(row_bd[-1] + th)
         saved = None
         self._new_engine()
-        for t in range(t_lo, t_hi):
+        tile_list = tiles if tiles is not None else list(range(t_lo, t_hi))
+        for t_pos, t in enumerate(tile_list):
             tx, ty = t % n_tile_cols, t // n_tile_cols
             for ry in range(row_bd[ty], row_bd[ty + 1]):
-                new_tile = t > t_lo and ry == row_bd[ty]
+                new_tile = t_pos > 0 and ry == row_bd[ty]
                 new_row = wpp and ry > row_bd[ty]
                 if new_tile or new_row:
                     # end_of_tile_one_bit / end_of_subset_one_bit, flush
@@ -1512,7 +1514,8 @@ class FrameSyntaxEncoder:
                     segs.append(self.enc.finish()[0])
                     self._new_engine(restore=saved if new_row else None)
                 for rx in range(col_bd[tx], col_bd[tx + 1]):
-                    last = (t == t_hi - 1 and ry == row_bd[ty + 1] - 1
+                    last = (t_pos == len(tile_list) - 1
+                            and ry == row_bd[ty + 1] - 1
                             and rx == col_bd[tx + 1] - 1)
                     self.encode_ctu(rx, ry, trees[ry * self.ctb_w + rx],
                                     last)

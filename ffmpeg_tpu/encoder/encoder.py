@@ -109,6 +109,10 @@ class EncoderConfig:
     # long-term reference: keep the IDR (poc 0) as an LT entry in L0 of
     # every inter frame (POC LSB + MSB-cycle syntax, vvc_refs.c:415-466)
     ltr: bool = False
+    # explicit tile-aligned rect slices: per-slice (tx0, ty0, w_tiles,
+    # h_tiles) rectangles following the no-delta raster advance; needs
+    # tile_cols/tile_rows
+    rect_slices: tuple = ()
     # raster multi-slice: number of slices per picture (each slice a
     # contiguous tile range; needs tiles and a separate PH NAL)
     n_slices: int = 1
@@ -277,8 +281,10 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
         # NumEntryPoints correctly for this layout (its rect
         # single-slice-per-subpic path never fills slice_width_in_tiles);
         # the 1x1-tile info-in-PH layout keeps the inferred rect slice
-        pps_rect_slice_flag=0 if tiled else 1,
-        pps_single_slice_per_subpic_flag=0 if tiled else 1,
+        pps_rect_slice_flag=1 if cfg.rect_slices else (0 if tiled else 1),
+        pps_single_slice_per_subpic_flag=0 if (tiled or cfg.rect_slices)
+        else 1,
+        pps_slice_rects=tuple(cfg.rect_slices),
         pps_pic_width_in_luma_samples=cfg.width,
         pps_pic_height_in_luma_samples=cfg.height,
         pps_init_qp_minus26=cfg.qp - 26,
@@ -1239,7 +1245,18 @@ def encode_stream(cfg: EncoderConfig):
         fse.qp_delta_rng = rng
         fse.tool_rng = rng
         n_tiles = len(fse.tile_col_w) * len(fse.tile_row_h)
-        if cfg.n_slices > 1:
+        if cfg.rect_slices:
+            # explicit rect slices: each slice encodes its tile
+            # rectangle in raster order within the rectangle
+            n_cols = len(fse.tile_col_w)
+            slice_payloads = []
+            for si, (tx0, ty0, wt, ht) in enumerate(cfg.rect_slices):
+                tiles = [ty * n_cols + tx
+                         for ty in range(ty0, ty0 + ht)
+                         for tx in range(tx0, tx0 + wt)]
+                payload, eps = fse.encode_slice_data(trees, tiles=tiles)
+                slice_payloads.append((si, len(tiles), payload, eps))
+        elif cfg.n_slices > 1:
             # raster multi-slice: split the tile range into contiguous
             # per-slice chunks; each slice is its own NAL after a
             # separate PH NAL (7.4.8 requires the PH NAL when a picture
@@ -1273,7 +1290,7 @@ def encode_stream(cfg: EncoderConfig):
                                   _np.full((2, ph4, pw4), -1, _np.int32),
                                   ((), ()))
 
-        if cfg.n_slices > 1:
+        if cfg.rect_slices or cfg.n_slices > 1:
             import copy
             sh.sh_picture_header_in_slice_header_flag = 0
             if cfg.lmcs:
@@ -1284,10 +1301,12 @@ def encode_stream(cfg: EncoderConfig):
             for addr, cnt, payload_k, eps in slice_payloads:
                 sk = copy.deepcopy(sh)
                 sk.sh_slice_address = addr
-                sk.sh_num_tiles_in_slice_minus1 = cnt - 1
+                if not cfg.rect_slices:
+                    sk.sh_num_tiles_in_slice_minus1 = cnt - 1
                 sk.sh_entry_point_offsets = tuple(eps)
                 w = BitWriter()
-                sk.write(w, sps, pps, num_tiles_in_pic=n_tiles)
+                sk.write(w, sps, pps, num_tiles_in_pic=n_tiles,
+                         num_slices_in_pic=max(len(cfg.rect_slices), 1))
                 assert w.bit_length % 8 == 0
                 out += make_nal(nal_type,
                                 w.to_bytes() + payload_k + b"\x80")

@@ -2584,14 +2584,26 @@ class Decoder {
 
     // tile-major CTU scan (spec 6.5.1 CTB raster within tile, tiles in
     // raster order); per-tile CABAC entry point + context re-init.
-    // raster slices cover [sh_slice_address, +num_tiles) tiles
+    // Raster slices cover [sh_slice_address, +num_tiles) linear tile
+    // indices; explicit rect slices cover their tile rectangle in
+    // raster order within the rectangle.
     const int n_tile_cols = pps_.num_tile_columns;
     const int n_tiles = n_tile_cols * pps_.num_tile_rows;
-    int t_first = 0, t_cnt = n_tiles;
-    if (!pps_.pps_rect_slice_flag && n_tiles > 1) {
-      t_first = sh_.sh_slice_address;
-      t_cnt = sh_.sh_num_tiles_in_slice_minus1 + 1;
+    std::vector<int> slice_tiles;
+    if (pps_.pps_rect_slice_flag && !pps_.slice_rects.empty()) {
+      const auto& sr = pps_.slice_rects[sh_.sh_slice_address];
+      for (int ty = sr.ty0; ty < sr.ty0 + sr.ht; ty++)
+        for (int tx = sr.tx0; tx < sr.tx0 + sr.wt; tx++)
+          slice_tiles.push_back(ty * n_tile_cols + tx);
+    } else {
+      int t_first = 0, t_cnt = n_tiles;
+      if (!pps_.pps_rect_slice_flag && n_tiles > 1) {
+        t_first = sh_.sh_slice_address;
+        t_cnt = sh_.sh_num_tiles_in_slice_minus1 + 1;
+      }
+      for (int ti = 0; ti < t_cnt; ti++) slice_tiles.push_back(t_first + ti);
     }
+    const int t_cnt = (int)slice_tiles.size();
     // WPP: each CTU row is its own CABAC sub-stream; contexts are
     // inherited from the state saved after the row above's first CTU
     // (schedule_next_parse, vvc_thread.c:255-279; sync window = 1 CTU)
@@ -2599,7 +2611,7 @@ class Decoder {
     CabacStates wpp_saved;
     int ep_idx = 0;
     for (int ti = 0; ti < t_cnt; ti++) {
-      const int t = t_first + ti;
+      const int t = slice_tiles[ti];
       const int tx = t % n_tile_cols, ty = t / n_tile_cols;
       const int rx0 = pps_.col_bd[tx], rx1 = pps_.col_bd[tx + 1];
       const int ry0 = pps_.row_bd[ty], ry1 = pps_.row_bd[ty + 1];

@@ -395,10 +395,55 @@ Pps parse_pps(BitReader& r, const Sps& sps) {
     }
     int single_slice_per_subpic = 1;
     if (pps.pps_rect_slice_flag) single_slice_per_subpic = r.flag();
-    // raster (tile-scan) slices and whole-picture rect slices are
-    // supported; explicit rect slice layouts are not (vvc_ps.c:307-427)
-    VVC_UNSUPPORTED(pps.pps_rect_slice_flag && !single_slice_per_subpic,
-                    "explicit rect slice layouts");
+    if (pps.pps_rect_slice_flag && !single_slice_per_subpic) {
+      // explicit tile-aligned rect slice layout (spec 6.5.1 /
+      // vvc_ps.c:254-455).  Sub-tile slices (pps_num_exp_slices_in_
+      // tile) stay unsupported.
+      const int n_cols = pps.num_tile_columns;
+      const int n_rows = pps.num_tile_rows;
+      int n_slices = (int)r.ue() + 1;
+      // pps_tile_idx_delta_present_flag present only when
+      // pps_num_slices_in_pic_minus1 > 1 (7.3.2.4)
+      int delta_present = n_slices > 2 ? (int)r.flag() : 0;
+      int tile_idx = 0;
+      int prev_h = n_rows;  // height inference chain
+      for (int i = 0; i < n_slices; i++) {
+        const int tx = tile_idx % n_cols, ty = tile_idx / n_cols;
+        int wt = 1, ht = 1;
+        if (i < n_slices - 1) {
+          wt = tx < n_cols - 1 ? (int)r.ue() + 1 : 1;
+          if (ty < n_rows - 1 && (delta_present || tx == 0))
+            ht = (int)r.ue() + 1;
+          else if (ty == n_rows - 1)
+            ht = 1;
+          else
+            ht = prev_h;  // inferred: previous slice's height
+        } else {
+          // last slice: covers the remaining rectangle
+          wt = n_cols - tx;
+          ht = n_rows - ty;
+        }
+        prev_h = ht;
+        // the syntax loop runs i < num_slices-1: the last slice never
+        // carries sub-tile syntax
+        if (i < n_slices - 1 && wt == 1 && ht == 1 &&
+            pps.row_height[ty] > 1) {
+          int n_exp = (int)r.ue();
+          VVC_UNSUPPORTED(n_exp != 0, "sub-tile rect slices");
+        }
+        pps.slice_rects.push_back({tx, ty, wt, ht});
+        if (i < n_slices - 1) {
+          if (delta_present) {
+            tile_idx += (int)r.se();
+            VVC_UNSUPPORTED(tile_idx < 0 || tile_idx >= n_cols * n_rows,
+                            "tile_idx_delta out of range");
+          } else {
+            tile_idx += wt;
+            if (tile_idx % n_cols == 0) tile_idx += (ht - 1) * n_cols;
+          }
+        }
+      }
+    }
     pps.pps_loop_filter_across_slices_enabled_flag = r.flag();
   } else {
     pps.col_width = {pic_w_ctbs};
@@ -802,7 +847,8 @@ SliceHeader parse_slice_header(BitReader& r, int nal_type, const Sps& sps,
 
   // no subpics; slice address (single slice per pic supported so far)
   int num_tiles_in_pic = pps.num_tile_columns * pps.num_tile_rows;
-  int num_slices_in_pic = 1;
+  int num_slices_in_pic = pps.slice_rects.empty()
+                              ? 1 : (int)pps.slice_rects.size();
   if ((pps.pps_rect_slice_flag && num_slices_in_pic > 1) ||
       (!pps.pps_rect_slice_flag && num_tiles_in_pic > 1)) {
     int bits = ceil_log2(pps.pps_rect_slice_flag ? num_slices_in_pic
@@ -1000,7 +1046,19 @@ SliceHeader parse_slice_header(BitReader& r, int nal_type, const Sps& sps,
     int entropy_sync = sps.sps_entropy_coding_sync_enabled_flag;
     int pic_h_ctbs = (pps.height + sps.ctb_size_y - 1) >> sps.ctb_log2_size_y;
     int num_entry_points;
-    if (pps.pps_rect_slice_flag) {
+    if (pps.pps_rect_slice_flag && !pps.slice_rects.empty()) {
+      // explicit tile-aligned rect slice: EPs per tile (or per CTU
+      // row of the slice's tile rows with WPP)
+      const auto& sr = pps.slice_rects[sh.sh_slice_address];
+      if (entropy_sync) {
+        int rows = 0;
+        for (int ty = sr.ty0; ty < sr.ty0 + sr.ht; ty++)
+          rows += pps.row_height[ty];
+        num_entry_points = sr.wt * rows - 1;
+      } else {
+        num_entry_points = sr.wt * sr.ht - 1;
+      }
+    } else if (pps.pps_rect_slice_flag) {
       // whole-picture rect slice
       int width_in_tiles = pps.num_tile_columns;
       int height = entropy_sync ? pic_h_ctbs : pps.num_tile_rows;

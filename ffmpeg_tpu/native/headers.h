@@ -173,6 +173,11 @@ struct Pps {
   // derived tile maps (in CTBs)
   std::vector<int> col_bd, row_bd;          // tile column/row start per tile idx
   std::vector<int> ctb_to_col_bd, ctb_to_row_bd;  // per-CTB tile boundary start
+  // explicit rect-slice layout (tile-aligned): per-slice
+  // (tile_x0, tile_y0, w_tiles, h_tiles); empty = raster slices or
+  // the whole-picture rect slice
+  struct SliceRect { int tx0, ty0, wt, ht; };
+  std::vector<SliceRect> slice_rects;
 };
 
 
