@@ -43,13 +43,14 @@ RA_KW = dict(width=1920, height=1080, n_frames=17, seed=11, qp=32,
              inter=True, b_slices=True, ra=True, tmvp=True,
              deblock=True, sao=True, max_mv=200)
 # config 3: full inter toolset 1080p (affine/BDOF/DMVR/CIIP/GPM/MMVD/
-# ALF/LMCS — BASELINE.json config 3 names DMVR, so it must be timed)
+# ALF/LMCS — BASELINE.json config 3 names DMVR, so it must be timed;
+# SMVD is decode-side only: the generator does not emit it)
 FULL_KW = dict(width=1920, height=1080, n_frames=17, seed=23, qp=32,
                inter=True, b_slices=True, ra=True, tmvp=True,
                deblock=True, sao=True, alf=True, ccalf=True, lmcs=True,
                affine=True, prof=True, bdof=True, ciip=True, gpm=True,
                mmvd=True, bcw=True, amvr=True, mip=True, cclm=True,
-               dmvr=True, smvd=True, max_mv=200)
+               dmvr=True, max_mv=200)
 
 
 def _left() -> float:

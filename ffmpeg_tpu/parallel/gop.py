@@ -181,6 +181,13 @@ def decode_gop_mesh(data: bytes, mesh=None):
 
     results = {}
     with mesh:
+        # all waves are dispatched back-to-back: each wave's output
+        # fetch stays OFF the dispatch path (jax dispatch is async, so
+        # wave k+1's programs queue behind wave k without a host sync;
+        # the reference's progress/listener machinery becomes plain
+        # device-order execution), and the host drains the packed
+        # outputs only after the last wave is in flight.
+        fetches = []  # (chunk, packed_device_array)
         for idxs in waves:
             for c0 in range(0, len(idxs), F):
                 chunk = idxs[c0:c0 + F]
@@ -192,9 +199,11 @@ def decode_gop_mesh(data: bytes, mesh=None):
                     [slot_of[frames[i].poc] for i in chunk]
                     + [scratch] * (F - len(chunk)), np.int32)
                 packed, pools = wave_jit(bw, sw, ow, *pools)
-                host = np.asarray(packed)
-                for j, i in enumerate(chunk):
-                    results[frames[i].poc] = host[j]
+                fetches.append((chunk, packed))
+        for chunk, packed in fetches:
+            host = np.asarray(packed)
+            for j, i in enumerate(chunk):
+                results[frames[i].poc] = host[j]
 
     import hashlib
     return [(poc, hashlib.md5(results[poc].tobytes()).hexdigest(),
