@@ -463,6 +463,7 @@ class PPS:
     pps_weighted_pred_flag: int = 0
     pps_weighted_bipred_flag: int = 0
     pps_ref_wraparound_enabled_flag: int = 0
+    pps_pic_width_minus_wraparound_offset: int = 0
     pps_init_qp_minus26: int = 0
     pps_cu_qp_delta_enabled_flag: int = 0
     pps_chroma_tool_offsets_present_flag: int = 0
@@ -574,7 +575,8 @@ class PPS:
         w.flag(self.pps_weighted_pred_flag)
         w.flag(self.pps_weighted_bipred_flag)
         w.flag(self.pps_ref_wraparound_enabled_flag)
-        assert not self.pps_ref_wraparound_enabled_flag
+        if self.pps_ref_wraparound_enabled_flag:
+            w.ue(self.pps_pic_width_minus_wraparound_offset)
         w.se(self.pps_init_qp_minus26)
         w.flag(self.pps_cu_qp_delta_enabled_flag)
         w.flag(self.pps_chroma_tool_offsets_present_flag)

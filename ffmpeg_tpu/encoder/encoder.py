@@ -49,6 +49,9 @@ class EncoderConfig:
     # requires ctu_log2 >= 6).  Real encoders (VTM/vvenc) default to
     # CTU-128 + TB-64, so this is the wild-stream configuration.
     tb64: bool = False
+    # horizontal reference wraparound (360 video; spec 8.5.6.3.2):
+    # MC reads wrap at the picture width instead of edge-clamping
+    wraparound: bool = False
     # header-layout variants real encoders emit (VERDICT r4 item 4)
     rpl_in_sps: bool = False   # candidate RPLs in the SPS, slices select
     rpl_in_ph: bool = False    # ref_pic_lists() in the picture header
@@ -257,6 +260,7 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
         sps_weighted_bipred_flag=1 if (cfg.weighted_pred and
                                        cfg.b_slices) else 0,
         sps_ref_pic_lists=sps_rpls,
+        sps_ref_wraparound_enabled_flag=1 if cfg.wraparound else 0,
     )
     ctb = 1 << cfg.ctu_log2
     pic_w_ctbs = (cfg.width + ctb - 1) >> cfg.ctu_log2
@@ -297,6 +301,9 @@ def build_sps_pps(cfg: EncoderConfig) -> tuple[SPS, PPS]:
         pps_dbf_info_in_ph_flag=1 if (cfg.deblock and cfg.deblock_in_ph)
         else 0,
         pps_rpl1_idx_present_flag=1 if cfg.rpl_in_sps else 0,
+        pps_ref_wraparound_enabled_flag=1 if cfg.wraparound else 0,
+        # full-width wraparound (PpsRefWraparoundOffset = pic_w/MinCb)
+        pps_pic_width_minus_wraparound_offset=0,
         pps_rpl_info_in_ph_flag=1 if cfg.rpl_in_ph else 0,
         pps_alf_info_in_ph_flag=1 if cfg.alf_in_ph else 0,
         pps_cu_qp_delta_enabled_flag=1 if cfg.cu_qp_delta else 0,

@@ -186,6 +186,8 @@ class FrameSyntax:
     has_isp: int = 0           # any ISP CU (extends the residual sizes)
     has_tb64: int = 0          # any 64-sample luma TB (64-size residual
     #                            classes + 64-wide intra predict units)
+    wrap_off: int = 0          # horizontal ref wraparound offset (luma
+    #                            samples; 0 = disabled)
     # explicit scaling lists (None = flat): {"rec": (28, 8, 8) int32
     # ScalingMatrixRec, "dc": (14,) ScalingMatrixDcRec}
     sl: dict | None = None
@@ -240,7 +242,7 @@ class HostDecoder:
         if ret != 0:
             raise RuntimeError(
                 f"native decode error: {self._lib.vvch_last_error().decode()}")
-        info = (ctypes.c_int32 * 30)()
+        info = (ctypes.c_int32 * 31)()
         self._lib.vvch_frame_info(self._h, info)
         if not info[0]:
             return None  # no frame in this AU (parameter sets only)
@@ -255,6 +257,7 @@ class HostDecoder:
         gdr_pic, recovery_poc_cnt = int(info[25]), int(info[26])
         has_isp = int(info[27])
         has_tb64 = int(info[29])
+        wrap_off = int(info[30])
         sl = None
         if info[28]:
             buf = np.zeros(28 * 64 + 14, np.int32)
@@ -399,6 +402,7 @@ class HostDecoder:
             recovery_poc_cnt=recovery_poc_cnt,
             has_isp=has_isp,
             has_tb64=has_tb64,
+            wrap_off=wrap_off,
             sl=sl,
             fo=NativeFrame(self._lib,
                            self._lib.vvch_detach(self._h)),

@@ -608,8 +608,19 @@ def _residual_blocks_from_buckets(buckets, ncap, bit_depth, sizes,
   return res.reshape(ncap, S, S)
 
 
+def _hwrap(xs, W, wrap):
+  """Horizontal sample-position clip: reference wraparound (ClipH,
+  spec 8.5.6.3.2 / emulated_edge wraparound vvc_inter.c:33-128) when
+  wrap > 0, plain edge clamp otherwise."""
+  if not wrap:
+    return jnp.clip(xs, 0, W - 1)
+  xs = jnp.where(xs < 0, xs + wrap, xs)
+  xs = jnp.where(xs > W - 1, xs - wrap, xs)
+  return jnp.clip(xs, 0, W - 1)
+
+
 def _mc_block(refs, x0, y0, mvx, mvy, maxs, taps, before, frac_bits,
-              bit_depth, slot, hpel=0, win=None):
+              bit_depth, slot, hpel=0, win=None, wrap=0):
   """Generic separable MC window for one CU (maxs x maxs), 14-bit out.
   refs: (n_refs, H, W) stacked reference planes; slot selects one.
   win, when given, is a (wx0, wx1, wy0, wy1) sample-clamp window
@@ -632,9 +643,13 @@ def _mc_block(refs, x0, y0, mvx, mvy, maxs, taps, before, frac_bits,
     hf = ftab[hpel, frac_x]
     vf = ftab[hpel, frac_y]
   g = maxs + taps - 1
-  wx0, wx1, wy0, wy1 = win if win is not None else (0, W - 1, 0, H - 1)
-  xs = jnp.clip(ix + jnp.arange(g) - before, wx0, wx1)
-  ys = jnp.clip(iy + jnp.arange(g) - before, wy0, wy1)
+  if win is None:
+    xs = _hwrap(ix + jnp.arange(g) - before, W, wrap)
+    ys = jnp.clip(iy + jnp.arange(g) - before, 0, H - 1)
+  else:
+    wx0, wx1, wy0, wy1 = win
+    xs = jnp.clip(ix + jnp.arange(g) - before, wx0, wx1)
+    ys = jnp.clip(iy + jnp.arange(g) - before, wy0, wy1)
   # flat gather over the stacked ref planes (fast TPU gather path)
   win = refs.reshape(-1)[slot * (H * W) + ys[:, None] * W + xs[None, :]]
   shift1 = bit_depth - 8
@@ -706,7 +721,7 @@ def _slice_block(plane, y0, x0, maxs):
   return plane.reshape(-1)[(y0 + d[:, None]) * Wp + x0 + d[None, :]]
 
 
-def _prof_refine(refs, c, t, lx, bit_depth):
+def _prof_refine(refs, c, t, lx, bit_depth, wrap=0):
   """PROF (8.5.5.9) on a 4x4 affine subblock unit: pad the 14-bit MC
   block with integer reference samples, 3-tap gradients, then the
   per-sample gradient-dot-dMv refinement (bdof_fetch_samples +
@@ -720,7 +735,7 @@ def _prof_refine(refs, c, t, lx, bit_depth):
   H, W = refs.shape[1:]
   ix = c["x0"] + (mvx >> 4) + ((mvx >> 3) & 1) - 1
   iy = c["y0"] + (mvy >> 4) + ((mvy >> 3) & 1) - 1
-  xs = jnp.clip(ix + jnp.arange(6), 0, W - 1)
+  xs = _hwrap(ix + jnp.arange(6), W, wrap)
   ys = jnp.clip(iy + jnp.arange(6), 0, H - 1)
   ring = refs.reshape(-1)[slot * (H * W) + ys[:, None] * W + xs[None, :]]
   p = (ring << (14 - bit_depth)).at[1:5, 1:5].set(t[:4, :4])
@@ -748,7 +763,8 @@ def _ilog2(v):
   return b
 
 
-def _bdof_bi(refs, c, t0, t1, bit_depth, maxv, maxs, wins=(None, None)):
+def _bdof_bi(refs, c, t0, t1, bit_depth, maxv, maxs, wins=(None, None),
+             wrap=0):
   """BDOF (8.5.6.4/5) for one bi unit (w, h <= 16): integer-ring pad,
   joint gradients, per-4x4 (vx, vy) from 6x6 windows, then the
   per-sample offset (apply_bdof + derive_bdof_vx_vy,
@@ -758,11 +774,15 @@ def _bdof_bi(refs, c, t0, t1, bit_depth, maxv, maxs, wins=(None, None)):
   d18 = jnp.arange(18)
 
   def int_ring(mvx, mvy, slot, win):
-    wx0, wx1, wy0, wy1 = win if win is not None else (0, W - 1, 0, H - 1)
     ix = c["x0"] + (mvx >> 4) + ((mvx >> 3) & 1) - 1
     iy = c["y0"] + (mvy >> 4) + ((mvy >> 3) & 1) - 1
-    xs = jnp.clip(ix + d18, wx0, wx1)
-    ys = jnp.clip(iy + d18, wy0, wy1)
+    if win is None:
+      xs = _hwrap(ix + d18, W, wrap)
+      ys = jnp.clip(iy + d18, 0, H - 1)
+    else:
+      wx0, wx1, wy0, wy1 = win
+      xs = jnp.clip(ix + d18, wx0, wx1)
+      ys = jnp.clip(iy + d18, wy0, wy1)
     return refs.reshape(-1)[slot * (H * W) + ys[:, None] * W
                             + xs[None, :]] << (14 - bit_depth)
 
@@ -820,7 +840,7 @@ def _bdof_bi(refs, c, t0, t1, bit_depth, maxv, maxs, wins=(None, None)):
 
 
 def _inter_pred_unit(refs, c, *, maxs, taps, before, frac_bits,
-                     bit_depth, maxv, lmcs=None, wb=None):
+                     bit_depth, maxv, lmcs=None, wb=None, wrap=0):
   """Clipped inter prediction for one unit (vmapped over a batch).
   With lmcs, the clipped luma prediction is forward-mapped into the
   LMCS domain (vvc_inter.c:888-891).  wb, when given, is the unit's
@@ -846,12 +866,14 @@ def _inter_pred_unit(refs, c, *, maxs, taps, before, frac_bits,
 
     wins = [dmvr_win(0), dmvr_win(1)]
   t0 = _mc_block(refs, c["x0"], c["y0"], c["m0x"], c["m0y"], maxs, taps,
-                 before, frac_bits, bit_depth, c["r0slot"], hp, wins[0])
+                 before, frac_bits, bit_depth, c["r0slot"], hp, wins[0],
+                 wrap)
   t1 = _mc_block(refs, c["x0"], c["y0"], c["m1x"], c["m1y"], maxs, taps,
-                 before, frac_bits, bit_depth, c["r1slot"], hp, wins[1])
+                 before, frac_bits, bit_depth, c["r1slot"], hp, wins[1],
+                 wrap)
   if taps == 8 and "prof" in c:
-    t0 = _prof_refine(refs, c, t0, 0, bit_depth)
-    t1 = _prof_refine(refs, c, t1, 1, bit_depth)
+    t0 = _prof_refine(refs, c, t0, 0, bit_depth, wrap)
+    t1 = _prof_refine(refs, c, t1, 1, bit_depth, wrap)
   # uni: put_uni rounding on the used list; bi: avg
   shift2 = 14 - bit_depth
   off2 = 1 << (shift2 - 1)
@@ -862,7 +884,7 @@ def _inter_pred_unit(refs, c, *, maxs, taps, before, frac_bits,
   if taps == 8 and "bdof" in c:
     bi = jnp.where(c["bdof"] > 0,
                    _bdof_bi(refs, c, t0, t1, bit_depth, maxv, maxs,
-                            wins), bi)
+                            wins, wrap), bi)
   if "wden" in c:
     # explicit uni weighting (put_uni_w, h2656_inter_template.c:60-85)
     wden = c["wden"]
@@ -895,11 +917,11 @@ def _inter_pred_unit(refs, c, *, maxs, taps, before, frac_bits,
 
 
 def _inter_unit(res_plane, refs, c, *, maxs, taps, before, frac_bits,
-                bit_depth, maxv, lmcs=None, wb=None):
+                bit_depth, maxv, lmcs=None, wb=None, wrap=0):
   """Prediction + residual for one inter unit (vmapped over a chunk)."""
   pred = _inter_pred_unit(refs, c, maxs=maxs, taps=taps, before=before,
                           frac_bits=frac_bits, bit_depth=bit_depth,
-                          maxv=maxv, lmcs=lmcs, wb=wb)
+                          maxv=maxv, lmcs=lmcs, wb=wb, wrap=wrap)
   res = _slice_block(res_plane, c["y0"], c["x0"], maxs)
   return jnp.clip(pred + res, 0, maxv)
 
@@ -928,7 +950,7 @@ def _cclm_unit(c, top, left, cclm, OFF, maxs, bit_depth, maxv):
 
 
 def _intra_unit(plane, res_plane, c, *, maxs, is_chroma, bit_depth, maxv,
-                mid, OFF, refs=None, lmcs=None, cclm=None):
+                mid, OFF, refs=None, lmcs=None, cclm=None, wrap=0):
   """Prediction + residual for one intra unit (vmapped over a chunk);
   reads reconstructed neighbour samples from the current plane."""
   w, h = c["w"], c["h"]
@@ -988,7 +1010,8 @@ def _intra_unit(plane, res_plane, c, *, maxs, is_chroma, bit_depth, maxv,
                            before=1 if is_chroma else 3,
                            frac_bits=5 if is_chroma else 4,
                            bit_depth=bit_depth, maxv=maxv,
-                           lmcs=lmcs if not is_chroma else None)
+                           lmcs=lmcs if not is_chroma else None,
+                           wrap=wrap)
     cw = c["ciipw"]
     pred = jnp.where(cw > 0, (pred * cw + mcb * (4 - cw) + 2) >> 2, pred)
   res = _slice_block(res_plane, c["y0"], c["x0"], maxs)
@@ -997,7 +1020,7 @@ def _intra_unit(plane, res_plane, c, *, maxs, is_chroma, bit_depth, maxv,
 
 def _recon_plane(res_plane, inter, n_inter, intra, n_chunks, refs, *,
                  maxs_inter, maxs_intra, is_chroma, bit_depth, lmcs=None,
-                 cr_weights=False, cclm=None):
+                 cr_weights=False, cclm=None, wrap=0):
   """Batched reconstruction of one plane.
 
   Replaces the reference's per-CTU RECON/INTER task stages
@@ -1027,7 +1050,8 @@ def _recon_plane(res_plane, inter, n_inter, intra, n_chunks, refs, *,
     gsl = jax.lax.dynamic_slice(inter["gslot"], (off,), (INTER_CHUNK,))
     wbs = inter["gwt"][gsl]
     blks = jax.vmap(lambda cc, wb1: _inter_unit(
-        res_plane, refs, cc, maxs=maxs_inter, taps=taps, before=before,
+        res_plane, refs, cc, wrap=wrap, maxs=maxs_inter, taps=taps,
+        before=before,
         frac_bits=frac_bits, bit_depth=bit_depth, maxv=maxv,
         lmcs=lmcs, wb=wb1))(c, wbs)
     valid = off + jnp.arange(INTER_CHUNK) < n_inter
@@ -1045,7 +1069,7 @@ def _recon_plane(res_plane, inter, n_inter, intra, n_chunks, refs, *,
     blks = jax.vmap(lambda cc: _intra_unit(
         plane, res_plane, cc, maxs=maxs_intra, is_chroma=is_chroma,
         bit_depth=bit_depth, maxv=maxv, mid=mid, OFF=OFF,
-        refs=refs, lmcs=lmcs, cclm=cclm))(c)
+        refs=refs, lmcs=lmcs, cclm=cclm, wrap=wrap))(c)
     # the slice window is CHUNK_CAP wide but only [off, end) belongs to
     # chunk s; the overlap prefix of chunk s+1 is masked off here and
     # reconstructed (correctly) on the next iteration
@@ -1082,6 +1106,7 @@ def _build_frame_program(shapes):
   tile_bds = shapes.get("tile_bds", ((), ()))
   tb64 = shapes.get("tb64", False)
   mono = shapes.get("mono", False)   # 4:0:0: luma plane only
+  wrap = shapes.get("wrap", 0)       # horizontal ref wraparound (luma)
   maxs_y = 1 << ctb_log2
   maxs_c = maxs_y >> 1
   # intra predict units are transform blocks: <= 32 normally, <= 64 on
@@ -1263,6 +1288,7 @@ def _build_frame_program(shapes):
                              maxs_inter=min(32, maxs),
                              maxs_intra=(maxs_intra_y if c_idx == 0
                                          else min(32, maxs)),
+                             wrap=wrap if c_idx == 0 else wrap >> 1,
                              is_chroma=c_idx > 0, bit_depth=bd,
                              lmcs=lm if c_idx == 0 else None,
                              cr_weights=c_idx == 2, cclm=cclm)
@@ -1505,7 +1531,7 @@ _PROGRAM_CACHE: dict = {}
 def get_frame_program(W, H, ctb_log2, bit_depth, pallas=None,
                       tile_bds=((), ()), crop=(0, 0, 0, 0), isp=False,
                       tb64=False, dbo=(0, 0, 0), dto=(0, 0, 0),
-                      mono=False):
+                      mono=False, wrap=0):
   """tile_bds: interior tile boundary positions in luma samples
   (static; only CCLM's cross-component stencils depend on them).
   crop: conformance-window offsets (l, r, t, b) in luma samples.
@@ -1518,15 +1544,16 @@ def get_frame_program(W, H, ctb_log2, bit_depth, pallas=None,
   if isp or tb64:
     pallas = False  # the Pallas recon path has no ISP/64 size classes
   dbo, dto = tuple(dbo), tuple(dto)
-  if mono:
-    pallas = False  # the Pallas recon kernel is 3-plane
+  if mono or wrap:
+    pallas = False  # the Pallas recon kernel lacks these paths
   key = (W, H, ctb_log2, bit_depth, pallas, tile_bds, crop, bool(isp),
-         bool(tb64), dbo, dto, bool(mono))
+         bool(tb64), dbo, dto, bool(mono), int(wrap))
   if key not in _PROGRAM_CACHE:
     _PROGRAM_CACHE[key] = PackedProgram(_build_frame_program(
         dict(W=W, H=H, ctb_log2=ctb_log2, bit_depth=bit_depth,
              pallas=pallas, tile_bds=tile_bds, crop=crop, isp=bool(isp),
-             tb64=bool(tb64), dbo=dbo, dto=dto, mono=bool(mono))))
+             tb64=bool(tb64), dbo=dbo, dto=dto, mono=bool(mono),
+             wrap=int(wrap))))
   return _PROGRAM_CACHE[key]
 
 
@@ -2038,7 +2065,8 @@ def prepare_frame(fs: FrameSyntax):
                            tb64=bool(getattr(fs, "has_tb64", 0)),
                            dbo=tuple(fs.beta_offset),
                            dto=tuple(fs.tc_offset),
-                           mono=fs.chroma_format_idc == 0)
+                           mono=fs.chroma_format_idc == 0,
+                           wrap=int(getattr(fs, "wrap_off", 0)))
   return prog, prog.pack(build_host_inputs(fs, fs.ctb_log2))
 
 

@@ -192,6 +192,7 @@ struct FrameOut {
   int has_isp = 0;             // any ISP CU in the frame (drives the
                                // fine-grained recon-bitmap granularity
                                // and the extended residual size set)
+  int ref_wraparound_offset = 0;  // luma samples; 0 = disabled
   int has_tb64 = 0;            // any luma TB with a 64-sample dimension
                                // (sps_max_luma_transform_size_64_flag
                                // streams: drives the 64-size residual
@@ -2354,6 +2355,7 @@ class Decoder {
     out.height = pps_.height;
     out.bit_depth = sps_.bit_depth;
     out.chroma_format_idc = sps_.sps_chroma_format_idc;
+    out.ref_wraparound_offset = pps_.ref_wraparound_offset;
     out.ctb_log2 = sps_.ctb_log2_size_y;
     out.tile_col_bd.clear();
     for (int bd : pps_.col_bd)
@@ -5033,6 +5035,7 @@ void vvch_frame_info(void* h, int32_t* info) {
   info[27] = o.has_isp;
   info[28] = o.has_sl;
   info[29] = o.has_tb64;
+  info[30] = o.ref_wraparound_offset;
 }
 
 // active scaling-list matrices: 28 matrices expanded to an 8x8 grid

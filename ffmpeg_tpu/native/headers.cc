@@ -266,8 +266,7 @@ Sps parse_sps(BitReader& r) {
     }
   }
   if (rpl1_same) sps.rpl_lists[1] = sps.rpl_lists[0];
-  int wraparound = r.flag();
-  VVC_UNSUPPORTED(wraparound, "reference wraparound");
+  sps.sps_ref_wraparound_enabled_flag = r.flag();
   sps.sps_temporal_mvp_enabled_flag = r.flag();
   if (sps.sps_temporal_mvp_enabled_flag) sps.sps_sbtmvp_enabled_flag = r.flag();
   sps.sps_amvr_enabled_flag = r.flag();
@@ -491,7 +490,16 @@ Pps parse_pps(BitReader& r, const Sps& sps) {
   pps.pps_rpl1_idx_present_flag = r.flag();
   pps.pps_weighted_pred_flag = r.flag();
   pps.pps_weighted_bipred_flag = r.flag();
-  VVC_UNSUPPORTED(r.flag(), "pps ref wraparound");
+  if (r.flag()) {  // pps_ref_wraparound_enabled_flag
+    VVC_UNSUPPORTED(!sps.sps_ref_wraparound_enabled_flag,
+                    "pps wraparound without the sps flag");
+    const int min_cb = 1 << sps.min_cb_log2_size_y;
+    int minus_off = (int)r.ue();
+    // PpsRefWraparoundOffset = pic_w / MinCb - pps_pic_width_minus_
+    // wraparound_offset (7.4.3.4); stored in luma samples
+    pps.ref_wraparound_offset =
+        (pps.width / min_cb - minus_off) * min_cb;
+  }
   pps.pps_init_qp = 26 + r.se();
   pps.pps_cu_qp_delta_enabled_flag = r.flag();
   pps.pps_chroma_tool_offsets_present_flag = r.flag();

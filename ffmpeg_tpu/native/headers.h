@@ -122,6 +122,7 @@ struct Sps {
   int sps_chroma_vertical_collocated_flag = 1;
   int sps_dep_quant_enabled_flag = 0;
   int sps_sign_data_hiding_enabled_flag = 0;
+  int sps_ref_wraparound_enabled_flag = 0;
   // candidate ref pic list structs coded in the SPS (spec 7.3.10;
   // slices select one with rpl_sps_flag + rpl_idx)
   std::vector<RefPicListStruct> rpl_lists[2];
@@ -169,6 +170,9 @@ struct Pps {
   int pps_alf_info_in_ph_flag = 0;
   int pps_wp_info_in_ph_flag = 0;
   int pps_qp_delta_info_in_ph_flag = 0;
+  // horizontal reference wraparound (360 video): offset in LUMA
+  // samples (PpsRefWraparoundOffset * MinCbSizeY); 0 = disabled
+  int ref_wraparound_offset = 0;
 
   // derived tile maps (in CTBs)
   std::vector<int> col_bd, row_bd;          // tile column/row start per tile idx
