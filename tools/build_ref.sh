@@ -21,7 +21,7 @@ cd "$BUILD"
     --enable-demuxer=vvc,mov \
     --enable-muxer=md5,framemd5,framecrc,rawvideo,mp4,mov,null \
     --enable-protocol=file,pipe \
-    --enable-bsf=vvc_mp4toannexb,h266_metadata \
+    --enable-bsf=vvc_mp4toannexb,vvc_metadata \
     --enable-filter=scale,format \
     --enable-encoder=rawvideo,wrapped_avframe
 make -j"$(nproc)" ffmpeg ffprobe
