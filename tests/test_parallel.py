@@ -76,3 +76,60 @@ def test_sao_tiled_equality():
     got = sao_plane_tiled(plane, sao_type, band_pos, offv, eo_class,
                           pic_w, pic_h, ctb=ctb, bit_depth=bd, mesh=mesh)
     assert (np.asarray(ref) == np.asarray(got)).all()
+
+
+def test_deblock_tiled_equality():
+    """Row-band sharded vertical deblock (zero halo) == whole-plane."""
+    import jax.numpy as jnp
+
+    from ffmpeg_tpu.ops.deblock import deblock_vertical_luma
+    from ffmpeg_tpu.parallel.mesh import make_mesh
+    from ffmpeg_tpu.parallel.spatial import deblock_vertical_tiled
+
+    rng = np.random.default_rng(3)
+    plane = jnp.asarray(rng.integers(0, 256, (128, 128), dtype=np.int32))
+    S, E = 128 // 4, 128 // 4
+    bs = jnp.asarray(rng.integers(0, 3, (S, E), dtype=np.int32)).at[:, 0].set(0)
+    qp = jnp.asarray(rng.integers(18, 45, (S, E), dtype=np.int32))
+    mp = jnp.asarray(rng.choice([1, 3, 7], (S, E)).astype(np.int32))
+    mq = jnp.asarray(rng.choice([1, 3, 7], (S, E)).astype(np.int32))
+    he = jnp.zeros((S, E), jnp.int32)
+    ref = deblock_vertical_luma(plane, bs, qp, mp, mq, he, bit_depth=8,
+                                beta_off=2, tc_off=-2)
+    mesh = make_mesh(frame_axis=2)
+    got = deblock_vertical_tiled(plane, bs, qp, mp, mq, he, bit_depth=8,
+                                 beta_off=2, tc_off=-2, mesh=mesh)
+    assert (np.asarray(ref) == np.asarray(got)).all()
+
+
+def test_alf_tiled_equality():
+    """Row-band sharded ALF luma (CTB-row halo) == whole-plane."""
+    import jax.numpy as jnp
+
+    from ffmpeg_tpu.ops.alf import (TRANSPOSE_IDX, alf_classify,
+                                    alf_filter_luma)
+    from ffmpeg_tpu.parallel.mesh import make_mesh
+    from ffmpeg_tpu.parallel.spatial import alf_luma_tiled
+
+    rng = np.random.default_rng(5)
+    ctb, bd = 32, 8
+    plane = jnp.asarray(rng.integers(0, 256, (128, 128), dtype=np.int32))
+    nby = nbx = 128 // ctb
+    bank = jnp.asarray(rng.integers(0, 16, (nby, nbx), dtype=np.int32))
+    flag = jnp.asarray(rng.integers(0, 2, (nby, nbx), dtype=np.int32))
+    bco = jnp.asarray(rng.integers(-32, 33, (16, 25, 12), dtype=np.int32))
+    bcl = jnp.asarray(rng.choice([256, 32, 8, 2],
+                                 (16, 25, 12)).astype(np.int32))
+    cls, tr = alf_classify(plane, ctb, bd)
+    cb = (jnp.arange(128 // 4) * 4) // ctb
+    bank44 = bank[cb[:, None], cb[None, :]]
+    flag44 = flag[cb[:, None], cb[None, :]]
+    c12 = jnp.take_along_axis(bco[bank44, cls],
+                              jnp.asarray(TRANSPOSE_IDX)[tr], axis=-1)
+    k12 = jnp.take_along_axis(bcl[bank44, cls],
+                              jnp.asarray(TRANSPOSE_IDX)[tr], axis=-1)
+    ref = alf_filter_luma(plane, c12, k12, ctb, flag44 > 0, bd)
+    mesh = make_mesh(frame_axis=2)
+    got = alf_luma_tiled(plane, bank, flag, bco, bcl, ctb=ctb,
+                         bit_depth=bd, mesh=mesh)
+    assert (np.asarray(ref) == np.asarray(got)).all()
