@@ -385,7 +385,7 @@ def _random_cu(cfg, rng, x0, y0, w, h, is_inter_slice=False,
                     and rng.random() < 0.5:
                 cu.sbtmvp = True
                 cu.merge_idx = int(rng.integers(0, 5 if cfg.affine else 1))
-            elif (cfg.ciip and w * h >= 64 and w <= 32 and h <= 32
+            elif (cfg.ciip and w * h >= 64 and w <= 64 and h <= 64
                     and rng.random() < 0.5):
                 cu.ciip = True  # excludes mmvd (regular_merge_flag 0)
             elif (cfg.gpm and cfg.b_slices and w >= 8 and h >= 8

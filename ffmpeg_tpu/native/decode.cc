@@ -429,6 +429,29 @@ inline std::vector<Unit> predict_units(const FrameOut& fr, bool is_chroma,
     // "reference" samples the spec never uses); inter MC is linear and
     // splits exactly, so inter TBs tile into <=32 MC units below
     const CuRecord& ucu = fr.cus[tu.cu_index];
+    if (ucu.pred_mode == 0 && ucu.ciip && (ucu.w > 32 || ucu.h > 32)) {
+      // large CIIP: planar + MC blend over the whole CB (predict_ciip
+      // runs per CU, vvc_inter.c:915-921) — one CU-sized unit per
+      // plane kind, emitted at the CB-origin TB; later TBs of the CU
+      // only map their residual slots onto it
+      const int ux0 = want_c ? (ucu.x0 >> ss) : ucu.x0;
+      const int uy0 = want_c ? (ucu.y0 >> ss) : ucu.y0;
+      if (tu.x0 == ux0 && tu.y0 == uy0) {
+        if (slots) (*slots)[j] = (int)units.size();
+        units.push_back({tu.cu_index, ux0, uy0,
+                         want_c ? (ucu.w >> ss) : ucu.w,
+                         want_c ? (ucu.h >> ss) : ucu.h,
+                         ucu.x0, ucu.y0});
+        if (want_c == 1) {
+          cb_slot = (int)units.size() - 1;
+          cb_x0 = tu.x0;
+          cb_y0 = tu.y0;
+        }
+      } else if (slots) {
+        (*slots)[j] = -1;
+      }
+      continue;
+    }
     const int umax = ucu.pred_mode != 0 ? 64 : 32;
     const bool single = tu.w <= umax && tu.h <= umax;
     if (slots && single) (*slots)[j] = (int)units.size();
@@ -3386,10 +3409,15 @@ class Decoder {
           is_ciip = bin(CIIP_FLAG);
         else
           is_ciip = ciip_avail && !cu.skip && !is_128 && w * h >= 64;
-        if (is_ciip)
-          VVC_UNSUPPORTED(w > 32 || h > 32, "CIIP above 32x32 (todo)");
-        else
+        if (is_ciip) {
+          // CIIP above 32x32 (up to 64x64): the intra hypothesis is
+          // planar over the WHOLE CU, so the predict unit must keep
+          // the CU dims — reuse the 64-wide-unit machinery (has_tb64
+          // drives maxs_intra=64 in the frame program)
+          if (w > 32 || h > 32) out.has_tb64 = 1;
+        } else {
           is_gpm = 1;
+        }
       }
     }
     if (is_sbtmvp) {
